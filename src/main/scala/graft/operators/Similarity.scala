@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force top-k is the correctness baseline: the (small) query set
+  * is broadcast against a single scan of the corpus — a
+  * BroadcastNestedLoopJoin whose cost is |corpus| × |queries| dot
+  * products, linear in the corpus and embarrassingly parallel. The scale
+  * path is [[lshTopK]]: random-hyperplane signatures bucket the corpus so
+  * each query only scores its bucket's candidates.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns via zip_with + aggregate
+    * (codegen'd; array order fixed, so the fold is deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries` must be small (it is broadcast). Ties break on vec id for
+    * determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal arrays —
+    * computed once on the driver, inlined into the plan. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0. */
+  def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    (0 until planes.length).map { i =>
+      val plane = array(planes(i).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: corpus and queries are hashed to
+    * `bits`-bit hyperplane signatures; each query scores only corpus
+    * vectors sharing its bucket (equi-join on the signature — a hash
+    * shuffle, no cross product). Recall is tunable via `bits` (fewer
+    * bits = bigger buckets = higher recall, more work). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bits: Int = 8, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", signature(col("v"), planes))
+    val q = queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", signature(col("qv"), planes))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+}

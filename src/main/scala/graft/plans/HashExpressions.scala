@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextHash
+
+/** Custom Catalyst expressions for the near-dup signatures the built-in
+  * function library lacks. Both participate in whole-stage codegen via
+  * `doGenCode` emitting a single static-kernel call (the codegen shape
+  * Spark's own hash expressions use), so they stay inside the
+  * WholeStageCodegen span of the enclosing projection instead of
+  * breaking it the way a Scala UDF would.
+  */
+
+/** 64-bit Charikar SimHash of a string's whitespace-token multiset. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Winnowing min-gram fingerprint (Schleimer et al., SIGMOD'03) over
+  * k-byte grams. */
+case class Winnow64(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow64 requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.winnow64(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnow64($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Winnow64 =
+    copy(child = newChild)
+  override def prettyName: String = "winnow64"
+}
+
+object HashExpressions {
+  /** SimHash64 as a Column function. */
+  def simhash64(c: Column): Column =
+    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(c)))
+
+  /** Winnowing fingerprint as a Column function. */
+  def winnow64(c: Column, k: Int = 8): Column =
+    GraftSqlShim.column(Winnow64(GraftSqlShim.expression(c), k))
+
+  /** Hamming distance between two int64 signatures (built-in compose:
+    * bit_count(a XOR b) — codegen'd, no custom expression needed). */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+}
