@@ -242,7 +242,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(emb, queries, k = 3, dim = 64, bits = 6)
+      Similarity.lshTopK(emb, queries, k = 3, dim = 64, bits = 4, numTables = 8)
     }),
 
     // §2b-24: language ID heuristic

@@ -56,23 +56,35 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: corpus and queries are hashed to
-    * `bits`-bit hyperplane signatures; each query scores only corpus
-    * vectors sharing its bucket (equi-join on the signature — a hash
-    * shuffle, no cross product). Recall is tunable via `bits` (fewer
-    * bits = bigger buckets = higher recall, more work). */
+  /** Multi-table LSH ANN: `numTables` independent `bits`-bit
+    * hyperplane signatures; each query scores the union of its buckets
+    * across tables (equi-join on (table, bucket) — a hash shuffle, no
+    * cross product). Recall for neighbors at angle θ is
+    * 1-(1-p^bits)^numTables with p = 1-θ/π, tunable per corpus; bucket
+    * size shrinks 2^-bits, so candidate work stays
+    * numTables·|corpus|/2^bits per query. The corpus is replicated
+    * numTables times into the bucket index — the standard LSH
+    * space-for-recall trade; at 100 TB the index is built once and
+    * reused across query batches. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              bits: Int = 8, seed: Long = 42L,
+              bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
-    val planes = hyperplanes(dim, bits, seed)
-    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", signature(col("v"), planes))
-    val q = queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", signature(col("qv"), planes))
-    val scored = c.join(q, Seq("bucket"))
+    val tables = (0 until numTables).map(t =>
+      t -> hyperplanes(dim, bits, seed + t))
+    def bucketed(df: DataFrame, vec: String): DataFrame =
+      df.select(col("*"), explode(array(tables.map { case (tid, planes) =>
+        struct(lit(tid).as("table_id"), signature(col(vec), planes).as("bucket"))
+      }: _*)).as("tb")).select(col("*"), col("tb.table_id"), col("tb.bucket")).drop("tb")
+    val c = bucketed(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v")), "v")
+    val q = bucketed(
+      queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv")), "qv")
+    val candidates = c.join(q, Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
-      .withColumn("sim", cosine(col("v"), col("qv")))
+      .select(col(qidCol), col(idCol), col("v"), col("qv"))
+      .dropDuplicates(qidCol, idCol) // union across tables
+    val scored = candidates.withColumn("sim", cosine(col("v"), col("qv")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))))
       .filter(col("rank") <= k)

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("latestWins keeps the row attaining all extremes per key " +
+    "(insert_from_tmp_tables.sql:39-51)") {
+    val staged = Seq(
+      // key k1: later snapshot has newer date AND fewer issues -> wins
+      ("k1", d("2014-01-01"), 10L, "v1"),
+      ("k1", d("2014-02-01"), 7L, "v2"),
+      // key k2: single row -> trivially wins
+      ("k2", d("2014-01-15"), 3L, "only")
+    ).toDF("key", "updated_at", "open_issues", "tag")
+    val got = Dedup.latestWins(staged, Seq("key"),
+      maxCols = Seq("updated_at"), minCols = Seq("open_issues"))
+      .select($"key", $"tag").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "v2", "k2" -> "only"))
+  }
+
+  test("latestWins mirrors the reference's quirk: no row attaining ALL " +
+    "extremes drops the whole key") {
+    val staged = Seq(
+      ("k", d("2014-02-01"), 10L), // newest date but not min issues
+      ("k", d("2014-01-01"), 5L)   // min issues but not newest date
+    ).toDF("key", "updated_at", "open_issues")
+    val got = Dedup.latestWins(staged, Seq("key"),
+      Seq("updated_at"), Seq("open_issues"))
+    assert(got.count() == 0)
+  }
+
+  test("latestWins DISTINCTs exact duplicate winners") {
+    val staged = Seq(
+      ("k", d("2014-02-01"), 7L),
+      ("k", d("2014-02-01"), 7L)
+    ).toDF("key", "updated_at", "open_issues")
+    assert(Dedup.latestWins(staged, Seq("key"),
+      Seq("updated_at"), Seq("open_issues")).count() == 1)
+  }
+
+  test("latestWins NULL extreme drops the row (SQL equality semantics)") {
+    val staged = Seq(
+      ("k", Option(d("2014-02-01")), 7L),
+      ("k", Option.empty[Date], 3L)
+    ).toDF("key", "updated_at", "open_issues")
+    // the NULL-date row can never satisfy updated_at = max(updated_at)
+    val got = Dedup.latestWins(staged, Seq("key"),
+      Seq("updated_at"), Seq("open_issues"))
+    assert(got.count() == 0) // date-max row has 7 issues, min is 3 -> both drop
+  }
+
+  test("antiJoinNew keeps only unseen keys and applies guards " +
+    "(insert_from_tmp_tables.sql:52-54)") {
+    val incoming = Seq(("a", 1L), ("b", 2L), ("", 3L)).toDF("key", "v")
+    val existing = Seq("b").toDF("key")
+    val got = Dedup.antiJoinNew(incoming, existing, Seq("key"),
+      guards = Seq(col("key") =!= ""))
+      .select($"key").as[String].collect().toSeq
+    assert(got == Seq("a"))
+  }
+
+  test("exactDedup groups by content hash, keeps min id + count") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.exactDedup(docs, "text", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("idempotentUpsert = existing union unseen incoming, dedup by key " +
+    "(ght2dm.go:440-490 set-based)") {
+    val existing = Seq((1L, "e1"), (2L, "e2")).toDF("k", "v")
+    val incoming = Seq((2L, "i2"), (3L, "i3"), (3L, "i3b")).toDF("k", "v")
+    val got = Dedup.idempotentUpsert(existing, incoming, Seq("k"))
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    // existing row wins over incoming on collision
+    val v2 = Dedup.idempotentUpsert(existing, incoming, Seq("k"))
+      .filter($"k" === 2L).select($"v").as[String].collect().toSeq
+    assert(v2 == Seq("e2"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DumpSource
+
+class DumpSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "dumpspec").toString
+    d
+  }
+
+  test("round-trips length-prefixed docs (ght2dm.go:202-236 framing)") {
+    val dir = tmpDir()
+    val docs = Seq("""{"a":1}""", """{"a":2}""", """{"a":3}""")
+    DumpSource.writeDump(s"$dir/2014-01-01.bson", docs.iterator.map(_.getBytes(UTF_8)))
+    val got = spark.read.format("graft.sources.DumpDataSource")
+      .load(s"$dir/2014-01-01.bson")
+      .select($"doc_index", $"doc".cast("string"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == docs.zipWithIndex.map { case (d, i) => (i.toLong, d) })
+  }
+
+  test("one input partition per file; empty docs and large docs survive") {
+    val dir = tmpDir()
+    val big = "x" * 100000
+    DumpSource.writeDump(s"$dir/2014-01-01.bson", Iterator("".getBytes(UTF_8)))
+    DumpSource.writeDump(s"$dir/2014-01-02.bson", Iterator(big.getBytes(UTF_8)))
+    val df = spark.read.format("graft.sources.DumpDataSource")
+      .load(s"$dir/2014-01-01.bson", s"$dir/2014-01-02.bson")
+    assert(df.rdd.getNumPartitions == 2)
+    val lens = df.select(length($"doc".cast("string"))).as[Int].collect().sorted
+    assert(lens.toSeq == Seq(0, 100000))
+  }
+
+  test("malformed frame (truncated doc) raises a clear error") {
+    val dir = tmpDir()
+    // length says 100 bytes but only 3 follow
+    val bytes = Array[Byte](104, 0, 0, 0) ++ "abc".getBytes(UTF_8)
+    Files.write(Paths.get(s"$dir/2014-01-01.bson"), bytes)
+    val ex = intercept[SparkException] {
+      spark.read.format("graft.sources.DumpDataSource")
+        .load(s"$dir/2014-01-01.bson").count()
+    }
+    assert(ex.getMessage.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
+  test("listDateOrdered filters to date-named files, newest first " +
+    "(ght2dm.go:985-1058)") {
+    val dir = tmpDir()
+    Seq("2014-01-02.bson", "2014-03-01.bson", "2014-01-30.bson",
+      "README.txt", "not-a-date.bson").foreach { n =>
+      Files.write(Paths.get(s"$dir/$n"), "x".getBytes(UTF_8))
+    }
+    val got = DumpSource.listDateOrdered(dir).map(_.split("/").last)
+    assert(got == Seq("2014-03-01.bson", "2014-01-30.bson", "2014-01-02.bson"))
+  }
+}

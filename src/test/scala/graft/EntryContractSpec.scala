@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself. */
+class EntryContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry() flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, TestSpark.sf0001).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracle-checked queries keep identical column names in Spark output") {
+    // the driver sorts columns by name before hashing; a drifted alias
+    // breaks the whole entry even when values match
+    val expected = Map(
+      "q_latest_wins" -> Set("o_orderkey", "o_custkey", "o_date", "o_totalprice"),
+      "q_exact_dedup" -> Set("doc_id", "n_dupes"),
+      "q_window_agg" -> Set("hour_epoch", "event_type", "n_events", "total_value"))
+    expected.foreach { case (name, cols) =>
+      val got = SparkEntry.queries(name)(spark, TestSpark.sf0001).columns.toSet
+      assert(got == cols, s"$name columns drifted: $got")
+    }
+  }
+}

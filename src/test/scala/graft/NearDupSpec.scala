@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NearDup
+
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Small corpus with planted near-dups (901/902 near 1/2) and
+    * unrelated docs. */
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (901L, "the quick brown fox jumps over the lazy dog near the river"),
+    (2L, "spark shuffles hash partitions across the cluster for joins"),
+    (902L, "spark shuffles hash partitions across the cluster for joins today"),
+    (3L, "completely different content about cooking pasta with garlic"),
+    (4L, "another unrelated document mentioning satellites and orbits")
+  ).toDF("doc_id", "text")
+
+  test("minhashPairs finds planted near-dups and verifies with exact Jaccard") {
+    val pairs = NearDup.minhashPairs(corpus, "doc_id", "text",
+      k = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.contains((1L, 901L)), s"missing planted pair in $found")
+    assert(found.contains((2L, 902L)), s"missing planted pair in $found")
+    // jaccard column is the exact shingle Jaccard, in (0, 1]
+    assert(pairs.forall(p => p._3 > 0.5 && p._3 <= 1.0))
+    // unrelated docs never pair
+    assert(!found.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+  }
+
+  test("LSH candidates are generated per bucket — recall vs brute force " +
+    "on planted dups is total") {
+    // brute-force exact Jaccard over the tiny corpus (test-only crossJoin)
+    val sh = corpus.select($"doc_id", NearDup.wordShingles($"text", 3).as("sh"))
+    val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("j", size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+        size(array_union($"sh_a", $"sh_b")).cast("double"))
+      .filter($"j" >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.minhashPairs(corpus, "doc_id", "text",
+      k = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact == lsh,
+      s"LSH must find exactly the >=0.5-Jaccard pairs here: exact=$exact lsh=$lsh")
+  }
+
+  test("simhashPairs finds planted near-dups via 16-bit block LSH") {
+    // simhash needs enough tokens for the bit-vote to stabilize: a
+    // one-token edit on a 60-token doc lands within a few Hamming bits
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val longCorpus = Seq(
+      (1L, base),
+      (901L, base + " extra"),
+      (3L, (100 to 160).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.simhashPairs(longCorpus, "doc_id", "text", maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 901L)), pairs.toString)
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, pairs.toString)
+  }
+
+  test("maxBucket caps pathological buckets instead of exploding the join") {
+    // 60 identical docs -> one bucket of 60; cap at 10 -> no pairs emitted
+    val boiler = (1L to 60L).map(i => (i, "same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val capped = NearDup.minhashPairs(boiler, "doc_id", "text",
+      k = 3, numBands = 8, rowsPerBand = 4, threshold = 0.1, maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-audit assertions: the plans the engine produces must be the
+  * plans that survive a 100 TB scale-up — broadcast joins for dim
+  * resolution, no cartesian products anywhere, pruned parquet scans.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dim-resolution joins broadcast the small side (ght2dm.go:657-959)") {
+    val plan = physical(
+      SparkEntry.queries("q_resolve_members")(spark, TestSpark.sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim join must not shuffle the fact side:\n$plan")
+  }
+
+  test("no CartesianProduct in any registered query plan") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = physical(fn(spark, TestSpark.sf0001))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("narrow projection prunes the parquet scan to selected columns") {
+    val plan = physical(
+      SparkEntry.queries("q_users_projection")(spark, TestSpark.sf0001))
+    // users projection touches c_name + c_mktsegment only
+    assert(plan.contains("ReadSchema"))
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("c_acctbal") && !read.contains("c_custkey"),
+      s"scan reads pruned columns:\n$read")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.customer(spark, TestSpark.sf0001)
+      .filter(col("c_custkey") === 42L).select(col("c_name"))
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("latest-wins dedup is a single hash partitioning of the key " +
+    "(window, not groupBy+self-join)") {
+    val plan = physical(SparkEntry.queries("q_latest_wins")(spark, TestSpark.sf0001))
+    assert(plan.contains("Window"), plan)
+    // exactly one exchange feeding the window (plus one for dropDuplicates)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
+  }
+
+  test("whole-stage codegen covers the custom hash expressions") {
+    val df = SparkEntry.queries("q_fingerprint")(spark, TestSpark.sf0001)
+    val plan = physical(df)
+    // `*(N)` prefixes mark operators inside a WholeStageCodegen stage;
+    // the project evaluating the custom expressions must carry one
+    val projLine = plan.linesIterator.find(_.contains("simhash64")).getOrElse("")
+    assert(projLine.trim.startsWith("*("),
+      s"custom-expression project fell out of codegen:\n$plan")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine matches a hand computation") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the true neighbors in rank order") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("multi-table LSH recalls most true nearest neighbors on the " +
+    "testdata (near-orthogonal vectors: the hard case)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // NN cosine on this data is ~0.35 (θ≈69°, p≈0.617): recall per table
+    // p^3≈0.23, over 16 tables ≈ 0.985
+    val lsh = Similarity.lshTopK(emb, queries, k = 1, dim = 64,
+      bits = 3, numTables = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val agree = exact.keySet.count(q => lsh.get(q).contains(exact(q)))
+    assert(agree >= 6, s"LSH recall too low: $agree/10 (exact=$exact lsh=$lsh)")
+  }
+}

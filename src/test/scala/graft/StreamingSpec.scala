@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.{Event, Session}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed agg over the events table matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Event].collect().toSeq
+
+    val stream = MemoryStream[Event]
+    stream.addData(batch)
+    val q = EventsStreaming.windowedAgg(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("win_agg_test")
+      .select(unix_timestamp($"window_start").as("h"), $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val batchAgg = EventsStreaming.hourlyAggBatch(
+        Tables.events(spark, TestSpark.sf0001))
+      .select($"hour_epoch", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batchAgg)
+  }
+
+  test("sessionize closes a session after the gap and keeps state per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, ""),
+      Event(2, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, ""),
+      // > 30 min gap -> first session closes
+      Event(3, ts("2024-01-01 11:00:00"), 7L, "view", 5.0, ""),
+      Event(4, ts("2024-01-01 10:05:00"), 8L, "click", 1.0, "")
+    )
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventsStreaming.sessionize(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val closed = spark.table("sessions_test").as[Session].collect().toSeq
+    assert(closed.map(s => (s.user_id, s.n_events, s.total_value)) ==
+      Seq((7L, 2, 3.0)))
+    assert(closed.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
+  }
+}

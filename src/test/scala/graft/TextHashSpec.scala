@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHash
+import graft.plans.HashExpressions
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sim(s: String): Long = TextHash.simhash64(UTF8String.fromString(s))
+
+  test("simhash64 is deterministic and token-order-invariant") {
+    assert(sim("a b c") == sim("a b c"))
+    assert(sim("a b c") == sim("c b a")) // bag-of-tokens semantics
+  }
+
+  test("near-identical docs have small Hamming distance; unrelated docs large") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra"
+    val far = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val hNear = TextHash.hamming64(sim(base), sim(near))
+    val hFar = TextHash.hamming64(sim(base), sim(far))
+    assert(hNear <= 8, s"near docs hamming=$hNear")
+    assert(hFar > 16, s"far docs hamming=$hFar")
+  }
+
+  test("winnow64 fingerprint survives edits far from the minimizing gram") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    // same text with a tail edit: min-gram usually unchanged
+    val b = a + " tail"
+    assert(TextHash.winnow64(UTF8String.fromString(a), 8) ==
+      TextHash.winnow64(UTF8String.fromString(b), 8))
+  }
+
+  test("codegen and interpreted eval agree (the doGenCode contract)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+    val viaExpr = docs.select($"doc_id",
+        HashExpressions.simhash64($"text").as("h"),
+        HashExpressions.winnow64($"text", 8).as("w"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val texts = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val direct = texts.map { case (id, t) =>
+      (id, TextHash.simhash64(UTF8String.fromString(t)),
+        TextHash.winnow64(UTF8String.fromString(t), 8))
+    }
+    assert(viaExpr == direct)
+  }
+
+  test("fnv64 matches the published FNV-1a test vector") {
+    // FNV-1a 64 of empty input is the offset basis
+    assert(TextHash.fnv64(Array.emptyByteArray, 0, 0) == 0xcbf29ce484222325L)
+    // published vector: fnv1a64("a") = 0xaf63dc4c8601ec8c
+    assert(TextHash.fnv64("a".getBytes("UTF-8"), 0, 1) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("property: simhash of any token permutation is identical (100 seeds)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val ts = List.fill(2 + rnd.nextInt(10))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+      val s1 = ts.mkString(" ")
+      val s2 = rnd.shuffle(ts).mkString(" ")
+      assert(sim(s1) == sim(s2), s"'$s1' vs '$s2'")
+    }
+  }
+}
