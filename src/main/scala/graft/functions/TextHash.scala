@@ -83,6 +83,120 @@ object TextHash {
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
 
+  /** splitmix64 finisher (Steele et al., public domain) — cheap
+    * high-quality mixer used to derive the per-seed MinHash families
+    * from one base shingle hash. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over word `k`-shingles in ONE pass: for each
+    * shingle, base = FNV over its byte span (token-boundary aware), and
+    * the j-th family hash is mix64(base + j·golden). Texts shorter than
+    * k tokens hash their whole token span as the single shingle —
+    * matching [[graft.operators.NearDup.wordShingles]] semantics.
+    * Returns n signature longs (Long.MaxValue for empty text). */
+  def minhash64(s: UTF8String, k: Int, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token spans
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      val st = i
+      while (i < len && !isSpace(bytes(i))) i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    val nTok = starts.size()
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    def update(base: Long): Unit = {
+      var j = 0
+      while (j < n) {
+        val h = mix64(base + j * 0x9e3779b97f4a7c15L)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    // hash of tokens [from, until) joined by a single space — identical
+    // to fnv64 over the normalized shingle string
+    def shingleHash(from: Int, until: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var t = from
+      while (t < until) {
+        if (t > from) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        var b = starts.get(t)
+        val e = ends.get(t)
+        while (b < e) {
+          h ^= (bytes(b) & 0xffL)
+          h *= 0x100000001b3L
+          b += 1
+        }
+        t += 1
+      }
+      h
+    }
+    if (nTok == 0) sig
+    else if (nTok < k) { update(shingleHash(0, nTok)); sig }
+    else {
+      var t = 0
+      while (t + k <= nTok) { update(shingleHash(t, t + k)); t += 1 }
+      sig
+    }
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Distinct word-k-shingle hashes, sorted — the set representation
+    * used for exact Jaccard on candidate pairs. 64-bit FNV collisions
+    * are negligible at corpus scale, and an 8-byte element shuffles an
+    * order of magnitude lighter than the shingle string it replaces. */
+  def shingles64(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      val st = i
+      while (i < len && !isSpace(bytes(i))) i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    val nTok = starts.size()
+    def shingleHash(from: Int, until: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var t = from
+      while (t < until) {
+        if (t > from) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        var b = starts.get(t)
+        val e = ends.get(t)
+        while (b < e) {
+          h ^= (bytes(b) & 0xffL)
+          h *= 0x100000001b3L
+          b += 1
+        }
+        t += 1
+      }
+      h
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (nTok == 0) set.add(shingleHash(0, 0))
+    else if (nTok < k) set.add(shingleHash(0, nTok))
+    else {
+      var t = 0
+      while (t + k <= nTok) { set.add(shingleHash(t, t + k)); t += 1 }
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
 }

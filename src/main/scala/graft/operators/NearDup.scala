@@ -30,19 +30,16 @@ object NearDup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** `numHashes` MinHash values of a shingle array: minhash_j =
-    * min over shingles of xxhash64(shingle, j). All codegen'd built-ins
-    * (transform + xxhash64 + array_min). */
-  def minhashes(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => xxhash64(s, lit(j))))
-    }: _*)
-
-  /** (doc_id, shingles, minhash-array) signature frame. */
+  /** (doc_id, shingles, minhash-array) signature frame. Both columns
+    * come from one-pass kernel expressions: `shingles` is the distinct
+    * shingle-HASH set (array<long> — shuffles ~10× lighter than the
+    * shingle strings and compares with long equality), `minhashes` the
+    * MinHash signature. A per-hash transform-lambda formulation of the
+    * same logic generated pathological janino compile times. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 32): DataFrame =
-    df.select(col(idCol), wordShingles(col(textCol), k).as("shingles"))
-      .withColumn("minhashes", minhashes(col("shingles"), numHashes))
+    df.select(col(idCol), HashExpressions.shingles64(col(textCol), k).as("shingles"),
+      HashExpressions.minhash64(col(textCol), k, numHashes).as("minhashes"))
 
   /** LSH banding: explode the signature into (band_id, band_hash) rows;
     * docs sharing any band bucket are candidates. */
@@ -67,16 +64,16 @@ object NearDup {
     val sig = signatures(df, idCol, textCol, k, numBands * rowsPerBand)
       .persist()
     val bands = banded(sig, idCol, numBands, rowsPerBand)
-    // cap pathological buckets (boilerplate collisions) before the
-    // within-bucket self-join, so the pair count stays bounded
-    val counted = bands.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_id"), col("band_hash"))))
-      .filter(col("bucket_n").between(2, maxBucket))
-      .drop("bucket_n")
-    val a = counted.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
-    val b = counted.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
+    // one hash-shuffle on the band bucket; buckets above `maxBucket`
+    // (boilerplate collisions) are dropped explicitly instead of
+    // quadratically exploding, and pair expansion happens in-row,
+    // bounded by maxBucket^2 per bucket
+    val buckets = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates()
     val sa = sig.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))

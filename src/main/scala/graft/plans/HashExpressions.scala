@@ -51,7 +51,61 @@ case class Winnow64(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "winnow64"
 }
 
+/** Whole MinHash signature in one kernel pass — replaces numHashes
+  * separate string-transform lambdas whose generated code took longer
+  * to janino-compile than the query took to run. */
+case class MinHash64(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash64 requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHash.minhash64(v.asInstanceOf[UTF8String], k, numHashes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.minhash64($c, $k, $numHashes))")
+  override protected def withNewChildInternal(newChild: Expression): MinHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "minhash64"
+}
+
+/** Distinct sorted word-k-shingle hash set (array<long>) — the set
+  * representation for exact Jaccard verification. */
+case class Shingles64(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingles64 requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHash.shingles64(v.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.shingles64($c, $k))")
+  override protected def withNewChildInternal(newChild: Expression): Shingles64 =
+    copy(child = newChild)
+  override def prettyName: String = "shingles64"
+}
+
 object HashExpressions {
+  /** One-pass MinHash signature (array<long>) as a Column function. */
+  def minhash64(c: Column, k: Int, numHashes: Int): Column =
+    GraftSqlShim.column(MinHash64(GraftSqlShim.expression(c), k, numHashes))
+
+  /** Distinct sorted shingle-hash set as a Column function. */
+  def shingles64(c: Column, k: Int): Column =
+    GraftSqlShim.column(Shingles64(GraftSqlShim.expression(c), k))
+
   /** SimHash64 as a Column function. */
   def simhash64(c: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(c)))
