@@ -288,12 +288,18 @@ object SparkEntry {
           count(lit(1)).as("count_order"))),
 
     "q_top_revenue" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      // aggregate the fact table FIRST (map-side partial agg shrinks
+      // 600k line items to 150k order rows), then broadcast-join the
+      // 2-column orders dim — at 100 TB the join input is the
+      // aggregate's output, never the raw fact table
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      rev.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_date"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     })

@@ -49,12 +49,10 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0. */
+  /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0.
+    * Kernel expression — see [[graft.plans.VecOps.hyperplaneSig]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    (0 until planes.length).map { i =>
-      val plane = array(planes(i).map(lit): _*)
-      when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.plans.VecExpressions.hyperplaneSig(vec, planes)
 
   /** Multi-table LSH ANN: `numTables` independent `bits`-bit
     * hyperplane signatures; each query scores the union of its buckets

@@ -38,5 +38,14 @@ object PerfProbe {
     time("q_minhash_pairs again") {
       SparkEntry.queries("q_minhash_pairs")(spark, dir).count()
     }
+    time("q_ann_lsh full") {
+      SparkEntry.queries("q_ann_lsh")(spark, dir).count()
+    }
+    time("q_ann_lsh again") {
+      SparkEntry.queries("q_ann_lsh")(spark, dir).count()
+    }
+    time("q_top_revenue full") {
+      SparkEntry.queries("q_top_revenue")(spark, dir).count()
+    }
   }
 }
