@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staging writes — the reference's bulk `COPY` into
+  * `tmp_gh_repositories` (ght2dm.go:494-548, pq.CopyIn) re-expressed as
+  * a partitioned parquet staging area that the dedup+insert stage then
+  * reads set-based.
+  *
+  * Scale notes: `partitionByCol` should be a low-cardinality natural
+  * partition (ingest date, entity kind) so downstream jobs prune whole
+  * directories; `bucketBy` on the dedup key would additionally
+  * co-locate the latest-wins shuffle, but bucketing requires a table
+  * catalog — the plain-directory variant keeps the staging area
+  * catalog-free like the reference's tmp table.
+  */
+object Staging {
+
+  /** Write `df` to the staging area, optionally hive-partitioned. */
+  def writeStaged(df: DataFrame, path: String,
+                  partitionByCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    partitionByCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+  }
+
+  /** Read the staging area back (partition pruning applies to any
+    * filter on the partition column). */
+  def readStaged(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
+/** Skew handling for hot keys: pre-aggregate under a salt, then merge.
+  * The classic two-phase aggregation — at 100 TB a single pathological
+  * key (one repo spammed across every dump, one boilerplate document)
+  * otherwise pins a single reducer.
+  */
+object Skew {
+
+  /** groupBy(keys).agg(count) with `salts`-way salting: phase 1
+    * aggregates (keys, salt), phase 2 merges partials per key. Both
+    * phases are map-side-combinable hash aggregations. */
+  def saltedCount(df: DataFrame, keys: Seq[String], salts: Int,
+                  countName: String = "n"): DataFrame = {
+    val salted = df.withColumn("__salt",
+      (rand(seed = 42) * salts).cast("int"))
+    salted.groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(countName))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the custom expressions, so
+  * `spark.sql("SELECT simhash64(text) ...")` works the same as the
+  * Column API. Two paths:
+  *
+  *  - cluster config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (applied at session build, the standard extension hook)
+  *  - existing session: `GraftExtensions.register(spark)` injects into
+  *    the live function registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) triples for every custom expression. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("winnow64",
+      new ExpressionInfo(classOf[Winnow64].getName, "winnow64"),
+      (es: Seq[Expression]) => Winnow64(es.head,
+        if (es.size > 1) intArg(es(1), "winnow64 gram size") else 8)),
+    ("minhash64",
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      (es: Seq[Expression]) => MinHash64(es.head,
+        intArg(es(1), "minhash64 shingle size"),
+        intArg(es(2), "minhash64 signature length"))),
+    ("shingles64",
+      new ExpressionInfo(classOf[Shingles64].getName, "shingles64"),
+      (es: Seq[Expression]) => Shingles64(es.head,
+        intArg(es(1), "shingles64 shingle size"))))
+
+  /** Register into a live session (local/test path). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.GraftSqlShim.registerFunction(spark, name, builder)
+    }
+}

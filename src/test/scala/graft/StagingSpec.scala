@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Skew, Staging}
+import graft.plans.GraftExtensions
+
+class StagingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staged write round-trips and partition-prunes (ght2dm.go:494-548)") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "staging").toString
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("o_status", $"o_orderstatus")
+    Staging.writeStaged(orders, dir, partitionByCol = Some("o_status"))
+    val back = Staging.readStaged(spark, dir)
+    assert(back.count() == orders.count())
+    // a partition-column filter prunes directories at planning time
+    val pruned = back.filter($"o_status" === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_status"), scan)
+  }
+
+  test("salted aggregation equals plain groupBy count") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val plain = events.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(events, Seq("event_type"), salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, TestSpark.sf0001).limit(20)
+      .createOrReplaceTempView("docs_sql_test")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh, winnow64(text, 8) AS wn,
+        |       minhash64(text, 3, 8) AS mh, shingles64(text, 3) AS sg
+        |FROM docs_sql_test""".stripMargin)
+      .select($"doc_id", $"sh").as[(Long, Long)].collect().toMap
+    val viaColumn = Tables.documents(spark, TestSpark.sf0001).limit(20)
+      .select($"doc_id", graft.plans.HashExpressions.simhash64($"text"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaColumn)
+  }
+
+  test("GraftExtensions applies cleanly as a session extension hook") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e) // must not throw; wiring is the contract
+  }
+}
