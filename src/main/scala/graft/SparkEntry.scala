@@ -245,6 +245,20 @@ object SparkEntry {
       Similarity.lshTopK(emb, queries, k = 3, dim = 64, bits = 4, numTables = 8)
     }),
 
+    // §2b: embedding-cosine near-dup over LSH buckets; the corpus is
+    // augmented with deterministically perturbed copies (vec_id+100000)
+    // so planted near-dups are demonstrably found
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
+          .as("embedding"))
+      Similarity.cosineNearDupPairs(emb.unionByName(perturbed),
+        threshold = 0.9, dim = 64, bits = 4, numTables = 8)
+    }),
+
     // §2b-24: language ID heuristic
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),

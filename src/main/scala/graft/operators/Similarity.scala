@@ -42,6 +42,31 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
+    * buckets prune the pair space (hash-shuffle self-join per
+    * (table, bucket), never all-pairs), then exact cosine decides.
+    * Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+                         bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
+        struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("v"), col("tb.table_id"), col("tb.bucket"))
+    val a = c.select(col("table_id"), col("bucket"),
+      col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = c.select(col("table_id"), col("bucket"),
+      col(idCol).as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays —
     * computed once on the driver, inlined into the plan. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {

@@ -41,4 +41,16 @@ class SimilaritySpec extends AnyFunSuite {
     val agree = exact.keySet.count(q => lsh.get(q).contains(exact(q)))
     assert(agree >= 6, s"LSH recall too low: $agree/10 (exact=$exact lsh=$lsh)")
   }
+
+  test("cosineNearDupPairs finds planted perturbed copies, not random pairs") {
+    val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf0001)
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
+    // every reported pair is a planted (v, v+noise) couple at cos>=0.9:
+    // random pairs on this data sit near cos~0
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, s) => b == a + 100000L && s >= 0.9 },
+      pairs.take(5).mkString(","))
+    // recall: most of the 500 planted pairs collide in >=1 of 8 tables
+    assert(pairs.length >= 350, s"recall too low: ${pairs.length}/500")
+  }
 }
