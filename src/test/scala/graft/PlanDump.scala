@@ -1,0 +1,20 @@
+package graft
+
+/** Scratch: dump formatted physical plans for the plan audit (PLANS.md). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.01"
+    val out = new java.io.PrintWriter("/root/repo/target/plans.txt")
+    Seq("q_latest_wins", "q_anti_join_new", "q_resolve_members",
+      "q_minhash_pairs", "q_ann_lsh", "q_exact_dedup", "q_top_revenue",
+      "q_pricing_summary", "q_window_agg").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      out.println(s"===== $name =====")
+      out.println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    out.close()
+    println("wrote /root/repo/target/plans.txt")
+  }
+}
