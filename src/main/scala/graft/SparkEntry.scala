@@ -289,6 +289,10 @@ object SparkEntry {
     "q_window_agg" -> ((s, dir) =>
       EventsStreaming.hourlyAggBatch(t(s, dir, "events"))),
 
+    // §2b-30: batch twin of the streaming sessionization
+    "q_sessionize" -> ((s, dir) =>
+      EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
+
     // headline TPC-H-style aggregates anchoring the bench
     "q_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -466,6 +470,26 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, value, ts_ms,
+        |         CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM marked),
+        |numbered AS (
+        |  SELECT user_id, value, ts_ms,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
 
     "q_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

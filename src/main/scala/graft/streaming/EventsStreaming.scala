@@ -65,6 +65,37 @@ object EventsStreaming {
       }
   }
 
+  /** Batch twin of [[sessionize]]: gap-based sessions via the classic
+    * lag + cumulative-sum-of-new-session-flags window pair, then one
+    * aggregation per (user, session). Two logical windows over the SAME
+    * (user_id)-partitioning — one shuffle, two in-partition sorts.
+    * Millisecond epochs keep the gap comparison integer-exact across
+    * engines. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both window orderings use (ms epoch, event_id) so the oracle SQL
+    // sorts by the exact same keys
+    val wLag = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wCum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = gapMinutes * 60L * 1000L
+    val marked = events
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(wLag))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+    marked
+      .withColumn("session_id",
+        sum(col("new_sess")).over(wCum.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+  }
+
   /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
     * identical grouping expressed with date_trunc so DuckDB can evaluate
     * the same SQL. */

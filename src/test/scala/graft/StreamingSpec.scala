@@ -63,4 +63,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.session_start == ts("2024-01-01 10:00:00"))
     assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
   }
+
+  test("batch sessionization agrees with the stateful streaming version " +
+    "on closed sessions") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val batchSessions = EventsStreaming.sessionizeBatch(events, gapMinutes = 30)
+      .select($"user_id", $"n_events", $"session_start_ms")
+      .as[(Long, Long, Long)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    stream.addData(events.select($"event_id", $"ts", $"user_id", $"event_type",
+      $"value", $"props").as[Event].collect().toSeq)
+    val q = EventsStreaming.sessionize(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_vs_batch")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // streaming emits CLOSED sessions only; each must appear in the
+    // batch result with identical stats
+    val streamed = spark.table("sessions_vs_batch").as[Session].collect()
+      .map(s => (s.user_id, s.n_events.toLong, s.session_start.getTime)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchSessions),
+      s"streaming sessions missing from batch: ${streamed.diff(batchSessions).take(3)}")
+  }
 }
