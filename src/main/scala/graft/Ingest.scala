@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Normalize
+import graft.operators.{Dedup, Resolve, Surrogate}
+import graft.sources.DumpSource
+
+/** The composed pipeline — what `ght2dm <config>` does end-to-end
+  * (ght2dm.go:1129-1158), on GHTorrent-shaped entities:
+  *
+  * for each configured dump folder (entity = folder basename,
+  * ght2dm.go:1153-1156), visit `YYYY-MM-DD` files newest-first, read
+  * length-prefixed docs, parse, normalize, and load:
+  *
+  *  - `users`: type-dispatch User/Organization; project into
+  *    users/gh_users/gh_organizations with the reference's
+  *    normalizations (ght2dm.go:238-431)
+  *  - `repos`: stage, latest-wins dedup per clone_path, anti-join vs
+  *    existing, surrogate ids, repositories/gh_repositories split
+  *    (ght2dm.go:492-623 + db/insert_from_tmp_tables.sql)
+  *  - `org_members`: login→id broadcast resolution
+  *    (ght2dm.go:655-810)
+  *  - `repo_collaborators`: login + full_name→id resolution
+  *    (ght2dm.go:812-959)
+  *
+  * Docs are JSON-encoded (the container has no BSON codec; the framing
+  * layer is identical and the decoder is this one `from_json` — see
+  * SURVEY.md §6).
+  */
+object Ingest {
+
+  /** Parsed config (ght2dm.conf.example: `ghtorrent_folders` +
+    * database target → here a staging/warehouse directory). */
+  case class Config(ghtorrentFolders: Seq[String], warehouseDir: String)
+
+  object Config {
+    /** Minimal JSON config reader (readConfig, ght2dm.go:186-199). */
+    def load(path: String): Config = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      Config(
+        (j \ "ghtorrent_folders").extract[Seq[String]],
+        (j \ "warehouse_dir").extract[String])
+    }
+  }
+
+  val userSchema: StructType = StructType.fromDDL(
+    """id BIGINT, login STRING, avatar_url STRING, html_url STRING,
+      |type STRING, name STRING, company STRING, bio STRING,
+      |location STRING, email STRING, hireable BOOLEAN,
+      |followers BIGINT, following BIGINT,
+      |created_at STRING, updated_at STRING""".stripMargin.replaceAll("\n", " "))
+
+  val repoSchema: StructType = StructType.fromDDL(
+    """id BIGINT, name STRING, full_name STRING, description STRING,
+      |homepage STRING, language STRING, default_branch STRING,
+      |master_branch STRING, html_url STRING, clone_url STRING,
+      |fork BOOLEAN, forks_count BIGINT, open_issues_count BIGINT,
+      |stargazers_count BIGINT, subscribers_count BIGINT,
+      |watchers_count BIGINT, size_in_kb BIGINT,
+      |created_at STRING, updated_at STRING, pushed_at STRING,
+      |owner STRUCT<login: STRING>""".stripMargin.replaceAll("\n", " "))
+
+  val orgMemberSchema: StructType = StructType.fromDDL(
+    "id BIGINT, login STRING, org STRING, type STRING")
+
+  val repoCollaboratorSchema: StructType = StructType.fromDDL(
+    "id BIGINT, login STRING, repo STRING, owner STRING")
+
+  /** Read one entity folder: date-ordered files → framed docs →
+    * parsed columns. */
+  def readEntity(spark: SparkSession, folder: String, schema: StructType): DataFrame = {
+    val paths = DumpSource.listDateOrdered(folder)
+    require(paths.nonEmpty, s"no YYYY-MM-DD.bson files in $folder")
+    spark.read.format("graft.sources.DumpDataSource").load(paths: _*)
+      .select(from_json(col("doc").cast("string"), schema).as("e"))
+      .select(col("e.*"))
+  }
+
+  private def clean(c: String) = Normalize.removeNullBytes(col(c))
+  private def cleanDate(c: String) =
+    Normalize.emptyToNull(Normalize.removeNullBytes(col(c)))
+
+  /** users folder → (users, gh_users, gh_organizations).
+    * Mirrors importUsers (ght2dm.go:238-337): per-doc type dispatch,
+    * updated_at<-created_at fill, idempotency by github id. */
+  def importUsers(raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val deduped = raw.filter(col("login").isNotNull)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(coalesce(col("updated_at"), col("created_at")).desc_nulls_last)))
+      .filter(col("__rn") === 1).drop("__rn") // fetch*ID existence check: first wins per github id
+    val users = deduped.filter(col("type") === "User")
+    val orgs = deduped.filter(col("type") === "Organization")
+    val usersOut = users.select(
+      clean("login").as("username"), clean("name").as("name"),
+      clean("email").as("email"), col("id").as("github_id"))
+    val ghUsersOut = users.select(
+      col("id").as("github_id"), clean("login").as("login"),
+      clean("bio").as("bio"), clean("company").as("company"),
+      clean("email").as("email"), col("hireable"),
+      clean("location").as("location"), clean("avatar_url").as("avatar_url"),
+      clean("html_url").as("html_url"),
+      col("followers").as("followers_count"),
+      col("following").as("following_count"),
+      cleanDate("created_at").as("created_at"),
+      Normalize.coalesceUpdated(cleanDate("updated_at"), cleanDate("created_at"))
+        .as("updated_at"))
+    val ghOrgsOut = orgs.select(
+      clean("login").as("login"), col("id").as("github_id"),
+      clean("avatar_url").as("avatar_url"), clean("html_url").as("html_url"),
+      clean("name").as("name"), clean("company").as("company"),
+      clean("location").as("location"), clean("email").as("email"),
+      cleanDate("created_at").as("created_at"),
+      Normalize.coalesceUpdated(cleanDate("updated_at"), cleanDate("created_at"))
+        .as("updated_at"))
+    (usersOut, ghUsersOut, ghOrgsOut)
+  }
+
+  /** repos folder → (repositories, gh_repositories).
+    * Mirrors importRepos + insert_repos(): staging projection with
+    * clone_path derivation and date normalization, latest-wins dedup,
+    * non-empty-key guards, surrogate repository ids, two-table split. */
+  def importRepos(raw: DataFrame,
+                  existing: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val staged = raw.select(
+      clean("name").as("name"),
+      clean("language").as("primary_language"),
+      clean("clone_url").as("clone_url"),
+      Normalize.clonePath(col("language"), col("owner.login"), col("name"))
+        .as("clone_path"),
+      lit("git").as("vcs"),
+      col("id").as("github_id"),
+      clean("full_name").as("full_name"),
+      clean("description").as("description"),
+      clean("homepage").as("homepage"),
+      col("fork"),
+      clean("default_branch").as("default_branch"),
+      clean("master_branch").as("master_branch"),
+      clean("html_url").as("html_url"),
+      col("forks_count"), col("open_issues_count"), col("stargazers_count"),
+      col("subscribers_count"), col("watchers_count"), col("size_in_kb"),
+      cleanDate("created_at").cast("timestamp").as("created_at"),
+      cleanDate("updated_at").cast("timestamp").as("updated_at"),
+      cleanDate("pushed_at").cast("timestamp").as("pushed_at"))
+    val latest = Dedup.latestWins(staged, keys = Seq("clone_path"),
+      maxCols = Seq("updated_at", "pushed_at"), minCols = Seq("open_issues_count"))
+    val fresh = existing match {
+      case Some(e) => Dedup.antiJoinNew(latest, e, Seq("clone_path"),
+        guards = Seq(col("clone_url") =!= "", col("clone_path") =!= "",
+          col("primary_language") =!= ""))
+      case None => latest.filter(col("clone_url") =!= "" &&
+        col("clone_path") =!= "" && col("primary_language") =!= "")
+    }
+    val withIds = Surrogate.denseIds(fresh, Seq(col("clone_path")), "repository_id")
+    val repositories = withIds.select(
+      col("repository_id").as("id"), col("name"), col("primary_language"),
+      col("clone_url"), col("clone_path"), col("vcs"))
+    val ghRepositories = withIds.select(
+      col("repository_id"), col("github_id"), col("full_name"),
+      col("description"), col("homepage"), col("fork"), col("default_branch"),
+      col("master_branch"), col("html_url"), col("forks_count"),
+      col("open_issues_count"), col("stargazers_count"),
+      col("subscribers_count"), col("watchers_count"), col("size_in_kb"),
+      col("created_at"), col("updated_at"), col("pushed_at"))
+    (repositories, ghRepositories)
+  }
+
+  /** org_members folder → gh_users_organizations via broadcast
+    * login→id resolution; unresolved rows drop (the reference's
+    * "failed to retrieve" skip, ght2dm.go:757-765). */
+  def importOrgMembers(raw: DataFrame, ghUsers: DataFrame,
+                       ghOrgs: DataFrame): DataFrame = {
+    val members = raw.select(clean("login").as("m_login"), clean("org").as("m_org"))
+      .dropDuplicates()
+    val u = ghUsers.select(col("login").as("u_login"), col("github_id").as("gh_user_id"))
+    val o = ghOrgs.select(col("login").as("o_login"), col("github_id").as("gh_organization_id"))
+    Resolve.joinDim(
+        Resolve.joinDim(members, u, Seq(("m_login", "u_login"))),
+        o, Seq(("m_org", "o_login")))
+      .select(col("gh_user_id"), col("gh_organization_id"))
+      .dropDuplicates()
+  }
+
+  /** repo_collaborators folder → users_repositories via login +
+    * "owner/repo" full_name resolution (ght2dm.go:890-935). */
+  def importRepoCollaborators(raw: DataFrame, ghUsers: DataFrame,
+                              ghRepositories: DataFrame): DataFrame = {
+    val collabs = raw.select(clean("login").as("c_login"),
+        concat(clean("owner"), lit("/"), clean("repo")).as("c_full_name"))
+      .dropDuplicates()
+    val u = ghUsers.select(col("login").as("u_login"), col("github_id").as("user_id"))
+    val r = ghRepositories.select(col("full_name").as("r_full_name"),
+      col("repository_id"))
+    Resolve.joinDim(
+        Resolve.joinDim(collabs, u, Seq(("c_login", "u_login"))),
+        r, Seq(("c_full_name", "r_full_name")))
+      .select(col("user_id"), col("repository_id"))
+      .dropDuplicates()
+  }
+
+  /** Run the whole pipeline over a config; writes each output table to
+    * `<warehouseDir>/<table>` parquet and returns the DataFrames. */
+  def run(spark: SparkSession, cfg: Config): Map[String, DataFrame] = {
+    val byEntity = cfg.ghtorrentFolders.map(f =>
+      new java.io.File(f).getName -> f).toMap
+    var out = Map.empty[String, DataFrame]
+
+    val (users, ghUsers, ghOrgs) = byEntity.get("users") match {
+      case Some(folder) =>
+        val t = importUsers(readEntity(spark, folder, userSchema))
+        out ++= Map("users" -> t._1, "gh_users" -> t._2, "gh_organizations" -> t._3)
+        t
+      case None => (null, null, null)
+    }
+    val (repos, ghRepos) = byEntity.get("repos") match {
+      case Some(folder) =>
+        val t = importRepos(readEntity(spark, folder, repoSchema))
+        out ++= Map("repositories" -> t._1, "gh_repositories" -> t._2)
+        t
+      case None => (null, null)
+    }
+    byEntity.get("org_members").foreach { folder =>
+      out += "gh_users_organizations" -> importOrgMembers(
+        readEntity(spark, folder, orgMemberSchema), ghUsers, ghOrgs)
+    }
+    byEntity.get("repo_collaborators").foreach { folder =>
+      out += "users_repositories" -> importRepoCollaborators(
+        readEntity(spark, folder, repoCollaboratorSchema), ghUsers, ghRepos)
+    }
+    out.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"${cfg.warehouseDir}/$name")
+    }
+    out
+  }
+}

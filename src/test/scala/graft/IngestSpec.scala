@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DumpSource
+
+/** End-to-end pipeline test on GHTorrent-shaped fixture dumps — the
+  * `ght2dm <config>` flow (ght2dm.go:1129-1158) run through
+  * [[Ingest.run]].
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeDocs(path: String, docs: Seq[String]): Unit =
+    DumpSource.writeDump(path, docs.iterator.map(_.getBytes(UTF_8)))
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest").toString
+    Seq("users", "repos", "org_members", "repo_collaborators")
+      .foreach(e => Files.createDirectories(Paths.get(s"$dir/$e")))
+
+    writeDocs(s"$dir/users/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","type":"User","name":"Alice","email":"a@x.org","created_at":"2013-01-01T00:00:00Z","updated_at":"2013-06-01T00:00:00Z","followers":10,"following":2,"hireable":true}""",
+      """{"id":2,"login":"bob","type":"User","name":"Bob","email":"","created_at":"2013-02-01T00:00:00Z","updated_at":"","followers":0,"following":0,"hireable":false}""",
+      """{"id":3,"login":"devmine","type":"Organization","name":"DevMine","created_at":"2013-03-01T00:00:00Z","updated_at":""}"""))
+    // a later dump re-ships alice (idempotent re-import)
+    writeDocs(s"$dir/users/2014-01-02.bson", Seq(
+      """{"id":1,"login":"alice","type":"User","name":"Alice","email":"a@x.org","created_at":"2013-01-01T00:00:00Z","updated_at":"2013-07-01T00:00:00Z","followers":11,"following":2,"hireable":true}"""))
+
+    // repo 100 appears in both dumps: day-2 snapshot has newer
+    // updated_at and fewer open issues -> latest-wins keeps it.
+    // repo 101 has empty language -> filtered by the non-empty guard.
+    writeDocs(s"$dir/repos/2014-01-01.bson", Seq(
+      """{"id":100,"name":"ght2dm","full_name":"devmine/ght2dm","language":"Go","clone_url":"https://github.example/devmine/ght2dm.git","html_url":"https://github.example/devmine/ght2dm","owner":{"login":"devmine"},"fork":false,"forks_count":1,"open_issues_count":5,"stargazers_count":10,"subscribers_count":2,"watchers_count":10,"size_in_kb":512,"created_at":"2014-01-01T00:00:00Z","updated_at":"2014-01-01T10:00:00Z","pushed_at":"2014-01-01T09:00:00Z"}""",
+      """{"id":101,"name":"nolang","full_name":"alice/nolang","language":"","clone_url":"https://github.example/alice/nolang.git","owner":{"login":"alice"},"fork":false,"forks_count":0,"open_issues_count":0,"stargazers_count":0,"subscribers_count":0,"watchers_count":0,"size_in_kb":1,"created_at":"2014-01-01T00:00:00Z","updated_at":"2014-01-01T00:00:00Z","pushed_at":""}"""))
+    writeDocs(s"$dir/repos/2014-01-02.bson", Seq(
+      """{"id":100,"name":"ght2dm","full_name":"devmine/ght2dm","language":"Go","clone_url":"https://github.example/devmine/ght2dm.git","html_url":"https://github.example/devmine/ght2dm","owner":{"login":"devmine"},"fork":false,"forks_count":2,"open_issues_count":3,"stargazers_count":12,"subscribers_count":2,"watchers_count":12,"size_in_kb":600,"created_at":"2014-01-01T00:00:00Z","updated_at":"2014-01-02T10:00:00Z","pushed_at":"2014-01-02T09:00:00Z"}"""))
+
+    writeDocs(s"$dir/org_members/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","org":"devmine","type":"User"}""",
+      """{"id":2,"login":"ghost","org":"devmine","type":"User"}"""))
+
+    writeDocs(s"$dir/repo_collaborators/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","repo":"ght2dm","owner":"devmine"}""",
+      """{"id":2,"login":"alice","repo":"unknown","owner":"nobody"}"""))
+
+    Files.writeString(Paths.get(s"$dir/graft.conf"),
+      s"""{"ghtorrent_folders": ["$dir/users", "$dir/repos",
+         |  "$dir/org_members", "$dir/repo_collaborators"],
+         | "warehouse_dir": "$dir/warehouse"}""".stripMargin)
+    dir
+  }
+
+  private lazy val out: Map[String, org.apache.spark.sql.DataFrame] =
+    Ingest.run(spark, Ingest.Config.load(s"$root/graft.conf"))
+
+  test("config loads like readConfig (ght2dm.go:186-199)") {
+    val cfg = Ingest.Config.load(s"$root/graft.conf")
+    assert(cfg.ghtorrentFolders.size == 4)
+    assert(cfg.warehouseDir.endsWith("/warehouse"))
+  }
+
+  test("users are type-dispatched; orgs land in gh_organizations") {
+    assert(out("users").select($"username").as[String].collect().toSet ==
+      Set("alice", "bob"))
+    assert(out("gh_organizations").select($"login").as[String]
+      .collect().toSeq == Seq("devmine"))
+  }
+
+  test("updated_at falls back to created_at (ght2dm.go:352-354) and " +
+    "re-shipped users stay unique by github id") {
+    val bob = out("gh_users").filter($"login" === "bob")
+      .select($"updated_at").as[String].head()
+    assert(bob == "2013-02-01T00:00:00Z")
+    assert(out("gh_users").filter($"login" === "alice").count() == 1)
+  }
+
+  test("repos: latest-wins keeps the newest snapshot, empty-language " +
+    "guard drops, surrogate ids assigned (insert_from_tmp_tables.sql)") {
+    val repos = out("repositories")
+    assert(repos.count() == 1) // nolang filtered by primary_language<>''
+    val gh = out("gh_repositories")
+    val row = gh.select($"open_issues_count", $"forks_count").as[(Long, Long)].head()
+    assert(row == ((3L, 2L))) // day-2 snapshot won
+    // the split shares the surrogate key
+    val rid = repos.select($"id").as[Int].head()
+    assert(gh.select($"repository_id").as[Int].head() == rid)
+  }
+
+  test("org members resolve login->id; unknown logins drop " +
+    "(ght2dm.go:757-765)") {
+    val got = out("gh_users_organizations")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L))) // alice(1) -> devmine(3); ghost dropped
+  }
+
+  test("repo collaborators resolve via owner/repo full_name " +
+    "(ght2dm.go:890-935)") {
+    val got = out("users_repositories").as[(Long, Int)].collect().toSet
+    val rid = out("repositories").select($"id").as[Int].head()
+    assert(got == Set((1L, rid))) // alice on devmine/ght2dm; unknown repo dropped
+  }
+
+  test("all tables land in the warehouse as parquet") {
+    val tables = Seq("users", "gh_users", "gh_organizations",
+      "repositories", "gh_repositories", "gh_users_organizations",
+      "users_repositories")
+    tables.foreach { t =>
+      val n = spark.read.parquet(s"$root/warehouse/$t").count()
+      assert(n >= 0, s"$t unreadable") // presence + readability
+    }
+  }
+}
