@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns via zip_with + aggregate
-    * (codegen'd; array order fixed, so the fold is deterministic). */
+  /** Dot product of two array<double> columns — custom codegen kernel
+    * ([[graft.plans.VecOps.dot]]): the zip_with/aggregate formulation is
+    * a CodegenFallback higher-order function (~1 ms/row interpreted);
+    * the kernel is a tight loop inside whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VecExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** One-pass cosine similarity kernel ([[graft.plans.VecOps.cosine]]). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.plans.VecExpressions.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors of each query vector.
     * `queries` must be small (it is broadcast). Ties break on vec id for
@@ -43,25 +46,38 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
-    * buckets prune the pair space (hash-shuffle self-join per
-    * (table, bucket), never all-pairs), then exact cosine decides.
-    * Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold. */
+    * buckets prune the pair space, then exact cosine decides.
+    * Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    *
+    * Scale shape: candidate pairs are generated as IDs ONLY — one
+    * hash-shuffle groupBy on (table, bucket), in-row pair expansion
+    * bounded by `maxBucket`² per bucket, then a distinct over narrow
+    * (id_a, id_b) rows. The 8·dim-byte vectors are joined back in only
+    * AFTER the distinct, so each surviving pair is scored exactly once
+    * and no vector ever rides through the pair shuffle. Oversized
+    * buckets (degenerate corpora) are dropped explicitly via
+    * `maxBucket` instead of exploding quadratically. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
                          bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBucket: Int = 10000): DataFrame = {
     val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
+    val sigs = c.select(col(idCol), explode(array(tables.map { case (tid, planes) =>
         struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
       }: _*)).as("tb"))
-      .select(col(idCol), col("v"), col("tb.table_id"), col("tb.bucket"))
-    val a = c.select(col("table_id"), col("bucket"),
-      col(idCol).as("id_a"), col("v").as("v_a"))
-    val b = c.select(col("table_id"), col("bucket"),
-      col(idCol).as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table_id", "bucket"))
+      .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
+    val buckets = sigs.groupBy(col("table_id"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val ea = c.select(col(idCol).as("id_a"), col("v").as("v_a"))
+    val eb = c.select(col(idCol).as("id_b"), col("v").as("v_b"))
+    pairs.join(ea, "id_a").join(eb, "id_b")
       .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -99,15 +115,19 @@ object Similarity {
       df.select(col("*"), explode(array(tables.map { case (tid, planes) =>
         struct(lit(tid).as("table_id"), signature(col(vec), planes).as("bucket"))
       }: _*)).as("tb")).select(col("*"), col("tb.table_id"), col("tb.bucket")).drop("tb")
-    val c = bucketed(
-      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v")), "v")
-    val q = bucketed(
-      queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv")), "qv")
+    val cv = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val qv = queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+    // candidate IDs only through the bucket join + cross-table distinct;
+    // vectors are attached after, so each candidate is scored once and
+    // the dedup shuffle moves narrow (query_id, vec_id) rows
+    val c = bucketed(cv.select(col(idCol), col("v")), "v").drop("v")
+    val q = bucketed(qv.select(col(qidCol), col("qv")), "qv").drop("qv")
     val candidates = c.join(q, Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
-      .select(col(qidCol), col(idCol), col("v"), col("qv"))
+      .select(col(qidCol), col(idCol))
       .dropDuplicates(qidCol, idCol) // union across tables
-    val scored = candidates.withColumn("sim", cosine(col("v"), col("qv")))
+    val scored = candidates.join(cv, idCol).join(broadcast(qv), qidCol)
+      .withColumn("sim", cosine(col("v"), col("qv")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))))
       .filter(col("rank") <= k)

