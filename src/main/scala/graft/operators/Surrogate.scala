@@ -23,4 +23,29 @@ object Surrogate {
     * stability within a run, which is all `RETURNING id` guarantees. */
   def scaleSafeIds(df: DataFrame, idName: String): DataFrame =
     df.withColumn(idName, monotonically_increasing_id())
+
+  /** Deterministic contiguous 1-based ids WITHOUT a single-partition
+    * sort: range-partition on the key, rank within each partition, and
+    * shift by the cumulative partition counts. The only global window
+    * runs over `numPartitions` count rows (not data rows), and the
+    * offsets frame is broadcast back. Equals `dense_rank() OVER (ORDER
+    * BY key)` whenever the input is distinct on the key (the surrogate
+    * use case: ids are assigned post-dedup). */
+  def rangeDenseIds(df: DataFrame, keys: Seq[Column], idName: String,
+                    numPartitions: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(numPartitions, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(keys: _*))
+    val offsets = parted.groupBy(col("__pid")).count()
+      .withColumn("__offset",
+        coalesce(sum(col("count")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    parted.withColumn("__local", local)
+      .join(org.apache.spark.sql.functions.broadcast(offsets), "__pid")
+      .withColumn(idName, (col("__local") + col("__offset")).cast("bigint"))
+      .drop("__pid", "__local", "__offset")
+  }
 }

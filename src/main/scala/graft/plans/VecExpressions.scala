@@ -33,6 +33,53 @@ object VecOps {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Indices of the `nprobe` centroids most cosine-similar to `v`,
+    * best first. Centroids are pre-normalized by the caller so argmax
+    * cosine = argmax dot. One pass over the centroid matrix; selection
+    * by repeated max (nprobe is small). */
+  def nearestCentroids(v: ArrayData, cents: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    val m = cents.length
+    val sims = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val p = cents(c)
+      var s = 0.0; var j = 0
+      while (j < p.length) { s += v.getDouble(j) * p(j); j += 1 }
+      sims(c) = s
+      c += 1
+    }
+    val k = math.min(nprobe, m)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](m)
+    var r = 0
+    while (r < k) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < m) {
+        if (!taken(i) && sims(i) > bestSim) { best = i; bestSim = sims(i) }
+        i += 1
+      }
+      taken(best) = true; out(r) = best
+      r += 1
+    }
+    out
+  }
+
+  /** Single nearest centroid index (the IVF cell assignment). */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    val m = cents.length
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < m) {
+      val p = cents(c)
+      var s = 0.0; var j = 0
+      while (j < p.length) { s += v.getDouble(j) * p(j); j += 1 }
+      if (s > bestSim) { best = c; bestSim = s }
+      c += 1
+    }
+    best
+  }
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, planes(i)) > 0.
     * One pass over the vector per plane, no per-plane Column lambdas —
     * the Column-expression formulation inlined planes.length × dim
@@ -95,9 +142,53 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+/** IVF cell assignment: index of the nearest (pre-normalized) centroid,
+  * as a codegen expression — the centroid matrix rides along as a
+  * referenced object exactly like [[HyperplaneSig]]'s planes. */
+case class NearestCell(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.nearestCentroid(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecOps.nearestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cell"
+}
+
+/** The `nprobe` nearest centroid indices (best first), for the IVF
+  * query-side multi-probe. */
+case class NearestCells(child: Expression, cents: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecOps.nearestCentroids(v.asInstanceOf[ArrayData], cents, nprobe))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.VecOps.nearestCentroids($c, $ref, $nprobe))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
+}
+
 object VecExpressions {
   def hyperplaneSig(c: Column, planes: Array[Array[Double]]): Column =
     GraftSqlShim.column(HyperplaneSig(GraftSqlShim.expression(c), planes))
+
+  def nearestCell(c: Column, cents: Array[Array[Double]]): Column =
+    GraftSqlShim.column(NearestCell(GraftSqlShim.expression(c), cents))
+
+  def nearestCells(c: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    GraftSqlShim.column(NearestCells(GraftSqlShim.expression(c), cents, nprobe))
 
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlShim.column(CosineSim(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))

@@ -96,6 +96,16 @@ object EventsStreaming {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
   }
 
+  /** Streaming exact-dedup twin of the batch content dedup: drops
+    * repeats of the key columns, with state bounded by the event-time
+    * watermark (`dropDuplicatesWithinWatermark` evicts key state once
+    * the watermark passes it — without that bound, streaming dedup
+    * state grows forever at 100 TB/day). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
     * identical grouping expressed with date_trunc so DuckDB can evaluate
     * the same SQL. */

@@ -42,6 +42,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= 6, s"LSH recall too low: $agree/10 (exact=$exact lsh=$lsh)")
   }
 
+  test("IVF top-k recalls most true nearest neighbors") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // probing 6 of 16 cells scans ~3/8 of the corpus per query; on
+    // near-orthogonal vectors the true NN still usually shares a cell
+    val ivf = Similarity.ivfTopK(emb, queries, k = 1,
+      nlist = 16, nprobe = 6, iters = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val agree = exact.keySet.count(q => ivf.get(q).contains(exact(q)))
+    assert(agree >= 5, s"IVF recall too low: $agree/10 (exact=$exact ivf=$ivf)")
+  }
+
+  test("IVF cells partition the corpus: each (query, id) candidate is unique") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 8)
+    // nprobe = nlist probes everything -> must equal brute force exactly
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val got = out.select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact)
+  }
+
   test("cosineNearDupPairs finds planted perturbed copies, not random pairs") {
     val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf0001)
       .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()

@@ -64,6 +64,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "payload-a"),
+      Event(2, ts("2024-01-01 10:01:00"), 7L, "click", 1.0, "payload-a"), // dup props
+      Event(3, ts("2024-01-01 10:02:00"), 8L, "view", 2.0, "payload-b"),
+      Event(4, ts("2024-01-01 10:03:00"), 9L, "view", 3.0, "payload-b") // dup props
+    )
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventsStreaming.dedupStream(stream.toDF(), keys = Seq("props"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_test").select($"event_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("batch sessionization agrees with the stateful streaming version " +
     "on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf0001)
