@@ -7,7 +7,8 @@ object PlanDump {
     val dir = "/root/testdata/sf0.01"
     val out = new java.io.PrintWriter("/root/repo/target/plans.txt")
     Seq("q_latest_wins", "q_anti_join_new", "q_resolve_members",
-      "q_minhash_pairs", "q_ann_lsh", "q_exact_dedup", "q_top_revenue",
+      "q_minhash_pairs", "q_ann_lsh", "q_ann_ivf", "q_exact_dedup",
+      "q_embed_neardup", "q_surrogate_ids", "q_top_revenue",
       "q_pricing_summary", "q_window_agg").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
