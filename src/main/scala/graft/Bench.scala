@@ -30,6 +30,9 @@ object Bench {
           timings(name) = -1.0
           failed += name
       }
+      // queries are independent: drop anything an operator persisted so
+      // cached blocks don't build heap pressure that taxes later queries
+      spark.catalog.clearCache()
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -309,6 +309,50 @@ object SparkEntry {
         TextFunctions.meanWordLen(col("text")).as("mean_word_len"),
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // §2b-25b: repetition ratio (Gopher-style boilerplate signal)
+    "q_rep_ratio" -> ((s, dir) =>
+      TextFunctions.repetitionRatio(
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // §2b-25c: PII redaction (emails + phone numbers); PII is injected
+    // deterministically because the synthetic corpus contains none
+    "q_redact_pii" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        Normalize.redactPii(concat(
+          lit("reach "), col("c_name"), lit(" at "),
+          replace(lower(col("c_name")), lit("#"), lit("_")),
+          lit("@example.org or +1-555-867-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+          .as("contact"))),
+
+    // §2b-25d: per-group exact quantiles (data-profiling op)
+    "q_value_quantiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(percentile(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+        .select(col("event_type"),
+          round(element_at(col("q"), 1), 6).as("p25"),
+          round(element_at(col("q"), 2), 6).as("p50"),
+          round(element_at(col("q"), 3), 6).as("p75"))),
+
+    // §2b composed: corpus preparation = quality filter → exact dedup
+    // (canonical min doc_id per content hash) → stats on the survivors
+    "q_corpus_prep" -> ((s, dir) => {
+      val kept = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+      kept.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"),
+          // text is identical within a hash group; min() is just the
+          // deterministic way to carry it through the aggregate
+          min(col("text")).as("text"))
+        .select(col("doc_id"), col("n_copies"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
     // §2b-26: token counting (whitespace + BPE-ish)
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -455,6 +499,70 @@ object SparkEntry {
 
     "q_dump_source" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "q_rep_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS gram
+        |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |counted AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS rep_ratio
+        |FROM counted GROUP BY doc_id""".stripMargin,
+
+    "q_redact_pii" ->
+      """SELECT c_custkey, regexp_replace(regexp_replace(
+        |  concat('reach ', c_name, ' at ', replace(lower(c_name), '#', '_'),
+        |         '@example.org or +1-555-867-',
+        |         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+        |  AS contact
+        |FROM customer""".stripMargin,
+
+    "q_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.50), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_corpus_prep" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    round(
+        |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3 +
+        |      (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
+        |        CAST(length(text) AS DOUBLE) END) * 0.4 +
+        |      least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
+        |        CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+        |      (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
+        |        CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies, min(text) AS text
+        |  FROM kept GROUP BY sha256(text))
+        |SELECT doc_id, n_copies,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  round(
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3 +
+        |    (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
+        |      CAST(length(text) AS DOUBLE) END) * 0.4 +
+        |    least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
+        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+        |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
+        |      CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
+        |FROM canon""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH base AS (

@@ -38,4 +38,15 @@ object Normalize {
       coalesce(nullif(lang, lit("")), lit("unknown")),
       coalesce(nullif(login, lit("")), lit("john_doe")),
       coalesce(nullif(name, lit("")), lit("42"))))
+
+  /** PII scrub for the training-data pipeline: redact email addresses
+    * and US-style phone numbers. RE2-safe patterns (no backrefs or
+    * lookaround) so the DuckDB oracle replays them verbatim; both
+    * engines replace ALL occurrences (Spark by default, DuckDB with the
+    * 'g' flag). */
+  def redactPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{1,2}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the LLM-training-data pipeline, all
@@ -73,6 +73,28 @@ object TextFunctions {
       .when(de >= es && de > 0, lit("de"))
       .when(es > 0, lit("es"))
       .otherwise(lit("unknown"))
+  }
+
+  /** Repetition signal (Gopher-style quality filter): the fraction of
+    * all word-bigram occurrences taken by the single most frequent
+    * bigram — boilerplate and degenerate generations score high.
+    * Expressed as two hash aggregations (explode bigrams → count per
+    * (doc, gram) → max/sum per doc), so it distributes: the shuffle
+    * key (doc_id, gram) is high-cardinality and the second agg rides a
+    * map-side partial. Docs with fewer than 2 tokens drop out (no
+    * bigrams). */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = df.select(col(idCol),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array())).as("gram"))
+    grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("cnt")).cast("double") /
+        sum(col("cnt")).cast("double"), 6).as("rep_ratio"))
   }
 
   /** Composite quality score in [0,1]: favors texts that are neither
