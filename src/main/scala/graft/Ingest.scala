@@ -157,7 +157,13 @@ object Ingest {
       case None => latest.filter(col("clone_url") =!= "" &&
         col("clone_path") =!= "" && col("primary_language") =!= "")
     }
-    val withIds = Surrogate.denseIds(fresh, Seq(col("clone_path")), "repository_id")
+    // dense ids per clone_path (ties share an id, as dense_rank would)
+    // without a single-partition global sort: rank the DISTINCT keys
+    // scale-safely, then join the ids back on the dedup key
+    val keyIds = Surrogate.rangeDenseIds(
+      fresh.select(col("clone_path")).dropDuplicates(),
+      Seq(col("clone_path")), "repository_id")
+    val withIds = fresh.join(keyIds, "clone_path")
     val repositories = withIds.select(
       col("repository_id").as("id"), col("name"), col("primary_language"),
       col("clone_url"), col("clone_path"), col("vcs"))

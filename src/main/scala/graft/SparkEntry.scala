@@ -338,19 +338,20 @@ object SparkEntry {
     // §2b composed: corpus preparation = quality filter → exact dedup
     // (canonical min doc_id per content hash) → stats on the survivors
     "q_corpus_prep" -> ((s, dir) => {
+      // quality and n_tokens are computed ONCE pre-aggregate and carried
+      // through with min() (identical within a content-hash group, so
+      // min is just the deterministic carrier) — recomputing the big
+      // quality expression above the aggregate re-inlines it into a
+      // second codegen unit and janino-compile time dwarfs the query
       val kept = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
       kept.groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"),
           count(lit(1)).as("n_copies"),
-          // text is identical within a hash group; min() is just the
-          // deterministic way to carry it through the aggregate
-          min(col("text")).as("text"))
-        .select(col("doc_id"), col("n_copies"),
-          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+          min(TextFunctions.tokenCount(col("text")).cast("bigint")).as("n_tokens"),
+          min(col("quality")).as("quality"))
+        .select(col("doc_id"), col("n_copies"), col("n_tokens"), col("quality"))
     }),
 
     // §2b-26: token counting (whitespace + BPE-ish)

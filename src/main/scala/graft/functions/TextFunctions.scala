@@ -84,12 +84,18 @@ object TextFunctions {
     * map-side partial. Docs with fewer than 2 tokens drop out (no
     * bigrams). */
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = df.select(col(idCol),
-      explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array())).as("gram"))
+    // bind the token array to a column FIRST: referencing tokens(text)
+    // (a regexp_extract_all) directly inside the transform lambda would
+    // re-inline the regex scan into every element_at, and the generated
+    // code blows past the JIT limits (observed: ~100 s of janino compile
+    // at 5k docs; bound form compiles instantly)
+    val toks = col("__toks")
+    val grams = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array())).as("gram"))
     grams.groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))

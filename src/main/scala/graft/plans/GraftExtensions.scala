@@ -45,7 +45,13 @@ object GraftExtensions {
     ("shingles64",
       new ExpressionInfo(classOf[Shingles64].getName, "shingles64"),
       (es: Seq[Expression]) => Shingles64(es.head,
-        intArg(es(1), "shingles64 shingle size"))))
+        intArg(es(1), "shingles64 shingle size"))),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
 
   /** Register into a live session (local/test path). */
   def register(spark: SparkSession): Unit =

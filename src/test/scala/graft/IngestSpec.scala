@@ -88,8 +88,8 @@ class IngestSpec extends AnyFunSuite {
     val row = gh.select($"open_issues_count", $"forks_count").as[(Long, Long)].head()
     assert(row == ((3L, 2L))) // day-2 snapshot won
     // the split shares the surrogate key
-    val rid = repos.select($"id").as[Int].head()
-    assert(gh.select($"repository_id").as[Int].head() == rid)
+    val rid = repos.select($"id").as[Long].head()
+    assert(gh.select($"repository_id").as[Long].head() == rid)
   }
 
   test("org members resolve login->id; unknown logins drop " +
@@ -101,8 +101,8 @@ class IngestSpec extends AnyFunSuite {
 
   test("repo collaborators resolve via owner/repo full_name " +
     "(ght2dm.go:890-935)") {
-    val got = out("users_repositories").as[(Long, Int)].collect().toSet
-    val rid = out("repositories").select($"id").as[Int].head()
+    val got = out("users_repositories").as[(Long, Long)].collect().toSet
+    val rid = out("repositories").select($"id").as[Long].head()
     assert(got == Set((1L, rid))) // alice on devmine/ght2dm; unknown repo dropped
   }
 

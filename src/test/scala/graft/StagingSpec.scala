@@ -50,6 +50,16 @@ class StagingSpec extends AnyFunSuite {
     assert(viaSql == viaColumn)
   }
 
+  test("vector kernels are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[(Double, Double)].head()
+    assert(math.abs(got._1 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(got._2 == 11.0)
+  }
+
   test("GraftExtensions applies cleanly as a session extension hook") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; wiring is the contract
