@@ -501,6 +501,27 @@ object SparkEntry {
     "q_dump_source" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
 
+    // brute-force ANN is SQL-expressible: DuckDB's list_cosine_similarity
+    // replays the same exact cosine; ranks are decided on the UNROUNDED
+    // sim (engine float drift ~1e-15 is far below the sim gaps), then
+    // sim is rounded for the value compare
+    "q_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |       round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
     "q_rep_ratio" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
