@@ -58,6 +58,50 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
   }
 
+  test("LSH/IVF candidate generation never shuffles vectors through " +
+    "the pair distinct (narrow id rows only)") {
+    val plan = physical(
+      SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf0001))
+    // the distinct over candidate pairs must aggregate (id_a, id_b)
+    // only — a 'v' column inside a HashAggregate means vectors are
+    // riding the dedup shuffle again
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(l => l.contains("id_a") && l.contains("id_b")), plan)
+    assert(!aggLines.exists(l => l.contains("id_a") && l.contains("v_")),
+      s"pair distinct carries vectors:\n${aggLines.mkString("\n")}")
+  }
+
+  test("IVF probe join broadcasts the query side and plans no extra " +
+    "exchange on the corpus") {
+    val plan = physical(
+      SparkEntry.queries("q_ann_ivf")(spark, TestSpark.sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("surrogate id assignment range-partitions the data side " +
+    "(no single-partition data sort)") {
+    val plan = physical(
+      SparkEntry.queries("q_surrogate_ids")(spark, TestSpark.sf0001))
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+  }
+
+  test("corpus prep computes quality below the aggregate and carries " +
+    "it with min (no recompute above)") {
+    val plan = physical(
+      SparkEntry.queries("q_corpus_prep")(spark, TestSpark.sf0001))
+    // regexp machinery must live under the aggregate (child project /
+    // map-side partial), never in a Project ABOVE the final
+    // HashAggregate (the plan prints top-down, so "above" = before the
+    // first HashAggregate line)
+    val lines = plan.linesIterator.toSeq
+    val finalAgg = lines.indexWhere(_.contains("HashAggregate"))
+    assert(finalAgg >= 0, plan)
+    assert(!lines.take(finalAgg).exists(l =>
+        l.contains("Project") && l.contains("regexp_extract_all")),
+      s"quality recomputed above the aggregate:\n$plan")
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     val df = SparkEntry.queries("q_fingerprint")(spark, TestSpark.sf0001)
     val plan = physical(df)
