@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,7 +92,7 @@ class DumpTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"graft_dump(${paths.mkString(",")})"
   override def schema(): StructType = DumpSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
@@ -101,7 +102,54 @@ class DumpTable(paths: Seq[String]) extends Table with SupportsRead {
         paths.map(p => DumpFilePartition(p): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new DumpReaderFactory
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new DumpMicroBatchStream(paths)
     }
+}
+
+/** Streaming twin of the dump ingestion: the reference re-runs over a
+  * dump folder as new daily `YYYY-MM-DD.bson` shards land
+  * (ght2dm.go:985-1058); here the folder IS an unbounded source. The
+  * offset is a count into the date-sorted file list (dumps are
+  * append-only: new dates sort after processed ones), each micro-batch
+  * is the newly-arrived files — one partition per file, exactly-once
+  * via the checkpointed offset. Load with a DIRECTORY path:
+  * `spark.readStream.format("graft.sources.DumpDataSource").load(dir)`.
+  */
+class DumpMicroBatchStream(paths: Seq[String]) extends MicroBatchStream {
+
+  /** paths = a single directory (the streaming layout) or an explicit
+    * file list (then the "stream" is that fixed list, oldest-first). */
+  private def currentFiles(): Seq[String] = paths match {
+    case Seq(single) =>
+      val fs = new Path(single).getFileSystem(new Configuration())
+      if (fs.getFileStatus(new Path(single)).isDirectory)
+        DumpSource.listDateOrdered(single).reverse // oldest -> newest
+      else paths
+    case _ => paths
+  }
+
+  override def initialOffset(): Offset = DumpOffset(0)
+  override def latestOffset(): Offset = DumpOffset(currentFiles().length)
+  override def deserializeOffset(json: String): Offset =
+    DumpOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DumpOffset].fileCount
+    val e = end.asInstanceOf[DumpOffset].fileCount
+    currentFiles().slice(s, e)
+      .map(p => DumpFilePartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DumpReaderFactory
+}
+
+/** Offset = how many files of the date-sorted listing are processed. */
+case class DumpOffset(fileCount: Int) extends Offset {
+  override def json(): String = fileCount.toString
 }
 
 case class DumpFilePartition(path: String) extends InputPartition

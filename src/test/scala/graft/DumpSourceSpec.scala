@@ -55,6 +55,44 @@ class DumpSourceSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("malformed")))
   }
 
+  test("streaming: a growing dump folder is consumed exactly once " +
+    "across restarts (checkpointed file offset)") {
+    val root = tmpDir()
+    val dir = s"$root/dumps"
+    Files.createDirectories(Paths.get(dir))
+    val ckpt = s"$root/_ckpt"
+    val sink = s"$root/out"
+    DumpSource.writeDump(s"$dir/2014-01-01.bson",
+      Iterator("""{"a":1}""".getBytes(UTF_8), """{"a":2}""".getBytes(UTF_8)))
+
+    // memory sinks cannot recover a checkpoint; a parquet sink can, and
+    // restart-resume is exactly what this test is about
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.DumpDataSource")
+        .load(dir)
+        .select($"path", $"doc".cast("string").as("doc"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    runOnce()
+    val first = spark.read.parquet(sink).as[(String, String)].collect()
+    assert(first.length == 2)
+    assert(first.forall(_._1.endsWith("2014-01-01.bson")))
+
+    // a new daily shard lands; restart picks up ONLY the new file
+    DumpSource.writeDump(s"$dir/2014-01-02.bson",
+      Iterator("""{"a":3}""".getBytes(UTF_8)))
+    runOnce()
+    val second = spark.read.parquet(sink).as[(String, String)].collect()
+    assert(second.length == 3, second.mkString(","))
+    assert(second.count(_._1.endsWith("2014-01-02.bson")) == 1)
+  }
+
   test("listDateOrdered filters to date-named files, newest first " +
     "(ght2dm.go:985-1058)") {
     val dir = tmpDir()
