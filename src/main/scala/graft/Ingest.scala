@@ -125,9 +125,17 @@ object Ingest {
   /** repos folder → (repositories, gh_repositories).
     * Mirrors importRepos + insert_repos(): staging projection with
     * clone_path derivation and date normalization, latest-wins dedup,
-    * non-empty-key guards, surrogate repository ids, two-table split. */
+    * non-empty-key guards, surrogate repository ids, two-table split.
+    *
+    * The reference's "already inserted" check is a DOUBLE anti-join
+    * (insert_from_tmp_tables.sql:52-54): miss in gh_repositories by
+    * github_id AND miss in repositories by (clone_path,
+    * primary_language). Pass the existing tables to replay an
+    * incremental import; both are key-only projections, so they
+    * broadcast at dimension scale. */
   def importRepos(raw: DataFrame,
-                  existing: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                  existingRepos: Option[DataFrame] = None,
+                  existingGhRepos: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val staged = raw.select(
       clean("name").as("name"),
       clean("language").as("primary_language"),
@@ -150,12 +158,19 @@ object Ingest {
       cleanDate("pushed_at").cast("timestamp").as("pushed_at"))
     val latest = Dedup.latestWins(staged, keys = Seq("clone_path"),
       maxCols = Seq("updated_at", "pushed_at"), minCols = Seq("open_issues_count"))
-    val fresh = existing match {
-      case Some(e) => Dedup.antiJoinNew(latest, e, Seq("clone_path"),
-        guards = Seq(col("clone_url") =!= "", col("clone_path") =!= "",
-          col("primary_language") =!= ""))
-      case None => latest.filter(col("clone_url") =!= "" &&
-        col("clone_path") =!= "" && col("primary_language") =!= "")
+    val guards = Seq(col("clone_url") =!= "", col("clone_path") =!= "",
+      col("primary_language") =!= "")
+    val guarded = guards.foldLeft(latest)((df, g) => df.filter(g))
+    val afterGh = existingGhRepos match {
+      case Some(e) => Dedup.antiJoinNew(guarded,
+        e.select(col("github_id")), Seq("github_id"))
+      case None => guarded
+    }
+    val fresh = existingRepos match {
+      case Some(e) => Dedup.antiJoinNew(afterGh,
+        e.select(col("clone_path"), col("primary_language")),
+        Seq("clone_path", "primary_language"))
+      case None => afterGh
     }
     // dense ids per clone_path (ties share an id, as dense_rank would)
     // without a single-partition global sort: rank the DISTINCT keys

@@ -106,6 +106,24 @@ class IngestSpec extends AnyFunSuite {
     assert(got == Set((1L, rid))) // alice on devmine/ght2dm; unknown repo dropped
   }
 
+  test("re-import against existing tables inserts nothing (the double " +
+    "anti-join of insert_from_tmp_tables.sql:52-54)") {
+    val raw = Ingest.readEntity(spark, s"$root/repos", Ingest.repoSchema)
+    val (repos1, gh1) = Ingest.importRepos(raw)
+    // replaying the same dumps with the first import as "existing"
+    // must produce zero fresh rows (miss required in BOTH tables)
+    val (repos2, _) = Ingest.importRepos(raw,
+      existingRepos = Some(repos1.select($"clone_path",
+        $"primary_language")),
+      existingGhRepos = Some(gh1.select($"github_id")))
+    assert(repos2.count() == 0)
+    // dropping one side of the check is not enough: a repo missing
+    // from repositories but present in gh_repositories still skips
+    val (repos3, _) = Ingest.importRepos(raw,
+      existingGhRepos = Some(gh1.select($"github_id")))
+    assert(repos3.count() == 0)
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
