@@ -28,6 +28,20 @@ object Staging {
     * filter on the partition column). */
   def readStaged(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed staging: persist hash-bucketed (and bucket-sorted) on the
+    * join/dedup key via the session catalog. Every downstream
+    * join/groupBy on that key between same-bucketed tables is then
+    * EXCHANGE-FREE — at 100 TB this converts the nightly fact-fact
+    * joins from a full shuffle each run into a one-time layout cost at
+    * write. (Directory staging above stays catalog-free like the
+    * reference's tmp table; bucketing is the opt-in for hot keys.) */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }
 
 /** Skew handling for hot keys: pre-aggregate under a salt, then merge.

@@ -35,6 +35,31 @@ class StagingSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed staging joins without an exchange on either side") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select($"o_orderkey", $"o_custkey")
+    val lineitem = Tables.lineitem(spark, TestSpark.sf0001)
+      .select($"l_orderkey", $"l_quantity")
+    Staging.writeBucketed(orders, "stg_orders_b", Seq("o_orderkey"), 4)
+    Staging.writeBucketed(lineitem, "stg_lineitem_b", Seq("l_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("stg_orders_b")
+        .join(spark.table("stg_lineitem_b"), $"o_orderkey" === $"l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // sanity: it actually joins
+      assert(joined.count() ==
+        orders.join(lineitem, $"o_orderkey" === $"l_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS stg_orders_b")
+      spark.sql("DROP TABLE IF EXISTS stg_lineitem_b")
+    }
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftExtensions.register(spark)
     Tables.documents(spark, TestSpark.sf0001).limit(20)
