@@ -55,12 +55,23 @@ object Skew {
     * aggregates (keys, salt), phase 2 merges partials per key. Both
     * phases are map-side-combinable hash aggregations. */
   def saltedCount(df: DataFrame, keys: Seq[String], salts: Int,
-                  countName: String = "n"): DataFrame = {
+                  countName: String = "n"): DataFrame =
+    saltedAgg(df, keys, salts,
+      partial = Seq(count(lit(1)).as(countName)),
+      merge = Seq(sum(col(countName)).as(countName)))
+
+  /** General two-phase salted aggregation for ALGEBRAIC aggregates
+    * (anything whose merge is itself an aggregate: count→sum, sum→sum,
+    * min→min, max→max, or (sum,count) pairs for averages). `partial`
+    * runs per (keys, salt); `merge` combines the partials per key —
+    * column names must line up between the two lists. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+                partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     val salted = df.withColumn("__salt",
       (rand(seed = 42) * salts).cast("int"))
     salted.groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(count(lit(1)).as("__partial"))
+      .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("__partial")).as(countName))
+      .agg(merge.head, merge.tail: _*)
   }
 }

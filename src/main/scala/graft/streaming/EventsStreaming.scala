@@ -33,35 +33,56 @@ object EventsStreaming {
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when `gapMinutes` pass without an event for that user.
     * Emits closed sessions (Append mode). State per key = the open
-    * session only — O(active users), not O(events). */
+    * session only — O(active users), not O(events).
+    *
+    * With `closeOnTimeout` (requires `withWatermark("ts", ...)` on the
+    * input) the state also registers an event-time timeout at
+    * session_end + gap: a user who simply goes idle gets their last
+    * session emitted once the watermark passes the gap, instead of the
+    * state living forever — mandatory hygiene at 100 TB/day. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapMinutes: Int = 30): Dataset[Session] = {
+                 gapMinutes: Int = 30,
+                 closeOnTimeout: Boolean = false): Dataset[Session] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val timeoutConf =
+      if (closeOnTimeout) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[Session]) =>
-          // Sort this batch's events by time; fold them into sessions.
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
-                open = Some(s.copy(session_end = e.ts,
-                  n_events = s.n_events + 1,
-                  total_value = s.total_value + e.value))
-              case Some(s) =>
-                closed += s
-                open = Some(Session(userId, e.ts, e.ts, 1, e.value))
-              case None =>
-                open = Some(Session(userId, e.ts, e.ts, 1, e.value))
+          if (closeOnTimeout && state.hasTimedOut) {
+            // watermark passed session_end + gap with no new events
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            // Sort this batch's events by time; fold them into sessions.
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                  open = Some(s.copy(session_end = e.ts,
+                    n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case Some(s) =>
+                  closed += s
+                  open = Some(Session(userId, e.ts, e.ts, 1, e.value))
+                case None =>
+                  open = Some(Session(userId, e.ts, e.ts, 1, e.value))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              if (closeOnTimeout)
+                state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
   }
 

@@ -64,6 +64,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
   }
 
+  test("sessionize with event-time timeout closes idle users' sessions " +
+    "once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // user 7 goes idle after 10:10; user 8 keeps the watermark moving
+    stream.addData(Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, ""),
+      Event(2, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, "")))
+    val sessions = EventsStreaming.sessionize(spark,
+      stream.toDS().withWatermark("ts", "0 seconds").as[Event],
+      gapMinutes = 30, closeOnTimeout = true)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_timeout_test")
+      .start()
+    q.processAllAvailable()
+    // advance the watermark past 10:40 (= 10:10 + 30 min gap)
+    stream.addData(Seq(Event(3, ts("2024-01-01 11:00:00"), 8L, "view", 5.0, "")))
+    q.processAllAvailable()
+    // one more batch so the timeout fires against the advanced watermark
+    stream.addData(Seq(Event(4, ts("2024-01-01 11:01:00"), 8L, "view", 1.0, "")))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_timeout_test").as[Session].collect()
+      .filter(_.user_id == 7L)
+    assert(closed.map(s => (s.n_events, s.total_value)).toSeq == Seq((2, 3.0)),
+      s"idle session not closed: ${closed.mkString(",")}")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
