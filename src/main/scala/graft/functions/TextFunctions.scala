@@ -10,29 +10,32 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens as an array column ([] for empty/blank text). */
+  /** Whitespace tokens as an array column ([] for empty/blank text).
+    * Only for operators that need the tokens themselves (shingling);
+    * pure counts go through `regexp_count`, which never materializes
+    * the match array. */
   def tokens(c: Column): Column =
     regexp_extract_all(c, lit("\\S+"), lit(0))
 
   /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
 
   /** BPE-ish token estimate: runs of letters, runs of digits, and each
     * remaining non-space symbol count as one token — the usual cheap
     * proxy for subword tokenizers. */
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
   /** Characters that are ASCII letters / total chars (0.0 for empty). */
   def alphaRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0)).otherwise(
-      size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0))).cast("double") /
+      regexp_count(c, lit("[A-Za-z]")).cast("double") /
         length(c).cast("double"))
 
   /** Punctuation chars / total chars (0.0 for empty). */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0)).otherwise(
-      size(regexp_extract_all(c, lit("[.,;:!?'\"()-]"), lit(0))).cast("double") /
+      regexp_count(c, lit("[.,;:!?'\"()-]")).cast("double") /
         length(c).cast("double"))
 
   /** Mean word length = non-space chars / token count (0.0 if no tokens).
@@ -44,8 +47,7 @@ object TextFunctions {
   }
 
   private def stopCount(c: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(c),
-      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    regexp_count(lower(c), lit("\\b(" + words.mkString("|") + ")\\b"))
 
   /** Count of common-English-stopword hits. */
   def stopwordCount(c: Column): Column =
@@ -66,7 +68,7 @@ object TextFunctions {
     val fr = stopCount(c, Seq("le", "la", "et", "les", "des"))
     val de = stopCount(c, Seq("der", "die", "und", "das", "ein"))
     val es = stopCount(c, Seq("el", "los", "las", "una", "y"))
-    val zh = size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val zh = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
     when(zh > 0, lit("zh"))
       .when(en >= fr && en >= de && en >= es && en > 0, lit("en"))
       .when(fr >= de && fr >= es && fr > 0, lit("fr"))
