@@ -62,4 +62,29 @@ object Multimodal {
       it.map(StubDecoder.decode)
     }
   }
+
+  /** One sampled frame: slice metadata + the frame payload. */
+  case class Frame(doc_id: Long, media_type: String, frame_idx: Int,
+                   frame_offset: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: explode each media payload into up to
+    * `maxFrames` evenly-spaced frame slices of `frameSize` bytes —
+    * the Spark shape of video frame extraction (a real decoder
+    * replaces the byte-slice with a codec seek+decode at the same
+    * offsets). Output volume is bounded by maxFrames × |input|; the
+    * flatMap runs inside the same partition as the scan, no shuffle. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   maxFrames: Int = 4, frameSize: Int = 1024): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val n = math.max(1, math.min(maxFrames, r.payload.length / frameSize))
+      (0 until n).iterator.map { i =>
+        val off = ((r.payload.length - frameSize).max(0).toLong * i /
+          math.max(1, n - 1).toLong).toInt
+        val end = math.min(r.payload.length, off + frameSize)
+        Frame(r.doc_id, r.media_type, i, off,
+          java.util.Arrays.copyOfRange(r.payload, off, end))
+      }
+    }
+  }
 }

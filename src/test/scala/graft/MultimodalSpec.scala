@@ -16,6 +16,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(schema("declared_w") == "int" && schema("declared_h") == "int")
   }
 
+  test("frame sampling yields bounded, evenly-spaced, reconstructable slices") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, TestSpark.sf0001))
+    val frames = Multimodal.sampleFrames(spark, media,
+      maxFrames = 3, frameSize = 64).collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.values.forall(fs => fs.length >= 1 && fs.length <= 3))
+    // frame bytes must be the payload slice at the declared offset
+    val texts = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(frames.forall { f =>
+      val payload = texts(f.doc_id).getBytes("UTF-8")
+      f.frame_bytes.sameElements(
+        payload.slice(f.frame_offset, f.frame_offset + 64))
+    })
+    // offsets are non-decreasing with frame_idx (even spacing)
+    assert(byDoc.values.forall { fs =>
+      val sorted = fs.sortBy(_.frame_idx)
+      sorted.zip(sorted.tail).forall { case (a, b) =>
+        a.frame_offset <= b.frame_offset }
+    })
+  }
+
   test("feature extraction is deterministic, batch-wise, and keeps ids") {
     val media = Multimodal.mediaTable(Tables.documents(spark, TestSpark.sf0001))
     val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)

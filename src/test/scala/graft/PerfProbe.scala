@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
