@@ -167,6 +167,59 @@ object Similarity {
   def signature(vec: Column, planes: Array[Array[Double]]): Column =
     graft.plans.VecExpressions.hyperplaneSig(vec, planes)
 
+  /** Persist the multi-table LSH index: the bucketed signature frame
+    * (id, vector, table_id, bucket) written hash-bucketed on
+    * (table_id, bucket) via the session catalog. Built ONCE per corpus;
+    * every subsequent query batch probes it with zero corpus-side
+    * shuffle (the bucket layout satisfies the join's distribution).
+    * This is the 100 TB shape: index build is the one full-corpus job,
+    * per-batch cost is the probe join. */
+  def buildLshIndex(corpus: DataFrame, table: String, dim: Int,
+                    bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    numBuckets: Int = 16): Unit = {
+    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
+        struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("v"), col("tb.table_id"), col("tb.bucket"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "table_id", "bucket")
+      .sortBy("table_id", "bucket")
+      .saveAsTable(table)
+  }
+
+  /** Query a persisted LSH index (see [[buildLshIndex]]); identical
+    * semantics to [[lshTopK]] with the corpus-side signature work and
+    * shuffle already paid at build time. The same plane seed must be
+    * used for index build and query. */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queries: DataFrame, k: Int, dim: Int,
+                     bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
+                     idCol: String = "vec_id",
+                     qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
+    val q = queries
+      .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
+        struct(lit(tid).as("table_id"), signature(col("qv"), planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(qidCol), col("qv"), col("tb.table_id"), col("tb.bucket"))
+    val c = spark.table(table)
+    val candidates = c.join(q, Seq("table_id", "bucket"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol), col("v"), col("qv"))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(max(col("sim")).as("sim")) // union across tables
+    candidates.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Multi-table LSH ANN: `numTables` independent `bits`-bit
     * hyperplane signatures; each query scores the union of its buckets
     * across tables (equi-join on (table, bucket) — a hash shuffle, no

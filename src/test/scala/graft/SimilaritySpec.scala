@@ -71,6 +71,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("persisted LSH index: same answers as inline LSH, no corpus-side " +
+    "exchange on the probe join") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    Similarity.buildLshIndex(emb, "lsh_index_test", dim = 64,
+      bits = 3, numTables = 16)
+    try {
+      val inline = Similarity.lshTopK(emb, queries, k = 1, dim = 64,
+        bits = 3, numTables = 16)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      val indexed = Similarity.lshTopKIndexed(spark, "lsh_index_test",
+        queries, k = 1, dim = 64, bits = 3, numTables = 16)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      assert(indexed == inline)
+      // with broadcast off, the probe join must leave the bucketed
+      // index side exchange-free (the one hash exchange is the query side)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = Similarity.lshTopKIndexed(spark, "lsh_index_test",
+          queries, k = 1, dim = 64, bits = 3, numTables = 16)
+          .queryExecution.executedPlan.toString
+        val probeExchanges = plan.linesIterator.count(l =>
+          l.contains("Exchange hashpartitioning") &&
+            l.contains("table_id"))
+        assert(probeExchanges <= 1,
+          s"index side shuffled on probe:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_index_test")
+  }
+
   test("cosineNearDupPairs finds planted perturbed copies, not random pairs") {
     val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf0001)
       .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
