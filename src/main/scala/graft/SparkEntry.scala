@@ -365,6 +365,13 @@ object SparkEntry {
       Multimodal.extractFeatures(s,
         Multimodal.mediaTable(t(s, dir, "documents"))).toDF()),
 
+    // §2b-25e: one-pass table profiling (row/non-null/exact-distinct
+    // counts — the validation step before any training-data ingest)
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders"),
+        cols = Seq("o_orderkey", "o_custkey", "o_orderdate"),
+        distinctCols = Seq("o_custkey", "o_orderpriority"))),
+
     // §2b-29: tumbling-window event aggregation (batch twin of the
     // streaming op)
     "q_window_agg" -> ((s, dir) =>
@@ -521,6 +528,15 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |       round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(o_orderkey) AS nn_o_orderkey,
+        |  count(o_custkey) AS nn_o_custkey,
+        |  count(o_orderdate) AS nn_o_orderdate,
+        |  count(DISTINCT o_custkey) AS nd_o_custkey,
+        |  count(DISTINCT o_orderpriority) AS nd_o_orderpriority
+        |FROM orders""".stripMargin,
 
     "q_rep_ratio" ->
       """WITH toks AS (
