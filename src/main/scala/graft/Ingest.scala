@@ -225,6 +225,54 @@ object Ingest {
       .dropDuplicates()
   }
 
+  /** Idempotent warehouse merge: existing ∪ (incoming \ existing by
+    * key), written via a temp dir + rename so the read and the
+    * overwrite of the same path never race. At warehouse scale this
+    * maps onto a transactional table format's MERGE; plain parquet +
+    * swap keeps the same semantics catalog-free. */
+  private[graft] def mergeParquet(spark: SparkSession, incoming: DataFrame,
+                                  path: String, keys: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Dedup.idempotentUpsert(
+          existing = spark.read.parquet(path),
+          incoming = incoming.select(spark.read.parquet(path).columns
+            .map(col): _*),
+          keys = keys)
+      else incoming
+    val tmp = s"$path.__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  }
+
+  /** Continuous ingestion: stream a users dump folder (new daily shards
+    * become micro-batches, see [[graft.sources.DumpMicroBatchStream]])
+    * and merge every batch into the warehouse with the SAME operators
+    * the batch path uses — `foreachBatch` is the standard bridge from
+    * a stream to batch merge logic. Exactly-once per file via the
+    * checkpointed source offset + idempotent merge keys. */
+  def runUsersStream(spark: SparkSession, folder: String, warehouseDir: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format("graft.sources.DumpDataSource")
+      .load(folder)
+      .select(from_json(col("doc").cast("string"), userSchema).as("e"))
+      .select(col("e.*"))
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (users, ghUsers, ghOrgs) = importUsers(batch)
+        mergeParquet(spark, users, s"$warehouseDir/users", Seq("github_id"))
+        mergeParquet(spark, ghUsers, s"$warehouseDir/gh_users", Seq("github_id"))
+        mergeParquet(spark, ghOrgs, s"$warehouseDir/gh_organizations", Seq("github_id"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run the whole pipeline over a config; writes each output table to
     * `<warehouseDir>/<table>` parquet and returns the DataFrames. */
   def run(spark: SparkSession, cfg: Config): Map[String, DataFrame] = {

@@ -124,6 +124,35 @@ class IngestSpec extends AnyFunSuite {
     assert(repos3.count() == 0)
   }
 
+  test("continuous ingestion: streamed dumps merge incrementally into " +
+    "the warehouse, idempotent per github id") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_stream").toString
+    Files.createDirectories(Paths.get(s"$dir/users"))
+    val wh = s"$dir/warehouse"; val ckpt = s"$dir/_ckpt"
+    writeDocs(s"$dir/users/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","type":"User","name":"Alice","email":"a@x.org","created_at":"2013-01-01T00:00:00Z","updated_at":"2013-06-01T00:00:00Z","followers":1,"following":1,"hireable":true}""",
+      """{"id":3,"login":"devmine","type":"Organization","name":"DevMine","created_at":"2013-03-01T00:00:00Z","updated_at":""}"""))
+
+    def runOnce(): Unit = {
+      val q = Ingest.runUsersStream(spark, s"$dir/users", wh, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$wh/users").count() == 1)
+    assert(spark.read.parquet(s"$wh/gh_organizations").count() == 1)
+
+    // day 2: one genuinely new user + a re-ship of alice (must not dup)
+    writeDocs(s"$dir/users/2014-01-02.bson", Seq(
+      """{"id":1,"login":"alice","type":"User","name":"Alice","email":"a@x.org","created_at":"2013-01-01T00:00:00Z","updated_at":"2013-07-01T00:00:00Z","followers":2,"following":1,"hireable":true}""",
+      """{"id":2,"login":"bob","type":"User","name":"Bob","email":"b@x.org","created_at":"2013-02-01T00:00:00Z","updated_at":"","followers":0,"following":0,"hireable":false}"""))
+    runOnce()
+    val logins = spark.read.parquet(s"$wh/gh_users")
+      .select($"login").as[String].collect().sorted.toSeq
+    assert(logins == Seq("alice", "bob"), s"got $logins")
+    assert(spark.read.parquet(s"$wh/users").count() == 2)
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
