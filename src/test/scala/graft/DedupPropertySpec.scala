@@ -20,13 +20,14 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(r.passed, s"$name: ${r.status}")
   }
 
-  // small key/value domains force collisions and ties
+  // small key/value domains force collisions and ties; sizes include 0
+  // so empty frames are exercised too
   private val rows: Gen[List[(String, Int, Int)]] =
-    Gen.listOfN(30, for {
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, for {
       k <- Gen.oneOf("k1", "k2", "k3", "k4")
       a <- Gen.choose(0, 5)
       b <- Gen.choose(0, 5)
-    } yield (k, a, b))
+    } yield (k, a, b)))
 
   test("latestWins keeps exactly the rows attaining all per-key extremes") {
     check("latest-wins", Prop.forAll(rows) { rs =>
