@@ -111,11 +111,14 @@ object Similarity {
     * At 100 TB the indexed corpus would be written out bucketed by
     * `cell` once and reused across query batches; the per-batch cost is
     * the probe join only. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
-    import graft.plans.VecExpressions.{nearestCell, nearestCells}
+  /** Train the IVF coarse quantizer: deterministic hash-ordered sample
+    * of `nlist` vectors, refined with `iters` Lloyd iterations (one
+    * full-scan DataFrame aggregation each; only nlist×dim averaged
+    * components ever reach the driver). Returns normalized centroids —
+    * the FAISS index-header analog, reusable across query batches. */
+  def trainQuantizer(corpus: DataFrame, nlist: Int, iters: Int = 1,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    import graft.plans.VecExpressions.nearestCell
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
 
     def normalize(rows: Array[Array[Double]]): Array[Array[Double]] =
@@ -124,13 +127,10 @@ object Similarity {
         if (n == 0.0) p else p.map(_ / n)
       }
 
-    // deterministic hash-ordered sample as the initial coarse quantizer
     var cents = normalize(
       c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray))
 
-    // Lloyd refinement: one full-scan aggregation per iteration; only
-    // nlist×dim averaged components come back to the driver
     (0 until iters).foreach { _ =>
       val assigned = c.select(nearestCell(col("v"), cents).as("cell"),
         posexplode(col("v")).as(Seq("dim", "x")))
@@ -147,7 +147,61 @@ object Similarity {
       }
       cents = normalize(next)
     }
+    cents
+  }
 
+  /** Persist the IVF index: corpus assigned to cells and written
+    * PARTITIONED BY cell. A probe join against the query side's
+    * nprobe cells then triggers dynamic partition pruning — only the
+    * probed cells' files are read. Returns the trained quantizer
+    * (store it with the index; the same centroids must be used to
+    * query). */
+  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                    iters: Int = 1, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Array[Array[Double]] = {
+    import graft.plans.VecExpressions.nearestCell
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents
+  }
+
+  /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed
+    * cell ids are known on the driver, so they are pushed as a static
+    * partition filter — the scan reads ONLY the probed cells'
+    * directories. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     cents: Array[Array[Double]], queries: DataFrame, k: Int,
+                     nprobe: Int = 4, idCol: String = "vec_id",
+                     qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    import graft.plans.VecExpressions.nearestCells
+    val probes = queries
+      .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val indexed = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*)) // partition pruning
+    // cells PARTITION the corpus, so each (query, vector) candidate
+    // appears exactly once — no cross-probe dedup needed
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    import graft.plans.VecExpressions.{nearestCell, nearestCells}
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
     val indexed = c.withColumn("cell", nearestCell(col("v"), cents))
     val probes = queries
       .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))

@@ -103,6 +103,33 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_index_test")
   }
 
+  test("persisted IVF index: partition-pruned probes, exact parity with " +
+    "brute force when probing all cells") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivfidx").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(emb, path, nlist = 8, iters = 1)
+    // probing every cell == exhaustive search -> brute-force parity
+    val all = Similarity.ivfTopKIndexed(spark, path, cents, queries,
+      k = 5, nprobe = 8)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(all == exact)
+    // with nprobe=2 the scan must read ONLY the probed cells'
+    // partitions: the partition filter appears in the scan node
+    val pruned = Similarity.ivfTopKIndexed(spark, path, cents, queries,
+      k = 1, nprobe = 2)
+    val scan = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("cell"), s"no partition filter on the scan:\n$scan")
+    assert(pruned.count() > 0)
+  }
+
   test("cosineNearDupPairs finds planted perturbed copies, not random pairs") {
     val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf0001)
       .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
