@@ -66,6 +66,15 @@ for name, sql in sorted(oracle.items()):
 
 nosql = [os.path.basename(d) for d in glob.glob(f"{out_dir}/q_*")
          if os.path.basename(d) not in oracle]
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle-checked OK; "
-      f"rows-only (no oracle): {sorted(nosql)}")
+# mirror the driver's weaker rows-only check: output must be non-empty
+for name in sorted(nosql):
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+    except Exception as e:
+        n = -1
+    if n <= 0:
+        fails.append((name, f"rows-only output empty ({n})"))
+        print(f"FAIL {name}: rows-only output empty ({n})")
+print(f"\n{len(oracle) - len([f for f in fails if f[0] in oracle])}/{len(oracle)} "
+      f"oracle-checked OK; rows-only (no oracle): {sorted(nosql)}")
 sys.exit(1 if fails else 0)
