@@ -225,29 +225,46 @@ object Ingest {
       .dropDuplicates()
   }
 
-  /** Idempotent warehouse merge: existing ∪ (incoming \ existing by
-    * key), written via a temp dir + rename so the read and the
-    * overwrite of the same path never race. At warehouse scale this
-    * maps onto a transactional table format's MERGE; plain parquet +
-    * swap keeps the same semantics catalog-free. */
-  private[graft] def mergeParquet(spark: SparkSession, incoming: DataFrame,
-                                  path: String, keys: Seq[String]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        Dedup.idempotentUpsert(
-          existing = spark.read.parquet(path),
-          incoming = incoming.select(spark.read.parquet(path).columns
-            .map(col): _*),
-          keys = keys)
-      else incoming
-    val tmp = s"$path.__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val target = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  /** Idempotent warehouse merge of one or more tables: for each
+    * (incoming, path, keys), existing ∪ (incoming \ existing by key).
+    * TWO-PHASE: every merged frame is first materialized to its temp
+    * dir — while ALL target paths are still intact, because one
+    * table's incoming lineage may lazily read another table's current
+    * files (the repos pipeline anti-joins against `repositories`
+    * while also merging `gh_repositories`) — and only then are all
+    * temp dirs swapped in. At warehouse scale this maps onto a
+    * transactional table format's multi-table MERGE; plain parquet +
+    * staged swap keeps the same semantics catalog-free. */
+  private[graft] def mergeParquetAll(spark: SparkSession,
+      merges: Seq[(DataFrame, String, Seq[String])]): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    // phase 1: compute + write every merge to its temp dir
+    val staged = merges.map { case (incoming, path, keys) =>
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+      val merged =
+        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          Dedup.idempotentUpsert(
+            existing = spark.read.parquet(path),
+            incoming = incoming.select(spark.read.parquet(path).columns
+              .map(col): _*),
+            keys = keys)
+        else incoming
+      val tmp = s"$path.__tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      (tmp, path)
+    }
+    // phase 2: swap everything
+    staged.foreach { case (tmp, path) =>
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+      val target = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    }
   }
+
+  private[graft] def mergeParquet(spark: SparkSession, incoming: DataFrame,
+                                  path: String, keys: Seq[String]): Unit =
+    mergeParquetAll(spark, Seq((incoming, path, keys)))
 
   /** Continuous ingestion: stream a users dump folder (new daily shards
     * become micro-batches, see [[graft.sources.DumpMicroBatchStream]])
@@ -264,9 +281,52 @@ object Ingest {
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (users, ghUsers, ghOrgs) = importUsers(batch)
-        mergeParquet(spark, users, s"$warehouseDir/users", Seq("github_id"))
-        mergeParquet(spark, ghUsers, s"$warehouseDir/gh_users", Seq("github_id"))
-        mergeParquet(spark, ghOrgs, s"$warehouseDir/gh_organizations", Seq("github_id"))
+        mergeParquetAll(spark, Seq(
+          (users, s"$warehouseDir/users", Seq("github_id")),
+          (ghUsers, s"$warehouseDir/gh_users", Seq("github_id")),
+          (ghOrgs, s"$warehouseDir/gh_organizations", Seq("github_id"))))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Continuous repo ingestion: each micro-batch runs the full staged →
+    * latest-wins → double-anti-join pipeline against the CURRENT
+    * warehouse, shifts the fresh surrogate ids past the existing
+    * maximum (the `RETURNING id` sequence continuing across imports),
+    * and merges. Replaying a batch after a failure is a no-op: the
+    * anti-join sees the previously merged rows and yields zero fresh. */
+  def runReposStream(spark: SparkSession, folder: String, warehouseDir: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format("graft.sources.DumpDataSource")
+      .load(folder)
+      .select(from_json(col("doc").cast("string"), repoSchema).as("e"))
+      .select(col("e.*"))
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val repoPath = s"$warehouseDir/repositories"
+        val ghPath = s"$warehouseDir/gh_repositories"
+        val fs = new org.apache.hadoop.fs.Path(repoPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(repoPath)))
+            Some(spark.read.parquet(repoPath)) else None
+        val existingGh =
+          if (fs.exists(new org.apache.hadoop.fs.Path(ghPath)))
+            Some(spark.read.parquet(ghPath)) else None
+        val (repos, gh) = importRepos(batch,
+          existingRepos = existing.map(_.select(col("clone_path"),
+            col("primary_language"))),
+          existingGhRepos = existingGh.map(_.select(col("github_id"))))
+        val base = existing.map(_.agg(max(col("id"))).head())
+          .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+          .getOrElse(0L)
+        mergeParquetAll(spark, Seq(
+          (repos.withColumn("id", col("id") + base),
+            repoPath, Seq("clone_path")),
+          (gh.withColumn("repository_id", col("repository_id") + base),
+            ghPath, Seq("github_id"))))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

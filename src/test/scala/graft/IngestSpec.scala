@@ -153,6 +153,38 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/users").count() == 2)
   }
 
+  test("continuous repo ingestion: ids continue across batches, " +
+    "re-ships and replays insert nothing") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_repos_stream").toString
+    Files.createDirectories(Paths.get(s"$dir/repos"))
+    val wh = s"$dir/warehouse"; val ckpt = s"$dir/_ckpt"
+    writeDocs(s"$dir/repos/2014-01-01.bson", Seq(
+      """{"id":100,"name":"ght2dm","full_name":"devmine/ght2dm","language":"Go","clone_url":"https://github.example/devmine/ght2dm.git","owner":{"login":"devmine"},"fork":false,"forks_count":1,"open_issues_count":5,"stargazers_count":10,"subscribers_count":2,"watchers_count":10,"size_in_kb":512,"created_at":"2014-01-01T00:00:00Z","updated_at":"2014-01-01T10:00:00Z","pushed_at":"2014-01-01T09:00:00Z"}"""))
+
+    def runOnce(): Unit = {
+      val q = Ingest.runReposStream(spark, s"$dir/repos", wh, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$wh/repositories")
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(first == Set((1L, "ght2dm")))
+
+    // day 2: a new repo + a re-ship of repo 100 (newer snapshot)
+    writeDocs(s"$dir/repos/2014-01-02.bson", Seq(
+      """{"id":100,"name":"ght2dm","full_name":"devmine/ght2dm","language":"Go","clone_url":"https://github.example/devmine/ght2dm.git","owner":{"login":"devmine"},"fork":false,"forks_count":2,"open_issues_count":3,"stargazers_count":12,"subscribers_count":2,"watchers_count":12,"size_in_kb":600,"created_at":"2014-01-01T00:00:00Z","updated_at":"2014-01-02T10:00:00Z","pushed_at":"2014-01-02T09:00:00Z"}""",
+      """{"id":200,"name":"repo2","full_name":"alice/repo2","language":"Rust","clone_url":"https://github.example/alice/repo2.git","owner":{"login":"alice"},"fork":false,"forks_count":0,"open_issues_count":0,"stargazers_count":1,"subscribers_count":1,"watchers_count":1,"size_in_kb":64,"created_at":"2014-01-02T00:00:00Z","updated_at":"2014-01-02T00:00:00Z","pushed_at":"2014-01-02T00:00:00Z"}"""))
+    runOnce()
+    val second = spark.read.parquet(s"$wh/repositories")
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    // re-shipped repo 100 did not duplicate; repo2's id continued at 2
+    assert(second == Set((1L, "ght2dm"), (2L, "repo2")), s"got $second")
+    val ghIds = spark.read.parquet(s"$wh/gh_repositories")
+      .select($"repository_id").as[Long].collect().sorted.toSeq
+    assert(ghIds == Seq(1L, 2L))
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
