@@ -333,6 +333,53 @@ object Ingest {
       .start()
   }
 
+  /** Continuous relation ingestion: org-membership (and, with
+    * [[runCollaboratorsStream]], repo-collaborator) rows resolve
+    * against the CURRENT warehouse dimensions per micro-batch and
+    * merge on the composite key — rows whose dims haven't arrived yet
+    * simply drop this batch and resolve when re-shipped (the
+    * reference's skip-on-missing-id behavior, ght2dm.go:757-765). */
+  def runMembersStream(spark: SparkSession, folder: String, warehouseDir: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format("graft.sources.DumpDataSource")
+      .load(folder)
+      .select(from_json(col("doc").cast("string"), orgMemberSchema).as("e"))
+      .select(col("e.*"))
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = importOrgMembers(batch,
+          spark.read.parquet(s"$warehouseDir/gh_users"),
+          spark.read.parquet(s"$warehouseDir/gh_organizations"))
+        mergeParquetAll(spark, Seq((out,
+          s"$warehouseDir/gh_users_organizations",
+          Seq("gh_user_id", "gh_organization_id"))))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** See [[runMembersStream]]; resolves login + owner/repo full_name. */
+  def runCollaboratorsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format("graft.sources.DumpDataSource")
+      .load(folder)
+      .select(from_json(col("doc").cast("string"), repoCollaboratorSchema).as("e"))
+      .select(col("e.*"))
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = importRepoCollaborators(batch,
+          spark.read.parquet(s"$warehouseDir/gh_users"),
+          spark.read.parquet(s"$warehouseDir/gh_repositories"))
+        mergeParquetAll(spark, Seq((out,
+          s"$warehouseDir/users_repositories",
+          Seq("user_id", "repository_id"))))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run the whole pipeline over a config; writes each output table to
     * `<warehouseDir>/<table>` parquet and returns the DataFrames. */
   def run(spark: SparkSession, cfg: Config): Map[String, DataFrame] = {

@@ -185,6 +185,44 @@ class IngestSpec extends AnyFunSuite {
     assert(ghIds == Seq(1L, 2L))
   }
 
+  test("continuous relation ingestion: members resolve against streamed " +
+    "dims; unresolved rows drop and resolve on re-ship") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_rel_stream").toString
+    Seq("users", "org_members").foreach(e =>
+      Files.createDirectories(Paths.get(s"$dir/$e")))
+    val wh = s"$dir/warehouse"
+    writeDocs(s"$dir/users/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","type":"User","name":"Alice","email":"a@x.org","created_at":"2013-01-01T00:00:00Z","updated_at":"","followers":1,"following":1,"hireable":true}""",
+      """{"id":3,"login":"devmine","type":"Organization","name":"DevMine","created_at":"2013-03-01T00:00:00Z","updated_at":""}"""))
+    // membership references bob, whose user doc hasn't arrived yet
+    writeDocs(s"$dir/org_members/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","org":"devmine","type":"User"}""",
+      """{"id":2,"login":"bob","org":"devmine","type":"User"}"""))
+
+    def run(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.processAllAvailable(); q.stop()
+    }
+    run(Ingest.runUsersStream(spark, s"$dir/users", wh, s"$dir/_ck_u"))
+    run(Ingest.runMembersStream(spark, s"$dir/org_members", wh, s"$dir/_ck_m"))
+    val first = spark.read.parquet(s"$wh/gh_users_organizations")
+      .as[(Long, Long)].collect().toSet
+    assert(first == Set((1000001L, 2000003L)) || first == Set((1L, 3L)),
+      s"got $first") // alice resolved; bob dropped (dim missing)
+    assert(first.size == 1)
+
+    // bob's user doc arrives + membership re-shipped -> resolves now
+    writeDocs(s"$dir/users/2014-01-02.bson", Seq(
+      """{"id":2,"login":"bob","type":"User","name":"Bob","email":"b@x.org","created_at":"2013-02-01T00:00:00Z","updated_at":"","followers":0,"following":0,"hireable":false}"""))
+    writeDocs(s"$dir/org_members/2014-01-02.bson", Seq(
+      """{"id":2,"login":"bob","org":"devmine","type":"User"}"""))
+    run(Ingest.runUsersStream(spark, s"$dir/users", wh, s"$dir/_ck_u"))
+    run(Ingest.runMembersStream(spark, s"$dir/org_members", wh, s"$dir/_ck_m"))
+    val second = spark.read.parquet(s"$wh/gh_users_organizations")
+      .as[(Long, Long)].collect().toSet
+    assert(second.size == 2, s"got $second")
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
