@@ -56,6 +56,31 @@ class DedupPropertySpec extends AnyFunSuite {
     }, cases = 10)
   }
 
+  test("sessionizeBatch: event counts conserved; session count equals " +
+    "gap count + 1 per user") {
+    val events: Gen[List[(Long, Int)]] = // (user, minute offset)
+      Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        m <- Gen.choose(0, 600)
+      } yield (u, m)))
+    check("sessionize", Prop.forAll(events) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, m), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + m * 60000L),
+          u, "e", 1.0, "")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val sessions = graft.streaming.EventsStreaming
+        .sessionizeBatch(df, gapMinutes = 30)
+        .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      val conserved = sessions.map(_._2).sum == evs.length
+      val expectedPerUser = evs.groupBy(_._1).map { case (u, g) =>
+        val times = g.map(_._2).sorted
+        u -> (1 + times.zip(times.tail).count { case (a, b) => b - a > 30 })
+      }
+      val gotPerUser = sessions.groupBy(_._1).map { case (u, s) => u -> s.length }
+      conserved && gotPerUser == expectedPerUser
+    }, cases = 10)
+  }
+
   test("idempotentUpsert: applying twice equals applying once") {
     check("upsert-idem", Prop.forAll(rows) { rs =>
       val all = rs.toDF("k", "a", "b")
