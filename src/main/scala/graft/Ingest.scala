@@ -238,7 +238,14 @@ object Ingest {
   private[graft] def mergeParquetAll(spark: SparkSession,
       merges: Seq[(DataFrame, String, Seq[String])]): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    // phase 1: compute + write every merge to its temp dir
+    // phase 0: recover any interrupted prior swap BEFORE reading the
+    // current state. Invariant of the swap protocol below: the target
+    // can only be missing between rename-aside and rename-in, at which
+    // point `__tmp` holds the COMPLETE merged table — so recovery is
+    // always "finish the swap", never data loss.
+    merges.foreach { case (_, path, _) => recoverSwap(hc, path) }
+    // phase 1: compute + write every merge to its temp dir — while ALL
+    // target paths are still intact (see scaladoc)
     val staged = merges.map { case (incoming, path, keys) =>
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
       val merged =
@@ -253,12 +260,43 @@ object Ingest {
       merged.write.mode("overwrite").parquet(tmp)
       (tmp, path)
     }
-    // phase 2: swap everything
+    // phase 2: swap via rename-aside — the old data is never deleted
+    // before the new data is in place, so a crash at ANY point leaves
+    // either the old or the fully-merged table recoverable
     staged.foreach { case (tmp, path) =>
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
       val target = new org.apache.hadoop.fs.Path(path)
-      if (fs.exists(target)) fs.delete(target, true)
+      val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(target)) fs.rename(target, old)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+      fs.delete(old, true)
+    }
+  }
+
+  /** Finish or roll back a swap interrupted by a crash (see
+    * [[mergeParquetAll]] phase 2). Target missing + `__tmp` present →
+    * the merge completed but the swap didn't: rename the merged data
+    * in. Target missing + only `__old` → roll the old table back.
+    * Target present → any leftover side dirs are stale; drop them. */
+  private def recoverSwap(hc: org.apache.hadoop.conf.Configuration,
+                          path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    // `_SUCCESS` distinguishes a completed merge write from a partial
+    // one (a crash mid-write on a first-ever merge also leaves the
+    // target missing, but with an incomplete tmp dir)
+    val tmpComplete = fs.exists(tmp) &&
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!fs.exists(target)) {
+      if (tmpComplete) fs.rename(tmp, target)
+      else if (fs.exists(old)) fs.rename(old, target)
+    }
+    if (fs.exists(target)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
     }
   }
 
@@ -322,9 +360,13 @@ object Ingest {
         val base = existing.map(_.agg(max(col("id"))).head())
           .collect { case r if !r.isNullAt(0) => r.getLong(0) }
           .getOrElse(0L)
+        // merge on the SAME composite key the freshness anti-join uses
+        // ((clone_path, primary_language), insert_from_tmp_tables.sql:52-54)
+        // — merging on clone_path alone would drop a re-shipped repo whose
+        // language changed, leaving its gh_repositories row dangling
         mergeParquetAll(spark, Seq(
           (repos.withColumn("id", col("id") + base),
-            repoPath, Seq("clone_path")),
+            repoPath, Seq("clone_path", "primary_language")),
           (gh.withColumn("repository_id", col("repository_id") + base),
             ghPath, Seq("github_id"))))
       }
@@ -347,16 +389,33 @@ object Ingest {
       .select(col("e.*"))
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val out = importOrgMembers(batch,
-          spark.read.parquet(s"$warehouseDir/gh_users"),
-          spark.read.parquet(s"$warehouseDir/gh_organizations"))
-        mergeParquetAll(spark, Seq((out,
-          s"$warehouseDir/gh_users_organizations",
-          Seq("gh_user_id", "gh_organization_id"))))
+        // skip-on-missing-dims, like the reference's skip-on-missing-id
+        // (ght2dm.go:757-765): a relation shard arriving before its
+        // dimension tables must not kill the stream — the rows resolve
+        // when re-shipped after the dims land
+        dimsIfPresent(spark, Seq(s"$warehouseDir/gh_users",
+            s"$warehouseDir/gh_organizations")).foreach {
+          case Seq(users, orgs) =>
+            val out = importOrgMembers(batch, users, orgs)
+            mergeParquetAll(spark, Seq((out,
+              s"$warehouseDir/gh_users_organizations",
+              Seq("gh_user_id", "gh_organization_id"))))
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** All dimension tables read, or None if any is not yet present. */
+  private def dimsIfPresent(spark: SparkSession,
+                            paths: Seq[String]): Option[Seq[DataFrame]] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val allThere = paths.forall { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hc).exists(hp)
+    }
+    if (allThere) Some(paths.map(spark.read.parquet(_))) else None
   }
 
   /** See [[runMembersStream]]; resolves login + owner/repo full_name. */
@@ -368,12 +427,15 @@ object Ingest {
       .select(col("e.*"))
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val out = importRepoCollaborators(batch,
-          spark.read.parquet(s"$warehouseDir/gh_users"),
-          spark.read.parquet(s"$warehouseDir/gh_repositories"))
-        mergeParquetAll(spark, Seq((out,
-          s"$warehouseDir/users_repositories",
-          Seq("user_id", "repository_id"))))
+        // see runMembersStream: skip (not crash) while dims are absent
+        dimsIfPresent(spark, Seq(s"$warehouseDir/gh_users",
+            s"$warehouseDir/gh_repositories")).foreach {
+          case Seq(users, repos) =>
+            val out = importRepoCollaborators(batch, users, repos)
+            mergeParquetAll(spark, Seq((out,
+              s"$warehouseDir/users_repositories",
+              Seq("user_id", "repository_id"))))
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

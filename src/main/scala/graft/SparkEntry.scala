@@ -682,8 +682,8 @@ object SparkEntry {
         |  FROM marked),
         |numbered AS (
         |  SELECT user_id, value, ts_ms,
-        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,

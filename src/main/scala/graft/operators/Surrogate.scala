@@ -33,8 +33,15 @@ object Surrogate {
     * use case: ids are assigned post-dedup). */
   def rangeDenseIds(df: DataFrame, keys: Seq[Column], idName: String,
                     numPartitions: Int = 32): DataFrame = {
+    // persisted because BOTH the offsets aggregate and the final join
+    // read this subtree: range-boundary sampling depends on row order,
+    // so two independent re-evaluations (stage retry, no exchange
+    // reuse) could disagree on the key→partition mapping and produce
+    // duplicate or non-contiguous ids. Persisting pins one materialized
+    // partitioning that every consumer observes.
     val parted = df.repartitionByRange(numPartitions, keys: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = row_number().over(
       Window.partitionBy(col("__pid")).orderBy(keys: _*))
     val offsets = parted.groupBy(col("__pid")).count()

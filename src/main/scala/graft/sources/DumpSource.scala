@@ -48,6 +48,15 @@ object DumpSource {
     StructField("doc_index", LongType, nullable = false),
     StructField("doc", BinaryType, nullable = false)))
 
+  /** The active session's Hadoop configuration (carries filesystem
+    * settings/credentials for object stores); a bare `new
+    * Configuration()` only when no session exists (driver-side test
+    * helpers). */
+  def activeHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** `.load(p1, p2, ...)` lands in options as a JSON array under
     * "paths"; a single `.load(p)` as "path". */
   def pathsFromProps(properties: util.Map[String, String]): Seq[String] = {
@@ -67,7 +76,7 @@ object DumpSource {
     * reference's processing order. */
   def listDateOrdered(dir: String, suffix: String = ".bson"): Seq[String] = {
     val datedName = ("""^\d{4}-\d{2}-\d{2}""" + java.util.regex.Pattern.quote(suffix) + "$").r
-    val fs = new Path(dir).getFileSystem(new Configuration())
+    val fs = new Path(dir).getFileSystem(activeHadoopConf())
     val files = fs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && datedName.findFirstIn(s.getPath.getName).isDefined)
     files.sortBy(_.getPath.getName)(Ordering[String].reverse).map(_.getPath.toString)
@@ -76,7 +85,7 @@ object DumpSource {
   /** Frame writer (test fixtures / staging): 4-byte LE length incl.
     * prefix, then the body. */
   def writeDump(path: String, docs: Iterator[Array[Byte]]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(activeHadoopConf())
     val out = fs.create(new Path(path), true)
     try docs.foreach { body =>
       val len = body.length + 4
@@ -93,7 +102,12 @@ class DumpTable(paths: Seq[String]) extends Table with SupportsRead {
   override def schema(): StructType = DumpSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the session's Hadoop conf ON THE DRIVER and ship it with
+    // the reader factory — executors have no active SparkSession, and a
+    // bare `new Configuration()` would drop object-store credentials
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      DumpSource.activeHadoopConf())
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
       override def readSchema(): StructType = DumpSource.schema
@@ -101,10 +115,11 @@ class DumpTable(paths: Seq[String]) extends Table with SupportsRead {
       override def planInputPartitions(): Array[InputPartition] =
         paths.map(p => DumpFilePartition(p): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new DumpReaderFactory
+        new DumpReaderFactory(conf)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new DumpMicroBatchStream(paths)
+        new DumpMicroBatchStream(paths, conf)
     }
+  }
 }
 
 /** Streaming twin of the dump ingestion: the reference re-runs over a
@@ -116,54 +131,90 @@ class DumpTable(paths: Seq[String]) extends Table with SupportsRead {
   * via the checkpointed offset. Load with a DIRECTORY path:
   * `spark.readStream.format("graft.sources.DumpDataSource").load(dir)`.
   */
-class DumpMicroBatchStream(paths: Seq[String]) extends MicroBatchStream {
+class DumpMicroBatchStream(paths: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends MicroBatchStream {
 
   /** paths = a single directory (the streaming layout) or an explicit
     * file list (then the "stream" is that fixed list, oldest-first). */
   private def currentFiles(): Seq[String] = paths match {
     case Seq(single) =>
-      val fs = new Path(single).getFileSystem(new Configuration())
+      val fs = new Path(single).getFileSystem(conf.value)
       if (fs.getFileStatus(new Path(single)).isDirectory)
         DumpSource.listDateOrdered(single).reverse // oldest -> newest
       else paths
     case _ => paths
   }
 
-  override def initialOffset(): Offset = DumpOffset(0)
-  override def latestOffset(): Offset = DumpOffset(currentFiles().length)
-  override def deserializeOffset(json: String): Offset =
-    DumpOffset(json.trim.toInt)
+  override def initialOffset(): Offset = DumpOffset(0, None)
+  override def latestOffset(): Offset = {
+    val files = currentFiles()
+    DumpOffset(files.length, files.lastOption.map(baseName))
+  }
+  override def deserializeOffset(json: String): Offset = DumpOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  private def baseName(p: String): String = new Path(p).getName
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[DumpOffset].fileCount
+    val so = start.asInstanceOf[DumpOffset]
+    val s = so.fileCount
     val e = end.asInstanceOf[DumpOffset].fileCount
-    currentFiles().slice(s, e)
+    val files = currentFiles()
+    // enforce the append-only assumption the offset encoding relies on:
+    // if a shard with an OLDER date lands after files past it were
+    // committed, the count-based offset would silently skip it — fail
+    // loudly instead of dropping data
+    so.lastFile.foreach { committed =>
+      if (s > files.length || (s > 0 && baseName(files(s - 1)) != committed))
+        throw new IllegalStateException(
+          s"dump folder is not append-only: committed offset ($s files, " +
+            s"last '$committed') no longer matches the date-sorted listing " +
+            s"(${files.length} files" +
+            (if (s > 0 && s <= files.length) s", position $s is '${baseName(files(s - 1))}'" else "") +
+            "); a shard older than already-processed dates arrived late")
+    }
+    files.slice(s, e)
       .map(p => DumpFilePartition(p): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DumpReaderFactory
+    new DumpReaderFactory(conf)
 }
 
-/** Offset = how many files of the date-sorted listing are processed. */
-case class DumpOffset(fileCount: Int) extends Offset {
-  override def json(): String = fileCount.toString
+/** Offset = how many files of the date-sorted listing are processed,
+  * plus the NAME of the last processed file — so a late-arriving shard
+  * with an older date (which would shift the count-based index) is
+  * detected instead of silently skipping data. */
+case class DumpOffset(fileCount: Int, lastFile: Option[String]) extends Offset {
+  override def json(): String =
+    lastFile.fold(fileCount.toString)(f => s"""{"n":$fileCount,"last":"$f"}""")
+}
+
+object DumpOffset {
+  private val WithLast = """\{"n":(\d+),"last":"(.*)"\}""".r
+  def fromJson(json: String): DumpOffset = json.trim match {
+    case WithLast(n, f) => DumpOffset(n.toInt, Some(f))
+    case n => DumpOffset(n.toInt, None) // pre-validation checkpoint format
+  }
 }
 
 case class DumpFilePartition(path: String) extends InputPartition
 
-class DumpReaderFactory extends PartitionReaderFactory {
+class DumpReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DumpPartitionReader(partition.asInstanceOf[DumpFilePartition].path)
+    new DumpPartitionReader(partition.asInstanceOf[DumpFilePartition].path, conf)
 }
 
 /** Streams one dump file, yielding one row per framed document. */
-class DumpPartitionReader(path: String) extends PartitionReader[InternalRow] {
+class DumpPartitionReader(path: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
   private val in: DataInputStream = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
   }
   private val pathUtf8 = UTF8String.fromString(path)
