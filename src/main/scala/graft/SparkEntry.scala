@@ -670,6 +670,190 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
+    // FNV-1a-64 re-expressed in DuckDB: HUGEINT modular arithmetic over
+    // the text's code points (== bytes: the synthetic corpus is ASCII;
+    // `q_profile`-style preflight would catch a non-ASCII drift). Both
+    // custom-Expression queries below (multimodal checksum, simhash +
+    // winnowing fingerprint) get EXACT independent-engine verification
+    // this way instead of a rows-only check.
+    "q_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |         text,
+        |         CAST(length(text) AS INT) AS n_bytes,
+        |         CAST(doc_id % 1920 + 16 AS INT) AS declared_w,
+        |         CAST(doc_id % 1080 + 16 AS INT) AS declared_h
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, least(CAST(1 AS DOUBLE),
+        |                  CAST(64 AS DOUBLE) / greatest(declared_w, declared_h)) AS scale,
+        |         list_reduce(
+        |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |             list_transform(range(1, length(text)+1),
+        |               i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |           (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                       % CAST('18446744073709551616' AS HUGEINT)) AS u
+        |  FROM m)
+        |SELECT doc_id, media_type, n_bytes,
+        |  CAST(u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS checksum,
+        |  greatest(1, CAST(trunc(declared_w * scale) AS INT)) AS thumb_w,
+        |  greatest(1, CAST(trunc(declared_h * scale) AS INT)) AS thumb_h,
+        |  greatest(1, n_bytes // 4096) AS frame_samples
+        |FROM f""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1),
+        |        i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
+        |sim AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT)
+        |                  ELSE CAST(0 AS HUGEINT) END) AS sim_u
+        |  FROM votes GROUP BY doc_id),
+        |grams AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(unicode(substr(substr(text, CAST(p AS INT), 8), i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS g
+        |  FROM documents, unnest(range(1, greatest(length(text) - 6, 1))) t(p)
+        |  WHERE length(text) >= 8),
+        |win AS (
+        |  SELECT doc_id, min(g) AS win_u FROM grams GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS win_u
+        |  FROM documents WHERE length(text) < 8)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.sim_u, CAST(0 AS HUGEINT))
+        |    - CASE WHEN coalesce(s.sim_u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash,
+        |  CAST(w.win_u - CASE WHEN w.win_u >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fingerprint
+        |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+        |JOIN win w ON d.doc_id = w.doc_id""".stripMargin,
+
+    // The near-dup pair queries are EXACTLY replayable by an
+    // independent engine: simhash pairs because 4x16-bit-block Hamming
+    // LSH has 100% recall at maxHamming<=3 (pigeonhole), so the output
+    // equals the exhaustive hamming<=3 pair set; minhash pairs because
+    // the full pipeline (FNV shingle hashes -> splitmix64 MinHash
+    // families -> raw-slice band buckets -> exact Jaccard on
+    // candidates) is deterministic integer math, re-expressed below in
+    // HUGEINT mod-2^64 arithmetic (split hi/lo multiply to stay inside
+    // INT128).
+    "q_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM corpus),
+        |th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1),
+        |        i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
+        |sim AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+        |  FROM votes GROUP BY doc_id),
+        |sig AS (
+        |  SELECT c.doc_id,
+        |    CAST(coalesce(s.u, CAST(0 AS HUGEINT))
+        |      - CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
+        |  FROM corpus c LEFT JOIN sim s ON c.doc_id = s.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "q_minhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+        |tl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM corpus),
+        |shing AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS shs
+        |  FROM tl),
+        |sh AS (SELECT doc_id, unnest(shs) AS s FROM shing),
+        |shh AS (
+        |  SELECT DISTINCT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s)+1),
+        |        i -> CAST(unicode(substr(s, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM sh),
+        |m1 AS (
+        |  SELECT doc_id, j,
+        |    (h + (((((CAST(j AS HUGEINT) + 1) // CAST('4294967296' AS HUGEINT)) * CAST('11400714819323198485' AS HUGEINT)) % CAST('4294967296' AS HUGEINT)) * CAST('4294967296' AS HUGEINT) + ((CAST(j AS HUGEINT) + 1) % CAST('4294967296' AS HUGEINT)) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |      % CAST('18446744073709551616' AS HUGEINT) AS z1
+        |  FROM shh, range(0, 32) r(j)),
+        |m2 AS (SELECT doc_id, j, xor(z1, z1 // CAST('1073741824' AS HUGEINT)) AS t1 FROM m1),
+        |m3 AS (SELECT doc_id, j, (((((t1) // CAST('4294967296' AS HUGEINT)) * CAST('13787848793156543929' AS HUGEINT)) % CAST('4294967296' AS HUGEINT)) * CAST('4294967296' AS HUGEINT) + ((t1) % CAST('4294967296' AS HUGEINT)) * CAST('13787848793156543929' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS z2 FROM m2),
+        |m4 AS (SELECT doc_id, j, xor(z2, z2 // CAST('134217728' AS HUGEINT)) AS t2 FROM m3),
+        |m5 AS (SELECT doc_id, j, (((((t2) // CAST('4294967296' AS HUGEINT)) * CAST('10723151780598845931' AS HUGEINT)) % CAST('4294967296' AS HUGEINT)) * CAST('4294967296' AS HUGEINT) + ((t2) % CAST('4294967296' AS HUGEINT)) * CAST('10723151780598845931' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS z3 FROM m4),
+        |m6 AS (SELECT doc_id, j, xor(z3, z3 // CAST('2147483648' AS HUGEINT)) AS z4 FROM m5),
+        |mh AS (
+        |  SELECT doc_id, j,
+        |    min(CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)) AS m
+        |  FROM m6 GROUP BY doc_id, j),
+        |sigs AS (SELECT doc_id, list(m ORDER BY j) AS minhashes FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, minhashes[b*4+1 : b*4+4] AS band_sig
+        |  FROM sigs, range(0, 8) r(b)),
+        |buckets AS (
+        |  SELECT b, band_sig, list(doc_id) AS ids FROM bands GROUP BY b, band_sig
+        |  HAVING len(list(doc_id)) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT DISTINCT ia.a AS id_a, ib.b AS id_b
+        |  FROM buckets, unnest(ids) ia(a), unnest(ids) ib(b)
+        |  WHERE ia.a < ib.b),
+        |shsets AS (SELECT doc_id, list(DISTINCT h) AS sset FROM shh GROUP BY doc_id)
+        |SELECT p.id_a, p.id_b,
+        |  round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 6) AS jaccard
+        |FROM pairs p JOIN shsets a ON p.id_a = a.doc_id JOIN shsets b ON p.id_b = b.doc_id
+        |WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.5""".stripMargin,
+
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,

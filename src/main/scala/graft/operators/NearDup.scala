@@ -42,13 +42,17 @@ object NearDup {
       HashExpressions.minhash64(col(textCol), k, numHashes).as("minhashes"))
 
   /** LSH banding: explode the signature into (band_id, band_hash) rows;
-    * docs sharing any band bucket are candidates. */
+    * docs sharing any band bucket are candidates. The bucket key is the
+    * band's raw minhash slice (array<long>) rather than a hash of it:
+    * the shuffle key is a few longs wider but collision-free AND
+    * engine-portable, so an independent SQL engine can replay the exact
+    * bucketing for the correctness oracle. */
   def banded(sig: DataFrame, idCol: String,
              numBands: Int, rowsPerBand: Int): DataFrame =
     sig.select(col(idCol), posexplode(
       array((0 until numBands).map { b =>
-        xxhash64((Seq(lit(b)) ++ (0 until rowsPerBand).map(r =>
-          col("minhashes").getItem(b * rowsPerBand + r))): _*)
+        array((0 until rowsPerBand).map(r =>
+          col("minhashes").getItem(b * rowsPerBand + r)): _*)
       }: _*)).as(Seq("band_id", "band_hash")))
 
   /** MinHash-LSH near-dup candidate pairs with exact-Jaccard
