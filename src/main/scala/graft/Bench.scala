@@ -17,12 +17,24 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
+      // the noop sink materializes EVERY output column (count() would
+      // let the optimizer prune unreferenced projections, under-timing
+      // expression-heavy queries); two runs, min reported — steady-state
+      // plan execution, mirroring the DuckDB baseline's warm second run
+      // and amortizing one-time janino codegen compile out of the number
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val t1 = once()
+        val t2 = once()
+        cold(name) = t1
+        timings(name) = math.min(t1, t2)
       } catch {
         case e: Throwable =>
           // a failed query is reported as failed (-1), never as a timing
@@ -38,7 +50,8 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val coldTotal = cold.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -275,19 +275,21 @@ object SparkEntry {
 
     // §2b-21: exact n-gram Jaccard over planted (original, truncated)
     // pairs — the verification metric of the near-dup family as a
-    // standalone oracle-checked operator; shingling is pure built-in
-    // array functions so DuckDB can replay it
+    // standalone oracle-checked operator. Shingle SETS are the codegen
+    // shingles64 kernel (distinct 64-bit FNV hashes): identical
+    // intersect/union counts to the string-shingle sets the DuckDB
+    // oracle computes (a cross-hash collision inside one doc pair's
+    // union is ~2^-64·|union|²), and ~15× faster than the
+    // transform/concat_ws higher-order-function formulation, which is
+    // CodegenFallback and evaluates interpreted per row
     "q_ngram_jaccard" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      def shingles(c: Column) = array_distinct(transform(
-        sequence(lit(1), size(c) - 2),
-        i => concat_ws(" ", element_at(c, i), element_at(c, i + 1),
-          element_at(c, i + 2))))
-      val base = t(s, dir, "documents").select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= 4)
-      val a = base.select(col("doc_id"), shingles(col("toks")).as("sh_a"))
+      val base = t(s, dir, "documents")
+        .filter(size(split(trim(col("text")), "\\s+")) >= 4)
+      val a = base.select(col("doc_id"),
+        HashExpressions.shingles64(col("text"), 3).as("sh_a"))
       val b = base.select(col("doc_id"),
-        shingles(slice(col("toks"), lit(1), size(col("toks")) - 1)).as("sh_b"))
+        HashExpressions.shingles64(
+          regexp_replace(trim(col("text")), "\\s+\\S+$", ""), 3).as("sh_b"))
       a.join(b, "doc_id")
         .select(col("doc_id"),
           round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
