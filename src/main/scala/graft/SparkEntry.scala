@@ -383,6 +383,40 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // §2b-34: backward as-of join — enrich each event with the latest
+    // snapshot row at or before it (single shuffle + sort, no
+    // join-filter-max explosion). The snapshot stream is self-derived:
+    // every 10th event is a "profile snapshot" of its user.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts_ms").as("snap_ms"))
+        .agg(max(col("value")).as("snap_value"))
+      val pts = ev.filter(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      Temporal.asOfJoinBackward(pts, snaps, Seq("user_id"), "ts_ms", "snap_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("matched_snap_ms"), col("snap_value"))
+    }),
+
+    // §2b-35: interval containment join via time-bucket equi-join (no
+    // cross product / nested-loop plan): events against 2-hour activity
+    // windows opened by each snapshot event
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val wins = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").as("window_id"), col("user_id"),
+          col("ts_ms").as("start_ms"),
+          (col("ts_ms") + lit(7200000L)).as("end_ms"))
+      val pts = ev.filter(col("event_id") % 10 =!= 0)
+      Temporal.rangeJoin(pts, wins, Seq("user_id"), "ts_ms",
+          "start_ms", "end_ms", bucketMs = 1800000L)
+        .select(col("event_id"), col("user_id"), col("window_id"),
+          col("ts_ms"), col("start_ms"))
+    }),
+
     // headline TPC-H-style aggregates anchoring the bench
     "q_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -875,6 +909,33 @@ object SparkEntry {
         |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |snaps AS (
+        |  SELECT user_id, ts_ms AS snap_ms, max(value) AS snap_value
+        |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, ts_ms),
+        |pts AS (
+        |  SELECT event_id, user_id, ts_ms FROM ev WHERE event_id % 10 <> 0)
+        |SELECT p.event_id, p.user_id, p.ts_ms,
+        |       s.snap_ms AS matched_snap_ms, s.snap_value
+        |FROM pts p ASOF LEFT JOIN snaps s
+        |  ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |wins AS (
+        |  SELECT event_id AS window_id, user_id, ts_ms AS start_ms,
+        |         ts_ms + 7200000 AS end_ms
+        |  FROM ev WHERE event_id % 10 = 0),
+        |pts AS (
+        |  SELECT event_id, user_id, ts_ms FROM ev WHERE event_id % 10 <> 0)
+        |SELECT p.event_id, p.user_id, w.window_id, p.ts_ms, w.start_ms
+        |FROM pts p JOIN wins w
+        |  ON p.user_id = w.user_id
+        | AND p.ts_ms BETWEEN w.start_ms AND w.end_ms""".stripMargin,
 
     "q_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

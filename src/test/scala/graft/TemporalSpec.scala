@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** As-of and range join semantics + plan shape. */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val snaps = Seq(
+    (1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"),
+    (3L, 300L, null.asInstanceOf[String]) // matched payload may be NULL
+  ).toDF("user_id", "snap_ms", "tag")
+
+  private lazy val pts = Seq(
+    (10L, 1L, 99L),   // before any snapshot -> no match
+    (11L, 1L, 100L),  // exactly at a snapshot -> matches it (<=)
+    (12L, 1L, 199L),  // between -> matches the earlier
+    (13L, 1L, 500L),  // after all -> matches the latest
+    (14L, 2L, 160L),  // other key
+    (15L, 3L, 400L),  // matches the null-payload snapshot
+    (16L, 9L, 100L)   // key with no snapshots at all
+  ).toDF("event_id", "user_id", "ts_ms")
+
+  test("as-of join picks the latest right row at or before each left " +
+    "row; unmatched rows keep nulls") {
+    val got = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((None, None)))
+    assert(got(11L) == ((Some(100L), Some("a"))))
+    assert(got(12L) == ((Some(100L), Some("a"))))
+    assert(got(13L) == ((Some(200L), Some("b"))))
+    assert(got(14L) == ((Some(150L), Some("c"))))
+    // the match is the NULL-payload snapshot itself, NOT an older
+    // non-null one (the struct trick: ignoreNulls skips unmatched left
+    // rows, never a matched right row with a null payload value)
+    assert(got(15L) == ((Some(300L), None)))
+    assert(got(16L) == ((None, None)))
+  }
+
+  test("as-of join equals the quadratic reference on random data") {
+    val r = new scala.util.Random(7)
+    val rndSnaps = Seq.fill(200)((r.nextInt(5).toLong,
+      r.nextInt(1000).toLong)).distinct
+      .map { case (k, t) => (k, t, s"v$k-$t") }
+      .toDF("user_id", "snap_ms", "tag")
+    val rndPts = Seq.tabulate(300)(i =>
+      (i.toLong, r.nextInt(6).toLong, r.nextInt(1200).toLong))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = Temporal.asOfJoinBackward(rndPts, rndSnaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms")
+      .as[(Long, Option[Long])].collect().toMap
+    // reference: join-filter-max (fine at test scale)
+    val ref = rndPts.join(rndSnaps, Seq("user_id"), "left")
+      .filter($"snap_ms".isNull || $"snap_ms" <= $"ts_ms")
+      .groupBy($"event_id")
+      .agg(max(when($"snap_ms" <= $"ts_ms", $"snap_ms")).as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    rndPts.select($"event_id").as[Long].collect().foreach { id =>
+      assert(got.getOrElse(id, None) == ref.getOrElse(id, None), s"event $id")
+    }
+  }
+
+  private lazy val intervals = Seq(
+    (100L, 1L, 50L, 250L),  // spans multiple 100ms buckets
+    (101L, 1L, 200L, 210L), // inside one bucket
+    (102L, 2L, 0L, 1000L)   // long interval
+  ).toDF("window_id", "user_id", "start_ms", "end_ms")
+
+  test("range join returns exactly the containment pairs, no " +
+    "duplicates across buckets") {
+    val p = Seq((1L, 1L, 50L), (2L, 1L, 205L), (3L, 1L, 250L),
+      (4L, 1L, 251L), (5L, 2L, 500L), (6L, 9L, 100L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = Temporal.rangeJoin(p, intervals, Seq("user_id"), "ts_ms",
+        "start_ms", "end_ms", bucketMs = 100L)
+      .select($"event_id", $"window_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (2L, 101L), (3L, 100L),
+      (5L, 102L)))
+  }
+
+  test("range join equals the cross-filter reference on random data") {
+    val r = new scala.util.Random(13)
+    val rndIv = Seq.tabulate(100) { i =>
+      val s0 = r.nextInt(1000).toLong
+      (i.toLong, r.nextInt(4).toLong, s0, s0 + r.nextInt(300).toLong)
+    }.toDF("window_id", "user_id", "start_ms", "end_ms")
+    val rndPts = Seq.tabulate(200)(i =>
+      (i.toLong, r.nextInt(5).toLong, r.nextInt(1400).toLong))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = Temporal.rangeJoin(rndPts, rndIv, Seq("user_id"), "ts_ms",
+        "start_ms", "end_ms", bucketMs = 128L)
+      .select($"event_id", $"window_id").as[(Long, Long)].collect()
+    val ref = rndPts.as("p").join(rndIv.as("i"),
+        $"p.user_id" === $"i.user_id" &&
+          $"p.ts_ms".between($"i.start_ms", $"i.end_ms"))
+      .select($"event_id", $"window_id").as[(Long, Long)].collect()
+    assert(got.sorted.toSeq == ref.sorted.toSeq)
+    assert(got.length == got.distinct.length) // bucket fan-out never dups
+  }
+
+  test("range join plans as an equi-join — no cartesian or " +
+    "broadcast-nested-loop node") {
+    val p = Seq((1L, 1L, 50L)).toDF("event_id", "user_id", "ts_ms")
+    val plan = Temporal.rangeJoin(p, intervals, Seq("user_id"), "ts_ms",
+        "start_ms", "end_ms", bucketMs = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("as-of join is a single shuffle on the key (one Exchange over " +
+    "the union, no join node at all)") {
+    val plan = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("hashpartitioning".r.findAllIn(plan).size >= 1)
+  }
+}
