@@ -383,6 +383,34 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // §2b-36: deterministic train/val/test split by CONTENT hash —
+    // stable under re-sharding and re-import (position- or id-based
+    // splits migrate rows when the corpus is repacked); 90/5/5 on
+    // pmod(fnv64(text), 100)
+    "q_split_assign" -> ((s, dir) => {
+      val h = pmod(HashExpressions.fnv64(col("text")), lit(100L))
+      t(s, dir, "documents").select(col("doc_id"),
+        when(h < 90, "train").when(h < 95, "validation")
+          .otherwise("test").as("split"))
+    }),
+
+    // §2b-37: token-budget sequence packing (running-budget
+    // approximation of LLM context-window packing): per language,
+    // docs in deterministic order are chunked wherever the running
+    // token count crosses a 4096-token budget — one window cumsum,
+    // no stateful loop
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 4096").as("seq_id"))
+    }),
+
     // §2b-34: backward as-of join — enrich each event with the latest
     // snapshot row at or before it (single shuffle + sort, no
     // join-filter-max explosion). The snapshot stream is self-derived:
@@ -909,6 +937,36 @@ object SparkEntry {
         |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS u
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    ((CAST(u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+        |      % 100) + 100) % 100 AS hm
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN hm < 90 THEN 'train'
+        |       WHEN hm < 95 THEN 'validation' ELSE 'test' END AS split
+        |FROM m""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  (CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 4096 AS seq_id
+        |FROM d""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (

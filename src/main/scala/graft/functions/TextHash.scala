@@ -29,6 +29,16 @@ object TextHash {
     h
   }
 
+
+  /** FNV-1a of a whole string's UTF-8 bytes — the stable row hash used
+    * for deterministic dataset splits (train/val/test must not move
+    * when the corpus is re-sharded, so the hash is of CONTENT, not of
+    * position or id). */
+  def fnv64(s: UTF8String): Long = {
+    val b = s.getBytes
+    fnv64(b, 0, b.length)
+  }
+
   /** Charikar SimHash over whitespace tokens: each token votes its hash
     * bits; the sign of each bit-counter forms the 64-bit signature.
     * Near-identical token multisets give near-identical signatures

@@ -16,6 +16,25 @@ import graft.functions.TextHash
   * breaking it the way a Scala UDF would.
   */
 
+
+/** FNV-1a-64 of the whole string (content hash for deterministic
+  * splits; oracle-replayable in SQL, unlike xxhash64). */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fnv64 requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.fnv64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fnv64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+  override def prettyName: String = "fnv64"
+}
+
 /** 64-bit Charikar SimHash of a string's whitespace-token multiset. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -107,6 +126,9 @@ object HashExpressions {
     GraftSqlShim.column(Shingles64(GraftSqlShim.expression(c), k))
 
   /** SimHash64 as a Column function. */
+  def fnv64(c: Column): Column =
+    GraftSqlShim.column(Fnv64(GraftSqlShim.expression(c)))
+
   def simhash64(c: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(c)))
 
