@@ -39,6 +39,9 @@ object Temporal {
     *
     * Right columns (minus keys and `rightTime`) must not collide with
     * left column names; `rightTime` surfaces as `matched_<rightTime>`.
+    * The right side should be unique per (keys, rightTime) — dedupe
+    * upstream (e.g. [[Dedup.latestWins]]) — otherwise which duplicate
+    * wins is tie-order dependent.
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTime: String, rightTime: String): DataFrame = {

@@ -30,6 +30,9 @@ object GraftExtensions {
 
   /** (name, info, builder) triples for every custom expression. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("fnv64",
+      new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
+      (es: Seq[Expression]) => Fnv64(es.head)),
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)),

@@ -66,7 +66,8 @@ class StagingSpec extends AnyFunSuite {
       .createOrReplaceTempView("docs_sql_test")
     val viaSql = spark.sql(
       """SELECT doc_id, simhash64(text) AS sh, winnow64(text, 8) AS wn,
-        |       minhash64(text, 3, 8) AS mh, shingles64(text, 3) AS sg
+        |       minhash64(text, 3, 8) AS mh, shingles64(text, 3) AS sg,
+        |       fnv64(text) AS fh
         |FROM docs_sql_test""".stripMargin)
       .select($"doc_id", $"sh").as[(Long, Long)].collect().toMap
     val viaColumn = Tables.documents(spark, TestSpark.sf0001).limit(20)
