@@ -239,6 +239,24 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 3)
     }),
 
+    // §2b-38: hybrid retrieval — quality-filtered similarity search
+    // (pre-filtered ANN): only corpus vectors whose document passes the
+    // text-quality gate are scored. The filter composes the same way
+    // with the persisted IVF/LSH index probes at scale; brute-force
+    // here so the oracle is exact.
+    "q_hybrid_search" -> ((s, dir) => {
+      val quality = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .filter(col("q") >= 0.5)
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.join(quality, emb("vec_id") === quality("doc_id"))
+        .select(emb("vec_id"), emb("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(corpus, queries, k = 3)
+    }),
+
     // §2b-23: LSH-bucketed ANN (the scale path)
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -589,6 +607,39 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |       round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_hybrid_search" ->
+      """WITH scored_docs AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3 +
+        |      (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
+        |        CAST(length(text) AS DOUBLE) END) * 0.4 +
+        |      least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
+        |        CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+        |      (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
+        |        CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
+        |  FROM documents),
+        |kept AS (SELECT doc_id FROM scored_docs WHERE quality >= 0.5),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id
+        |  CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sc)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |       round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 3""".stripMargin,
