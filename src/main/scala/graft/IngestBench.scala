@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.DumpSource
+
+/** Ingestion-throughput benchmark against the reference's profile.
+  *
+  * The reference imports users row-at-a-time — one BSON unmarshal plus
+  * 1-2 synchronous Postgres round-trips per row (ght2dm.go:277-315,
+  * 440-490) — which bounds it to roughly 5-20k rows/s single-node
+  * (BASELINE.md). This main measures the same logical work in graft:
+  * framed dump files → parse → type dispatch → normalization →
+  * dedup-by-id → the three projections → parquet warehouse write.
+  *
+  * Usage: `runMain graft.IngestBench [nDocs] [nFiles]` (defaults
+  * 500000 x 10). Prints one JSON line with rows/s.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
+    val nFiles = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/root/repo/target/ingest_bench"
+    val folder = s"$dir/users"
+    new java.io.File(folder).mkdirs()
+    val perFile = nDocs / nFiles
+    // deterministic synthetic GHTorrent-shaped user docs; ~5% re-ships
+    // (same id, newer updated_at) so the dedup path does real work
+    (0 until nFiles).foreach { f =>
+      val day = f % 28 + 1
+      writeFile(s"$folder/2014-01-${"%02d".format(day)}.bson", f, perFile)
+    }
+
+    val t0 = System.nanoTime()
+    val raw = Ingest.readEntity(spark, folder, Ingest.userSchema)
+    val (users, ghUsers, ghOrgs) = Ingest.importUsers(raw)
+    val wh = s"$dir/warehouse"
+    users.write.mode("overwrite").parquet(s"$wh/users")
+    ghUsers.write.mode("overwrite").parquet(s"$wh/gh_users")
+    ghOrgs.write.mode("overwrite").parquet(s"$wh/gh_organizations")
+    val sec = (System.nanoTime() - t0) / 1e9
+    val outRows = spark.read.parquet(s"$wh/users").count() +
+      spark.read.parquet(s"$wh/gh_organizations").count()
+    println(s"""{"metric":"ingest_users_rows_per_sec","value":${(nDocs / sec).round},"input_docs":$nDocs,"output_entities":$outRows,"sec":$sec,"files":$nFiles}""")
+    spark.stop()
+  }
+
+  private def writeFile(path: String, fileIdx: Int, n: Int): Unit = {
+    val docs = (0 until n).iterator.map { i =>
+      val reship = i % 20 == 0 && fileIdx > 0
+      val id = if (reship) (fileIdx - 1).toLong * n + i else fileIdx.toLong * n + i
+      val isOrg = id % 50 == 0
+      val day = fileIdx % 28 + 1
+      val t = s"2014-01-${"%02d".format(day)}T00:00:0${i % 10}Z"
+      val typ = if (isOrg) "Organization" else "User"
+      s"""{"id":$id,"login":"user_$id","type":"$typ","name":"User $id","email":"u$id@example.org","company":"c${id % 97}","location":"loc${id % 31}","bio":"bio of $id","avatar_url":"https://a.example/$id","html_url":"https://h.example/$id","hireable":${id % 2 == 0},"followers":${id % 1000},"following":${id % 100},"created_at":"2013-01-01T00:00:00Z","updated_at":"$t"}"""
+        .getBytes(UTF_8)
+    }
+    DumpSource.writeDump(path, docs)
+  }
+}
