@@ -385,6 +385,18 @@ object SparkEntry {
       Multimodal.extractFeatures(s,
         Multimodal.mediaTable(t(s, dir, "documents"))).toDF()),
 
+    // §2b-28b: video-style frame sampling — up to 4 evenly-spaced
+    // 128-byte slices per payload; the slice OFFSET arithmetic is the
+    // real contract (a codec seeks to the same offsets), and it is
+    // integer math the oracle replays exactly
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.mediaTable(t(s, dir, "documents")),
+          maxFrames = 4, frameSize = 128).toDF()
+        .select(col("doc_id"), col("media_type"), col("frame_idx"),
+          col("frame_offset"),
+          length(col("frame_bytes")).as("frame_len"))),
+
     // §2b-25e: one-pass table profiling (row/non-null/exact-distinct
     // counts — the validation step before any training-data ingest)
     "q_profile" -> ((s, dir) =>
@@ -643,6 +655,28 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |       round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |         length(text) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, media_type, len,
+        |         greatest(1, least(4, len // 128)) AS n FROM m),
+        |fr AS (
+        |  SELECT doc_id, media_type, len, n,
+        |         unnest(range(0, n)) AS fi FROM f),
+        |o AS (
+        |  SELECT doc_id, media_type, len, fi,
+        |         CASE WHEN n = 1 THEN 0
+        |              ELSE greatest(len - 128, 0) * fi // (n - 1) END AS off
+        |  FROM fr)
+        |SELECT doc_id, media_type, CAST(fi AS INT) AS frame_idx,
+        |       CAST(off AS INT) AS frame_offset,
+        |       CAST(least(len, off + 128) - off AS INT) AS frame_len
+        |FROM o""".stripMargin,
 
     "q_profile" ->
       """SELECT count(*) AS n_rows,
