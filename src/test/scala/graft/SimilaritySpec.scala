@@ -141,4 +141,39 @@ class SimilaritySpec extends AnyFunSuite {
     // recall: most of the 500 planted pairs collide in >=1 of 8 tables
     assert(pairs.length >= 350, s"recall too low: ${pairs.length}/500")
   }
+
+  test("hyperplane-LSH observed recall tracks the analytic " +
+    "1-(1-p^bits)^tables curve on pairs planted at a known angle") {
+    // plant 500 pairs at exactly 60 degrees: v' = cos60*v + sin60*u
+    // with u orthonormal to v. Random-hyperplane collision probability
+    // per bit is p = 1 - theta/pi = 2/3, so with bits=4, tables=8 the
+    // analytic pair recall is 1-(1-(2/3)^4)^8 = 0.8287. With 500
+    // independent pairs, 3*sigma ~ 0.05 — assert a 0.07 band, which
+    // fails reliably if the bucketing math degrades (e.g. a sign error
+    // makes p=1/2: recall 0.41, or per-table dedup double-counts).
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val theta = math.Pi / 3
+    val rows = (0 until 500).flatMap { i =>
+      val v = unit(Array.fill(dim)(rnd.nextGaussian()))
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val d = raw.zip(v).map { case (a, b) => a * b }.sum
+      val u = unit(raw.zip(v).map { case (a, b) => a - d * b })
+      val vRot = v.zip(u).map { case (a, b) =>
+        math.cos(theta) * a + math.sin(theta) * b }
+      Seq((i.toLong, v.toSeq), (i.toLong + 10000L, vRot.toSeq))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val found = Similarity.cosineNearDupPairs(corpus, threshold = 0.45,
+        dim = dim, bits = 4, numTables = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .count { case (a, b) => b == a + 10000L }
+    val observed = found / 500.0
+    val analytic = 1.0 - math.pow(1.0 - math.pow(2.0 / 3.0, 4), 8)
+    assert(math.abs(observed - analytic) < 0.07,
+      f"observed recall $observed%.3f vs analytic $analytic%.3f")
+  }
 }
