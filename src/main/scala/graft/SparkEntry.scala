@@ -413,6 +413,19 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // §2b-39: SCD-2 dimension versioning — every (customer, order
+    // date) price change becomes a version row valid until the next
+    // change; the warehouse answer to "what did this dimension look
+    // like when the dataset was built"
+    "q_scd2_versions" -> ((s, dir) => {
+      val changes = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+        .agg(max(col("o_totalprice")).as("price"))
+      Scd2.versionize(changes, Seq("o_custkey"), "d")
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("price"))
+    }),
+
     // §2b-36: deterministic train/val/test split by CONTENT hash —
     // stable under re-sharding and re-import (position- or id-based
     // splits migrate rows when the corpus is repacked); 90/5/5 on
@@ -1022,6 +1035,16 @@ object SparkEntry {
         |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+
+    "q_scd2_versions" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |         max(o_totalprice) AS price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, d AS valid_from,
+        |       lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS valid_to,
+        |       price
+        |FROM chg""".stripMargin,
 
     "q_split_assign" ->
       """WITH h AS (

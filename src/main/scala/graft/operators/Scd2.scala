@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) versioning for warehouse
+  * dimensions: instead of the reference's latest-wins overwrite, keep
+  * every version with a validity interval so any past state is
+  * queryable (the training-data need: reproduce the exact dimension
+  * state a dataset was built against).
+  *
+  * One window per key — the same single-shuffle shape as
+  * [[Dedup.latestWins]]; no self-join. Point-in-time reads compose
+  * with [[Temporal.asOfJoinBackward]] (per-event resolution) or
+  * [[snapshotAt]] (one fixed time).
+  */
+object Scd2 {
+
+  /** Rebuild version intervals from a change log: each (key, change
+    * time) row becomes a version valid from its change time until the
+    * key's next change (`valid_to` null = still current). The change
+    * log must be unique per (keys, tsCol) — dedupe upstream (e.g.
+    * [[Dedup.latestWins]]) — or which duplicate wins is undefined. */
+  def versionize(changes: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+  }
+
+  /** The dimension as it was at time `t`: the version whose interval
+    * contains `t`. At most one row per key by construction. */
+  def snapshotAt(versions: DataFrame, t: Column): DataFrame =
+    versions.filter(col("valid_from") <= t &&
+      (col("valid_to").isNull || t < col("valid_to")))
+}
