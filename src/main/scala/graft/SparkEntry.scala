@@ -329,6 +329,13 @@ object SparkEntry {
         TextFunctions.meanWordLen(col("text")).as("mean_word_len"),
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // §2b-25g: unigram LM scoring (CCNet-style perplexity proxy):
+    // mean -ln p(token) per doc, p self-estimated from the corpus.
+    // round(4) keeps the double drift (unordered partial sums, 1-ulp
+    // libm ln differences) far below the comparison resolution.
+    "q_lm_score" -> ((s, dir) =>
+      LmScore.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
     // §2b-25b: repetition ratio (Gopher-style boilerplate signal)
     "q_rep_ratio" -> ((s, dir) =>
       TextFunctions.repetitionRatio(
@@ -1035,6 +1042,17 @@ object SparkEntry {
         |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
+        |SELECT doc_id,
+        |       round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        |FROM toks JOIN vocab USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q_scd2_versions" ->
       """WITH chg AS (
