@@ -275,11 +275,13 @@ object SparkEntry {
         transform(col("embedding"), (x, i) =>
           x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
           .as("embedding"))
-      // bits=6 (vs 4 for the recall-oriented ANN queries): near-dups sit
-      // at sim>=0.9 where per-bit agreement is ~0.96, so 8 tables still
-      // give >99.9% recall while candidate volume drops 4x
+      // bits=7 (vs 4 for the recall-oriented ANN queries): near-dups sit
+      // at sim>=0.9 (per-bit agreement p>=0.856, planted pairs much
+      // higher), so 8 tables keep recall >0.96 while every extra bit
+      // halves bucket sizes and thus candidate-pair volume — the
+      // dominant cost of this query
       Similarity.cosineNearDupPairs(emb.unionByName(perturbed),
-        threshold = 0.9, dim = 64, bits = 6, numTables = 8)
+        threshold = 0.9, dim = 64, bits = 7, numTables = 8)
     }),
 
     // §2b-23b: IVF(-flat) ANN — coarse-quantizer cells + nprobe
