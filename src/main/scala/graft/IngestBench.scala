@@ -53,7 +53,40 @@ object IngestBench {
     val outRows = spark.read.parquet(s"$wh/users").count() +
       spark.read.parquet(s"$wh/gh_organizations").count()
     println(s"""{"metric":"ingest_users_rows_per_sec","value":${(nDocs / sec).round},"input_docs":$nDocs,"output_entities":$outRows,"sec":$sec,"files":$nFiles}""")
+
+    // repos path: staging projection + latest-wins dedup + guards +
+    // double anti-join (vs an empty warehouse) + surrogate ids + the
+    // two-table split — the reference's PL/pgSQL insert_from_tmp_tables
+    val repoFolder = s"$dir/repos"
+    new java.io.File(repoFolder).mkdirs()
+    (0 until nFiles).foreach { f =>
+      val day = f % 28 + 1
+      writeRepoFile(s"$repoFolder/2014-01-${"%02d".format(day)}.bson", f, perFile)
+    }
+    val t1 = System.nanoTime()
+    val rawRepos = Ingest.readEntity(spark, repoFolder, Ingest.repoSchema)
+    val (repos, ghRepos) = Ingest.importRepos(rawRepos)
+    repos.write.mode("overwrite").parquet(s"$wh/repositories")
+    ghRepos.write.mode("overwrite").parquet(s"$wh/gh_repositories")
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    val repoRows = spark.read.parquet(s"$wh/repositories").count()
+    println(s"""{"metric":"ingest_repos_rows_per_sec","value":${(nDocs / sec2).round},"input_docs":$nDocs,"output_repos":$repoRows,"sec":$sec2,"files":$nFiles}""")
     spark.stop()
+  }
+
+  private def writeRepoFile(path: String, fileIdx: Int, n: Int): Unit = {
+    val langs = Seq("Go", "Rust", "Scala", "Python", "C")
+    val docs = (0 until n).iterator.map { i =>
+      // 10% re-ships of the previous file's repos (newer snapshot, so
+      // latest-wins has real work); distinct clone_paths otherwise
+      val reship = i % 10 == 0 && fileIdx > 0
+      val id = if (reship) (fileIdx - 1).toLong * n + i else fileIdx.toLong * n + i
+      val day = fileIdx % 28 + 1
+      val lang = langs((id % langs.size).toInt)
+      s"""{"id":$id,"name":"repo_$id","full_name":"owner${id % 1000}/repo_$id","language":"$lang","clone_url":"https://git.example/owner${id % 1000}/repo_$id.git","html_url":"https://h.example/$id","owner":{"login":"owner${id % 1000}"},"fork":${id % 3 == 0},"forks_count":${id % 50},"open_issues_count":${(id + fileIdx) % 20},"stargazers_count":${id % 500},"subscribers_count":${id % 40},"watchers_count":${id % 500},"size_in_kb":${id % 9000},"created_at":"2013-06-01T00:00:00Z","updated_at":"2014-01-${"%02d".format(day)}T0${i % 10}:00:00Z","pushed_at":"2014-01-${"%02d".format(day)}T00:00:00Z"}"""
+        .getBytes(UTF_8)
+    }
+    DumpSource.writeDump(path, docs)
   }
 
   private def writeFile(path: String, fileIdx: Int, n: Int): Unit = {
