@@ -140,4 +140,32 @@ class IngestHardeningSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("append-only"))
   }
+
+  test("schema drift tolerance: missing fields parse as null, unknown " +
+    "fields are ignored, malformed docs drop instead of crashing") {
+    val dir = tmpDir("schema_drift")
+    Files.createDirectories(Paths.get(s"$dir/users"))
+    writeDocs(s"$dir/users/2014-01-01.bson", Seq(
+      // current shape
+      """{"id":1,"login":"alice","type":"User","name":"Alice","created_at":"2013-01-01T00:00:00Z"}""",
+      // older dump shape: fields missing entirely
+      """{"id":2,"login":"bob","type":"User"}""",
+      // newer dump shape: extra fields the schema doesn't know
+      """{"id":3,"login":"carol","type":"User","new_api_field":{"x":1},"another":"y"}""",
+      // corrupted doc: not JSON at all
+      """xx%%not-json%%""",
+      // JSON but wrong shape for the id
+      """{"id":"not-a-number","login":"mallory","type":"User"}"""))
+    val raw = Ingest.readEntity(spark, s"$dir/users", Ingest.userSchema)
+    val (users, ghUsers, _) = Ingest.importUsers(raw)
+    val logins = ghUsers.select($"login").as[String].collect().toSet
+    // the three parseable users survive; mallory parses with null id
+    // (PERMISSIVE mode nulls the bad field, login still read)
+    assert(logins == Set("alice", "bob", "carol", "mallory"), logins)
+    assert(users.count() == 4)
+    // missing updated_at/created_at stay null after normalization
+    val bob = ghUsers.filter($"login" === "bob")
+      .select($"created_at", $"updated_at").collect().head
+    assert(bob.isNullAt(0) && bob.isNullAt(1))
+  }
 }
