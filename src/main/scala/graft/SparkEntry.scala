@@ -231,6 +231,21 @@ object SparkEntry {
         maxHamming = 3)
     }),
 
+    // §2b-20b: near-dup CLUSTERING — connected components over the
+    // simhash pair graph; every doc maps to its component's minimum id
+    // (the deterministic keep-one-canonical policy). Hash-min label
+    // propagation, diameter-bounded iterations.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      val corpus = docs.unionByName(mutated)
+      val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3)
+      Dedup.connectedComponents(corpus.select(col("doc_id")), pairs,
+        "doc_id", "id_a", "id_b")
+    }),
+
     // §2b-22: brute-force cosine top-k (correctness baseline)
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -933,6 +948,49 @@ object SparkEntry {
     // candidates) is deterministic integer math, re-expressed below in
     // HUGEINT mod-2^64 arithmetic (split hi/lo multiply to stay inside
     // INT128).
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM corpus),
+        |th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1),
+        |        i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
+        |sim AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+        |  FROM votes GROUP BY doc_id),
+        |sig AS (
+        |  SELECT c.doc_id,
+        |    CAST(coalesce(s.u, CAST(0 AS HUGEINT))
+        |      - CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
+        |  FROM corpus c LEFT JOIN sim s ON c.doc_id = s.doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |cc(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x)
+        |SELECT id AS doc_id, min(comp) AS canonical_id FROM cc GROUP BY id""".stripMargin,
+
     "q_simhash_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

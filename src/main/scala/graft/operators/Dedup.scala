@@ -24,6 +24,60 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+
+  /** Connected components of a near-dup pair graph — the clustering
+    * step between candidate pairs and "keep one canonical doc per
+    * group". Hash-min label propagation: every node starts as its own
+    * component; each iteration pushes the running minimum label across
+    * edges (join + union + groupBy-min, all hash-partitioned on the
+    * node id) until a fixpoint. Iteration count is bounded by the
+    * component diameter — near-dup graphs are clique-ish, so 2-4
+    * passes in practice; `maxIters` is a safety valve, and the driver
+    * only ever sees a 1-row convergence probe, never data. At larger
+    * diameters swap in alternating large-star/small-star contraction
+    * (halves the rounds); the per-iteration plan shape is identical.
+    *
+    * Returns (idCol, canonical_id) for EVERY node (singletons map to
+    * themselves); canonical_id = the component's minimum id, giving
+    * the deterministic keep-lowest-id policy downstream.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
+                          aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
+      .persist()
+    // each round references `labels` TWICE (join + union), so without
+    // lineage truncation the logical plan doubles per round and
+    // Catalyst analysis goes exponential past ~12 rounds. An eager
+    // localCheckpoint materializes the round and resets the plan to a
+    // leaf — cost stays linear in rounds. (On a real cluster swap in
+    // reliable checkpointing: localCheckpoint state dies with an
+    // executor; the loop structure is unchanged.)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint(true)
+    // labels only ever DECREASE under min-propagation, so the sum of
+    // labels is a strictly-decreasing convergence witness: one cheap
+    // aggregate per round instead of a full old-vs-new join
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      val pushed = labels.join(sym, col("id") === col("x"))
+        .select(col("y").as("id"), col("comp"))
+      val updated = labels.unionByName(pushed)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
+      labels = updated
+      done = newSum == prevSum
+      prevSum = newSum
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
+  }
+
   /** Keep the rows attaining ALL the given per-key extremes
     * (max over `maxCols`, min over `minCols`), then DISTINCT — exactly
     * the reference's semantics (insert_from_tmp_tables.sql:39-51),

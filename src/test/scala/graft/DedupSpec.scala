@@ -88,4 +88,31 @@ class DedupSpec extends AnyFunSuite {
       .filter($"k" === 2L).select($"v").as[String].collect().toSeq
     assert(v2 == Seq("e2"))
   }
+
+  test("connectedComponents equals union-find on random graphs, maps " +
+    "singletons to themselves") {
+    val r = new scala.util.Random(11)
+    val n = 200
+    val edges = Seq.fill(150)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val edgeDf = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edgeDf, "doc_id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // reference union-find with min-root policy
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(a: Long): Long = {
+      var x = a
+      while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(_.toLong).foreach { id =>
+      assert(got(id) == find(id), s"node $id")
+    }
+    assert(got.size == n)
+  }
 }
