@@ -44,9 +44,13 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
-      .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
-      .persist()
+    // persist the EDGE LIST, not the symmetrized union: the union's two
+    // branches would each evaluate the (expensive) pair-generation plan
+    // once before the cache materializes; cached edges make the
+    // symmetrization two cheap cache scans
+    val cachedEdges = edges.persist()
+    val sym = cachedEdges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionByName(cachedEdges.select(col(bCol).as("x"), col(aCol).as("y")))
     // each round references `labels` TWICE (join + union), so without
     // lineage truncation the logical plan doubles per round and
     // Catalyst analysis goes exponential past ~12 rounds. An eager
@@ -74,7 +78,7 @@ object Dedup {
       prevSum = newSum
       i += 1
     }
-    sym.unpersist()
+    cachedEdges.unpersist()
     labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
   }
 
