@@ -437,6 +437,16 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // §2b-40: z-order (Morton) layout key — interleaves customer and
+    // order-day bits so one sort order keeps parquet row-group min/max
+    // tight on BOTH dimensions (multi-dimensional scan pruning at
+    // 100 TB); the codegen kernel is O(log w) shifts per row
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        HashExpressions.zorder64(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint")).as("z"))),
+
     // §2b-39: SCD-2 dimension versioning — every (customer, order
     // date) price change becomes a version row valid until the next
     // change; the warehouse answer to "what did this dimension look
@@ -1113,6 +1123,21 @@ object SparkEntry {
         |       round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
         |FROM toks JOIN vocab USING (tok), tot
         |GROUP BY doc_id""".stripMargin,
+
+    "q_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_custkey AS HUGEINT) AS a,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS HUGEINT) AS b
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(0, 32), i ->
+        |        ((a // CAST(power(2, i) AS HUGEINT)) % 2) * CAST(power(2, 2*i) AS HUGEINT) +
+        |        ((b // CAST(power(2, i) AS HUGEINT)) % 2) * CAST(power(2, 2*i+1) AS HUGEINT))),
+        |    (x, y) -> x + y) AS BIGINT) AS z
+        |FROM base""".stripMargin,
 
     "q_scd2_versions" ->
       """WITH chg AS (

@@ -30,6 +30,9 @@ object GraftExtensions {
 
   /** (name, info, builder) triples for every custom expression. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("zorder64",
+      new ExpressionInfo(classOf[ZOrder64].getName, "zorder64"),
+      (es: Seq[Expression]) => ZOrder64(es.head, es(1))),
     ("fnv64",
       new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
       (es: Seq[Expression]) => Fnv64(es.head)),

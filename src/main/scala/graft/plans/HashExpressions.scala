@@ -17,6 +17,30 @@ import graft.functions.TextHash
   */
 
 
+
+/** 64-bit z-value (Morton interleave) of two long columns' low 32
+  * bits — the sort key for multi-dimensional layout (see
+  * [[graft.functions.BitOps]]). */
+case class ZOrder64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (left.dataType == org.apache.spark.sql.types.LongType &&
+        right.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder64 requires (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.BitOps.interleave64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitOps.interleave64($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder64 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "zorder64"
+}
+
 /** FNV-1a-64 of the whole string (content hash for deterministic
   * splits; oracle-replayable in SQL, unlike xxhash64). */
 case class Fnv64(child: Expression) extends UnaryExpression {
@@ -126,6 +150,9 @@ object HashExpressions {
     GraftSqlShim.column(Shingles64(GraftSqlShim.expression(c), k))
 
   /** SimHash64 as a Column function. */
+  def zorder64(a: Column, b: Column): Column =
+    GraftSqlShim.column(ZOrder64(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
   def fnv64(c: Column): Column =
     GraftSqlShim.column(Fnv64(GraftSqlShim.expression(c)))
 
