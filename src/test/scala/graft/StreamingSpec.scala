@@ -136,4 +136,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batchSessions),
       s"streaming sessions missing from batch: ${streamed.diff(batchSessions).take(3)}")
   }
+
+  test("streaming enrichment: a micro-batch stream as-of joins the " +
+    "SCD-2 versioned dimension inside foreachBatch") {
+    // the composition a warehouse consumer runs continuously: events
+    // stream in, each batch resolves every event against the dimension
+    // version valid AT THE EVENT'S TIME (not the current one)
+    implicit val sqlCtx = spark.sqlContext
+    val changes = Seq((1L, 100L, "v1"), (1L, 300L, "v2"), (2L, 50L, "w1"))
+      .toDF("key", "ts", "payload")
+    val events = MemoryStream[(Long, Long, Long)]
+    events.addData((10L, 1L, 150L), (11L, 1L, 350L), (12L, 2L, 40L))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Option[String])]()
+    val q = events.toDF().toDF("event_id", "key", "ets")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enriched = graft.operators.Temporal.asOfJoinBackward(
+          batch, changes, Seq("key"), "ets", "ts")
+        out ++= enriched.select($"event_id", $"payload")
+          .as[(Long, Option[String])].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(out.toMap == Map(10L -> Some("v1"), 11L -> Some("v2"),
+      12L -> None))
+  }
 }
