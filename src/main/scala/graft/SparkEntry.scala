@@ -460,6 +460,23 @@ object SparkEntry {
           col("price"))
     }),
 
+    // §2b-36b: weighted corpus mixture — combine sources at target
+    // sampling rates (web-heavy mixtures, epoch-repeatable): keep a
+    // row iff its content-hash bucket clears the source's rate, so
+    // the mixture is deterministic, re-shard-stable, and needs no
+    // shuffle at all (the same pattern scales to any source count)
+    "q_corpus_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = pmod(HashExpressions.fnv64(col("text")), lit(1000L))
+      val web = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lit("web").as("source"), h.as("hb"))
+        .filter(col("hb") < 900)
+      val synth = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), lit("synthetic").as("source"), h.as("hb"))
+        .filter(col("hb") < 300)
+      web.unionByName(synth).select(col("doc_id"), col("source"))
+    }),
+
     // §2b-36: deterministic train/val/test split by CONTENT hash —
     // stable under re-sharding and re-import (position- or id-based
     // splits migrate rows when the corpus is repacked); 90/5/5 on
@@ -1148,6 +1165,27 @@ object SparkEntry {
         |       lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS valid_to,
         |       price
         |FROM chg""".stripMargin,
+
+    "q_corpus_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS u
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    ((CAST(u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+        |      % 1000) + 1000) % 1000 AS hb
+        |  FROM h)
+        |SELECT doc_id, 'web' AS source FROM m
+        |WHERE doc_id % 2 = 0 AND hb < 900
+        |UNION ALL
+        |SELECT doc_id, 'synthetic' AS source FROM m
+        |WHERE doc_id % 2 = 1 AND hb < 300""".stripMargin,
 
     "q_split_assign" ->
       """WITH h AS (
