@@ -40,6 +40,12 @@ object Dedup {
     * Returns (idCol, canonical_id) for EVERY node (singletons map to
     * themselves); canonical_id = the component's minimum id, giving
     * the deterministic keep-lowest-id policy downstream.
+    *
+    * `nodes` must cover every id appearing in `edges` — an endpoint
+    * missing from `nodes` enters the label frame mid-iteration without
+    * its own id as a candidate label, so its component minimum can be
+    * wrong. (The near-dup queries derive edges from the node corpus,
+    * so this holds by construction.)
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           aCol: String, bCol: String,
