@@ -14,10 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    the live function registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator extension: the as-of join logical node's lowering
+    e.injectResolutionRule(ResolveAsOfJoin(_))
+  }
 }
 
 object GraftExtensions {

@@ -116,6 +116,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("AsOfJoinPlan logical node lowers through the injected " +
+    "resolution rule to the same result as the direct composition") {
+    // the session is built with spark.sql.extensions=GraftExtensions,
+    // so the custom LogicalPlan resolves via ResolveAsOfJoin
+    val viaPlan = graft.plans.AsOfJoinPlan.asOf(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    val direct = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(viaPlan == direct)
+    assert(viaPlan.nonEmpty)
+  }
+
   test("as-of join is a single shuffle on the key (one Exchange over " +
     "the union, no join node at all)") {
     val plan = Temporal.asOfJoinBackward(pts, snaps,
