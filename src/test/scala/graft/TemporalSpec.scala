@@ -116,6 +116,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("as-of join: a left row with a NULL time matches nothing") {
+    val p = Seq((1L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(150L)),
+      (2L, java.lang.Long.valueOf(1L), null))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = Temporal.asOfJoinBackward(p, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) == Some(100L))
+    // NULL event times sort before every snapshot (ascending, nulls
+    // first), so the running last sees no snapshot yet — no match
+    assert(got(2L) == None)
+  }
+
   test("AsOfJoinPlan logical node lowers through the injected " +
     "resolution rule to the same result as the direct composition") {
     // the session is built with spark.sql.extensions=GraftExtensions,
