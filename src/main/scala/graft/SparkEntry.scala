@@ -539,6 +539,21 @@ object SparkEntry {
           col("ts_ms"), col("start_ms"))
     }),
 
+    // §2b-31: salted (two-phase) skew-safe aggregation — the result is
+    // key-exact regardless of the salt, so the plain aggregate IS the
+    // oracle; counts + decimal-exact sums over the skewed fact table
+    "q_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(
+        t(s, dir, "lineitem")
+          .withColumn("dp", (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")),
+        keys = Seq("l_returnflag"), salts = 16,
+        partial = Seq(count(lit(1)).as("n_rows"),
+          sum(col("dp")).as("rev")),
+        merge = Seq(sum(col("n_rows")).as("n_rows"),
+          sum(col("rev")).cast("double").as("revenue")))
+        .select(col("l_returnflag"), col("n_rows"), col("revenue"))),
+
     // headline TPC-H-style aggregates anchoring the bench
     "q_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1249,6 +1264,11 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
