@@ -539,6 +539,24 @@ object SparkEntry {
           col("ts_ms"), col("start_ms"))
     }),
 
+    // §2a-6: staging roundtrip — bulk-stage orders hive-partitioned by
+    // priority (the reference's COPY into tmp tables), read back with a
+    // partition-pruned scan, aggregate; the oracle aggregates the
+    // source directly, so the staged bytes are verified end to end
+    "q_staging" -> ((s, dir) => {
+      val staged = dumpDir(dir) + "_staging/orders"
+      Staging.writeStaged(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+        staged, partitionByCol = Some("o_orderpriority"))
+      Staging.readStaged(s, staged)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+    }),
+
     // §2b-31: salted (two-phase) skew-safe aggregation — the result is
     // key-exact regardless of the salt, so the plain aggregate IS the
     // oracle; counts + decimal-exact sums over the skewed fact table
@@ -1264,6 +1282,12 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_staging" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows,
