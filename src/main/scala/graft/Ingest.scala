@@ -267,9 +267,17 @@ object Ingest {
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
       val target = new org.apache.hadoop.fs.Path(path)
       val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+      // HDFS-style FileSystems report rename failure by returning
+      // false, not by throwing — an unchecked failed rename-in would
+      // leave the target missing while this run reports success
+      // (readers see no table until the NEXT merge's recoverSwap).
+      def renameOrThrow(src: org.apache.hadoop.fs.Path,
+                        dst: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
       if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(target)) fs.rename(target, old)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+      if (fs.exists(target)) renameOrThrow(target, old)
+      renameOrThrow(new org.apache.hadoop.fs.Path(tmp), target)
       fs.delete(old, true)
     }
   }

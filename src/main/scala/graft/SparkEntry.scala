@@ -135,7 +135,11 @@ object SparkEntry {
         t(s, dir, "part").select(
           Normalize.clonePath(col("p_type"), col("p_brand"), col("p_name"))
             .as("clone_path")).dropDuplicates(),
-        keys = Seq(col("clone_path")), idName = "repo_id")),
+        keys = Seq(col("clone_path")), idName = "repo_id",
+        // one-shot query: lazy composition keeps the plan inspectable
+        // (PlanSpec) and skips the checkpoint write; the leak-guarding
+        // default materialize=true is for per-micro-batch callers
+        materialize = false)),
 
     // §2a-14: org-membership resolution via broadcast dim joins
     // (ght2dm.go:657-772)

@@ -49,7 +49,16 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // Per-round lineage truncation. With a checkpoint dir the rounds
+    // are RELIABLY checkpointed (survive executor loss — required on a
+    // real cluster); without one, localCheckpoint keeps the local[32]
+    // fast path (state dies with an executor, fine single-JVM).
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // persist the EDGE LIST, not the symmetrized union: the union's two
     // branches would each evaluate the (expensive) pair-generation plan
     // once before the cache materializes; cached edges make the
@@ -59,32 +68,34 @@ object Dedup {
       .unionByName(cachedEdges.select(col(bCol).as("x"), col(aCol).as("y")))
     // each round references `labels` TWICE (join + union), so without
     // lineage truncation the logical plan doubles per round and
-    // Catalyst analysis goes exponential past ~12 rounds. An eager
-    // localCheckpoint materializes the round and resets the plan to a
-    // leaf — cost stays linear in rounds. (On a real cluster swap in
-    // reliable checkpointing: localCheckpoint state dies with an
-    // executor; the loop structure is unchanged.)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint(true)
+    // Catalyst analysis goes exponential past ~12 rounds. Eager
+    // truncation materializes the round and resets the plan to a
+    // leaf — cost stays linear in rounds.
+    var labels = truncate(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     // labels only ever DECREASE under min-propagation, so the sum of
     // labels is a strictly-decreasing convergence witness: one cheap
-    // aggregate per round instead of a full old-vs-new join
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
-    var done = false
+    // aggregate per round instead of a full old-vs-new join. Over zero
+    // rows the sum is NULL — empty graph, already converged.
+    var prevSum = Option(labels.agg(sum(col("comp"))).head().get(0))
+    var done = prevSum.isEmpty
     var i = 0
     while (!done && i < maxIters) {
       val pushed = labels.join(sym, col("id") === col("x"))
         .select(col("y").as("id"), col("comp"))
-      val updated = labels.unionByName(pushed)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
+      val updated = truncate(labels.unionByName(pushed)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
+      val newSum = Option(updated.agg(sum(col("comp"))).head().get(0))
       labels = updated
       done = newSum == prevSum
       prevSum = newSum
       i += 1
     }
     cachedEdges.unpersist()
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIters=$maxIters " +
+          "rounds — labels would be wrong (partial propagation); raise " +
+          "maxIters (diameter bound) or pre-contract the graph")
     labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
   }
 

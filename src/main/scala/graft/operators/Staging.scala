@@ -67,8 +67,14 @@ object Skew {
     * column names must line up between the two lists. */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    // Layout-independent salt: hash the whole row rather than rand(),
+    // whose per-partition re-seeding makes the salt distribution depend
+    // on partition layout (same data, different split → different
+    // salts). xxhash64 over all columns is codegen'd and deterministic;
+    // fully duplicate rows share a salt, which is harmless — the
+    // map-side combine has already collapsed them within a partition.
     val salted = df.withColumn("__salt",
-      (rand(seed = 42) * salts).cast("int"))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts)).cast("int"))
     salted.groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -32,7 +32,8 @@ object Surrogate {
     * BY key)` whenever the input is distinct on the key (the surrogate
     * use case: ids are assigned post-dedup). */
   def rangeDenseIds(df: DataFrame, keys: Seq[Column], idName: String,
-                    numPartitions: Int = 32): DataFrame = {
+                    numPartitions: Int = 32,
+                    materialize: Boolean = true): DataFrame = {
     // persisted because BOTH the offsets aggregate and the final join
     // read this subtree: range-boundary sampling depends on row order,
     // so two independent re-evaluations (stage retry, no exchange
@@ -50,9 +51,23 @@ object Surrogate {
           Window.orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
-    parted.withColumn("__local", local)
+    val out = parted.withColumn("__local", local)
       .join(org.apache.spark.sql.functions.broadcast(offsets), "__pid")
       .withColumn(idName, (col("__local") + col("__offset")).cast("bigint"))
       .drop("__pid", "__local", "__offset")
+    // `materialize` (default): eagerly pin the result so the persisted
+    // `parted` blocks can be released HERE rather than leaking —
+    // callers like the streaming ingest run this once per micro-batch,
+    // and un-released cache blocks would accumulate for the life of
+    // the query. The materialized result no longer references
+    // `parted`, so the unpersist cannot trigger a re-evaluation (and
+    // thus re-sampling). Pass materialize=false for one-shot lazy
+    // composition (e.g. plan inspection); the cache then lives until
+    // the session drops it.
+    if (materialize) {
+      val pinned = out.localCheckpoint(true)
+      parted.unpersist(blocking = false)
+      pinned
+    } else out
   }
 }

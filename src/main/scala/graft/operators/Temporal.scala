@@ -37,6 +37,11 @@ object Temporal {
     * by coarse time range and as-of join per range with a boundary
     * carry-forward pass (two jobs, still no explosion).
     *
+    * Right rows with a NULL `rightTime` are dropped before the union:
+    * SQL ASOF (and a `l.t >= r.t` predicate) never matches a NULL
+    * time, whereas the ascending sort would otherwise place them first
+    * and hand them to every left row before the first real snapshot.
+    *
     * Right columns (minus keys and `rightTime`) must not collide with
     * left column names; `rightTime` surfaces as `matched_<rightTime>`.
     * The right side should be unique per (keys, rightTime) — dedupe
@@ -52,7 +57,7 @@ object Temporal {
     val matchedTime = s"matched_$rightTime"
     val rStruct = struct((col(rightTime).as(matchedTime) +:
       payloadCols.map(col)): _*)
-    val rTagged = right.select(
+    val rTagged = right.filter(col(rightTime).isNotNull).select(
       (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
         rStruct.as("__r")): _*)
     val lTagged = left.select(

@@ -115,4 +115,34 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(got.size == n)
   }
+
+  test("connectedComponents with a reliable checkpoint dir gives the " +
+    "same labels (cluster-durable truncation path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val nodes = (0L to 6L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, "doc_id", "id_a",
+        "id_b", checkpointDir = Some(dir.toString))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // the reliable path actually wrote round state to the dir
+    assert(java.nio.file.Files.list(dir).count() > 0)
+  }
+
+  test("connectedComponents: empty graph returns the empty frame, " +
+    "maxIters exhaustion throws instead of returning wrong labels") {
+    val emptyNodes = Seq.empty[Long].toDF("doc_id")
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(emptyNodes, emptyEdges, "doc_id",
+      "id_a", "id_b").count() == 0L)
+    // a 5-path needs >1 hash-min round; maxIters=1 must surface the
+    // non-convergence loudly, not hand back partial propagation
+    val nodes = (0L to 4L).toDF("doc_id")
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, path, "doc_id", "id_a", "id_b",
+        maxIters = 1)
+    }
+  }
 }

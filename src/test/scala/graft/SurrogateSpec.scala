@@ -33,7 +33,10 @@ class SurrogateSpec extends AnyFunSuite {
 
   test("rangeDenseIds plan has no single-partition sort over the data") {
     val df = (1 to 100).map(i => s"k$i").toDF("k")
-    val out = Surrogate.rangeDenseIds(df, Seq($"k"), "id", numPartitions = 4)
+    // materialize=false keeps the logical plan inspectable (the default
+    // eagerly checkpoints, collapsing the plan to a scan)
+    val out = Surrogate.rangeDenseIds(df, Seq($"k"), "id", numPartitions = 4,
+      materialize = false)
     // the data-side exchange must be a range partitioning, not a
     // SinglePartition collapse (the offsets side is partition counts
     // only, so its tiny global window is fine)

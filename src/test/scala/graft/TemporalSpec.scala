@@ -130,6 +130,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(2L) == None)
   }
 
+  test("as-of join: a RIGHT row with a NULL time never matches (SQL " +
+    "ASOF semantics: l.t >= NULL is never true)") {
+    val s = Seq((1L, null.asInstanceOf[java.lang.Long], "phantom"),
+      (1L, java.lang.Long.valueOf(100L), "real"))
+      .toDF("user_id", "snap_ms", "tag")
+    val p = Seq((1L, 1L, 50L), (2L, 1L, 150L)).toDF("event_id", "user_id", "ts_ms")
+    val got = Temporal.asOfJoinBackward(p, s, Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"tag").as[(Long, Option[String])].collect().toMap
+    // before the first real snapshot: NO match (the NULL-time row would
+    // otherwise sort first and leak to every early event)
+    assert(got(1L) == None)
+    assert(got(2L) == Some("real"))
+  }
+
   test("AsOfJoinPlan logical node lowers through the injected " +
     "resolution rule to the same result as the direct composition") {
     // the session is built with spark.sql.extensions=GraftExtensions,
