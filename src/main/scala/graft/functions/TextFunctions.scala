@@ -80,30 +80,16 @@ object TextFunctions {
   /** Repetition signal (Gopher-style quality filter): the fraction of
     * all word-bigram occurrences taken by the single most frequent
     * bigram — boilerplate and degenerate generations score high.
-    * Expressed as two hash aggregations (explode bigrams → count per
-    * (doc, gram) → max/sum per doc), so it distributes: the shuffle
-    * key (doc_id, gram) is high-cardinality and the second agg rides a
-    * map-side partial. Docs with fewer than 2 tokens drop out (no
-    * bigrams). */
-  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // bind the token array to a column FIRST: referencing tokens(text)
-    // (a regexp_extract_all) directly inside the transform lambda would
-    // re-inline the regex scan into every element_at, and the generated
-    // code blows past the JIT limits (observed: ~100 s of janino compile
-    // at 5k docs; bound form compiles instantly)
-    val toks = col("__toks")
-    val grams = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-          .otherwise(array())).as("gram"))
-    grams.groupBy(col(idCol), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol))
-      .agg(round(max(col("cnt")).cast("double") /
-        sum(col("cnt")).cast("double"), 6).as("rep_ratio"))
-  }
+    * Computed by the one-pass [[graft.plans.RepRatio64]] codegen kernel
+    * (max bigram-hash run / (nTokens-1)): a shuffle-free narrow map,
+    * where the explode→count→max/sum form it replaces multiplied the
+    * corpus by ~doc-length and hash-shuffled it twice. Docs with fewer
+    * than 2 tokens drop out (no bigrams), exactly as in the SQL form. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.plans.HashExpressions.repRatio64(col(textCol)).as("__rr"))
+      .filter(col("__rr") >= 0.0)
+      .select(col(idCol), round(col("__rr"), 6).as("rep_ratio"))
 
   /** Composite quality score in [0,1]: favors texts that are neither
     * tiny nor enormous, mostly alphabetic, lightly punctuated, with a

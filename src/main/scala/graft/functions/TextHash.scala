@@ -163,6 +163,62 @@ object TextHash {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Gopher-style repetition signal in ONE pass over the string: the
+    * fraction of all word-bigram occurrences taken by the single most
+    * frequent bigram. Equals max(count per bigram)/(nTokens-1) — the
+    * same value as the explode→count→max/sum SQL pipeline, but computed
+    * in-row: the explode form multiplies the corpus by ~doc-length and
+    * shuffles it twice, this shuffles nothing. Bigrams are identified
+    * by their FNV hash of "tokA tokB" (64-bit collisions negligible at
+    * doc scale); counting is sort-and-scan over the per-doc hash array,
+    * allocation-light and O(n log n) in tokens. Returns -1.0 for texts
+    * with fewer than 2 tokens (no bigrams — the SQL form drops the
+    * row). */
+  def repRatio64(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      val st = i
+      while (i < len && !isSpace(bytes(i))) i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    val nTok = starts.size()
+    if (nTok < 2) return -1.0
+    def tokHash(h0: Long, t: Int): Long = {
+      var h = h0
+      var b = starts.get(t)
+      val e = ends.get(t)
+      while (b < e) {
+        h ^= (bytes(b) & 0xffL)
+        h *= 0x100000001b3L
+        b += 1
+      }
+      h
+    }
+    val grams = new Array[Long](nTok - 1)
+    var t = 0
+    while (t < nTok - 1) {
+      var h = tokHash(0xcbf29ce484222325L, t)
+      h ^= ' '.toLong; h *= 0x100000001b3L
+      grams(t) = tokHash(h, t + 1)
+      t += 1
+    }
+    java.util.Arrays.sort(grams)
+    var maxRun = 1
+    var run = 1
+    var j = 1
+    while (j < grams.length) {
+      if (grams(j) == grams(j - 1)) { run += 1; if (run > maxRun) maxRun = run }
+      else run = 1
+      j += 1
+    }
+    maxRun.toDouble / (nTok - 1).toDouble
+  }
+
   /** Distinct word-k-shingle hashes, sorted — the set representation
     * used for exact Jaccard on candidate pairs. 64-bit FNV collisions
     * are negligible at corpus scale, and an 8-byte element shuffles an

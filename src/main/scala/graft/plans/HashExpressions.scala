@@ -140,6 +140,26 @@ case class Shingles64(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingles64"
 }
 
+/** One-pass max-bigram-share (Gopher repetition signal) — replaces an
+  * explode→count→max/sum pipeline that multiplied the corpus by
+  * ~doc-length and shuffled it twice. -1.0 marks "fewer than 2 tokens"
+  * (callers filter it, matching the SQL form's dropped rows). */
+case class RepRatio64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"repratio64 requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.repRatio64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.repRatio64($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepRatio64 =
+    copy(child = newChild)
+  override def prettyName: String = "repratio64"
+}
+
 object HashExpressions {
   /** One-pass MinHash signature (array<long>) as a Column function. */
   def minhash64(c: Column, k: Int, numHashes: Int): Column =
@@ -158,6 +178,10 @@ object HashExpressions {
 
   def simhash64(c: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(c)))
+
+  /** One-pass max-bigram-share (-1.0 when the text has <2 tokens). */
+  def repRatio64(c: Column): Column =
+    GraftSqlShim.column(RepRatio64(GraftSqlShim.expression(c)))
 
   /** Winnowing fingerprint as a Column function. */
   def winnow64(c: Column, k: Int = 8): Column =

@@ -58,6 +58,42 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.fnv64("a".getBytes("UTF-8"), 0, 1) == 0xaf63dc4c8601ec8cL)
   }
 
+  test("repRatio64 matches the naive count-bigram-strings reference " +
+    "(100 random docs + edge cases)") {
+    def naive(s: String): Double = {
+      val toks = "\\S+".r.findAllIn(s).toVector
+      if (toks.length < 2) -1.0
+      else {
+        val grams = toks.sliding(2).map(_.mkString(" ")).toVector
+        grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
+      }
+    }
+    def kernel(s: String): Double =
+      TextHash.repRatio64(UTF8String.fromString(s))
+    assert(kernel("") == -1.0)
+    assert(kernel("one") == -1.0)
+    assert(kernel("a b") == 1.0)
+    assert(kernel("a b a b a b") == naive("a b a b a b")) // 3× "a b", 2× "b a"
+    assert(kernel("  spaced\t\tout \n tokens  ") == naive("  spaced\t\tout \n tokens  "))
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      // small vocab forces real bigram repetition
+      val s = List.fill(2 + rnd.nextInt(200))(s"w${rnd.nextInt(8)}").mkString(" ")
+      assert(kernel(s) == naive(s), s"doc: $s")
+    }
+  }
+
+  test("repRatio64 codegen and interpreted eval agree") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+    val viaExpr = docs.select($"doc_id",
+        HashExpressions.repRatio64($"text").as("r"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val direct = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+      .map { case (id, t) => (id, TextHash.repRatio64(UTF8String.fromString(t))) }
+    assert(viaExpr == direct)
+  }
+
   test("property: simhash of any token permutation is identical (100 seeds)") {
     val rnd = new scala.util.Random(42)
     (1 to 100).foreach { _ =>
