@@ -26,9 +26,13 @@ import graft.sources.DumpSource
   *  - `repo_collaborators`: login + full_name→id resolution
   *    (ght2dm.go:812-959)
   *
-  * Docs are JSON-encoded (the container has no BSON codec; the framing
-  * layer is identical and the decoder is this one `from_json` — see
-  * SURVEY.md §6).
+  * Docs decode per-row by content: real BSON bodies (what a GHTorrent
+  * mongodump shard contains) through [[graft.plans.FromBson]] —
+  * the binary twin of the reference's mgo/bson unmarshalling
+  * (ght2dm.go:277-315) — and JSON-encoded bodies (the container's
+  * test fixtures) through `from_json`. A BSON body's first byte is an
+  * element type (≤ 0x13), a JSON doc's is `{`, so one byte dispatches
+  * (see [[decodeDoc]]).
   */
 object Ingest {
 
@@ -72,13 +76,24 @@ object Ingest {
   val repoCollaboratorSchema: StructType = StructType.fromDDL(
     "id BIGINT, login STRING, repo STRING, owner STRING")
 
+  /** Per-row decode dispatch: a framed BSON body never starts with
+    * `{` (0x7B — element type bytes stop at 0x13/0x7F/0xFF, and 0x7B
+    * is no type), a JSON doc always does. Both `when` branches are
+    * codegen'd and evaluated lazily per row. */
+  def decodeDoc(doc: org.apache.spark.sql.Column, schema: StructType): org.apache.spark.sql.Column = {
+    val isJson = substring(doc, 1, 1) === lit("{".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    when(isJson, from_json(doc.cast("string"), schema))
+      .otherwise(graft.plans.BsonFunctions.fromBson(doc, schema))
+  }
+
   /** Read one entity folder: date-ordered files → framed docs →
-    * parsed columns. */
+    * parsed columns (BSON or JSON bodies, see [[decodeDoc]]). */
   def readEntity(spark: SparkSession, folder: String, schema: StructType): DataFrame = {
     val paths = DumpSource.listDateOrdered(folder)
     require(paths.nonEmpty, s"no YYYY-MM-DD.bson files in $folder")
     spark.read.format("graft.sources.DumpDataSource").load(paths: _*)
-      .select(from_json(col("doc").cast("string"), schema).as("e"))
+      .select(decodeDoc(col("doc"), schema).as("e"))
       .select(col("e.*"))
   }
 
@@ -322,7 +337,7 @@ object Ingest {
                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream.format("graft.sources.DumpDataSource")
       .load(folder)
-      .select(from_json(col("doc").cast("string"), userSchema).as("e"))
+      .select(decodeDoc(col("doc"), userSchema).as("e"))
       .select(col("e.*"))
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -347,7 +362,7 @@ object Ingest {
                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream.format("graft.sources.DumpDataSource")
       .load(folder)
-      .select(from_json(col("doc").cast("string"), repoSchema).as("e"))
+      .select(decodeDoc(col("doc"), repoSchema).as("e"))
       .select(col("e.*"))
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -393,7 +408,7 @@ object Ingest {
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream.format("graft.sources.DumpDataSource")
       .load(folder)
-      .select(from_json(col("doc").cast("string"), orgMemberSchema).as("e"))
+      .select(decodeDoc(col("doc"), orgMemberSchema).as("e"))
       .select(col("e.*"))
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -431,7 +446,7 @@ object Ingest {
                              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream.format("graft.sources.DumpDataSource")
       .load(folder)
-      .select(from_json(col("doc").cast("string"), repoCollaboratorSchema).as("e"))
+      .select(decodeDoc(col("doc"), repoCollaboratorSchema).as("e"))
       .select(col("e.*"))
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -202,6 +202,31 @@ object SparkEntry {
           col("j.c_mktsegment").as("c_mktsegment"))
     }),
 
+    // §2a-1 (BSON variant): the same round-trip through REAL framed
+    // BSON documents (mongodump shape) decoded by the FromBson
+    // expression — the reference's mgo/bson unmarshal path
+    // (ght2dm.go:277-315), not a JSON stand-in
+    "q_dump_source_bson" -> ((s, dir) => {
+      val out = dumpDir(dir) + "_bson"
+      val src = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      src.repartition(4, col("c_custkey")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          DumpSource.writeDump(f"$out/2014-01-${pid + 1}%02d.bson",
+            it.map(r => graft.functions.Bson.docBody(Seq(
+              "c_custkey" -> r.getLong(0), "c_name" -> r.getString(1),
+              "c_mktsegment" -> r.getString(2)))))
+      }
+      val paths = DumpSource.listDateOrdered(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING, c_mktsegment STRING")
+      s.read.format("graft.sources.DumpDataSource").load(paths: _*)
+        .select(graft.plans.BsonFunctions.fromBson(col("doc"), schema).as("j"))
+        .select(col("j.c_custkey").as("c_custkey"), col("j.c_name").as("c_name"),
+          col("j.c_mktsegment").as("c_mktsegment"))
+    }),
+
     // §2b-18: exact content dedup
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
@@ -701,6 +726,9 @@ object SparkEntry {
         |  WHERE e.c_custkey % 2 = 0 AND e.c_custkey = i.c_custkey)""".stripMargin,
 
     "q_dump_source" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "q_dump_source_bson" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
 
     // brute-force ANN is SQL-expressible: DuckDB's list_cosine_similarity

@@ -223,6 +223,69 @@ class IngestSpec extends AnyFunSuite {
     assert(second.size == 2, s"got $second")
   }
 
+  test("a REAL BSON-framed users dump (mongodump shape) parses through " +
+    "the same pipeline and matches the JSON-framed result exactly") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-bson").toString
+    Files.createDirectories(Paths.get(s"$dir/users"))
+    // the SAME three users as the JSON fixture's day-1 dump, as framed
+    // BSON bodies: int32/int64 mixed on purpose (mongo exports both)
+    DumpSource.writeDump(s"$dir/users/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("id" -> 1L, "login" -> "alice", "type" -> "User",
+        "name" -> "Alice", "email" -> "a@x.org",
+        "created_at" -> "2013-01-01T00:00:00Z",
+        "updated_at" -> "2013-06-01T00:00:00Z",
+        "followers" -> 10, "following" -> 2L, "hireable" -> true,
+        "gravatar_id" -> "ignored-unknown-field")),
+      Bson.docBody(Seq("id" -> 2L, "login" -> "bob", "type" -> "User",
+        "name" -> "Bob", "email" -> "",
+        "created_at" -> "2013-02-01T00:00:00Z", "updated_at" -> "",
+        "followers" -> 0L, "following" -> 0L, "hireable" -> false)),
+      Bson.docBody(Seq("id" -> 3L, "login" -> "devmine",
+        "type" -> "Organization", "name" -> "DevMine",
+        "created_at" -> "2013-03-01T00:00:00Z", "updated_at" -> ""))))
+    val (users, ghUsers, ghOrgs) = Ingest.importUsers(
+      Ingest.readEntity(spark, s"$dir/users", Ingest.userSchema))
+    assert(users.select($"username").as[String].collect().toSet ==
+      Set("alice", "bob"))
+    assert(ghOrgs.select($"login").as[String].collect().toSeq == Seq("devmine"))
+    // int32-encoded followers coerced into the BIGINT column, bob's
+    // empty updated_at fell back to created_at — same as the JSON path
+    val alice = ghUsers.filter($"login" === "alice")
+      .select($"followers_count", $"updated_at")
+      .as[(Long, String)].head()
+    assert(alice == ((10L, "2013-06-01T00:00:00Z")))
+    val bob = ghUsers.filter($"login" === "bob")
+      .select($"updated_at").as[String].head()
+    assert(bob == "2013-02-01T00:00:00Z")
+  }
+
+  test("a BSON-framed repos dump decodes owner.login through the nested " +
+    "struct and runs the full importRepos pipeline") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-bson-r").toString
+    Files.createDirectories(Paths.get(s"$dir/repos"))
+    DumpSource.writeDump(s"$dir/repos/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("id" -> 100L, "name" -> "ght2dm",
+        "full_name" -> "devmine/ght2dm", "language" -> "Go",
+        "clone_url" -> "https://github.example/devmine/ght2dm.git",
+        "owner" -> Seq("id" -> 3L, "login" -> "devmine"),
+        "fork" -> false, "forks_count" -> 1L, "open_issues_count" -> 5,
+        "stargazers_count" -> 10L, "subscribers_count" -> 2L,
+        "watchers_count" -> 10L, "size_in_kb" -> 512L,
+        "created_at" -> "2014-01-01T00:00:00Z",
+        "updated_at" -> "2014-01-01T10:00:00Z",
+        "pushed_at" -> "2014-01-01T09:00:00Z"))))
+    val (repos, ghRepos) = Ingest.importRepos(
+      Ingest.readEntity(spark, s"$dir/repos", Ingest.repoSchema))
+    val r = repos.select($"clone_path", $"primary_language")
+      .as[(String, String)].head()
+    assert(r == (("go/devmine/ght2dm", "Go")))
+    assert(ghRepos.select($"github_id").as[Long].head() == 100L)
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
