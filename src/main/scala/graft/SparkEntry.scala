@@ -551,6 +551,27 @@ object SparkEntry {
           col("matched_snap_ms"), col("snap_value"))
     }),
 
+    // §2b-34 (SQL surface): the SAME as-of join expressed as DuckDB-
+    // style `ASOF LEFT JOIN` SQL, parsed by the injected AsOfSqlParser
+    // and lowered through ResolveAsOfJoin (requires the session to be
+    // built with spark.sql.extensions=graft.plans.GraftExtensions)
+    "q_asof_sql" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts_ms").as("snap_ms"))
+        .agg(max(col("value")).as("snap_value"))
+        .createOrReplaceTempView("asof_sql_snaps")
+      ev.filter(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+        .createOrReplaceTempView("asof_sql_pts")
+      s.sql(
+        """SELECT event_id, user_id, ts_ms, matched_snap_ms, snap_value
+          |FROM asof_sql_pts ASOF LEFT JOIN asof_sql_snaps
+          |ON asof_sql_pts.user_id = asof_sql_snaps.user_id
+          |   AND asof_sql_pts.ts_ms >= asof_sql_snaps.snap_ms""".stripMargin)
+    }),
+
     // §2b-35: interval containment join via time-bucket equi-join (no
     // cross product / nested-loop plan): events against 2-hour activity
     // windows opened by each snapshot event
@@ -1283,6 +1304,20 @@ object SparkEntry {
         |FROM d""".stripMargin,
 
     "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |snaps AS (
+        |  SELECT user_id, ts_ms AS snap_ms, max(value) AS snap_value
+        |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, ts_ms),
+        |pts AS (
+        |  SELECT event_id, user_id, ts_ms FROM ev WHERE event_id % 10 <> 0)
+        |SELECT p.event_id, p.user_id, p.ts_ms,
+        |       s.snap_ms AS matched_snap_ms, s.snap_value
+        |FROM pts p ASOF LEFT JOIN snaps s
+        |  ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms""".stripMargin,
+
+    // the Spark side is literally ASOF LEFT JOIN SQL too (AsOfSqlParser)
+    "q_asof_sql" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |snaps AS (

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: the as-of join logical node's lowering
     e.injectResolutionRule(ResolveAsOfJoin(_))
+    // SQL surface for it: `... ASOF [LEFT] JOIN ... ON k = k AND t >= t`
+    e.injectParser((_, delegate) => new AsOfSqlParser(delegate))
   }
 }
 

@@ -160,6 +160,54 @@ class TemporalSpec extends AnyFunSuite {
     assert(viaPlan.nonEmpty)
   }
 
+  test("ASOF LEFT JOIN SQL syntax parses through the injected parser " +
+    "and matches the direct composition") {
+    pts.createOrReplaceTempView("asof_pts")
+    snaps.createOrReplaceTempView("asof_snaps")
+    val viaSql = spark.sql(
+      """SELECT event_id, matched_snap_ms, tag
+        |FROM asof_pts ASOF LEFT JOIN asof_snaps
+        |ON asof_pts.user_id = asof_snaps.user_id
+        |   AND asof_pts.ts_ms >= asof_snaps.snap_ms""".stripMargin)
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    val direct = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(viaSql == direct)
+    assert(viaSql.size == 7)
+    // inner ASOF JOIN (DuckDB semantics): unmatched left rows drop
+    val inner = spark.sql(
+      """SELECT event_id FROM asof_pts ASOF JOIN asof_snaps
+        |ON asof_pts.user_id = asof_snaps.user_id
+        |   AND asof_pts.ts_ms >= asof_snaps.snap_ms""".stripMargin)
+      .as[Long].collect().toSet
+    assert(inner == Set(11L, 12L, 13L, 14L, 15L)) // 10 and 16 unmatched
+    // the r.t <= l.t orientation is the same backward as-of
+    val flipped = spark.sql(
+      """SELECT event_id, matched_snap_ms, tag
+        |FROM asof_pts ASOF LEFT JOIN asof_snaps
+        |ON asof_pts.user_id = asof_snaps.user_id
+        |   AND asof_snaps.snap_ms <= asof_pts.ts_ms""".stripMargin)
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(flipped == direct)
+    // non-ASOF statements pass through the delegate untouched
+    assert(spark.sql("SELECT 1 AS asof").as[Int].head() == 1)
+  }
+
+  test("SQL ASOF JOIN lowers to the single-shuffle union plan (no " +
+    "join node), same shape as the direct composition") {
+    pts.createOrReplaceTempView("asof_pts")
+    snaps.createOrReplaceTempView("asof_snaps")
+    val plan = spark.sql(
+      """SELECT event_id, tag FROM asof_pts ASOF LEFT JOIN asof_snaps
+        |ON asof_pts.user_id = asof_snaps.user_id
+        |   AND asof_pts.ts_ms >= asof_snaps.snap_ms""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("hashpartitioning".r.findAllIn(plan).size >= 1)
+  }
+
   test("as-of join is a single shuffle on the key (one Exchange over " +
     "the union, no join node at all)") {
     val plan = Temporal.asOfJoinBackward(pts, snaps,
