@@ -127,6 +127,35 @@ object EventsStreaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Point-in-time streaming enrichment — the composition a warehouse
+    * consumer runs continuously: each micro-batch of events as-of
+    * joins ([[graft.operators.Temporal.asOfJoinBackward]]) the SCD-2
+    * dimension, resolving every event against the version valid AT THE
+    * EVENT'S TIME. `dim` is re-evaluated per batch, so versions that
+    * arrived since the last batch are visible to the next one while
+    * events that PREDATE a new version still resolve to the old one —
+    * that is the point-in-time guarantee [[graft.operators.Scd2]]
+    * versioning exists for (a latest-wins dim would silently rewrite
+    * history between batches).
+    *
+    * `foreachBatch` is the standard stream→batch bridge (same pattern
+    * as [[graft.Ingest.runUsersStream]]); the enrichment itself is the
+    * single-shuffle union+sort as-of plan, per batch. `sink` receives
+    * (enriched batch, batch id) — write parquet/Delta, upsert, etc.
+    * Pass a checkpoint for exactly-once across restarts. */
+  def runAsOfEnrichStream(events: DataFrame, dim: () => DataFrame,
+      keys: Seq[String], eventTime: String, dimTime: String,
+      checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Temporal.asOfJoinBackward(
+          batch, dim(), keys, eventTime, dimTime), id)
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
     * identical grouping expressed with date_trunc so DuckDB can evaluate
     * the same SQL. */

@@ -163,4 +163,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toMap == Map(10L -> Some("v1"), 11L -> Some("v2"),
       12L -> None))
   }
+
+  test("runAsOfEnrichStream: point-in-time-correct enrichment across " +
+    "TWO micro-batches while the SCD-2 dimension evolves between them") {
+    implicit val sqlCtx = spark.sqlContext
+    // the dimension is an evolving SCD-2 change log: versionize is
+    // re-applied per batch over whatever changes have arrived
+    @volatile var changeLog = Seq((1L, 100L, "v1"), (2L, 50L, "w1"))
+    def dim() = graft.operators.Scd2.versionize(
+        changeLog.toDF("key", "ts", "payload"), Seq("key"), "ts")
+      .select($"key", $"valid_from", $"payload")
+    val events = MemoryStream[(Long, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Option[String])]()
+    val q = EventsStreaming.runAsOfEnrichStream(
+      events.toDF().toDF("event_id", "key", "ets"), () => dim(),
+      Seq("key"), "ets", "valid_from") { (enriched, _) =>
+      out ++= enriched.select($"event_id", $"payload")
+        .as[(Long, Option[String])].collect()
+      ()
+    }
+    // batch 1: only v1 exists
+    events.addData((10L, 1L, 150L))
+    q.processAllAvailable()
+    // a new dimension version (valid from t=300) lands between batches
+    changeLog = changeLog :+ ((1L, 300L, "v2"))
+    // batch 2: one event AFTER the new version, one BEFORE it — the
+    // pre-dating event must still resolve to v1 (point-in-time), not
+    // to the now-current v2 (latest-wins would rewrite history)
+    events.addData((11L, 1L, 350L), (12L, 1L, 200L), (13L, 2L, 40L))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.toMap == Map(
+      10L -> Some("v1"),
+      11L -> Some("v2"),
+      12L -> Some("v1"),
+      13L -> None))
+  }
 }
