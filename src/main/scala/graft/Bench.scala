@@ -60,7 +60,7 @@ object Bench {
     val okQueries = SparkEntry.queries.toSeq
       .filter { case (n, _) => !failed.contains(n) }
       .sortBy { case (n, _) => -timings.getOrElse(n, 0.0) }
-    val parallelism = math.min(8, math.max(1, okQueries.size))
+    val parallelism = math.min(12, math.max(1, okQueries.size))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     val gStart = System.nanoTime()
     val futures = okQueries.map { case (name, fn) =>

@@ -51,14 +51,43 @@ object Dedup {
                           aCol: String, bCol: String,
                           maxIters: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
-    // Per-round lineage truncation. With a checkpoint dir the rounds
-    // are RELIABLY checkpointed (survive executor loss — required on a
-    // real cluster); without one, localCheckpoint keeps the local[32]
-    // fast path (state dies with an executor, fine single-JVM).
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    import org.apache.spark.sql.GraftSqlShim
+    val spark = nodes.sparkSession
+    // Per-round lineage truncation + convergence witness, ONE BARRIER
+    // per round: materialize the round into a persisted InternalRow
+    // RDD and fold sum+count over it IN THE SAME JOB, then rebuild the
+    // frame over the computed RDD (the primitive localCheckpoint uses)
+    // — halving the job count of an iterative loop whose cost is
+    // rounds × fixed job overhead. With a checkpoint dir the rounds
+    // are instead RELIABLY checkpointed (survive executor loss —
+    // required on a real cluster) and the sum is a second, cheap job
+    // over the checkpointed blocks. The fast path needs numeric ids
+    // wide enough to read as long; anything else falls back to the
+    // two-job localCheckpoint path.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val longIds = nodes.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    var liveRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    // (truncated frame, Some(sum of comp) or None for an empty frame)
+    def truncateWithSum(df: DataFrame): (DataFrame, Option[Long]) =
+      if (checkpointDir.isDefined || !longIds) {
+        val t = if (checkpointDir.isDefined) df.checkpoint(eager = true)
+                else df.localCheckpoint(true)
+        (t, Option(t.agg(sum(col("comp"))).head().get(0))
+          .map(_.asInstanceOf[Number].longValue()))
+      } else {
+        val rdd = GraftSqlShim.toInternalRowRdd(df).map(_.copy()).persist()
+        // sum wrap-around is harmless: the witness only needs to be
+        // injective along the strictly-decreasing label sequence
+        val (s, n) = rdd.aggregate((0L, 0L))(
+          (acc, row) => (acc._1 + row.getLong(1), acc._2 + 1L),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+        val frame = GraftSqlShim.internalCreateDataFrame(spark, rdd, df.schema)
+        // the previous round's blocks are dead once this one is live
+        liveRdd.foreach(_.unpersist(blocking = false))
+        liveRdd = Some(rdd)
+        (frame, if (n == 0L) None else Some(s))
+      }
     // persist the EDGE LIST, not the symmetrized union: the union's two
     // branches would each evaluate the (expensive) pair-generation plan
     // once before the cache materializes; cached edges make the
@@ -71,20 +100,31 @@ object Dedup {
     // Catalyst analysis goes exponential past ~12 rounds. Eager
     // truncation materializes the round and resets the plan to a
     // leaf — cost stays linear in rounds.
-    var labels = truncate(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     // labels only ever DECREASE under min-propagation, so the sum of
     // labels is a strictly-decreasing convergence witness: one cheap
-    // aggregate per round instead of a full old-vs-new join. Over zero
-    // rows the sum is NULL — empty graph, already converged.
-    var prevSum = Option(labels.agg(sum(col("comp"))).head().get(0))
+    // fold per round instead of a full old-vs-new join. Over zero
+    // rows the sum is None — empty graph, already converged.
+    var (labels, prevSum) = truncateWithSum(
+      nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     var done = prevSum.isEmpty
     var i = 0
     while (!done && i < maxIters) {
       val pushed = labels.join(sym, col("id") === col("x"))
         .select(col("y").as("id"), col("comp"))
-      val updated = truncate(labels.unionByName(pushed)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      val newSum = Option(updated.agg(sum(col("comp"))).head().get(0))
+      // pointer jumping: also adopt one's LABEL's label, doubling the
+      // propagation distance per round — convergence in O(log d)
+      // rounds instead of O(d), the textbook trade of one extra
+      // small-frame shuffle join per round for far fewer rounds (each
+      // round is a fixed-overhead barrier, so rounds are the cost
+      // driver both here and on a 1000-executor cluster). The invariant
+      // (a label is always some id inside the component) is preserved:
+      // labels only travel along edges or along in-component labels.
+      val parents = labels.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val viaParent = labels.join(parents, col("comp") === col("pid"))
+        .select(col("id"), col("pcomp").as("comp"))
+      val (updated, newSum) = truncateWithSum(
+        labels.unionByName(pushed).unionByName(viaParent)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       labels = updated
       done = newSum == prevSum
       prevSum = newSum

@@ -29,4 +29,17 @@ object GraftSqlShim {
 
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Rebuild a DataFrame over an already-computed InternalRow RDD —
+    * the lineage-truncation primitive `localCheckpoint` uses
+    * internally, exposed so an iterative loop can materialize a round
+    * AND fold an aggregate over it in the SAME job (one barrier per
+    * round instead of two). */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  def toInternalRowRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 }
