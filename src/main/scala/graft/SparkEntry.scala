@@ -231,6 +231,31 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
 
+    // §2b-18b: corpus-wide exact PARAGRAPH dedup (Lee et al. 2022's
+    // within-and-across-document step). The flat synthetic corpus gets
+    // deterministic paragraph structure first — 20-token chunks plus a
+    // shared boilerplate header every doc repeats — so the operator
+    // demonstrably strips cross-document repetition: the header
+    // survives only in the lowest doc_id. byHash=false so the DuckDB
+    // oracle replays the winner choice on paragraph strings; the
+    // byHash=true scale path (8-byte fnv64 shuffle keys) is
+    // parity-asserted in DedupSpec.
+    "q_para_dedup" -> ((s, dir) => {
+      // bind the token array to a column FIRST (codegen discipline:
+      // a regexp_extract_all referenced inside transform re-inlines
+      // the regex scan per element and blows up janino)
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+      val structured = withToks.select(col("doc_id"),
+        concat(lit("shared boilerplate header\n"),
+          array_join(
+            transform(sequence(lit(0),
+                ((size(col("__t")) - 1) / 20).cast("int")),
+              i => array_join(slice(col("__t"), i * 20 + 1, lit(20)), " ")),
+            "\n")).as("text"))
+      Dedup.paragraphDedup(structured, "doc_id", "text", byHash = false)
+    }),
+
     // §2b-19/21: MinHash-LSH near-dup candidates + exact-Jaccard verify.
     // The corpus is augmented with deterministic truncated copies
     // (doc_id+100000) so the operator demonstrably finds the planted
@@ -921,6 +946,34 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    // winner choice replayed on paragraph STRINGS (row_number over
+    // (para) ordered by (doc_id, idx) = Spark's min-struct); corpus
+    // structure (20-token chunks + shared header) rebuilt identically
+    "q_para_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS cidx,
+        |         array_to_string(t[(i*20+1):(i*20+20)], ' ') AS para
+        |  FROM toks, unnest(generate_series(0, (len(t)-1)//20)) AS u(i)),
+        |structured AS (
+        |  SELECT doc_id, 'shared boilerplate header' || chr(10) ||
+        |         string_agg(para, chr(10) ORDER BY cidx) AS text
+        |  FROM chunks GROUP BY doc_id),
+        |split_docs AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS parts FROM structured),
+        |paras AS (
+        |  SELECT doc_id, i - 1 AS idx, parts[i] AS para
+        |  FROM split_docs, unnest(generate_series(1, len(parts))) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, idx, para FROM (
+        |    SELECT doc_id, idx, para,
+        |           row_number() OVER (PARTITION BY para
+        |                              ORDER BY doc_id, idx) AS rn
+        |    FROM paras) WHERE rn = 1)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
+        |FROM kept GROUP BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, lang, CASE

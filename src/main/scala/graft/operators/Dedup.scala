@@ -181,6 +181,44 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
       .select(col(idCol), col("n_dupes"))
 
+  /** Corpus-wide exact PARAGRAPH dedup (the within-and-across-document
+    * normalization step of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", at paragraph granularity):
+    * split every document on `sep`, keep only the globally FIRST
+    * occurrence of each distinct paragraph — first = minimum
+    * (document id, paragraph index), the deterministic keep-lowest
+    * policy — and reassemble the survivors in original order.
+    * Documents whose every paragraph occurred earlier drop out.
+    *
+    * Plan: posexplode → one hash shuffle keyed on paragraph content
+    * (groupBy + min-struct: map-side combinable, no window, no
+    * self-join) → semi-join winners back on the narrow (id, idx) pair
+    * → sort_array(collect_list) re-assembly, shuffled on the doc id.
+    * With `byHash` (default) the winner aggregation keys on
+    * fnv64(paragraph) so the dedup shuffle carries 8-byte keys instead
+    * of full paragraph text — the 100 TB path; 64-bit collisions are
+    * negligible at corpus scale (and a collision only drops a
+    * paragraph, never corrupts one). `byHash = false` keys on the
+    * string itself — exact, and what the SQL oracle replays. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n", byHash: Boolean = true): DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+    val dedupKey =
+      if (byHash) graft.plans.HashExpressions.fnv64(col("para"))
+      else col("para")
+    val winners = paras
+      .groupBy(dedupKey.as("k"))
+      .agg(min(struct(col(idCol), col("idx"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.idx").as("idx"))
+    paras.join(winners, Seq(idCol, "idx"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("idx"), col("para")))),
+          p => p.getField("para")), sep).as(textCol))
+  }
+
   /** Insert-if-absent (the reference's fetch*ID existence checks,
     * ght2dm.go:440-490, done row-at-a-time there; set-based here):
     * result = existing ∪ (incoming \ existing by key), with incoming

@@ -116,6 +116,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == n)
   }
 
+  test("paragraphDedup keeps the globally FIRST occurrence of each " +
+    "paragraph and reassembles survivors in order") {
+    val docs = Seq(
+      (1L, "A\nB\nA"),   // in-doc repeat of A drops too
+      (2L, "B\nC"),      // B seen in doc 1
+      (3L, "A\nB")       // nothing left -> doc drops out
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", byHash = false)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A\nB", 2L -> "C"))
+    // the 8-byte-shuffle-key scale path picks identical winners
+    val viaHash = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(viaHash == got)
+  }
+
+  test("paragraphDedup on the structured corpus strips the shared " +
+    "boilerplate from every doc but the first (byHash parity at " +
+    "corpus scale)") {
+    val q = SparkEntry.queries("q_para_dedup")
+    val out = q(spark, TestSpark.sf0001).as[(Long, String)].collect()
+    val withHeader = out.filter(_._2.contains("shared boilerplate header"))
+    assert(withHeader.map(_._1).toSeq == Seq(out.map(_._1).min))
+    assert(out.length > 400) // docs survive, just shorn of repeats
+  }
+
   test("connectedComponents with a reliable checkpoint dir gives the " +
     "same labels (cluster-durable truncation path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
