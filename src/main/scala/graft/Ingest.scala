@@ -76,13 +76,19 @@ object Ingest {
   val repoCollaboratorSchema: StructType = StructType.fromDDL(
     "id BIGINT, login STRING, repo STRING, owner STRING")
 
-  /** Per-row decode dispatch: a framed BSON body never starts with
-    * `{` (0x7B — element type bytes stop at 0x13/0x7F/0xFF, and 0x7B
-    * is no type), a JSON doc always does. Both `when` branches are
-    * codegen'd and evaluated lazily per row. */
+  /** Per-row decode dispatch. A JSON doc starts with `{` and never
+    * ends with 0x00; BSON always ends with the 0x00 terminator — in
+    * BOTH shapes [[graft.functions.BsonDecoder.decode]] accepts: a
+    * prefix-stripped body (what [[graft.sources.DumpSource]] emits;
+    * starts with a type byte, never `{`) and a full document (whose
+    * first byte is the low length byte and CAN be 0x7B = `{` when
+    * totalLen ≡ 123 mod 256 — the terminator check keeps such docs on
+    * the BSON branch instead of feeding them to from_json). Both
+    * `when` branches are codegen'd and evaluated lazily per row. */
   def decodeDoc(doc: org.apache.spark.sql.Column, schema: StructType): org.apache.spark.sql.Column = {
     val isJson = substring(doc, 1, 1) === lit("{".getBytes(
-      java.nio.charset.StandardCharsets.US_ASCII))
+      java.nio.charset.StandardCharsets.US_ASCII)) &&
+      doc.substr(length(doc), lit(1)) =!= lit(Array(0.toByte))
     when(isJson, from_json(doc.cast("string"), schema))
       .otherwise(graft.plans.BsonFunctions.fromBson(doc, schema))
   }

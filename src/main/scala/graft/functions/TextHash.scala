@@ -90,8 +90,10 @@ object TextHash {
     min
   }
 
+  // exactly Java regex \s = [ \t\n\x0B\f\r], so every kernel tokenizes
+  // identically to the \S+ forms the DuckDB oracles replay
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
 
   /** splitmix64 finisher (Steele et al., public domain) — cheap
     * high-quality mixer used to derive the per-seed MinHash families

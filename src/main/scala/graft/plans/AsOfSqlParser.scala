@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** `ASOF JOIN` SQL surface (DuckDB-style syntax), completing the
   * [[AsOfJoinPlan]] operator's API: the DataFrame builder, the logical
-  * node, and now
+  * node, and
   *
   * {{{
   *   SELECT ... FROM pts ASOF [LEFT] JOIN snaps
@@ -19,13 +19,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Implementation: Spark's ANTLR grammar isn't extensible in place, so
   * the injected parser (the standard `injectParser` delegate-wrapper
-  * pattern) rewrites the `ASOF [LEFT] JOIN` phrase to the plain join
-  * the delegate can parse, then converts the resulting `Join` node
-  * whose ON clause has the as-of shape — key equalities plus exactly
-  * one `>=`/`<=` time inequality — into [[AsOfJoinPlan]], which the
+  * pattern) rewrites each `ASOF [LEFT] JOIN` phrase to the plain join
+  * the delegate can parse, then converts exactly the `Join` nodes the
+  * rewrite produced into [[AsOfJoinPlan]], which the
   * [[ResolveAsOfJoin]] analysis rule lowers to the single-shuffle
   * union+sort composition. Queries without the phrase pass through
   * untouched.
+  *
+  * The phrase scan is quote- and comment-aware (single/double-quoted
+  * strings with backslash or doubled-quote escapes, backquoted
+  * identifiers, `--` line comments, nested bracketed comments), so an
+  * `ASOF JOIN` inside a string literal or comment is never rewritten.
+  * Each real replacement records its absolute character offset in the
+  * rewritten text; the delegate's AST builder stamps every `Join` node
+  * with the `Origin.startIndex` of its join-type token, so only joins
+  * AT a recorded offset convert — a plain join elsewhere in the same
+  * statement keeps inner/left semantics even if its ON clause happens
+  * to look as-of-shaped.
   *
   * Semantics and surface contract (all checked, clear errors):
   *  - the GREATER side of the inequality is the probe (left) time:
@@ -41,22 +51,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  private val asofLeft = "(?i)\\bASOF\\s+LEFT\\s+(?:OUTER\\s+)?JOIN\\b".r
-  private val asofInner = "(?i)\\bASOF\\s+(?:INNER\\s+)?JOIN\\b".r
-
-  private def hasAsOf(sql: String): Boolean =
-    asofLeft.findFirstIn(sql).isDefined || asofInner.findFirstIn(sql).isDefined
-
-  private def rewrite(sql: String): String =
-    asofInner.replaceAllIn(asofLeft.replaceAllIn(sql, "LEFT JOIN"), "JOIN")
+  import AsOfSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (!hasAsOf(sqlText)) delegate.parsePlan(sqlText)
-    else convertAsOfJoins(delegate.parsePlan(rewrite(sqlText)))
+    rewrite(sqlText) match {
+      case None => delegate.parsePlan(sqlText)
+      case Some((rewritten, offs)) =>
+        convertAsOfJoins(delegate.parsePlan(rewritten), offs)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    if (!hasAsOf(sqlText)) delegate.parseQuery(sqlText)
-    else convertAsOfJoins(delegate.parseQuery(rewrite(sqlText)))
+    rewrite(sqlText) match {
+      case None => delegate.parseQuery(sqlText)
+      case Some((rewritten, offs)) =>
+        convertAsOfJoins(delegate.parseQuery(rewritten), offs)
+    }
 
   /** Flatten an AND-conjunction. */
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -90,28 +99,36 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
     } else None
   }
 
-  /** Convert every join the rewrite produced (this only runs on
-    * statements that contained the ASOF phrase). A same-statement
-    * plain join keeps its node: it won't carry the single-inequality
-    * as-of shape. */
-  private def convertAsOfJoins(plan: LogicalPlan): LogicalPlan = {
-    var converted = 0
-    val out = plan transformUp {
-      case j @ Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
-        asOfShape(cond) match {
+  /** Convert exactly the joins whose join-type token sits at a
+    * recorded rewrite offset (subqueries included). Anything else —
+    * including a same-statement plain join whose ON clause happens to
+    * carry the as-of shape — is left alone. */
+  private def convertAsOfJoins(plan: LogicalPlan, offsets: Seq[Int]): LogicalPlan = {
+    var remaining = offsets.toSet
+    val out = plan transformUpWithSubqueries {
+      case j @ Join(l, r, jt, cond, _)
+          if j.origin.startIndex.exists(remaining.contains) =>
+        val off = j.origin.startIndex.get
+        if (jt != Inner && jt != LeftOuter)
+          throw new IllegalArgumentException(
+            s"ASOF JOIN at offset $off: only ASOF JOIN / ASOF LEFT JOIN are supported")
+        cond.flatMap(asOfShape) match {
           case Some((keys, lt, rt)) =>
-            converted += 1
+            remaining -= off
             val asof = AsOfJoinPlan(l, r, keys, lt, rt)
             if (jt == Inner)
               Filter(IsNotNull(UnresolvedAttribute(s"matched_$rt")), asof)
             else asof
-          case None => j
+          case None =>
+            throw new IllegalArgumentException(
+              "ASOF JOIN requires an ON clause of same-named key equalities " +
+                "plus exactly one time inequality (l.t >= r.t or r.t <= l.t)")
         }
     }
-    if (converted == 0)
+    if (remaining.nonEmpty)
       throw new IllegalArgumentException(
-        "ASOF JOIN requires an ON clause of same-named key equalities " +
-          "plus exactly one time inequality (l.t >= r.t or r.t <= l.t)")
+        s"ASOF JOIN phrase(s) at rewritten offset(s) ${remaining.toSeq.sorted.mkString(", ")} " +
+          "did not parse to a JOIN node — unsupported join position")
     out
   }
 
@@ -130,4 +147,83 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+object AsOfSqlParser {
+
+  // Matched against the raw tail of the statement at a code (non-string,
+  // non-comment) position; whitespace may span lines but not comments.
+  private val Phrase =
+    "(?is)^ASOF\\s+(?:(LEFT)(?:\\s+OUTER)?\\s+|(?:INNER)\\s+)?JOIN(?![A-Za-z0-9_])".r
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Quote/comment-aware single pass: replace each code-position
+    * `ASOF [LEFT [OUTER]|INNER] JOIN` with `[LEFT ]JOIN` and record the
+    * absolute offset of the replacement in the OUTPUT text (= the
+    * `Origin.startIndex` the delegate parser will stamp on that join's
+    * node). Returns None when the statement contains no such phrase.
+    */
+  private[graft] def rewrite(sql: String): Option[(String, Seq[Int])] = {
+    val out = new StringBuilder(sql.length)
+    val offs = Seq.newBuilder[Int]
+    var found = false
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        // ---- strings / quoted identifiers: copy verbatim ----
+        case '\'' | '"' =>
+          val q = c
+          out += c; i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val d = sql.charAt(i)
+            out += d
+            if (d == '\\' && i + 1 < n) { out += sql.charAt(i + 1); i += 2 }
+            else { if (d == q) closed = true; i += 1 }
+          }
+        case '`' =>
+          out += c; i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val d = sql.charAt(i)
+            out += d
+            if (d == '`') closed = true
+            i += 1
+          }
+        // ---- comments: copy verbatim ----
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          while (i < n && sql.charAt(i) != '\n') { out += sql.charAt(i); i += 1 }
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          var depth = 0
+          var done = false
+          while (i < n && !done) {
+            if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+              depth += 1; out += '/'; out += '*'; i += 2
+            } else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+              depth -= 1; out += '*'; out += '/'; i += 2
+              if (depth == 0) done = true
+            } else { out += sql.charAt(i); i += 1 }
+          }
+        // ---- code ----
+        case _ =>
+          val atWordStart = (c == 'A' || c == 'a') &&
+            (i == 0 || !isWordChar(sql.charAt(i - 1)))
+          val m = if (atWordStart) Phrase.findPrefixMatchOf(sql.substring(i)) else None
+          m match {
+            case Some(mm) =>
+              found = true
+              offs += out.length
+              out ++= (if (mm.group(1) != null) "LEFT JOIN" else "JOIN")
+              i += mm.end
+            case None =>
+              out += c; i += 1
+          }
+      }
+    }
+    if (found) Some((out.toString, offs.result())) else None
+  }
 }

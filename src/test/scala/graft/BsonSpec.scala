@@ -102,4 +102,19 @@ class BsonSpec extends AnyFunSuite {
       .select($"e.id", $"e.login").as[(Long, String)].collect().toSet
     assert(viaExpr == (1 to 50).map(i => (i.toLong, s"u$i")).toSet)
   }
+
+  test("decodeDoc routes a FULL document whose length byte is 0x7B " +
+    "('{') to the BSON branch, not from_json") {
+    val schema = StructType.fromDDL("id BIGINT, login STRING")
+    // pad the login until the full doc's total length ≡ 123 mod 256,
+    // making byte 0 of the length prefix collide with '{'
+    val full = Iterator.from(0).map { pad =>
+      Bson.doc(Seq("id" -> 7L, "login" -> ("x" * (1 + pad))))
+    }.find(d => (d.length & 0xff) == 0x7B).get
+    assert(full(0) == '{'.toByte)
+    val got = Seq(Tuple1(full)).toDF("doc")
+      .select(Ingest.decodeDoc(col("doc"), schema).as("e"))
+      .select($"e.id").as[Option[Long]].head()
+    assert(got == Some(7L))
+  }
 }

@@ -195,6 +195,80 @@ class TemporalSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 AS asof").as[Int].head() == 1)
   }
 
+  test("ASOF phrase inside string literals and comments is never " +
+    "rewritten") {
+    // pure literal/comment occurrences: statement has no real ASOF join,
+    // so it must pass through the delegate completely untouched
+    val lit = spark.sql(
+      "SELECT 'use ASOF JOIN here' AS s -- ASOF LEFT JOIN hint\n" +
+        "/* ASOF JOIN in a /* nested */ comment */")
+      .as[String].head()
+    assert(lit == "use ASOF JOIN here")
+    // a real ASOF join alongside literal/comment occurrences: only the
+    // real phrase converts, the literal survives byte-for-byte
+    pts.createOrReplaceTempView("asof_pts")
+    snaps.createOrReplaceTempView("asof_snaps")
+    val df = spark.sql(
+      """SELECT event_id, 'ASOF JOIN' AS marker /* ASOF JOIN */
+        |FROM asof_pts ASOF LEFT JOIN asof_snaps
+        |ON asof_pts.user_id = asof_snaps.user_id
+        |   AND asof_pts.ts_ms >= asof_snaps.snap_ms""".stripMargin)
+    assert(df.count() == 7)
+    assert(df.select("marker").distinct().as[String].head() == "ASOF JOIN")
+  }
+
+  test("a coincidentally as-of-shaped plain join in the same statement " +
+    "keeps plain-join semantics") {
+    pts.createOrReplaceTempView("asof_pts")
+    snaps.createOrReplaceTempView("asof_snaps")
+    // the plain JOIN has the exact key-equality + >= shape the as-of
+    // converter looks for; only the phrase-marked join may convert.
+    // user 1 at ts 500 covers snapshots at 100 and 200 -> the plain
+    // join must yield BOTH rows (as-of would collapse to the latest).
+    val plain = spark.sql(
+      """SELECT p.event_id, s.snap_ms
+        |FROM asof_pts p JOIN asof_snaps s
+        |ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms
+        |WHERE p.event_id = 13""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(plain == Set((13L, 100L), (13L, 200L)))
+    // same statement carrying a real ASOF join in a subquery AND the
+    // plain shaped join: the plain one still returns both matches
+    val mixed = spark.sql(
+      """SELECT p.event_id, s.snap_ms
+        |FROM asof_pts p JOIN asof_snaps s
+        |ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms
+        |WHERE p.event_id IN (
+        |  SELECT event_id FROM asof_pts ASOF JOIN asof_snaps
+        |  ON asof_pts.user_id = asof_snaps.user_id
+        |     AND asof_pts.ts_ms >= asof_snaps.snap_ms)""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    // event 13 is matched by the inner ASOF (ts 500 >= 200); the outer
+    // plain join still fans out to both snapshots
+    assert(mixed.filter(_._1 == 13L) == Set((13L, 100L), (13L, 200L)))
+  }
+
+  test("rewrite scanner: offsets, quotes, comments") {
+    import graft.plans.AsOfSqlParser.rewrite
+    assert(rewrite("SELECT 1").isEmpty)
+    assert(rewrite("SELECT '(ASOF JOIN)' AS s -- ASOF JOIN\n/* ASOF JOIN */").isEmpty)
+    val Some((r1, o1)) = rewrite("FROM a ASOF JOIN b ON x"): @unchecked
+    assert(r1 == "FROM a JOIN b ON x" && o1 == Seq(7))
+    val Some((r2, o2)) = rewrite("FROM a ASOF LEFT OUTER JOIN b"): @unchecked
+    assert(r2 == "FROM a LEFT JOIN b" && o2 == Seq(7))
+    val Some((r3, o3)) =
+      rewrite("FROM a ASOF JOIN b ON x JOIN (SELECT * FROM c ASOF INNER JOIN d ON y) e"): @unchecked
+    assert(r3 == "FROM a JOIN b ON x JOIN (SELECT * FROM c JOIN d ON y) e")
+    assert(o3 == Seq(7, 41))
+    assert(o3.forall(i => r3.regionMatches(true, i, "JOIN", 0, 4) ||
+      r3.regionMatches(true, i, "LEFT", 0, 4)))
+    // doubled-quote escape keeps the scanner in-string across ''
+    val Some((r4, _)) = rewrite("SELECT 'it''s ASOF JOIN x' AS s FROM a ASOF JOIN b ON x"): @unchecked
+    assert(r4 == "SELECT 'it''s ASOF JOIN x' AS s FROM a JOIN b ON x")
+    // word boundary: an identifier ending in asof is not a phrase start
+    assert(rewrite("SELECT myasof JOIN_COL FROM t").isEmpty)
+  }
+
   test("SQL ASOF JOIN lowers to the single-shuffle union plan (no " +
     "join node), same shape as the direct composition") {
     pts.createOrReplaceTempView("asof_pts")

@@ -75,6 +75,10 @@ class TextHashSpec extends AnyFunSuite {
     assert(kernel("a b") == 1.0)
     assert(kernel("a b a b a b") == naive("a b a b a b")) // 3× "a b", 2× "b a"
     assert(kernel("  spaced\t\tout \n tokens  ") == naive("  spaced\t\tout \n tokens  "))
+    // vertical tab (0x0B) is \s in Java regex — the kernel must split on
+    // it too (round-4 advice: it previously joined the two tokens)
+    assert(kernel("ab a b") == naive("ab a b"))
+    assert(kernel("xy") == naive("xy"))
     val rnd = new scala.util.Random(7)
     (1 to 100).foreach { _ =>
       // small vocab forces real bigram repetition
