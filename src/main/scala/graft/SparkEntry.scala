@@ -340,10 +340,14 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
-          .as("embedding"))
+      // perturb FIRST, rename after: with both in one select list the
+      // lambda's col("vec_id") resolves against the select's own
+      // lateral alias (vec_id+100000), not the child column
+      val perturbed = emb.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       // bits=7 (vs 4 for the recall-oriented ANN queries): near-dups sit
       // at sim>=0.9 (per-bit agreement p>=0.856, planted pairs much
       // higher), so 8 tables keep recall >0.96 while every extra bit
@@ -677,6 +681,48 @@ object SparkEntry {
     })
   )
 
+  // ---- splitmix64 / Box-Muller replay helpers for the ANN oracles ----
+  // DuckDB has no wrapping 64-bit integer arithmetic, so the splitmix64
+  // chain is replayed in HUGEINT mod 2^64, with each 64x64 multiply
+  // split into (hi*c mod 2^32)*2^32 + lo*c to stay inside INT128 — the
+  // same replay pattern as the q_minhash_pairs oracle. The Gaussian is
+  // Box-Muller over two such uniforms (top 53 bits + 0.5, an exact
+  // dyadic rational), verified bitwise-identical between JVM Math and
+  // DuckDB's libm over the full plane matrix.
+  private val sqlMod = "CAST('18446744073709551616' AS HUGEINT)"
+  private val sqlGolden = "CAST('11400714819323198485' AS HUGEINT)"
+  private def sqlSplitMul(x: String, c: String): String =
+    s"(((($x) // CAST('4294967296' AS HUGEINT)) * $c % CAST('4294967296' AS HUGEINT))" +
+      s" * CAST('4294967296' AS HUGEINT)" +
+      s" + (($x) % CAST('4294967296' AS HUGEINT)) * $c) % $sqlMod"
+  /** CTE chain applying the splitmix64 finisher to column z0`tag` of
+    * g0`tag` (the +golden step must already be folded into z0), keyed
+    * by `keys`; yields z4 in g5`tag`. */
+  private def sqlMixChain(tag: String, keys: String): String =
+    s"""g1$tag AS (SELECT $keys, xor(z0$tag, z0$tag // CAST('1073741824' AS HUGEINT)) AS t1 FROM g0$tag),
+       |g2$tag AS (SELECT $keys, ${sqlSplitMul("t1", "CAST('13787848793156543929' AS HUGEINT)")} AS z2 FROM g1$tag),
+       |g3$tag AS (SELECT $keys, xor(z2, z2 // CAST('134217728' AS HUGEINT)) AS t2 FROM g2$tag),
+       |g4$tag AS (SELECT $keys, ${sqlSplitMul("t2", "CAST('10723151780598845931' AS HUGEINT)")} AS z3 FROM g3$tag),
+       |g5$tag AS (SELECT $keys, xor(z3, z3 // CAST('2147483648' AS HUGEINT)) AS z4 FROM g4$tag)""".stripMargin
+  /** `planes(t, b, pl)` CTE: the deterministic Gaussian hyperplane
+    * matrices of [[graft.operators.Similarity]] (seed+t per table,
+    * component i=b*dim+d from uniforms mix64(seed+2i*G),
+    * mix64(seed+(2i+1)*G)). */
+  private def sqlPlanesCte(tables: Int, bits: Int, dim: Int, seed: Int): String =
+    s"""g0p AS (
+       |  SELECT t, b, d, w,
+       |    (CAST($seed + t AS HUGEINT) + (2*(b*$dim+d) + w + 1) * $sqlGolden) % $sqlMod AS z0p
+       |  FROM range(0,$tables) rt(t), range(0,$bits) rb(b), range(0,$dim) rd(d), range(0,2) rw(w)),
+       |${sqlMixChain("p", "t, b, d, w")},
+       |up AS (SELECT t, b, d, w,
+       |  (CAST(z4 // CAST(2048 AS HUGEINT) AS DOUBLE) + 0.5) / 9007199254740992.0 AS u FROM g5p),
+       |gauss AS (
+       |  SELECT t, b, d,
+       |    sqrt(-2 * ln(max(CASE WHEN w=0 THEN u END))) *
+       |      cos(2 * pi() * max(CASE WHEN w=1 THEN u END)) AS wt
+       |  FROM up GROUP BY t, b, d),
+       |planes AS (SELECT t, b, list(wt ORDER BY d) AS pl FROM gauss GROUP BY t, b)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_users_projection" ->
       """SELECT lower(c_name) AS username, c_name AS name,
@@ -797,6 +843,118 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |       round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // LSH ANN is exactly replayable now that the hyperplanes are
+    // splitmix64-seeded Box-Muller (Similarity.hyperplanes): regenerate
+    // the planes, signatures and buckets in SQL, then score candidates
+    // with the same cosine as q_ann_topk. Ranks are decided on the
+    // unrounded sim; sim is rounded for the value compare.
+    "q_ann_lsh" ->
+      s"""WITH ${sqlPlanesCte(8, 4, 64, 42)},
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sigs AS (
+         |  SELECT e.vec_id, p.t,
+         |    sum(CASE WHEN list_inner_product(e.v, p.pl) > 0 THEN 1 << p.b ELSE 0 END) AS bucket
+         |  FROM ev e, planes p GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM sigs c JOIN sigs q ON c.t = q.t AND c.bucket = q.bucket
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+         |    list_cosine_similarity(cv.v, qv.v) AS sim
+         |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
+         |  JOIN ev qv ON cd.query_id = qv.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Same plane replay at bits=7; candidate pairs via per-(table,
+    // bucket) grouping with the 2..maxBucket size gate, then exact
+    // cosine >= 0.9 on the unrounded sim.
+    "q_embed_neardup" ->
+      s"""WITH ${sqlPlanesCte(8, 7, 64, 42)},
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pert AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.05 ORDER BY d) AS v
+         |  FROM base, range(0,64) r(d) GROUP BY vec_id),
+         |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+         |sigs AS (
+         |  SELECT e.vec_id, p.t,
+         |    sum(CASE WHEN list_inner_product(e.v, p.pl) > 0 THEN 1 << p.b ELSE 0 END) AS bucket
+         |  FROM corpus e, planes p GROUP BY e.vec_id, p.t),
+         |bsz AS (SELECT t, bucket, count(*) AS c FROM sigs GROUP BY t, bucket),
+         |okb AS (SELECT t, bucket FROM bsz WHERE c BETWEEN 2 AND 10000),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN okb o ON o.t = a.t AND o.bucket = a.bucket)
+         |SELECT cd.id_a, cd.id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+         |FROM cand cd JOIN corpus va ON cd.id_a = va.vec_id
+         |JOIN corpus vb ON cd.id_b = vb.vec_id
+         |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9""".stripMargin,
+
+    // Full IVF replay: mix64-ordered deterministic sample -> normalize
+    // -> one Lloyd iteration (argmax-dot assign, per-dim avg, unchanged
+    // cells keep their init values) -> renormalize -> nprobe=6 probe
+    // cells per query, single-cell index assignment, exact cosine top-k.
+    "q_ann_ivf" ->
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |g0m AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $sqlGolden) % $sqlMod AS z0m FROM ev),
+         |${sqlMixChain("m", "vec_id")},
+         |hv AS (SELECT vec_id, CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN $sqlMod ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h FROM g5m),
+         |ordered AS (
+         |  SELECT e.vec_id, e.v, row_number() OVER (ORDER BY h.h, e.vec_id) - 1 AS cell
+         |  FROM ev e JOIN hv h ON e.vec_id = h.vec_id),
+         |init AS (SELECT cell, v FROM ordered WHERE cell < 16),
+         |c0n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM init),
+         |c0 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c0n),
+         |a0 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c0 c),
+         |asg0 AS (SELECT vec_id, cell FROM a0 WHERE rn = 1),
+         |mean0 AS (
+         |  SELECT a.cell, r.d, avg(e.v[r.d+1]) AS m
+         |  FROM asg0 a JOIN ev e USING (vec_id), range(0,64) r(d)
+         |  GROUP BY a.cell, r.d),
+         |c1pre AS (
+         |  SELECT c.cell, list(coalesce(m.m, c.cv[r.d+1]) ORDER BY r.d) AS v
+         |  FROM c0 c CROSS JOIN range(0,64) r(d)
+         |  LEFT JOIN mean0 m ON m.cell = c.cell AND m.d = r.d
+         |  GROUP BY c.cell),
+         |c1n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM c1pre),
+         |c1 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c1n),
+         |pr AS (
+         |  SELECT e.vec_id AS query_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, cell FROM pr WHERE rn <= 6),
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+         |cand AS (
+         |  SELECT p.query_id, i.vec_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  WHERE i.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+         |    list_cosine_similarity(cv.v, qv.v) AS sim
+         |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
+         |  JOIN ev qv ON cd.query_id = qv.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_hybrid_search" ->
       """WITH scored_docs AS (

@@ -83,11 +83,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic random hyperplanes (seeded), as literal arrays —
-    * computed once on the driver, inlined into the plan. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  /** Deterministic random hyperplanes (seeded) — computed once on the
+    * driver and carried into the plan as a referenced object.
+    *
+    * NOT `java.util.Random.nextGaussian` (polar method, rejection
+    * sampling — unreplayable outside the JVM): component (b, d) is
+    * Box-Muller over two splitmix64 uniforms keyed by a counter, so an
+    * independent engine can regenerate the exact planes with integer
+    * mod-2^64 arithmetic plus `sqrt/ln/cos` — the `q_ann_lsh` /
+    * `q_embed_neardup` DuckDB oracles do exactly that (HUGEINT chain;
+    * verified bitwise-identical across JVM Math and libm for the whole
+    * plane matrix). The uniform takes the TOP 53 bits + 0.5, so it is
+    * an exact dyadic rational in (0,1) on both sides. */
+  private[graft] def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    import graft.functions.TextHash.mix64
+    val G = 0x9e3779b97f4a7c15L
+    def unit(h: Long): Double = ((h >>> 11) + 0.5) / 9007199254740992.0
+    Array.tabulate(bits) { b =>
+      Array.tabulate(dim) { d =>
+        val i = b.toLong * dim + d
+        val u1 = unit(mix64(seed + (2L * i) * G))
+        val u2 = unit(mix64(seed + (2L * i + 1) * G))
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      }
+    }
   }
 
   /** IVF(-flat) ANN — the second scale path next to [[lshTopK]], the
@@ -127,8 +146,12 @@ object Similarity {
         if (n == 0.0) p else p.map(_ / n)
       }
 
+    // mix64, not xxhash64: the hash only provides a deterministic
+    // pseudo-random ordering, and splitmix64 is replayable by the
+    // DuckDB oracle in HUGEINT arithmetic where xxhash64 is not
     var cents = normalize(
-      c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
+      c.orderBy(graft.plans.HashExpressions.mix64(col(idCol).cast("long")),
+          col(idCol)).limit(nlist)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray))
 
     (0 until iters).foreach { _ =>

@@ -140,6 +140,26 @@ case class Shingles64(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingles64"
 }
 
+/** splitmix64 finisher of a long column ([[TextHash.mix64]]) — the
+  * oracle-replayable ordering hash for deterministic sampling (the
+  * `q_ann_ivf` quantizer init), where built-in xxhash64 cannot be
+  * reproduced by an independent SQL engine. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mix64 requires bigint input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
+}
+
 /** One-pass max-bigram-share (Gopher repetition signal) — replaces an
   * explode→count→max/sum pipeline that multiplied the corpus by
   * ~doc-length and shuffled it twice. -1.0 marks "fewer than 2 tokens"
@@ -175,6 +195,10 @@ object HashExpressions {
 
   def fnv64(c: Column): Column =
     GraftSqlShim.column(Fnv64(GraftSqlShim.expression(c)))
+
+  /** splitmix64 of a bigint column (oracle-replayable ordering hash). */
+  def mix64(c: Column): Column =
+    GraftSqlShim.column(Mix64(GraftSqlShim.expression(c)))
 
   def simhash64(c: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(c)))
