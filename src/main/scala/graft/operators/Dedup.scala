@@ -78,9 +78,14 @@ object Dedup {
       } else {
         val rdd = GraftSqlShim.toInternalRowRdd(df).map(_.copy()).persist()
         // sum wrap-around is harmless: the witness only needs to be
-        // injective along the strictly-decreasing label sequence
+        // injective along the strictly-decreasing label sequence.
+        // NULL comps (nullable id column: a null id never joins, so its
+        // comp stays null) are SKIPPED, mirroring the slow path's
+        // sum()/None semantics — folding them in as getLong's 0 default
+        // could falsely declare convergence and return wrong labels.
         val (s, n) = rdd.aggregate((0L, 0L))(
-          (acc, row) => (acc._1 + row.getLong(1), acc._2 + 1L),
+          (acc, row) => if (row.isNullAt(1)) acc
+                        else (acc._1 + row.getLong(1), acc._2 + 1L),
           (a, b) => (a._1 + b._1, a._2 + b._2))
         val frame = GraftSqlShim.internalCreateDataFrame(spark, rdd, df.schema)
         // the previous round's blocks are dead once this one is live
@@ -131,12 +136,27 @@ object Dedup {
       i += 1
     }
     cachedEdges.unpersist()
-    if (!done)
+    if (!done) {
+      liveRdd.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIters=$maxIters " +
           "rounds — labels would be wrong (partial propagation); raise " +
           "maxIters (diameter bound) or pre-contract the graph")
-    labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
+    }
+    val result = labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
+    // Hand the result its OWN materialized copy and release the loop's
+    // final persisted RDD: otherwise every call pins its last round's
+    // cache blocks for the session lifetime (a long-lived driver running
+    // repeated clusterings leaks memory). The localCheckpoint copy is
+    // owned by the returned frame's plan and is released by Spark's
+    // ContextCleaner once the caller drops the frame — standard cached-
+    // result lifetime, instead of an orphaned internal block.
+    if (liveRdd.isDefined) {
+      val out = result.localCheckpoint(eager = true)
+      liveRdd.foreach(_.unpersist(blocking = false))
+      liveRdd = None
+      out
+    } else result
   }
 
   /** Keep the rows attaining ALL the given per-key extremes

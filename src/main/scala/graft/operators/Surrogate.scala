@@ -45,12 +45,20 @@ object Surrogate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = row_number().over(
       Window.partitionBy(col("__pid")).orderBy(keys: _*))
-    val offsets = parted.groupBy(col("__pid")).count()
-      .withColumn("__offset",
-        coalesce(sum(col("count")).over(
-          Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
+    // The cumulative offsets are computed ON THE DRIVER from the
+    // per-partition counts: that is `numPartitions` METADATA rows (not
+    // data rows — the same driver-side-header pattern as the IVF
+    // quantizer), and it replaces a single-partition global window
+    // whose "No Partition Defined" WindowExec warning polluted every
+    // bench/verify tail despite being benign here.
+    val counts = parted.groupBy(col("__pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsetRows = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }.toSeq
+    }
+    val offsets = df.sparkSession.createDataFrame(offsetRows)
+      .toDF("__pid", "__offset")
     val out = parted.withColumn("__local", local)
       .join(org.apache.spark.sql.functions.broadcast(offsets), "__pid")
       .withColumn(idName, (col("__local") + col("__offset")).cast("bigint"))

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, SubqueryExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** `ASOF JOIN` SQL surface (DuckDB-style syntax), completing the
@@ -42,9 +42,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    backward as-of, matching DuckDB's `l.t >= r.t`;
   *  - key equalities must join same-named columns (the lowered
   *    operator keys on shared names);
-  *  - the matched snapshot time surfaces as `matched_<rightTime>`, and
-  *    result columns are referenced UNQUALIFIED (the as-of output is a
-  *    flat relation, as in DuckDB);
+  *  - the matched snapshot time surfaces as `matched_<rightTime>`;
+  *    result columns may be referenced unqualified (the as-of output
+  *    is a flat relation) OR through the original side aliases —
+  *    `s.snap_ms` resolves to `matched_snap_ms`, `p.event_id` to
+  *    `event_id` — so DuckDB ASOF queries port verbatim;
   *  - `ASOF JOIN` (inner, unmatched rows drop — filtered on
   *    `matched_<rightTime> IS NOT NULL`) vs `ASOF LEFT JOIN`
   *    (unmatched left rows keep NULL payloads).
@@ -99,32 +101,81 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
     } else None
   }
 
+  /** The visible alias of a join input: an explicit `... AS a` /
+    * `rel a` alias, or the relation's last name part (`FROM db.snaps`
+    * → `snaps`), matching how the delegate would have qualified the
+    * side's output. */
+  private def sideAlias(p: LogicalPlan): Option[String] = p match {
+    case a: SubqueryAlias => Some(a.alias)
+    case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+    case _ => None
+  }
+
   /** Convert exactly the joins whose join-type token sits at a
     * recorded rewrite offset (subqueries included). Anything else —
     * including a same-statement plain join whose ON clause happens to
-    * carry the as-of shape — is left alone. */
+    * carry the as-of shape — is left alone.
+    *
+    * The as-of output is a FLAT relation (left columns + the matched
+    * right time as `matched_<rightTime>` + right payload), so the
+    * original side qualifiers no longer exist after conversion. For
+    * DuckDB-porting ergonomics, qualified references THROUGH those
+    * aliases (`s.snap_ms`, `p.event_id`) are rewritten against the
+    * flat output — `rightAlias.rightTime` becomes
+    * `matched_<rightTime>`, any other `alias.col` drops its qualifier.
+    * The rewrite is scoped exactly like SQL visibility: substitutions
+    * propagate up from the converted join through its enclosing
+    * operators and STOP at any `SubqueryAlias` boundary (an outer
+    * query can't see through a subquery's alias) — so an unrelated
+    * alias of the same name in another scope is untouched. */
   private def convertAsOfJoins(plan: LogicalPlan, offsets: Seq[Int]): LogicalPlan = {
     var remaining = offsets.toSet
-    val out = plan transformUpWithSubqueries {
+    // returns (converted subtree, alias→column-rename substitutions
+    // still visible to the enclosing operators)
+    def go(p: LogicalPlan): (LogicalPlan, Map[String, String => String]) = p match {
       case j @ Join(l, r, jt, cond, _)
           if j.origin.startIndex.exists(remaining.contains) =>
         val off = j.origin.startIndex.get
+        val (nl, ml) = go(l)
+        val (nr, mr) = go(r)
         if (jt != Inner && jt != LeftOuter)
           throw new IllegalArgumentException(
             s"ASOF JOIN at offset $off: only ASOF JOIN / ASOF LEFT JOIN are supported")
         cond.flatMap(asOfShape) match {
           case Some((keys, lt, rt)) =>
             remaining -= off
-            val asof = AsOfJoinPlan(l, r, keys, lt, rt)
-            if (jt == Inner)
-              Filter(IsNotNull(UnresolvedAttribute(s"matched_$rt")), asof)
-            else asof
+            val asof = AsOfJoinPlan(nl, nr, keys, lt, rt)
+            val converted: LogicalPlan =
+              if (jt == Inner)
+                Filter(IsNotNull(UnresolvedAttribute(s"matched_$rt")), asof)
+              else asof
+            val subs = ml ++ mr ++
+              sideAlias(l).map(a => a -> identity[String] _).toMap ++
+              sideAlias(r).map(a => a ->
+                ((c: String) => if (c == rt) s"matched_$rt" else c)).toMap
+            (converted, subs)
           case None =>
             throw new IllegalArgumentException(
               "ASOF JOIN requires an ON clause of same-named key equalities " +
                 "plus exactly one time inequality (l.t >= r.t or r.t <= l.t)")
         }
+      case _ =>
+        val results = p.children.map(go)
+        val maps = results.flatMap(_._2).toMap
+        var np = if (p.children.isEmpty) p
+                 else p.withNewChildren(results.map(_._1))
+        np = np.transformExpressions {
+          // expression subqueries may carry their own ASOF joins;
+          // their substitutions are absorbed (inner scope)
+          case s: SubqueryExpression => s.withNewPlan(go(s.plan)._1)
+          case ua: UnresolvedAttribute
+              if ua.nameParts.length == 2 && maps.contains(ua.nameParts.head) =>
+            UnresolvedAttribute(Seq(maps(ua.nameParts.head)(ua.nameParts.last)))
+        }
+        // a subquery alias seals its scope: nothing propagates out
+        (np, if (p.isInstanceOf[SubqueryAlias]) Map.empty else maps)
     }
+    val out = go(plan)._1
     if (remaining.nonEmpty)
       throw new IllegalArgumentException(
         s"ASOF JOIN phrase(s) at rewritten offset(s) ${remaining.toSeq.sorted.mkString(", ")} " +

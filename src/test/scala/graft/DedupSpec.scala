@@ -171,4 +171,32 @@ class DedupSpec extends AnyFunSuite {
         maxIters = 1)
     }
   }
+
+  test("connectedComponents releases the loop's persisted RDDs: after " +
+    "consumption only the result's own copy is cached") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = (0L to 99L).toDF("doc_id")
+    val edges = (0L to 98L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, "doc_id", "id_a", "id_b")
+    assert(got.as[(Long, Long)].collect().forall(_._2 == 0L))
+    // every per-round internal RDD is unpersisted; the single surviving
+    // block set is the localCheckpoint copy the returned frame owns
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"loop RDDs left cached: ${leaked.size} new persistent RDDs")
+  }
+
+  test("connectedComponents with a NULLABLE id column: null ids keep a " +
+    "null label, witness skips them instead of folding them to 0") {
+    // java.lang.Long column -> nullable long; a null node plus a live
+    // component whose labels still need a round to converge
+    val nodes = Seq[java.lang.Long](null, 10L, 11L, 12L)
+      .toDF("doc_id")
+    val edges = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, "doc_id", "id_a", "id_b")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got == Set(
+      (None, None),
+      (Some(10L), Some(10L)), (Some(11L), Some(10L)), (Some(12L), Some(10L))))
+  }
 }

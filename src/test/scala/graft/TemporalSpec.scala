@@ -248,6 +248,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(mixed.filter(_._1 == 13L) == Set((13L, 100L), (13L, 200L)))
   }
 
+  test("ASOF JOIN result columns resolve through the original side " +
+    "aliases (DuckDB-ported queries run verbatim)") {
+    pts.createOrReplaceTempView("asof_pts")
+    snaps.createOrReplaceTempView("asof_snaps")
+    // qualified refs in SELECT and WHERE: p.* against the left side,
+    // s.snap_ms against the matched right time (DuckDB's spelling)
+    val viaSql = spark.sql(
+      """SELECT p.event_id, s.snap_ms, s.tag
+        |FROM asof_pts p ASOF LEFT JOIN asof_snaps s
+        |ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms
+        |WHERE p.event_id > 0""".stripMargin)
+    assert(viaSql.columns.toSeq == Seq("event_id", "matched_snap_ms", "tag"))
+    val got = viaSql.as[(Long, Option[Long], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val direct = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == direct)
+    // scoping: an outer query CANNOT see through a subquery alias —
+    // the same alias name in a sealed inner scope stays untouched
+    val scoped = spark.sql(
+      """SELECT t.event_id FROM (
+        |  SELECT p.event_id FROM asof_pts p ASOF JOIN asof_snaps s
+        |  ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms) t""".stripMargin)
+      .as[Long].collect().toSet
+    assert(scoped == Set(11L, 12L, 13L, 14L, 15L))
+    // an unconverted alias-qualified ref in an outer scope still errors
+    // cleanly through the delegate (no silent mis-rewrite)
+    intercept[Exception] {
+      spark.sql(
+        """SELECT s.snap_ms FROM (
+          |  SELECT event_id FROM asof_pts ASOF JOIN asof_snaps
+          |  ON asof_pts.user_id = asof_snaps.user_id
+          |     AND asof_pts.ts_ms >= asof_snaps.snap_ms) t""".stripMargin).collect()
+    }
+  }
+
   test("rewrite scanner: offsets, quotes, comments") {
     import graft.plans.AsOfSqlParser.rewrite
     assert(rewrite("SELECT 1").isEmpty)
