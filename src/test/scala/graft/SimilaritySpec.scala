@@ -142,6 +142,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length >= 350, s"recall too low: ${pairs.length}/500")
   }
 
+  test("hyperplanes are the EXACT splitmix64 Box-Muller sequence the " +
+    "DuckDB oracles replay (golden bit patterns)") {
+    // bit-for-bit golden values from the validated JVM/DuckDB parity
+    // run: component (b=0, d) of table seed 42 is Box-Muller over
+    // mix64(seed + 2i*G), mix64(seed + (2i+1)*G) with i = b*dim+d.
+    // If this spec breaks, the q_ann_lsh / q_embed_neardup /
+    // q_ann_ivf oracle SQL no longer replays the engine — change both
+    // together or not at all.
+    val p42 = Similarity.hyperplanes(64, 4, 42L)
+    val p43 = Similarity.hyperplanes(64, 4, 43L)
+    def bits(d: Double): String =
+      java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
+    assert(bits(p42(0)(0)) == "3fda8ac4b546f505")
+    assert(bits(p42(0)(1)) == "bfec8a54f4e91a80")
+    assert(bits(p42(0)(2)) == "3ffbac69cd4142c4")
+    assert(bits(p43(0)(0)) == "bfe35a60854448ea")
+    // plane matrices are per-table-seed distinct and fully populated
+    assert(p42.length == 4 && p42.forall(_.length == 64))
+    assert(p42(0)(0) != p43(0)(0))
+  }
+
   test("hyperplane-LSH observed recall tracks the analytic " +
     "1-(1-p^bits)^tables curve on pairs planted at a known angle") {
     // plant 500 pairs at exactly 60 degrees: v' = cos60*v + sin60*u
