@@ -108,10 +108,22 @@ object NearDup {
       col(idCol).as("id_a"), col("simhash").as("sim_a"))
     val b = blocked.select(col("block_id"), col("block_val"),
       col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    // A pair sharing k>1 blocks appears k times out of the join — but
+    // both signatures ride along, so "is this the pair's FIRST shared
+    // block" is a scalar predicate (codegen, no state), and the
+    // per-pair dedup costs NOTHING instead of a full extra shuffle of
+    // the candidate set — the term that would dominate at corpus scale.
+    val firstShared = (0 until 4).foldRight(lit(3): Column) { (i, rest) =>
+      if (i == 3) rest
+      else when(shiftrightunsigned(col("sim_a"), i * 16).bitwiseAND(lit(0xffffL)) ===
+        shiftrightunsigned(col("sim_b"), i * 16).bitwiseAND(lit(0xffffL)), lit(i))
+        .otherwise(rest)
+    }
     a.join(b, Seq("block_id", "block_val"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("block_id") === firstShared)
       .withColumn("hamming", HashExpressions.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").dropDuplicates()
+      .select("id_a", "id_b", "hamming")
   }
 }
