@@ -300,6 +300,25 @@ object SparkEntry {
         "doc_id", "id_a", "id_b")
     }),
 
+    // §2b: the APPLIED near-dup policy — the composition users actually
+    // run: candidate pairs → connected components → keep each cluster's
+    // canonical (minimum-id) doc. One semi-join over the corpus; the
+    // labels frame is (id, canonical) only, so at 100 TB the join side
+    // is narrow and the text column never moves until the final join.
+    "q_neardup_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      val corpus = docs.unionByName(mutated)
+      val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3)
+      val canon = Dedup.connectedComponents(corpus.select(col("doc_id")),
+          pairs, "doc_id", "id_a", "id_b")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"))
+      corpus.join(canon, Seq("doc_id"), "left_semi")
+    }),
+
     // §2b-22: brute-force cosine top-k (correctness baseline)
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1314,6 +1333,53 @@ object SparkEntry {
         |  UNION
         |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x)
         |SELECT id AS doc_id, min(comp) AS canonical_id FROM cc GROUP BY id""".stripMargin,
+
+    // same reachability fixpoint, then the applied policy: keep only
+    // docs that are their own component minimum
+    "q_neardup_prune" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM corpus),
+        |th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1),
+        |        i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
+        |sim AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+        |  FROM votes GROUP BY doc_id),
+        |sig AS (
+        |  SELECT c.doc_id,
+        |    CAST(coalesce(s.u, CAST(0 AS HUGEINT))
+        |      - CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
+        |  FROM corpus c LEFT JOIN sim s ON c.doc_id = s.doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |cc(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x)
+        |, labels AS (SELECT id, min(comp) AS m FROM cc GROUP BY id)
+        |SELECT c.doc_id, c.text
+        |FROM corpus c JOIN labels l ON c.doc_id = l.id AND l.id = l.m""".stripMargin,
 
     "q_simhash_pairs" ->
       """WITH corpus AS (
