@@ -71,6 +71,20 @@ class PlanSpec extends AnyFunSuite {
       s"pair distinct carries vectors:\n${aggLines.mkString("\n")}")
   }
 
+  test("simhashPairs dedups pairs with the first-shared-block " +
+    "predicate, NOT a distinct shuffle over the candidate set") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val plan = physical(graft.operators.NearDup.simhashPairs(
+      docs, "doc_id", "text"))
+    // one bucket-join over (block_id, block_val); any HashAggregate on
+    // (id_a, id_b) would mean the dropDuplicates shuffle crept back in
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(!aggLines.exists(l => l.contains("id_a") && l.contains("id_b")),
+      s"pair dedup is a shuffle again:\n${aggLines.mkString("\n")}")
+  }
+
   test("IVF probe join broadcasts the query side and plans no extra " +
     "exchange on the corpus") {
     val plan = physical(
