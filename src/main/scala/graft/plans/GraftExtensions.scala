@@ -57,6 +57,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Shingles64].getName, "shingles64"),
       (es: Seq[Expression]) => Shingles64(es.head,
         intArg(es(1), "shingles64 shingle size"))),
+    ("mix64",
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      (es: Seq[Expression]) => Mix64(es.head)),
+    ("repratio64",
+      new ExpressionInfo(classOf[RepRatio64].getName, "repratio64"),
+      (es: Seq[Expression]) => RepRatio64(es.head)),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),

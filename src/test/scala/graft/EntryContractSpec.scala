@@ -15,6 +15,14 @@ class EntryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("EVERY query carries a DuckDB oracle — no rows-only entries") {
+    // held for the first time in round 6 (the ANN seeding became
+    // SQL-replayable); pinned so a future query can't silently ship
+    // without its correctness oracle
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.sf0001).count()

@@ -86,6 +86,16 @@ class StagingSpec extends AnyFunSuite {
     assert(got._2 == 11.0)
   }
 
+  test("mix64 and repratio64 are callable from SQL and match the kernels") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT mix64(42L) AS m, repratio64('a b a b') AS r")
+      .as[(Long, Double)].head()
+    assert(got._1 == graft.functions.TextHash.mix64(42L))
+    assert(got._2 == graft.functions.TextHash.repRatio64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b a b")))
+  }
+
   test("GraftExtensions applies cleanly as a session extension hook") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; wiring is the contract
