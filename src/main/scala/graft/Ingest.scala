@@ -274,7 +274,7 @@ object Ingest {
           Dedup.idempotentUpsert(
             existing = spark.read.parquet(path),
             incoming = incoming.select(spark.read.parquet(path).columns
-              .map(col): _*),
+              .toIndexedSeq.map(col): _*),
             keys = keys)
         else incoming
       val tmp = s"$path.__tmp"

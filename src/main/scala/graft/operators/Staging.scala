@@ -74,7 +74,7 @@ object Skew {
     // fully duplicate rows share a salt, which is harmless — the
     // map-side combine has already collapsed them within a partition.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     salted.groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -63,7 +63,7 @@ object Temporal {
     val lTagged = left.select(
       (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
         lit(null).cast(rTagged.schema("__r").dataType).as("__r") :+
-        struct(left.columns.map(col): _*).as("__l")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
     val unioned = rTagged
       .withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
       .unionByName(lTagged)
