@@ -300,6 +300,25 @@ object SparkEntry {
         "doc_id", "id_a", "id_b")
     }),
 
+    // §2b: benchmark decontamination (the GPT-3/PaLM appendix policy,
+    // Lee et al. 2022 §6): drop every training doc sharing ANY word
+    // 5-shingle with the eval set. Shingle sets are the codegen
+    // shingles64 kernel (8-byte FNV hashes), the eval side is tiny and
+    // broadcast, and contamination travels as narrow (doc_id) /
+    // (hash) rows — at 100 TB the corpus text never shuffles, only
+    // 8-byte keys do. The eval set is self-derived (every 20th doc).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val docSh = docs.select(col("doc_id"),
+        explode(HashExpressions.shingles64(col("text"), 5)).as("sh"))
+      val benchSh = bench.select(
+        explode(HashExpressions.shingles64(col("text"), 5)).as("sh")).distinct()
+      val contaminated = docSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.join(contaminated, Seq("doc_id"), "left_anti")
+    }),
+
     // §2b: the APPLIED near-dup policy — the composition users actually
     // run: candidate pairs → connected components → keep each cluster's
     // canonical (minimum-id) doc. One semi-join over the corpus; the
@@ -1123,6 +1142,29 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    // string shingles instead of the engine's 64-bit FNV shingle
+    // hashes: identical intersection behavior (a cross-doc hash
+    // collision is ~2^-64 per candidate pair, same argument as
+    // q_ngram_jaccard); <5-token docs fall back to the whole token
+    // span as their single shingle, matching the kernel contract
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 5 THEN
+        |      list_transform(generate_series(1, len(t)-4),
+        |        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 20 = 0),
+        |dsh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+        |bad AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh ON dsh.s = bsh.s)
+        |SELECT d.doc_id, d.text FROM documents d
+        |LEFT JOIN bad b ON d.doc_id = b.doc_id WHERE b.doc_id IS NULL""".stripMargin,
 
     // winner choice replayed on paragraph STRINGS (row_number over
     // (para) ordered by (doc_id, idx) = Spark's min-struct); corpus
