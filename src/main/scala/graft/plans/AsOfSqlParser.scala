@@ -40,8 +40,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Semantics and surface contract (all checked, clear errors):
   *  - the GREATER side of the inequality is the probe (left) time:
   *    backward as-of, matching DuckDB's `l.t >= r.t`;
-  *  - key equalities must join same-named columns (the lowered
-  *    operator keys on shared names);
+  *  - key equalities may join same- or different-named columns
+  *    (`p.uid = s.user_id`); differing right names are renamed to
+  *    their left partner during lowering, so output keys carry the
+  *    LEFT side's names;
   *  - the matched snapshot time surfaces as `matched_<rightTime>`;
   *    result columns may be referenced unqualified (the as-of output
   *    is a flat relation) OR through the original side aliases —
@@ -81,12 +83,16 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   /** ON-clause shape test: all-equalities-plus-one-time-inequality →
-    * (keys, leftTime, rightTime). */
-  private def asOfShape(cond: Expression): Option[(Seq[String], String, String)] = {
+    * (key pairs as written, leftTime, rightTime). Key equalities may
+    * join DIFFERENT column names (`p.uid = s.user_id`, as DuckDB
+    * allows); which name belongs to which side is not knowable at
+    * parse time, so the pairs are carried as written and oriented
+    * against the resolved children in [[ResolveAsOfJoin]]. */
+  private def asOfShape(cond: Expression): Option[(Seq[(String, String)], String, String)] = {
     val cs = conjuncts(cond)
-    val keys = cs.collect { case EqualTo(l, r)
-        if lastName(l).isDefined && lastName(l) == lastName(r) =>
-      lastName(l).get
+    val keyPairs = cs.collect { case EqualTo(l, r)
+        if lastName(l).isDefined && lastName(r).isDefined =>
+      (lastName(l).get, lastName(r).get)
     }
     val ineqs = cs.collect {
       // the GREATER side is the probe time (backward as-of)
@@ -95,9 +101,9 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
       case LessThanOrEqual(l, r) if lastName(l).isDefined && lastName(r).isDefined =>
         (lastName(r).get, lastName(l).get)
     }
-    if (ineqs.size == 1 && keys.size + 1 == cs.size) {
+    if (ineqs.size == 1 && keyPairs.size + 1 == cs.size) {
       val (lt, rt) = ineqs.head
-      Some((keys, lt, rt))
+      Some((keyPairs, lt, rt))
     } else None
   }
 
@@ -142,21 +148,28 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
           throw new IllegalArgumentException(
             s"ASOF JOIN at offset $off: only ASOF JOIN / ASOF LEFT JOIN are supported")
         cond.flatMap(asOfShape) match {
-          case Some((keys, lt, rt)) =>
+          case Some((keyPairs, lt, rt)) =>
             remaining -= off
-            val asof = AsOfJoinPlan(nl, nr, keys, lt, rt)
+            val asof = AsOfJoinPlan(nl, nr, keyPairs, lt, rt)
             val converted: LogicalPlan =
               if (jt == Inner)
                 Filter(IsNotNull(UnresolvedAttribute(s"matched_$rt")), asof)
               else asof
+            // differing key names surface under the LEFT side's name
+            // (the lowering renames the right key), so a right-alias
+            // reference maps to the pair partner — symmetric, which
+            // also covers the orientation flip resolved only later
+            val partner = keyPairs.flatMap { case (a, b) =>
+              if (a == b) Nil else Seq(a -> b, b -> a)
+            }.toMap
             val subs = ml ++ mr ++
               sideAlias(l).map(a => a -> identity[String] _).toMap ++
-              sideAlias(r).map(a => a ->
-                ((c: String) => if (c == rt) s"matched_$rt" else c)).toMap
+              sideAlias(r).map(a => a -> ((c: String) =>
+                if (c == rt) s"matched_$rt" else partner.getOrElse(c, c))).toMap
             (converted, subs)
           case None =>
             throw new IllegalArgumentException(
-              "ASOF JOIN requires an ON clause of same-named key equalities " +
+              "ASOF JOIN requires an ON clause of key equalities " +
                 "plus exactly one time inequality (l.t >= r.t or r.t <= l.t)")
         }
       case _ =>

@@ -286,6 +286,36 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("ASOF JOIN key equalities may join DIFFERENT column names; " +
+    "output keys carry the left side's names") {
+    pts.withColumnRenamed("user_id", "uid")
+      .createOrReplaceTempView("asof_pts_uid")
+    snaps.createOrReplaceTempView("asof_snaps")
+    val viaSql = spark.sql(
+      """SELECT p.event_id, p.uid, s.snap_ms, s.tag
+        |FROM asof_pts_uid p ASOF LEFT JOIN asof_snaps s
+        |ON p.uid = s.user_id AND p.ts_ms >= s.snap_ms""".stripMargin)
+    assert(viaSql.columns.toSeq ==
+      Seq("event_id", "uid", "matched_snap_ms", "tag"))
+    val got = viaSql.select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    val direct = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == direct)
+    // a key that matches NEITHER orientation errors with guidance
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT event_id FROM asof_pts_uid p ASOF JOIN asof_snaps s
+          |ON p.no_such = s.nope AND p.ts_ms >= s.snap_ms""".stripMargin)
+        .collect()
+    }
+    assert(err.getMessage.contains("orientation") ||
+      err.getMessage.toLowerCase.contains("cannot") ||
+      err.getMessage.toLowerCase.contains("resolve"), err.getMessage)
+  }
+
   test("rewrite scanner: offsets, quotes, comments") {
     import graft.plans.AsOfSqlParser.rewrite
     assert(rewrite("SELECT 1").isEmpty)
