@@ -127,6 +127,30 @@ object EventsStreaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming benchmark decontamination — the streaming twin of the
+    * batch `q_decontaminate` policy: drop every incoming doc sharing a
+    * word `k`-shingle with the eval set. The eval shingle set is
+    * computed ONCE (driver-side, eval sets are small by nature) and
+    * rides into the plan as a literal array, so the stream side is a
+    * pure stateless map-side filter — no state store, no watermark, no
+    * shuffle; it composes with any downstream streaming stage. The
+    * `arrays_overlap(shingles64(text), benchShingles)` predicate is
+    * whole-stage-codegen friendly and short-circuits on first hit. */
+  def decontaminateStream(docs: DataFrame, benchShingles: Array[Long],
+                          textCol: String = "text", k: Int = 5): DataFrame =
+    docs.filter(!arrays_overlap(
+      graft.plans.HashExpressions.shingles64(col(textCol), k),
+      lit(benchShingles)))
+
+  /** Driver-side eval-set shingle collection for
+    * [[decontaminateStream]] — distinct 64-bit shingle hashes of the
+    * (small) benchmark frame. */
+  def benchShingleSet(bench: DataFrame, textCol: String = "text",
+                      k: Int = 5): Array[Long] =
+    bench.select(explode(
+        graft.plans.HashExpressions.shingles64(col(textCol), k)).as("sh"))
+      .distinct().collect().map(_.getLong(0))
+
   /** Point-in-time streaming enrichment — the composition a warehouse
     * consumer runs continuously: each micro-batch of events as-of
     * joins ([[graft.operators.Temporal.asOfJoinBackward]]) the SCD-2

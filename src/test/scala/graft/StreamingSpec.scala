@@ -40,6 +40,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchAgg)
   }
 
+  test("streaming decontamination is a stateless filter matching the " +
+    "batch q_decontaminate survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val bench = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter($"doc_id" % 20 === 0).select($"doc_id", $"text")
+    val shingles = EventsStreaming.benchShingleSet(bench)
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val q = EventsStreaming.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text"), shingles)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("decon_test")
+      .select($"doc_id").as[Long].collect().toSet
+    val batchIds = SparkEntry.queries("q_decontaminate")(spark, TestSpark.sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batchIds)
+    assert(streamed.nonEmpty && streamed.size < docs.size)
+  }
+
   test("sessionize closes a session after the gap and keeps state per user") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
