@@ -404,6 +404,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb, queries, k = 3, nlist = 16, nprobe = 6, iters = 1)
     }),
 
+    // §2b: cluster-balanced diversity sampling (SemDeDup-family
+    // policy): IVF cells as semantic clusters, keep the 8 most
+    // central vectors per cell — per-cluster budgets cap semantic
+    // redundancy in the training subset
+    "q_diverse_sample" -> ((s, dir) =>
+      Similarity.diverseSample(t(s, dir, "embeddings"),
+        nlist = 16, perCell = 8, iters = 1)),
+
     // §2b-21: exact n-gram Jaccard over planted (original, truncated)
     // pairs — the verification metric of the near-dup family as a
     // standalone oracle-checked operator. Shingle SETS are the codegen
@@ -761,6 +769,40 @@ object SparkEntry {
        |  FROM up GROUP BY t, b, d),
        |planes AS (SELECT t, b, list(wt ORDER BY d) AS pl FROM gauss GROUP BY t, b)""".stripMargin
 
+  /** Shared IVF-centroid replay CTEs (`ev` … `c1`): mix64-ordered
+    * deterministic sample → normalize → one Lloyd iteration
+    * (argmax-dot assign, per-dim avg, unchanged cells keep init) →
+    * renormalize. Used by the `q_ann_ivf` and `q_diverse_sample`
+    * oracles, which continue from `ev` and `c1`. */
+  private def sqlIvfCentroidsCte: String =
+    s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |g0m AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $sqlGolden) % $sqlMod AS z0m FROM ev),
+       |${sqlMixChain("m", "vec_id")},
+       |hv AS (SELECT vec_id, CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
+       |    THEN $sqlMod ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h FROM g5m),
+       |ordered AS (
+       |  SELECT e.vec_id, e.v, row_number() OVER (ORDER BY h.h, e.vec_id) - 1 AS cell
+       |  FROM ev e JOIN hv h ON e.vec_id = h.vec_id),
+       |init AS (SELECT cell, v FROM ordered WHERE cell < 16),
+       |c0n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM init),
+       |c0 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c0n),
+       |a0 AS (
+       |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+       |  FROM ev e CROSS JOIN c0 c),
+       |asg0 AS (SELECT vec_id, cell FROM a0 WHERE rn = 1),
+       |mean0 AS (
+       |  SELECT a.cell, r.d, avg(e.v[r.d+1]) AS m
+       |  FROM asg0 a JOIN ev e USING (vec_id), range(0,64) r(d)
+       |  GROUP BY a.cell, r.d),
+       |c1pre AS (
+       |  SELECT c.cell, list(coalesce(m.m, c.cv[r.d+1]) ORDER BY r.d) AS v
+       |  FROM c0 c CROSS JOIN range(0,64) r(d)
+       |  LEFT JOIN mean0 m ON m.cell = c.cell AND m.d = r.d
+       |  GROUP BY c.cell),
+       |c1n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM c1pre),
+       |c1 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c1n)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_users_projection" ->
       """SELECT lower(c_name) AS username, c_name AS name,
@@ -936,38 +978,10 @@ object SparkEntry {
          |JOIN corpus vb ON cd.id_b = vb.vec_id
          |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9""".stripMargin,
 
-    // Full IVF replay: mix64-ordered deterministic sample -> normalize
-    // -> one Lloyd iteration (argmax-dot assign, per-dim avg, unchanged
-    // cells keep their init values) -> renormalize -> nprobe=6 probe
+    // Full IVF replay: the shared centroid CTEs, then nprobe=6 probe
     // cells per query, single-cell index assignment, exact cosine top-k.
     "q_ann_ivf" ->
-      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |g0m AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $sqlGolden) % $sqlMod AS z0m FROM ev),
-         |${sqlMixChain("m", "vec_id")},
-         |hv AS (SELECT vec_id, CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
-         |    THEN $sqlMod ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h FROM g5m),
-         |ordered AS (
-         |  SELECT e.vec_id, e.v, row_number() OVER (ORDER BY h.h, e.vec_id) - 1 AS cell
-         |  FROM ev e JOIN hv h ON e.vec_id = h.vec_id),
-         |init AS (SELECT cell, v FROM ordered WHERE cell < 16),
-         |c0n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM init),
-         |c0 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c0n),
-         |a0 AS (
-         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
-         |  FROM ev e CROSS JOIN c0 c),
-         |asg0 AS (SELECT vec_id, cell FROM a0 WHERE rn = 1),
-         |mean0 AS (
-         |  SELECT a.cell, r.d, avg(e.v[r.d+1]) AS m
-         |  FROM asg0 a JOIN ev e USING (vec_id), range(0,64) r(d)
-         |  GROUP BY a.cell, r.d),
-         |c1pre AS (
-         |  SELECT c.cell, list(coalesce(m.m, c.cv[r.d+1]) ORDER BY r.d) AS v
-         |  FROM c0 c CROSS JOIN range(0,64) r(d)
-         |  LEFT JOIN mean0 m ON m.cell = c.cell AND m.d = r.d
-         |  GROUP BY c.cell),
-         |c1n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM c1pre),
-         |c1 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c1n),
+      s"""WITH $sqlIvfCentroidsCte,
          |pr AS (
          |  SELECT e.vec_id AS query_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
@@ -993,6 +1007,27 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // same centroid replay; then each vector's own-cell cosine, ranked
+    // within the cell, top 8 kept
+    "q_diverse_sample" ->
+      s"""WITH $sqlIvfCentroidsCte,
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+         |scored AS (
+         |  SELECT i.vec_id, i.cell, list_cosine_similarity(e.v, c.cv) AS sim
+         |  FROM idx i JOIN ev e ON i.vec_id = e.vec_id
+         |  JOIN c1 c ON i.cell = c.cell),
+         |ranked AS (
+         |  SELECT vec_id, cell, sim,
+         |    row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank,
+         |       round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 8""".stripMargin,
 
     "q_hybrid_search" ->
       """WITH scored_docs AS (

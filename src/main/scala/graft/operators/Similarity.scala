@@ -239,6 +239,35 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Cluster-balanced diversity sampling (the SemDeDup-family policy,
+    * Abbas et al. 2023: semantic clusters → per-cluster selection):
+    * assign every vector to its IVF cell and keep the `perCell` most
+    * central vectors per cell (highest cosine to the cell centroid,
+    * vec-id tie-break) — a diversity-preserving corpus subset whose
+    * per-cluster budget caps semantic redundancy.
+    *
+    * Scale shape: quantizer training is the only full-scan iteration;
+    * selection is one hash shuffle on `cell` + a bounded window. The
+    * centroid matrix rides as ONE array literal (no per-component
+    * codegen blowup) and the assignment/cosine are the same codegen
+    * kernels as the ANN path. Deterministic end to end (splitmix64
+    * sampling), so the DuckDB oracle replays it exactly. */
+  def diverseSample(corpus: DataFrame, nlist: Int = 16, perCell: Int = 8,
+                    iters: Int = 1, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VecExpressions.nearestCell
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    c.withColumn("cell", nearestCell(col("v"), cents))
+      .withColumn("sim", cosine(col("v"), element_at(centLit, col("cell") + 1)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= perCell)
+      .select(col(idCol), col("cell"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0.
     * Kernel expression — see [[graft.plans.VecOps.hyperplaneSig]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =
