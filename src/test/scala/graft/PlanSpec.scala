@@ -85,6 +85,15 @@ class PlanSpec extends AnyFunSuite {
       s"pair dedup is a shuffle again:\n${aggLines.mkString("\n")}")
   }
 
+  test("per-group top-k windows plan WindowGroupLimit (partial+final): " +
+    "at most k rows per group per partition reach the rank shuffle") {
+    for (q <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_diverse_sample")) {
+      val plan = physical(SparkEntry.queries(q)(spark, TestSpark.sf0001))
+      val spans = plan.linesIterator.count(_.contains("WindowGroupLimit"))
+      assert(spans >= 2, s"$q: rank<=k did not push into WindowGroupLimit\n$plan")
+    }
+  }
+
   test("IVF probe join broadcasts the query side and plans no extra " +
     "exchange on the corpus") {
     val plan = physical(
