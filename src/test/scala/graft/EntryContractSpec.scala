@@ -36,7 +36,13 @@ class EntryContractSpec extends AnyFunSuite {
     val expected = Map(
       "q_latest_wins" -> Set("o_orderkey", "o_custkey", "o_date", "o_totalprice"),
       "q_exact_dedup" -> Set("doc_id", "n_dupes"),
-      "q_window_agg" -> Set("hour_epoch", "event_type", "n_events", "total_value"))
+      "q_window_agg" -> Set("hour_epoch", "event_type", "n_events", "total_value"),
+      "q_ann_lsh" -> Set("query_id", "neighbor_id", "rank", "sim"),
+      "q_ann_ivf" -> Set("query_id", "neighbor_id", "rank", "sim"),
+      "q_embed_neardup" -> Set("id_a", "id_b", "sim"),
+      "q_neardup_prune" -> Set("doc_id", "text"),
+      "q_decontaminate" -> Set("doc_id", "text"),
+      "q_diverse_sample" -> Set("vec_id", "cell", "rank", "sim"))
     expected.foreach { case (name, cols) =>
       val got = SparkEntry.queries(name)(spark, TestSpark.sf0001).columns.toSet
       assert(got == cols, s"$name columns drifted: $got")
