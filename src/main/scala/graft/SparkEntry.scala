@@ -300,6 +300,12 @@ object SparkEntry {
         "doc_id", "id_a", "id_b")
     }),
 
+    // §2b: corpus composition stats — per-language vocabulary top-10
+    // (two map-combinable hash aggs + a WindowGroupLimit rank: the
+    // result stage is O(langs·k) regardless of corpus size)
+    "q_top_tokens" -> ((s, dir) =>
+      LmScore.topTokens(t(s, dir, "documents"), "lang", "text", k = 10)),
+
     // §2b: benchmark decontamination (the GPT-3/PaLM appendix policy,
     // Lee et al. 2022 §6): drop every training doc sharing ANY word
     // 5-shingle with the eval set. Shingle sets are the codegen
@@ -1177,6 +1183,18 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "q_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+        |ranked AS (
+        |  SELECT lang, tok, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rank
+        |  FROM counts)
+        |SELECT lang, tok, c, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // string shingles instead of the engine's 64-bit FNV shingle
     // hashes: identical intersection behavior (a cross-doc hash

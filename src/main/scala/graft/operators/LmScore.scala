@@ -31,4 +31,24 @@ object LmScore {
       .agg(round(avg(-log(col("c").cast("double") / col("n").cast("double"))), 4)
         .as("nll"))
   }
+
+  /** Per-group vocabulary top-k (corpus composition stats): the `k`
+    * most frequent tokens per group, count-desc with token tie-break.
+    * Two hash aggregations (map-side combine shrinks the exploded
+    * tokens to per-partition vocab counts before either shuffle) and a
+    * rank window that Spark plans as WindowGroupLimit — at most k rows
+    * per group per partition reach the rank shuffle, so the result
+    * stage is O(groups·k) regardless of corpus size. */
+  def topTokens(docs: DataFrame, groupCol: String, textCol: String,
+                k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("c").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("tok"), col("c"), col("rank"))
+  }
 }
