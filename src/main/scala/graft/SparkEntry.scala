@@ -28,6 +28,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The shared near-dup test corpus: documents plus a deterministic
+    * truncated copy of each (doc_id+100000, last word dropped) so the
+    * near-dup operators demonstrably find planted pairs. Used by
+    * q_minhash_pairs / q_simhash_pairs / q_dedup_clusters /
+    * q_neardup_prune and replayed verbatim by their DuckDB oracles'
+    * `corpus` CTE — change both together or not at all. */
+  private def neardupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    docs.unionByName(mutated)
+  }
+
   /** orders staged like tmp_gh_repositories, replaying each row as two
     * dump snapshots (the reference re-imports daily dumps, so the same
     * clone_path appears once per dump): the later snapshot has a newer
@@ -260,14 +273,9 @@ object SparkEntry {
     // The corpus is augmented with deterministic truncated copies
     // (doc_id+100000) so the operator demonstrably finds the planted
     // near-dups; pairs are generated per LSH bucket, never all-pairs.
-    "q_minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
-        // drop the last word: a near-identical variant
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      NearDup.minhashPairs(docs.unionByName(mutated), "doc_id", "text",
-        k = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
-    }),
+    "q_minhash_pairs" -> ((s, dir) =>
+      NearDup.minhashPairs(neardupCorpus(s, dir), "doc_id", "text",
+        k = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)),
 
     // §2b-20/27: SimHash + winnowing fingerprint via the custom codegen
     // Catalyst expressions
@@ -277,23 +285,16 @@ object SparkEntry {
         HashExpressions.winnow64(col("text"), 8).as("fingerprint"))),
 
     // §2b-20: SimHash near-dup pairs over the augmented corpus
-    "q_simhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      NearDup.simhashPairs(docs.unionByName(mutated), "doc_id", "text",
-        maxHamming = 3)
-    }),
+    "q_simhash_pairs" -> ((s, dir) =>
+      NearDup.simhashPairs(neardupCorpus(s, dir), "doc_id", "text",
+        maxHamming = 3)),
 
     // §2b-20b: near-dup CLUSTERING — connected components over the
     // simhash pair graph; every doc maps to its component's minimum id
     // (the deterministic keep-one-canonical policy). Hash-min label
     // propagation, diameter-bounded iterations.
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      val corpus = docs.unionByName(mutated)
+      val corpus = neardupCorpus(s, dir)
       val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
         maxHamming = 3)
       Dedup.connectedComponents(corpus.select(col("doc_id")), pairs,
@@ -309,10 +310,13 @@ object SparkEntry {
     // §2b: benchmark decontamination (the GPT-3/PaLM appendix policy,
     // Lee et al. 2022 §6): drop every training doc sharing ANY word
     // 5-shingle with the eval set. Shingle sets are the codegen
-    // shingles64 kernel (8-byte FNV hashes), the eval side is tiny and
-    // broadcast, and contamination travels as narrow (doc_id) /
-    // (hash) rows — at 100 TB the corpus text never shuffles, only
-    // 8-byte keys do. The eval set is self-derived (every 20th doc).
+    // shingles64 kernel (8-byte FNV hashes) and contamination travels
+    // as narrow (doc_id) / (hash) rows — at 100 TB the corpus text
+    // never shuffles, only 8-byte keys do. The broadcast hint reflects
+    // REAL usage, where eval benchmarks are KB-MB scale; the
+    // self-derived test slice here (every 20th doc) stands in for one
+    // and at a genuinely corpus-sized "eval set" the hint should be
+    // dropped so the planner picks a shuffle join.
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 20 === 0)
@@ -331,10 +335,7 @@ object SparkEntry {
     // labels frame is (id, canonical) only, so at 100 TB the join side
     // is narrow and the text column never moves until the final join.
     "q_neardup_prune" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      val corpus = docs.unionByName(mutated)
+      val corpus = neardupCorpus(s, dir)
       val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
         maxHamming = 3)
       val canon = Dedup.connectedComponents(corpus.select(col("doc_id")),

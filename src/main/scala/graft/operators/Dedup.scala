@@ -72,7 +72,11 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val longIds = nodes.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
-    var liveRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    // newest first; TWO generations stay live because the equivalence
+    // augmentation below scans the round-before-last's frame — a
+    // single-slot tracker would unpersist it one round before its last
+    // use and force a lineage recompute every round
+    var liveRdds: List[org.apache.spark.rdd.RDD[_]] = Nil
     // (truncated frame, Some(sum of comp) or None for an empty frame)
     def truncateWithSum(df: DataFrame): (DataFrame, Option[Long]) =
       if (checkpointDir.isDefined || !longIds) {
@@ -93,9 +97,10 @@ object Dedup {
                         else (acc._1 + row.getLong(1), acc._2 + 1L),
           (a, b) => (a._1 + b._1, a._2 + b._2))
         val frame = GraftSqlShim.internalCreateDataFrame(spark, rdd, df.schema)
-        // the previous round's blocks are dead once this one is live
-        liveRdd.foreach(_.unpersist(blocking = false))
-        liveRdd = Some(rdd)
+        // blocks two generations back are dead once this round is live
+        liveRdds = rdd :: liveRdds
+        liveRdds.drop(2).foreach(_.unpersist(blocking = false))
+        liveRdds = liveRdds.take(2)
         (frame, if (n == 0L) None else Some(s))
       }
     // persist the EDGE LIST, not the symmetrized union: the union's two
@@ -121,17 +126,22 @@ object Dedup {
     // the previous round's label map, re-used as EXTRA edges (below)
     var prevLabels: Option[DataFrame] = None
     while (!done && i < maxIters) {
-      // label-equivalence augmentation: every (id, comp) pair of the
-      // PREVIOUS round is a discovered same-component fact, so push
-      // along those pairs too (both directions). Pointer jumping alone
-      // stalls on graphs whose ids are not ordered along the structure:
-      // labels converge to LOCAL minima whose own label is themselves,
-      // making comp∘comp = comp — while the equivalence edges keep
-      // shrinking the effective graph around those local minima
-      // (distributed union-find path compression). Measured on the
-      // sf0.1 near-dup graph (random-id chains, eccentricity ~13):
-      // plain hash-min+jumping needs 14 rounds, augmented converges in
-      // 9 — and unlike deeper jump chains, never ADDS rounds. The extra
+      // label-equivalence augmentation: every (id, comp) pair of a
+      // PAST round is a discovered same-component fact, so push along
+      // those pairs too (both directions). The pairs used are one
+      // generation behind the current labels (prevLabels is assigned
+      // before the round's update) — deliberately so: the CURRENT
+      // frame's pairs only push each node's own label back to itself,
+      // while lagged pairs tell a node's former label about the
+      // improvement that replaced it. Pointer jumping alone stalls on
+      // graphs whose ids are not ordered along the structure: labels
+      // converge to LOCAL minima whose own label is themselves, making
+      // comp∘comp = comp — the lagged equivalence edges keep shrinking
+      // the effective graph around those minima (distributed
+      // union-find path compression). Measured on the sf0.1 near-dup
+      // graph (random-id chains, eccentricity ~13): plain
+      // hash-min+jumping needs 14 rounds, augmented converges in 9 —
+      // and unlike deeper jump chains, never ADDS rounds. The extra
       // rows ride the SAME pushed-join shuffle; prevLabels is a
       // truncated leaf, so no plan growth.
       val symAug = prevLabels match {
@@ -178,7 +188,7 @@ object Dedup {
     }
     cachedEdges.unpersist()
     if (!done) {
-      liveRdd.foreach(_.unpersist(blocking = false))
+      liveRdds.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIters=$maxIters " +
           "rounds — labels would be wrong (partial propagation); raise " +
@@ -186,16 +196,16 @@ object Dedup {
     }
     val result = labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
     // Hand the result its OWN materialized copy and release the loop's
-    // final persisted RDD: otherwise every call pins its last round's
-    // cache blocks for the session lifetime (a long-lived driver running
+    // persisted RDDs: otherwise every call pins its last rounds' cache
+    // blocks for the session lifetime (a long-lived driver running
     // repeated clusterings leaks memory). The localCheckpoint copy is
     // owned by the returned frame's plan and is released by Spark's
     // ContextCleaner once the caller drops the frame — standard cached-
     // result lifetime, instead of an orphaned internal block.
-    if (liveRdd.isDefined) {
+    if (liveRdds.nonEmpty) {
       val out = result.localCheckpoint(eager = true)
-      liveRdd.foreach(_.unpersist(blocking = false))
-      liveRdd = None
+      liveRdds.foreach(_.unpersist(blocking = false))
+      liveRdds = Nil
       out
     } else result
   }

@@ -69,9 +69,11 @@ object Surrogate {
     // and un-released cache blocks would accumulate for the life of
     // the query. The materialized result no longer references
     // `parted`, so the unpersist cannot trigger a re-evaluation (and
-    // thus re-sampling). Pass materialize=false for one-shot lazy
-    // composition (e.g. plan inspection); the cache then lives until
-    // the session drops it.
+    // thus re-sampling). NOTE: construction is eager either way — the
+    // driver-side offsets computation above already materialized
+    // `parted` — so materialize=false only skips the result's own
+    // localCheckpoint copy (the persisted input cache then lives until
+    // the session drops it); it is NOT a lazy-plan-composition mode.
     if (materialize) {
       val pinned = out.localCheckpoint(true)
       parted.unpersist(blocking = false)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, SubqueryExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
@@ -174,7 +174,21 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
       case _ =>
         val results = p.children.map(go)
-        val maps = results.flatMap(_._2).toMap
+        // merge sibling maps; an alias exposed by TWO different
+        // converted joins in the same scope is genuinely ambiguous —
+        // poison it so a reference errors instead of silently taking
+        // whichever sibling merged last
+        val merged = scala.collection.mutable.LinkedHashMap[String, String => String]()
+        results.foreach { case (_, m) =>
+          m.foreach { case (a, f) =>
+            if (merged.contains(a) && !(merged(a) eq f))
+              merged(a) = (_: String) => throw new IllegalArgumentException(
+                s"reference through alias '$a' is ambiguous: multiple " +
+                  "ASOF joins in the same scope expose that alias")
+            else merged(a) = f
+          }
+        }
+        val maps = merged.toMap
         var np = if (p.children.isEmpty) p
                  else p.withNewChildren(results.map(_._1))
         np = np.transformExpressions {
@@ -184,6 +198,16 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
           case ua: UnresolvedAttribute
               if ua.nameParts.length == 2 && maps.contains(ua.nameParts.head) =>
             UnresolvedAttribute(Seq(maps(ua.nameParts.head)(ua.nameParts.last)))
+          // `p.*` through a converted side cannot be expanded (the
+          // as-of output is flat and side membership is unknown until
+          // resolution) — fail with guidance instead of a bare
+          // cannot-resolve
+          case st: UnresolvedStar
+              if st.target.exists(t => t.nonEmpty && maps.contains(t.last)) =>
+            throw new IllegalArgumentException(
+              s"'${st.target.get.mkString(".")}.*' refers through an ASOF " +
+                "JOIN side alias; the as-of output is a flat relation — " +
+                "use '*' or list the columns explicitly")
         }
         // a subquery alias seals its scope: nothing propagates out
         (np, if (p.isInstanceOf[SubqueryAlias]) Map.empty else maps)

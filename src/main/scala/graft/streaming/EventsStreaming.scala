@@ -138,9 +138,12 @@ object EventsStreaming {
     * whole-stage-codegen friendly and short-circuits on first hit. */
   def decontaminateStream(docs: DataFrame, benchShingles: Array[Long],
                           textCol: String = "text", k: Int = 5): DataFrame =
-    docs.filter(!arrays_overlap(
+    // coalesce(false): a NULL text has no shingles and therefore is
+    // NOT contaminated — without the guard the three-valued !NULL
+    // silently drops null-text rows the batch twin keeps
+    docs.filter(!coalesce(arrays_overlap(
       graft.plans.HashExpressions.shingles64(col(textCol), k),
-      lit(benchShingles)))
+      lit(benchShingles)), lit(false)))
 
   /** Driver-side eval-set shingle collection for
     * [[decontaminateStream]] — distinct 64-bit shingle hashes of the

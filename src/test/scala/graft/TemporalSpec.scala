@@ -316,6 +316,33 @@ class TemporalSpec extends AnyFunSuite {
       err.getMessage.toLowerCase.contains("resolve"), err.getMessage)
   }
 
+  test("ASOF JOIN guards: alias-qualified star errors with guidance; " +
+    "the same alias from two sibling ASOF joins is ambiguous") {
+    pts.createOrReplaceTempView("asof_pts")
+    snaps.createOrReplaceTempView("asof_snaps")
+    val star = intercept[Exception] {
+      spark.sql(
+        """SELECT p.* FROM asof_pts p ASOF LEFT JOIN asof_snaps s
+          |ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms""".stripMargin)
+        .collect()
+    }
+    assert(star.getMessage.contains("flat relation"), star.getMessage)
+    // two converted joins in ONE scope both exposing alias `s`: a
+    // reference through `s` must error as ambiguous, not silently
+    // take whichever sibling merged last
+    val amb = intercept[Exception] {
+      spark.sql(
+        """SELECT s.snap_ms FROM
+          |(asof_pts p1 ASOF JOIN asof_snaps s
+          |   ON p1.user_id = s.user_id AND p1.ts_ms >= s.snap_ms)
+          |JOIN
+          |(asof_pts p2 ASOF JOIN asof_snaps s
+          |   ON p2.user_id = s.user_id AND p2.ts_ms >= s.snap_ms) x
+          |ON 1 = 1""".stripMargin).collect()
+    }
+    assert(amb.getMessage.toLowerCase.contains("ambiguous"), amb.getMessage)
+  }
+
   test("rewrite scanner: offsets, quotes, comments") {
     import graft.plans.AsOfSqlParser.rewrite
     assert(rewrite("SELECT 1").isEmpty)
