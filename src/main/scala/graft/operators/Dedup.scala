@@ -125,50 +125,41 @@ object Dedup {
     var i = 0
     // the previous round's label map, re-used as EXTRA edges (below)
     var prevLabels: Option[DataFrame] = None
-    while (!done && i < maxIters) {
-      // label-equivalence augmentation: every (id, comp) pair of a
-      // PAST round is a discovered same-component fact, so push along
-      // those pairs too (both directions). The pairs used are one
-      // generation behind the current labels (prevLabels is assigned
-      // before the round's update) — deliberately so: the CURRENT
-      // frame's pairs only push each node's own label back to itself,
-      // while lagged pairs tell a node's former label about the
-      // improvement that replaced it. Pointer jumping alone stalls on
-      // graphs whose ids are not ordered along the structure: labels
-      // converge to LOCAL minima whose own label is themselves, making
-      // comp∘comp = comp — the lagged equivalence edges keep shrinking
-      // the effective graph around those minima (distributed
-      // union-find path compression). Measured on the sf0.1 near-dup
-      // graph (random-id chains, eccentricity ~13): plain
-      // hash-min+jumping needs 14 rounds, augmented converges in 9 —
-      // and unlike deeper jump chains, never ADDS rounds. The extra
-      // rows ride the SAME pushed-join shuffle; prevLabels is a
-      // truncated leaf, so no plan growth.
-      val symAug = prevLabels match {
+    // One min-propagation pass over `frame`, with two in-pass
+    // accelerations (same plan shape either way):
+    //
+    //  - label-equivalence augmentation: every (id, comp) pair of a
+    //    PAST frame (`eqSrc`, one generation behind `frame`) is a
+    //    discovered same-component fact, so push along those pairs too
+    //    (both directions). The lag is deliberate: the current frame's
+    //    own pairs only push each node's label back to itself, while
+    //    lagged pairs tell a node's former label about the improvement
+    //    that replaced it. Pointer jumping alone stalls on graphs
+    //    whose ids are not ordered along the structure (labels hit
+    //    LOCAL minima with comp∘comp = comp); the lagged edges keep
+    //    shrinking the effective graph around those minima
+    //    (distributed union-find path compression). Measured on the
+    //    sf0.1 near-dup graph: 14 rounds plain → 9 augmented.
+    //  - pointer DOUBLING by repeated self-composition: each of the
+    //    `jumps` steps squares the label map (comp → comp² → comp⁴),
+    //    multiplying propagation distance 2^jumps per pass on
+    //    id-ordered structures. The invariant (a label is always some
+    //    id inside the component) is preserved under composition, and
+    //    the min-aggregation keeps every node's own current label as
+    //    a candidate, so labels are monotone non-increasing and the
+    //    sum witness below stays valid.
+    def propagate(frame: DataFrame, eqSrc: Option[DataFrame]): DataFrame = {
+      val symAug = eqSrc match {
         case Some(pl) =>
           val eq = pl.filter(col("id") =!= col("comp"))
           sym.unionByName(eq.select(col("id").as("x"), col("comp").as("y")))
             .unionByName(eq.select(col("comp").as("x"), col("id").as("y")))
         case None => sym
       }
-      val pushed = labels.join(symAug, col("id") === col("x"))
+      val pushed = frame.join(symAug, col("id") === col("x"))
         .select(col("y").as("id"), col("comp"))
-      // pointer DOUBLING by repeated self-composition: each of the
-      // `jumps` steps squares the label map (comp -> comp^2 -> comp^4
-      // -> comp^8), so one round propagates labels 2^jumps reference
-      // hops instead of one — convergence in ~log_{2^jumps}(diameter)
-      // rounds instead of O(d). Rounds are fixed-overhead barriers
-      // (the cost driver both locally and on a 1000-executor cluster),
-      // while each squaring is one more small-frame join INSIDE the
-      // same round's job — measured on the sf0.1 chain-shaped near-dup
-      // graph (diameter ~5k), jumps=3 cuts 14 rounds to 6. The
-      // invariant (a label is always some id inside the component) is
-      // preserved under composition: labels only travel along edges or
-      // along in-component label chains, and the min-aggregation below
-      // keeps every node's own current label as a candidate, so labels
-      // are monotone non-increasing and the sum witness stays valid.
-      var acc = labels.unionByName(pushed)
-      var hop = labels
+      var acc = frame.unionByName(pushed)
+      var hop = frame
       (1 to jumps).foreach { i =>
         // fresh alias pair per squaring so the self-joins stay
         // unambiguous
@@ -178,8 +169,15 @@ object Dedup {
           .select(col("id"), col(s"__pcomp$i").as("comp"))
         acc = acc.unionByName(hop)
       }
-      val (updated, newSum) = truncateWithSum(
-        acc.groupBy(col("id")).agg(min(col("comp")).as("comp")))
+      acc.groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    }
+    // ONE propagation pass per materialized round. (Two passes per
+    // round — halving the barrier count — was measured and REJECTED:
+    // without materializing the first pass, the second references its
+    // plan ~4x and re-executes it each time, costing more than the
+    // barrier it saves; materializing it IS a round.)
+    while (!done && i < maxIters) {
+      val (updated, newSum) = truncateWithSum(propagate(labels, prevLabels))
       prevLabels = Some(labels)
       labels = updated
       done = newSum == prevSum
