@@ -136,6 +136,22 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
     * alias of the same name in another scope is untouched. */
   private def convertAsOfJoins(plan: LogicalPlan, offsets: Seq[Int]): LogicalPlan = {
     var remaining = offsets.toSet
+    // merge alias-substitution maps from several sources in one scope;
+    // an alias exposed by TWO different converted joins is genuinely
+    // ambiguous — poison it so a reference errors instead of silently
+    // taking whichever source merged last (the same-instance check
+    // lets one map flow up through several levels unharmed)
+    def mergeSubs(ms: Seq[Map[String, String => String]]): Map[String, String => String] = {
+      val merged = scala.collection.mutable.LinkedHashMap[String, String => String]()
+      ms.foreach(_.foreach { case (a, f) =>
+        if (merged.contains(a) && !(merged(a) eq f))
+          merged(a) = (_: String) => throw new IllegalArgumentException(
+            s"reference through alias '$a' is ambiguous: multiple " +
+              "ASOF joins in the same scope expose that alias")
+        else merged(a) = f
+      })
+      merged.toMap
+    }
     // returns (converted subtree, alias→column-rename substitutions
     // still visible to the enclosing operators)
     def go(p: LogicalPlan): (LogicalPlan, Map[String, String => String]) = p match {
@@ -162,10 +178,13 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
             val partner = keyPairs.flatMap { case (a, b) =>
               if (a == b) Nil else Seq(a -> b, b -> a)
             }.toMap
-            val subs = ml ++ mr ++
-              sideAlias(l).map(a => a -> identity[String] _).toMap ++
+            // the same poisoning merge as the generic case: a chained
+            // or nested ASOF join reusing a descendant's alias must
+            // error as ambiguous, not silently shadow it
+            val subs = mergeSubs(Seq(ml, mr,
+              sideAlias(l).map(a => a -> identity[String] _).toMap,
               sideAlias(r).map(a => a -> ((c: String) =>
-                if (c == rt) s"matched_$rt" else partner.getOrElse(c, c))).toMap
+                if (c == rt) s"matched_$rt" else partner.getOrElse(c, c))).toMap))
             (converted, subs)
           case None =>
             throw new IllegalArgumentException(
@@ -174,21 +193,7 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
       case _ =>
         val results = p.children.map(go)
-        // merge sibling maps; an alias exposed by TWO different
-        // converted joins in the same scope is genuinely ambiguous —
-        // poison it so a reference errors instead of silently taking
-        // whichever sibling merged last
-        val merged = scala.collection.mutable.LinkedHashMap[String, String => String]()
-        results.foreach { case (_, m) =>
-          m.foreach { case (a, f) =>
-            if (merged.contains(a) && !(merged(a) eq f))
-              merged(a) = (_: String) => throw new IllegalArgumentException(
-                s"reference through alias '$a' is ambiguous: multiple " +
-                  "ASOF joins in the same scope expose that alias")
-            else merged(a) = f
-          }
-        }
-        val maps = merged.toMap
+        val maps = mergeSubs(results.map(_._2))
         var np = if (p.children.isEmpty) p
                  else p.withNewChildren(results.map(_._1))
         np = np.transformExpressions {
@@ -201,9 +206,10 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
           // `p.*` through a converted side cannot be expanded (the
           // as-of output is flat and side membership is unknown until
           // resolution) — fail with guidance instead of a bare
-          // cannot-resolve
+          // cannot-resolve. Single-part targets only: `db.s.*` names a
+          // real table even when its last part matches a side alias
           case st: UnresolvedStar
-              if st.target.exists(t => t.nonEmpty && maps.contains(t.last)) =>
+              if st.target.exists(t => t.length == 1 && maps.contains(t.head)) =>
             throw new IllegalArgumentException(
               s"'${st.target.get.mkString(".")}.*' refers through an ASOF " +
                 "JOIN side alias; the as-of output is a flat relation — " +

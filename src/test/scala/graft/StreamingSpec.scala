@@ -52,7 +52,10 @@ class StreamingSpec extends AnyFunSuite {
     val shingles = EventsStreaming.benchShingleSet(bench)
 
     val stream = MemoryStream[(Long, String)]
-    stream.addData(docs)
+    // a NULL-text row: no shingles -> NOT contaminated; the stream
+    // must keep it like the batch twin does (guards the coalesce fix
+    // against the three-valued !NULL silently dropping it)
+    stream.addData(docs :+ (-1L, null.asInstanceOf[String]))
     val q = EventsStreaming.decontaminateStream(
         stream.toDF().toDF("doc_id", "text"), shingles)
       .writeStream.outputMode("append")
@@ -64,8 +67,8 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     val batchIds = SparkEntry.queries("q_decontaminate")(spark, TestSpark.sf0001)
       .select($"doc_id").as[Long].collect().toSet
-    assert(streamed == batchIds)
-    assert(streamed.nonEmpty && streamed.size < docs.size)
+    assert(streamed == batchIds + (-1L))
+    assert(streamed.size < docs.size + 1)
   }
 
   test("sessionize closes a session after the gap and keeps state per user") {

@@ -327,9 +327,10 @@ class TemporalSpec extends AnyFunSuite {
         .collect()
     }
     assert(star.getMessage.contains("flat relation"), star.getMessage)
-    // two converted joins in ONE scope both exposing alias `s`: a
-    // reference through `s` must error as ambiguous, not silently
-    // take whichever sibling merged last
+    // two converted joins in ONE scope both exposing alias `s` — NO
+    // sealing subquery alias, so both maps reach the merge and the
+    // poison fires: a reference through `s` errors as ambiguous
+    // instead of silently taking whichever sibling merged last
     val amb = intercept[Exception] {
       spark.sql(
         """SELECT s.snap_ms FROM
@@ -337,10 +338,28 @@ class TemporalSpec extends AnyFunSuite {
           |   ON p1.user_id = s.user_id AND p1.ts_ms >= s.snap_ms)
           |JOIN
           |(asof_pts p2 ASOF JOIN asof_snaps s
-          |   ON p2.user_id = s.user_id AND p2.ts_ms >= s.snap_ms) x
+          |   ON p2.user_id = s.user_id AND p2.ts_ms >= s.snap_ms)
           |ON 1 = 1""".stripMargin).collect()
     }
-    assert(amb.getMessage.toLowerCase.contains("ambiguous"), amb.getMessage)
+    assert(amb.getMessage.contains("multiple ASOF joins"), amb.getMessage)
+    // same guard on the CONVERTED-join merge path: an outer ASOF join
+    // reusing a nested converted join's alias
+    snaps.select($"user_id", $"snap_ms".as("snap2_ms"), $"tag".as("tag2"))
+      .createOrReplaceTempView("asof_snaps2")
+    val nested = intercept[Exception] {
+      spark.sql(
+        """SELECT s.snap_ms FROM
+          |(asof_pts p ASOF JOIN asof_snaps s
+          |   ON p.user_id = s.user_id AND p.ts_ms >= s.snap_ms)
+          |ASOF JOIN asof_snaps2 s
+          |ON user_id = s.user_id AND ts_ms >= s.snap2_ms""".stripMargin).collect()
+    }
+    assert(nested.getMessage.contains("multiple ASOF joins"), nested.getMessage)
+    // a multipart table star whose LAST part matches a side alias is
+    // NOT the alias — it must not trip the flat-relation guard
+    val ok = graft.plans.AsOfSqlParser.rewrite(
+      "SELECT db.s.* FROM db.s JOIN x ON 1=1")
+    assert(ok.isEmpty) // no ASOF phrase: statement untouched entirely
   }
 
   test("rewrite scanner: offsets, quotes, comments") {
