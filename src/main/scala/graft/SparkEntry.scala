@@ -602,19 +602,21 @@ object SparkEntry {
     // §2b-37: token-budget sequence packing (running-budget
     // approximation of LLM context-window packing): per language,
     // docs in deterministic order are chunked wherever the running
-    // token count crosses a 4096-token budget — one window cumsum,
-    // no stateful loop
-    "q_pack_sequences" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          expr("(cum - n_tokens) div 4096").as("seq_id"))
-    }),
+    // token count crosses a 4096-token budget. TWO-PHASE cumsum
+    // (Packing.packSequences): a window partitioned on ~5 languages
+    // would serialize each language through one task at scale; the
+    // range-sharded local-cumsum + broadcast-offset shape keeps
+    // parallelism at numPartitions (materialize=false: one-shot query,
+    // plan stays inspectable for PlanSpec)
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        groups = Seq("lang"), order = Seq("doc_id"),
+        tokensCol = col("n_tokens"), budget = 4096L, seqName = "seq_id",
+        materialize = false)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"))),
 
     // §2b-34: backward as-of join — enrich each event with the latest
     // snapshot row at or before it (single shuffle + sort, no

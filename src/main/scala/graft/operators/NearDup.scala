@@ -13,8 +13,8 @@ import graft.plans.HashExpressions
   * the band hash — never an all-pairs crossJoin. Output volume is
   * O(colliding pairs); at 100 TB the band hash is a high-cardinality
   * shuffle key, and pathological buckets (boilerplate documents) are
-  * capped by `maxBucket` with the overflow logged out-of-band rather
-  * than silently exploding a join.
+  * capped by `maxBucket` with the overflow measured in-plan and logged
+  * ([[BucketCap]]) rather than silently exploding a join.
   */
 object NearDup {
 
@@ -64,17 +64,20 @@ object NearDup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 1000,
+                   capMetrics: Option[BucketCap.CapCounters] = None): DataFrame = {
     val sig = signatures(df, idCol, textCol, k, numBands * rowsPerBand)
       .persist()
     val bands = banded(sig, idCol, numBands, rowsPerBand)
     // one hash-shuffle on the band bucket; buckets above `maxBucket`
     // (boilerplate collisions) are dropped explicitly instead of
-    // quadratically exploding, and pair expansion happens in-row,
-    // bounded by maxBucket^2 per bucket
-    val buckets = bands.groupBy(col("band_id"), col("band_hash"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    // quadratically exploding — the drop is counted and logged
+    // ([[BucketCap.applyCap]]) so the recall loss is visible — and
+    // pair expansion happens in-row, bounded by maxBucket^2 per bucket
+    val buckets = BucketCap.applyCap(
+      bands.groupBy(col("band_id"), col("band_hash"))
+        .agg(collect_list(col(idCol)).as("ids")),
+      "minhash", size(col("ids")), 2, maxBucket, capMetrics)
     val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -97,6 +100,17 @@ object NearDup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), HashExpressions.simhash64(col(textCol)).as("simhash"))
 
+  /** SimHash near-dup pairs: (id_a, id_b, hamming) with id_a < id_b
+    * and Hamming distance <= `maxHamming` (<= 3 is exact-recall under
+    * the 4-block LSH above).
+    *
+    * PRECONDITION: `idCol` must be unique in `df`. Pair uniqueness
+    * relies on it — the first-shared-block predicate dedups each
+    * SIGNATURE pair exactly once, so a duplicated id emits its pair
+    * rows once per id occurrence (there is deliberately NO distinct
+    * here: a candidate-set shuffle is the term that would dominate at
+    * corpus scale). [[Dedup.connectedComponents]] tolerates duplicate
+    * edges; a consumer counting pairs does not — dedupe ids upstream. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(df, idCol, textCol)

@@ -60,16 +60,20 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
                          bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         maxBucket: Int = 10000): DataFrame = {
+                         maxBucket: Int = 10000,
+                         capMetrics: Option[BucketCap.CapCounters] = None): DataFrame = {
     val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val sigs = c.select(col(idCol), explode(array(tables.map { case (tid, planes) =>
         struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
       }: _*)).as("tb"))
       .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
-    val buckets = sigs.groupBy(col("table_id"), col("bucket"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    // oversized buckets drop explicitly; the drop is counted + logged
+    // ([[BucketCap.applyCap]]) so the recall loss is visible, not silent
+    val buckets = BucketCap.applyCap(
+      sigs.groupBy(col("table_id"), col("bucket"))
+        .agg(collect_list(col(idCol)).as("ids")),
+      "cosine_pairs", size(col("ids")), 2, maxBucket, capMetrics)
     val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

@@ -33,6 +33,47 @@ class NearDupSpec extends AnyFunSuite {
     assert(!found.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
   }
 
+  test("maxBucket drops are observed, not silent: a degenerate corpus " +
+    "reports its dropped buckets through the cap metrics") {
+    // 40 identical docs: every band bucket holds all 40 ids, far over
+    // a maxBucket of 8 — every bucket drops, zero pairs survive
+    val degenerate = (1L to 40L).map(i =>
+      (i, "the same boilerplate line repeated in every document"))
+      .toDF("doc_id", "text")
+    val caps = graft.operators.BucketCap.CapCounters(spark, "spec_minhash")
+    val out = NearDup.minhashPairs(degenerate, "doc_id", "text",
+      k = 3, numBands = 8, rowsPerBand = 4, maxBucket = 8,
+      capMetrics = Some(caps)).count()
+    assert(out === 0L, "capped buckets must yield no pairs")
+    // all 8 band buckets hold the full 40 ids and drop — and the count
+    // SURVIVES AQE's empty-relation pruning of the downstream join
+    // (the Dataset.observe formulation did not: see BucketCap scaladoc)
+    assert(caps.droppedBuckets.value === 8L,
+      s"drop not counted: buckets=${caps.droppedBuckets.value}")
+    assert(caps.droppedIds.value === 320L,
+      s"dropped id volume not counted: ids=${caps.droppedIds.value}")
+    // and a healthy corpus reports zero drops
+    val ok = graft.operators.BucketCap.CapCounters(spark, "spec_minhash_ok")
+    NearDup.minhashPairs(corpus, "doc_id", "text",
+      k = 3, numBands = 8, rowsPerBand = 4, capMetrics = Some(ok)).count()
+    assert(ok.droppedBuckets.value === 0L)
+  }
+
+  test("cosineNearDupPairs counts its maxBucket drops too") {
+    // 30 identical unit vectors: one bucket per table holds all 30 ids
+    val vecs = (1L to 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val caps = graft.operators.BucketCap.CapCounters(spark, "spec_cosine")
+    val out = graft.operators.Similarity.cosineNearDupPairs(
+      vecs, threshold = 0.9, dim = 4, bits = 2, numTables = 2,
+      maxBucket = 5, capMetrics = Some(caps)).count()
+    assert(out === 0L)
+    assert(caps.droppedBuckets.value === 2L,
+      s"drop not counted: buckets=${caps.droppedBuckets.value}")
+    assert(caps.droppedIds.value === 60L,
+      s"dropped id volume not counted: ids=${caps.droppedIds.value}")
+  }
+
   test("LSH candidates are generated per bucket — recall vs brute force " +
     "on planted dups is total") {
     // brute-force exact Jaccard over the tiny corpus (test-only crossJoin)

@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
       s"quality recomputed above the aggregate:\n$plan")
   }
 
+  test("sequence packing cumsum is range-sharded, never partitioned on " +
+    "the low-cardinality group alone (no serial task per language)") {
+    val plan = physical(
+      SparkEntry.queries("q_pack_sequences")(spark, TestSpark.sf0001))
+    // data pass: range partitioning on (lang, doc_id) — parallelism is
+    // the shard count, independent of |langs|
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    // the window that sums the DATA (over __v) must include the shard
+    // id in its partition spec; a spec of (lang) alone is the
+    // one-task-per-language shape this operator exists to avoid. (The
+    // offsets window over per-shard totals MAY partition by lang — it
+    // runs on metadata-sized rows — and is identified by __tot.)
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("__v")).toSeq
+    assert(dataWindows.nonEmpty, s"no data-pass window found:\n$plan")
+    assert(dataWindows.forall(_.contains("__pid")),
+      s"data cumsum window not sharded:\n${dataWindows.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     val df = SparkEntry.queries("q_fingerprint")(spark, TestSpark.sf0001)
     val plan = physical(df)
