@@ -56,29 +56,23 @@ object Bench {
       // cached blocks don't build heap pressure that taxes later queries
       spark.catalog.clearCache()
     }
-    // PASS 2 — grouped shared-session execution: the whole (warm) query
-    // set submitted concurrently to the one session, longest-first (LPT
-    // by the pass-1 timings) so the makespan is work-bound, not
-    // tail-bound. This is how a user actually runs a query workload —
-    // one Spark app, overlapping jobs — and it amortizes the per-query
-    // fixed job overhead that pass 1 pays 50×. Wall-clock of this pass
-    // is the headline total; per-query numbers stay the pass-1 ones.
-    val okQueries = SparkEntry.queries.toSeq
-      .filter { case (n, _) => !failed.contains(n) }
-      .sortBy { case (n, _) => -timings.getOrElse(n, 0.0) }
-    val parallelism = math.min(12, math.max(1, okQueries.size))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    // PASS 2 — grouped shared-session execution via SparkEntry.runAll
+    // (the library entry point; the bench only picks LPT order and
+    // times the makespan): the whole (warm) query set submitted
+    // concurrently to the one session, longest-first by the pass-1
+    // timings so the makespan is work-bound, not tail-bound. This is
+    // how a user actually runs a query workload — one Spark app,
+    // overlapping jobs — and it amortizes the per-query fixed job
+    // overhead that pass 1 pays 50×. A concurrent failure surfaces
+    // (pass 1 already proved each query runs alone).
+    val okNames = SparkEntry.queries.keys.toSeq
+      .filter(n => !failed.contains(n))
+      .sortBy(n => -timings.getOrElse(n, 0.0))
+    val parallelism = math.min(12, math.max(1, okNames.size))
     val gStart = System.nanoTime()
-    val futures = okQueries.map { case (name, fn) =>
-      pool.submit(new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit = once(fn)
-      })
-    }
-    // surface, not swallow, a concurrent failure (pass 1 already proved
-    // each query runs; a failure here would be a real concurrency bug)
-    futures.foreach(_.get())
+    SparkEntry.runAll(spark, sfDir, parallelism, okNames)((_, df) =>
+      df.write.mode("overwrite").format("noop").save())
     val groupedTotal = (System.nanoTime() - gStart) / 1e9
-    pool.shutdown()
     spark.catalog.clearCache()
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

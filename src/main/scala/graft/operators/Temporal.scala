@@ -32,10 +32,19 @@ object Temporal {
     * ignoreNulls)` then skips left rows (null struct) but never a
     * matched right row whose payload VALUE is null.
     *
-    * At 100 TB: partitioning is by key only, so a pathologically hot
-    * key serializes into one task — for such corpora pre-split the key
-    * by coarse time range and as-of join per range with a boundary
-    * carry-forward pass (two jobs, still no explosion).
+    * At 100 TB: with `timeSplits = 1` (default) partitioning is by key
+    * only, so a pathologically hot key serializes into one task. For
+    * such corpora pass `timeSplits > 1`: the time axis is cut at
+    * approximate left-time quantiles and the window partitions on
+    * (keys, time range) — a hot key spreads over `timeSplits` tasks.
+    * Left rows near a range's start still see earlier right rows via a
+    * boundary carry-forward: the latest right row of each (key, earlier
+    * range) re-enters every later range as a synthetic row ordered
+    * before that range's real rows (≤ keys·timeSplits²/2 metadata-sized
+    * carry rows — never a data explosion). Results are IDENTICAL to the
+    * single-pass plan; the quantile probe is one extra small job over
+    * the left time column, and boundary quality only affects balance,
+    * never correctness.
     *
     * Right rows with a NULL `rightTime` are dropped before the union:
     * SQL ASOF (and a `l.t >= r.t` predicate) never matches a NULL
@@ -49,7 +58,9 @@ object Temporal {
     * wins is tie-order dependent.
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-                       leftTime: String, rightTime: String): DataFrame = {
+                       leftTime: String, rightTime: String,
+                       timeSplits: Int = 1): DataFrame = {
+    require(timeSplits >= 1, "timeSplits must be >= 1")
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTime).toSeq
     require(payloadCols.intersect(left.columns.toSeq).isEmpty,
@@ -67,10 +78,47 @@ object Temporal {
     val unioned = rTagged
       .withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
       .unionByName(lTagged)
-    val w = Window.partitionBy(keys.map(col): _*)
+    // hot-key mitigation: augment the window partition key with a
+    // coarse time-range id and carry each (key, range)'s latest right
+    // row forward into all later ranges, ordered BEFORE their real
+    // rows (its __t is strictly below the range's lower boundary, and
+    // __side = -1 breaks any residual tie). Distinct boundaries only:
+    // duplicate quantiles on a point-mass distribution would create
+    // empty ranges, not wrong answers, but they waste carry rows.
+    val (partCols, ordered) =
+      if (timeSplits == 1) (keys.map(col), unioned)
+      else {
+        val probs = (1 until timeSplits).map(_.toDouble / timeSplits).toArray
+        val bs = left.select(col(leftTime).cast("double").as("__q"))
+          .na.drop().stat.approxQuantile("__q", probs, 0.01)
+          .distinct.sorted.toSeq
+        // range id = #{boundaries <= t}; the double cast is a
+        // CONSISTENT mapping on both sides of every comparison, so a
+        // lossy long→double rounding can only move a whole row across
+        // a boundary, never split its semantics
+        val rangeOf = bs.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("__t").cast("double") >= b, 1).otherwise(0) }
+        val nb = bs.size
+        val ranged = unioned.withColumn("__range", rangeOf)
+        val rAgg = ranged.filter(col("__side") === 0)
+          .groupBy((keys.map(col) :+ col("__range")): _*)
+          .agg(max_by(struct(col("__t").as("t"), col("__r").as("r")),
+            col("__t")).as("__m"))
+        // explode guard: sequence(a, b) with a > b generates a
+        // DESCENDING sequence, not an empty one — null out the
+        // last range's carry instead (explode drops nulls)
+        val carried = rAgg.select(
+          (keys.map(col) :+ col("__m.t").as("__t") :+
+            lit(-1).as("__side") :+ col("__m.r").as("__r") :+
+            lit(null).cast(lTagged.schema("__l").dataType).as("__l") :+
+            explode(when(col("__range") < nb,
+              sequence(col("__range") + 1, lit(nb)))).as("__range")): _*)
+        (keys.map(col) :+ col("__range"), ranged.unionByName(carried))
+      }
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val matched = unioned
+    val matched = ordered
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     matched.select(col("__l.*") +:

@@ -14,15 +14,28 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * own everything physical. This is how Spark itself treats high-level
   * constructs (e.g. lateral joins): a logical marker, then a lowering.
   *
-  * `keyPairs` carries each ON-clause key equality AS WRITTEN — the two
-  * names may differ (`p.uid = s.user_id`, as DuckDB allows) and which
-  * belongs to which side is only knowable once the children resolve,
-  * so [[ResolveAsOfJoin]] orients the pairs against the children's
-  * outputs and renames the right side to the left names before
-  * lowering. Output key columns therefore carry the LEFT side's names.
+  * `keyPairs` carries each ON-clause key equality AS WRITTEN —
+  * immediate qualifier included (`p.uid = s.user_id`: DuckDB allows
+  * differing names, and which belongs to which side is only knowable
+  * once the children resolve) — so [[ResolveAsOfJoin]] orients the
+  * pairs against the children's outputs (names AND qualifiers matched
+  * through the session resolver, so case sensitivity follows
+  * `spark.sql.caseSensitive`), and renames the right side to the left
+  * names before lowering. Output key columns therefore carry the LEFT
+  * side's names. A pair both of whose orientations resolve and whose
+  * qualifiers don't pin a side is rejected as ambiguous rather than
+  * silently bound in as-written order.
   */
+case class AsOfKey(qualifier: Option[String], name: String) {
+  def show: String = qualifier.map(q => s"$q.").getOrElse("") + name
+}
+
+object AsOfKey {
+  def bare(name: String): AsOfKey = AsOfKey(None, name)
+}
+
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
-                        keyPairs: Seq[(String, String)],
+                        keyPairs: Seq[(AsOfKey, AsOfKey)],
                         leftTime: String, rightTime: String)
   extends BinaryNode {
   // unresolved marker: the analyzer keeps running rules (ours fires and
@@ -36,27 +49,63 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 /** Analysis rule: orient the key pairs, rename differing right-side
   * key names to their left partners, and lower [[AsOfJoinPlan]] to the
-  * composed plan. */
+  * composed plan. Matching uses the session resolver (case-insensitive
+  * unless `spark.sql.caseSensitive`); written qualifiers are validated
+  * against the resolved sides' attribute qualifiers, and an
+  * unqualified pair both of whose orientations resolve is an error. */
 case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case AsOfJoinPlan(l, r, keyPairs, lt, rt) if l.resolved && r.resolved =>
-      val lCols = l.output.map(_.name).toSet
-      val rCols = r.output.map(_.name).toSet
-      val oriented = keyPairs.map {
-        case (a, b) if a == b => (a, b)
-        case (a, b) if lCols.contains(a) && rCols.contains(b) => (a, b)
-        case (a, b) if lCols.contains(b) && rCols.contains(a) => (b, a)
-        case (a, b) => throw new IllegalArgumentException(
-          s"ASOF JOIN key $a = $b: neither orientation matches the join " +
-            s"sides (left has ${lCols.mkString(",")}; right has ${rCols.mkString(",")})")
+      val resolver = spark.sessionState.conf.resolver
+      def findIn(out: Seq[Attribute], k: AsOfKey): Option[Attribute] =
+        out.find(a => resolver(a.name, k.name) &&
+          k.qualifier.forall(q => a.qualifier.exists(resolver(_, q))))
+      def describe(out: Seq[Attribute]): String = out.map(_.name).mkString(",")
+      val oriented: Seq[(Attribute, Attribute)] = keyPairs.map { case (k1, k2) =>
+        val asWritten = (findIn(l.output, k1), findIn(r.output, k2))
+        val flipped = (findIn(l.output, k2), findIn(r.output, k1))
+        (asWritten, flipped) match {
+          // same column name: the orientations are the same binding
+          case ((Some(la), Some(ra)), _) if resolver(k1.name, k2.name) =>
+            (la, ra)
+          case ((Some(_), Some(_)), (Some(_), Some(_))) =>
+            throw new IllegalArgumentException(
+              s"ASOF JOIN key ${k1.show} = ${k2.show} is ambiguous: both " +
+                "orientations resolve (each side exposes both names) — " +
+                "qualify the keys with the side aliases")
+          case ((Some(la), Some(ra)), _) => (la, ra)
+          case (_, (Some(la), Some(ra))) => (la, ra)
+          case _ => throw new IllegalArgumentException(
+            s"ASOF JOIN key ${k1.show} = ${k2.show}: neither orientation " +
+              s"matches the join sides (left has ${describe(l.output)}; " +
+              s"right has ${describe(r.output)})")
+        }
       }
+      val ltAttr = l.output.find(a => resolver(a.name, lt)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ASOF JOIN probe time $lt not found on the left side " +
+            s"(${describe(l.output)}); the GREATER side of the time " +
+            "inequality must be the left/probe time"))
+      val rtAttr = r.output.find(a => resolver(a.name, rt)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ASOF JOIN snapshot time $rt not found on the right side " +
+            s"(${describe(r.output)})"))
       val rightDf = oriented.foldLeft(GraftSqlShim.ofRows(spark, r)) {
-        case (df, (ln, rn)) =>
-          if (ln == rn) df else df.withColumnRenamed(rn, ln)
+        case (df, (la, ra)) =>
+          if (la.name == ra.name) df
+          else {
+            // a pre-existing right column under the left key's name
+            // would collide with the rename and bind ambiguously below
+            if (r.output.exists(a => (a ne ra) && resolver(a.name, la.name)))
+              throw new IllegalArgumentException(
+                s"ASOF JOIN: right side already exposes a column named " +
+                  s"${la.name}; cannot rename key ${ra.name} onto it")
+            df.withColumnRenamed(ra.name, la.name)
+          }
       }
       GraftSqlShim.analyzed(graft.operators.Temporal.asOfJoinBackward(
         GraftSqlShim.ofRows(spark, l), rightDf,
-        oriented.map(_._1), lt, rt))
+        oriented.map(_._1.name), ltAttr.name, rtAttr.name))
   }
 }
 
@@ -69,6 +118,6 @@ object AsOfJoinPlan {
     val spark = SparkSession.active
     GraftSqlShim.ofRows(spark, AsOfJoinPlan(
       GraftSqlShim.logicalPlan(left), GraftSqlShim.logicalPlan(right),
-      keys.map(k => (k, k)), leftTime, rightTime))
+      keys.map(k => (AsOfKey.bare(k), AsOfKey.bare(k))), leftTime, rightTime))
   }
 }

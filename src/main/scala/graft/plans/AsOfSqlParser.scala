@@ -82,17 +82,27 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => None
   }
 
+  /** Column reference with its immediate qualifier kept (`p.uid` →
+    * qualifier p; `db.t.uid` → qualifier t), for orientation
+    * validation against the side aliases in [[ResolveAsOfJoin]]. */
+  private def keyOf(e: Expression): Option[AsOfKey] = e match {
+    case a: UnresolvedAttribute =>
+      Some(AsOfKey(a.nameParts.dropRight(1).lastOption, a.nameParts.last))
+    case _ => None
+  }
+
   /** ON-clause shape test: all-equalities-plus-one-time-inequality →
     * (key pairs as written, leftTime, rightTime). Key equalities may
     * join DIFFERENT column names (`p.uid = s.user_id`, as DuckDB
     * allows); which name belongs to which side is not knowable at
-    * parse time, so the pairs are carried as written and oriented
-    * against the resolved children in [[ResolveAsOfJoin]]. */
-  private def asOfShape(cond: Expression): Option[(Seq[(String, String)], String, String)] = {
+    * parse time, so the pairs are carried as written — qualifiers
+    * included — and oriented against the resolved children in
+    * [[ResolveAsOfJoin]]. */
+  private def asOfShape(cond: Expression): Option[(Seq[(AsOfKey, AsOfKey)], String, String)] = {
     val cs = conjuncts(cond)
     val keyPairs = cs.collect { case EqualTo(l, r)
-        if lastName(l).isDefined && lastName(r).isDefined =>
-      (lastName(l).get, lastName(r).get)
+        if keyOf(l).isDefined && keyOf(r).isDefined =>
+      (keyOf(l).get, keyOf(r).get)
     }
     val ineqs = cs.collect {
       // the GREATER side is the probe time (backward as-of)
@@ -174,17 +184,25 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
             // differing key names surface under the LEFT side's name
             // (the lowering renames the right key), so a right-alias
             // reference maps to the pair partner — symmetric, which
-            // also covers the orientation flip resolved only later
+            // also covers the orientation flip resolved only later.
+            // Comparisons go through the session resolver: `ON
+            // p.TS_MS >= s.SNAP_MS` and `SELECT s.snap_ms` must agree
+            // the same way the analyzer later will.
+            val resolver = org.apache.spark.sql.GraftSqlShim.activeResolver
             val partner = keyPairs.flatMap { case (a, b) =>
-              if (a == b) Nil else Seq(a -> b, b -> a)
-            }.toMap
+              if (a.name == b.name) Nil
+              else Seq(a.name -> b.name, b.name -> a.name)
+            }
             // the same poisoning merge as the generic case: a chained
             // or nested ASOF join reusing a descendant's alias must
             // error as ambiguous, not silently shadow it
             val subs = mergeSubs(Seq(ml, mr,
               sideAlias(l).map(a => a -> identity[String] _).toMap,
               sideAlias(r).map(a => a -> ((c: String) =>
-                if (c == rt) s"matched_$rt" else partner.getOrElse(c, c))).toMap))
+                if (resolver(c, rt)) s"matched_$rt"
+                else partner.collectFirst {
+                  case (k, v) if resolver(c, k) => v
+                }.getOrElse(c))).toMap))
             (converted, subs)
           case None =>
             throw new IllegalArgumentException(

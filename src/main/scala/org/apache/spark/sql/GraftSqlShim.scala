@@ -42,4 +42,10 @@ object GraftSqlShim {
 
   def toInternalRowRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** The ACTIVE session's name resolver (case-insensitive unless
+    * `spark.sql.caseSensitive`) — for parse-time name comparisons that
+    * must agree with how the analyzer will later resolve the names. */
+  def activeResolver: (String, String) => Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.resolver
 }

@@ -35,6 +35,30 @@ class ApproxSwapSpec extends AnyFunSuite {
     }
   }
 
+  test("Profile.profile approxDistinct=true swaps in the HLL sketch " +
+    "and tracks the exact profile within the rsd bound") {
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    val cols = Seq("o_custkey", "o_orderstatus")
+    val exact = graft.operators.Profile.profile(o, cols, cols).head()
+    val approx = graft.operators.Profile.profile(o, cols, cols,
+      approxDistinct = true, rsd = 0.02).head()
+    // schemas agree column-for-column; non-null counts are exact in
+    // BOTH variants (the swap touches only the distinct aggregates)
+    assert(exact.schema.fieldNames.toSeq == approx.schema.fieldNames.toSeq)
+    assert(approx.getAs[Long]("n_rows") === exact.getAs[Long]("n_rows"))
+    cols.foreach { c =>
+      assert(approx.getAs[Long](s"nn_$c") === exact.getAs[Long](s"nn_$c"))
+      val (e, a) = (exact.getAs[Long](s"nd_$c").toDouble,
+        approx.getAs[Long](s"nd_$c").toDouble)
+      assert(math.abs(a - e) / e <= 0.06, s"$c: exact=$e approx=$a")
+    }
+    // and the plan really is the sketch, not the expand-shuffle
+    val plan = graft.operators.Profile.profile(o, cols, cols,
+      approxDistinct = true).queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct"), plan)
+    assert(!plan.contains("Expand"), s"approx variant still expands:\n$plan")
+  }
+
   test("approx_count_distinct tracks exact distinct within its " +
     "standard-error bound on the orders table") {
     val o = Tables.orders(spark, TestSpark.sf0001)

@@ -44,6 +44,46 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(16L) == ((None, None)))
   }
 
+  test("timeSplits pre-split: one hot key spreads over several window " +
+    "partitions and still matches the single-pass result exactly") {
+    // ONE key: the single-pass plan serializes all 4000 points through
+    // one task; timeSplits=4 must give identical rows
+    val r = new scala.util.Random(11)
+    val hotSnaps = (0 until 250).map(i =>
+      (7L, (r.nextInt(100000) * 2).toLong))
+      .distinct.map { case (k, t) => (k, t, s"s$t") }
+      .toDF("user_id", "snap_ms", "tag")
+    val hotPts = Seq.tabulate(4000)(i =>
+      (i.toLong, 7L, (r.nextInt(100000) * 2 + 1).toLong))
+      .toDF("event_id", "user_id", "ts_ms")
+    def run(splits: Int) = Temporal.asOfJoinBackward(hotPts, hotSnaps,
+        Seq("user_id"), "ts_ms", "snap_ms", timeSplits = splits)
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    val split = run(4)
+    assert(split == run(1), "timeSplits result differs from single-pass")
+    // edge coverage on the fixture (nulls, exact-at, unmatched keys)
+    val fixture = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms", timeSplits = 3)
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    val fixtureRef = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(fixture == fixtureRef)
+    // the data window must partition on (key, __range) — the hot key
+    // is no longer a single task
+    val plan = Temporal.asOfJoinBackward(hotPts, hotSnaps,
+        Seq("user_id"), "ts_ms", "snap_ms", timeSplits = 4)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l =>
+      l.contains("user_id") && l.contains("__range")),
+      s"window not partitioned by time range:\n$plan")
+  }
+
   test("as-of join equals the quadratic reference on random data") {
     val r = new scala.util.Random(7)
     val rndSnaps = Seq.fill(200)((r.nextInt(5).toLong,
@@ -314,6 +354,64 @@ class TemporalSpec extends AnyFunSuite {
     assert(err.getMessage.contains("orientation") ||
       err.getMessage.toLowerCase.contains("cannot") ||
       err.getMessage.toLowerCase.contains("resolve"), err.getMessage)
+  }
+
+  test("ASOF JOIN keys match case-insensitively and qualifiers pin the " +
+    "orientation; an unpinnable two-way pair errors as ambiguous") {
+    pts.withColumnRenamed("user_id", "uid")
+      .createOrReplaceTempView("asof_pts_uid")
+    snaps.createOrReplaceTempView("asof_snaps")
+    // case-insensitive ON-clause names (plain Spark SQL would resolve
+    // these; the orientation match must too)
+    val upper = spark.sql(
+      """SELECT p.event_id, s.snap_ms, s.tag
+        |FROM asof_pts_uid p ASOF LEFT JOIN asof_snaps s
+        |ON p.UID = s.USER_ID AND p.TS_MS >= s.SNAP_MS""".stripMargin)
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    val direct = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(upper == direct)
+    // both sides expose BOTH key names: unqualified keys are ambiguous
+    // (either orientation would bind) — must error, not silently pick
+    // the as-written order
+    pts.withColumnRenamed("user_id", "uid").withColumn("user_id", $"uid")
+      .createOrReplaceTempView("asof_pts_both")
+    snaps.withColumn("uid", $"user_id")
+      .createOrReplaceTempView("asof_snaps_both")
+    val amb = intercept[Exception] {
+      spark.sql(
+        """SELECT event_id FROM asof_pts_both p ASOF JOIN asof_snaps_both s
+          |ON uid = user_id AND p.ts_ms >= s.snap_ms""".stripMargin)
+        .collect()
+    }
+    assert(amb.getMessage.toLowerCase.contains("ambiguous"), amb.getMessage)
+    // the same pair WITH qualifiers orients per the qualifiers — even
+    // written right-side-first (`s.user_id = p.uid`, the order the old
+    // as-written binding got backwards). On this deliberately
+    // conflicted schema the lowering then rejects the rename with a
+    // clear error (the right side already exposes the left key's
+    // name); the message naming user_id→uid proves the orientation
+    // followed the qualifiers, not the written order
+    val pinned = intercept[Exception] {
+      spark.sql(
+        """SELECT event_id FROM asof_pts_both p ASOF JOIN asof_snaps_both s
+          |ON s.user_id = p.uid AND p.ts_ms >= s.snap_ms""".stripMargin)
+        .collect()
+    }
+    assert(pinned.getMessage.contains("already exposes") &&
+      pinned.getMessage.contains("user_id"), pinned.getMessage)
+    // clean schema (no column overlap): the qualified reversed-order
+    // pair binds correctly and matches the direct composition
+    val reversedOk = spark.sql(
+      """SELECT p.event_id, s.snap_ms, s.tag
+        |FROM asof_pts_uid p ASOF LEFT JOIN asof_snaps s
+        |ON s.user_id = p.uid AND p.ts_ms >= s.snap_ms""".stripMargin)
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(reversedOk == direct)
   }
 
   test("ASOF JOIN guards: alias-qualified star errors with guidance; " +
