@@ -76,6 +76,27 @@ object Ingest {
   val repoCollaboratorSchema: StructType = StructType.fromDDL(
     "id BIGINT, login STRING, repo STRING, owner STRING")
 
+  /** GHTorrent `commits` collection (GitHub commit API shape). The
+    * reference stops at 4 entity kinds (ght2dm.go:1153-1156); these
+    * ride the SAME decode path — one more `StructType` each, including
+    * the `parents` array the scalar-only schemas couldn't carry. */
+  val commitSchema: StructType = StructType.fromDDL(
+    """sha STRING, url STRING,
+      |author STRUCT<id: BIGINT, login: STRING>,
+      |committer STRUCT<id: BIGINT, login: STRING>,
+      |commit STRUCT<message: STRING, comment_count: BIGINT,
+      |  author: STRUCT<name: STRING, email: STRING, date: STRING>,
+      |  committer: STRUCT<name: STRING, email: STRING, date: STRING>>,
+      |parents ARRAY<STRUCT<sha: STRING>>""".stripMargin.replaceAll("\n", " "))
+
+  /** GHTorrent `events` collection (GitHub event feed shape; `id` is a
+    * STRING in the API). */
+  val eventSchema: StructType = StructType.fromDDL(
+    """id STRING, type STRING, public BOOLEAN, created_at STRING,
+      |actor STRUCT<id: BIGINT, login: STRING>,
+      |repo STRUCT<id: BIGINT, name: STRING>,
+      |org STRUCT<id: BIGINT, login: STRING>""".stripMargin.replaceAll("\n", " "))
+
   /** Per-row decode dispatch. A JSON doc starts with `{` and never
     * ends with 0x00; BSON always ends with the 0x00 terminator — in
     * BOTH shapes [[graft.functions.BsonDecoder.decode]] accepts: a
@@ -211,6 +232,56 @@ object Ingest {
       col("subscribers_count"), col("watchers_count"), col("size_in_kb"),
       col("created_at"), col("updated_at"), col("pushed_at"))
     (repositories, ghRepositories)
+  }
+
+  /** commits folder → flat `commits` table: first-wins dedup per sha
+    * (re-shipped dumps repeat commits), the reference's normalization
+    * idioms (null-byte strip, empty→NULL dates), parent shas flattened
+    * to an array column. Author/committer logins may be NULL (commits
+    * by unmapped emails have no account objects in the API). */
+  def importCommits(raw: DataFrame): DataFrame = {
+    val deduped = raw.filter(col("sha").isNotNull)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sha"))
+          .orderBy(col("commit.author.date").asc_nulls_last)))
+      .filter(col("__rn") === 1).drop("__rn")
+    deduped.select(
+      clean("sha").as("sha"),
+      col("author.id").as("author_github_id"),
+      Normalize.removeNullBytes(col("author.login")).as("author_login"),
+      col("committer.id").as("committer_github_id"),
+      Normalize.removeNullBytes(col("committer.login")).as("committer_login"),
+      Normalize.removeNullBytes(col("commit.message")).as("message"),
+      col("commit.comment_count").as("comment_count"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("commit.author.date")))
+        .cast("timestamp").as("authored_at"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("commit.committer.date")))
+        .cast("timestamp").as("committed_at"),
+      transform(coalesce(col("parents"),
+        array().cast("array<struct<sha:string>>")), p => p.getField("sha"))
+        .as("parent_shas"))
+  }
+
+  /** events folder → flat `events` table: first-wins dedup per event
+    * id, actor/repo/org references flattened for downstream joins. */
+  def importEvents(raw: DataFrame): DataFrame = {
+    val deduped = raw.filter(col("id").isNotNull)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("created_at").asc_nulls_last)))
+      .filter(col("__rn") === 1).drop("__rn")
+    deduped.select(
+      clean("id").as("event_id"),
+      clean("type").as("event_type"),
+      col("public"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
+        .cast("timestamp").as("created_at"),
+      col("actor.id").as("actor_github_id"),
+      Normalize.removeNullBytes(col("actor.login")).as("actor_login"),
+      col("repo.id").as("repo_github_id"),
+      Normalize.removeNullBytes(col("repo.name")).as("repo_full_name"),
+      col("org.id").as("org_github_id"),
+      Normalize.removeNullBytes(col("org.login")).as("org_login"))
   }
 
   /** org_members folder → gh_users_organizations via broadcast

@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * length to collide with those low bytes AND end in 0x00 AND decode
   * cleanly — not a shape real entity docs can take.)
   *
-  * Only the scalar types the entity schemas use are DECODED (string,
-  * int32/int64/double, bool, null, UTC-datetime, embedded document);
-  * every BSON type is SKIPPED correctly, so documents may carry any
-  * extra fields — the reference's unmarshal-into-struct behavior of
+  * Only the types the entity schemas use are DECODED (string,
+  * int32/int64/double, bool, null, UTC-datetime, embedded document,
+  * and arrays of those — `parents` on a commit document); every BSON
+  * type is SKIPPED correctly, so documents may carry any extra
+  * fields — the reference's unmarshal-into-struct behavior of
   * ignoring unknown keys.
   */
 object Bson {
@@ -87,6 +88,10 @@ object Bson {
     * terminator) — exactly the bytes mongodump would emit, and what
     * [[graft.sources.DumpSource.writeDump]] expects minus its own
     * prefix (see [[docBody]]). */
+  /** Array value marker for the encoder (a bare Seq means an embedded
+    * document of (name, value) pairs). */
+  final case class BArray(items: Seq[Any])
+
   def doc(fields: Seq[(String, Any)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     writeDoc(out, fields)
@@ -145,6 +150,10 @@ object Bson {
       writeInt32(out, b.length + 1); out.write(b, 0, b.length); out.write(0)
     case v: java.time.Instant =>
       out.write(TDatetime); writeCString(out, name); writeInt64(out, v.toEpochMilli)
+    case BArray(items) =>
+      out.write(TArray); writeCString(out, name)
+      // a BSON array IS a document keyed "0","1",... (bsonspec.org)
+      writeDoc(out, items.zipWithIndex.map { case (x, i) => i.toString -> x })
     case v: Seq[_] =>
       out.write(TDoc); writeCString(out, name)
       writeDoc(out, v.asInstanceOf[Seq[(String, Any)]])
@@ -181,6 +190,7 @@ class BsonDecoder(val schema: StructType) extends Serializable {
   @transient private lazy val nested: Array[BsonDecoder] =
     schema.fields.map(_.dataType match {
       case st: StructType => new BsonDecoder(st)
+      case ArrayType(st: StructType, _) => new BsonDecoder(st)
       case _ => null
     })
 
@@ -215,54 +225,88 @@ class BsonDecoder(val schema: StructType) extends Serializable {
       val ord = ordinal.get(name)
       if (ord != null) {
         val i = ord.intValue()
-        types(i) match {
-          case LongType => t match {
-            case Bson.TInt64 | Bson.TDatetime | Bson.TTimestamp =>
-              row.update(i, Bson.readInt64(bytes, p))
-            case Bson.TInt32 => row.update(i, Bson.readInt32(bytes, p).toLong)
-            case Bson.TDouble => row.update(i,
-              java.lang.Double.longBitsToDouble(Bson.readInt64(bytes, p)).toLong)
-            case _ => // null / mismatch -> stays null
-          }
-          case IntegerType => t match {
-            case Bson.TInt32 => row.update(i, Bson.readInt32(bytes, p))
-            case Bson.TInt64 => row.update(i, Bson.readInt64(bytes, p).toInt)
-            case Bson.TDouble => row.update(i,
-              java.lang.Double.longBitsToDouble(Bson.readInt64(bytes, p)).toInt)
-            case _ =>
-          }
-          case DoubleType => t match {
-            case Bson.TDouble => row.update(i,
-              java.lang.Double.longBitsToDouble(Bson.readInt64(bytes, p)))
-            case Bson.TInt32 => row.update(i, Bson.readInt32(bytes, p).toDouble)
-            case Bson.TInt64 => row.update(i, Bson.readInt64(bytes, p).toDouble)
-            case _ =>
-          }
-          case StringType => t match {
-            case Bson.TString | Bson.TSymbol | Bson.TCode =>
-              val len = Bson.readInt32(bytes, p) // includes trailing NUL
-              row.update(i, UTF8String.fromBytes(bytes, p + 4, len - 1))
-            case Bson.TDatetime =>
-              row.update(i, UTF8String.fromString(
-                java.time.Instant.ofEpochMilli(Bson.readInt64(bytes, p)).toString))
-            case _ =>
-          }
-          case BooleanType => t match {
-            case Bson.TBool => row.update(i, bytes(p) != 0)
-            case _ =>
-          }
-          case _: StructType => t match {
-            case Bson.TDoc =>
-              val len = Bson.readInt32(bytes, p)
-              row.update(i, nested(i).decodeElements(bytes, p + 4, p + len - 1))
-            case _ =>
-          }
-          case other => throw new IllegalArgumentException(
-            s"unsupported BSON decode target type $other")
-        }
+        val v = decodeValue(t, bytes, p, types(i), nested(i))
+        if (v != null) row.update(i, v) // null / mismatch -> stays null
       }
       p += Bson.valueLength(t, bytes, p)
     }
     row
+  }
+
+  /** One element value coerced to `dt` (mgo-style permissive: a
+    * mismatch yields null, never an error). `sub` is the compiled
+    * decoder for a struct target — or for an array-of-struct's
+    * ELEMENT type; nested array-of-array targets are unsupported and
+    * yield null elements. */
+  private def decodeValue(t: Int, bytes: Array[Byte], p: Int,
+                          dt: DataType, sub: BsonDecoder): Any = dt match {
+    case LongType => t match {
+      case Bson.TInt64 | Bson.TDatetime | Bson.TTimestamp =>
+        Bson.readInt64(bytes, p)
+      case Bson.TInt32 => Bson.readInt32(bytes, p).toLong
+      case Bson.TDouble =>
+        java.lang.Double.longBitsToDouble(Bson.readInt64(bytes, p)).toLong
+      case _ => null
+    }
+    case IntegerType => t match {
+      case Bson.TInt32 => Bson.readInt32(bytes, p)
+      case Bson.TInt64 => Bson.readInt64(bytes, p).toInt
+      case Bson.TDouble =>
+        java.lang.Double.longBitsToDouble(Bson.readInt64(bytes, p)).toInt
+      case _ => null
+    }
+    case DoubleType => t match {
+      case Bson.TDouble =>
+        java.lang.Double.longBitsToDouble(Bson.readInt64(bytes, p))
+      case Bson.TInt32 => Bson.readInt32(bytes, p).toDouble
+      case Bson.TInt64 => Bson.readInt64(bytes, p).toDouble
+      case _ => null
+    }
+    case StringType => t match {
+      case Bson.TString | Bson.TSymbol | Bson.TCode =>
+        val len = Bson.readInt32(bytes, p) // includes trailing NUL
+        UTF8String.fromBytes(bytes, p + 4, len - 1)
+      case Bson.TDatetime =>
+        UTF8String.fromString(
+          java.time.Instant.ofEpochMilli(Bson.readInt64(bytes, p)).toString)
+      case _ => null
+    }
+    case BooleanType => t match {
+      case Bson.TBool => bytes(p) != 0
+      case _ => null
+    }
+    case _: StructType => t match {
+      case Bson.TDoc =>
+        val len = Bson.readInt32(bytes, p)
+        sub.decodeElements(bytes, p + 4, p + len - 1)
+      case _ => null
+    }
+    case ArrayType(et, _) => t match {
+      case Bson.TArray =>
+        val len = Bson.readInt32(bytes, p)
+        decodeArray(bytes, p + 4, p + len - 1, et, sub)
+      case _ => null
+    }
+    case other => throw new IllegalArgumentException(
+      s"unsupported BSON decode target type $other")
+  }
+
+  /** BSON array = document keyed "0","1",...; index names are skipped
+    * (document order IS array order on disk) and each value decodes
+    * like a field of element type `et`. */
+  private def decodeArray(bytes: Array[Byte], start: Int, end: Int,
+                          et: DataType, sub: BsonDecoder):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var p = start
+    while (p < end && bytes(p) != 0) {
+      val t = bytes(p) & 0xff
+      p += 1
+      while (bytes(p) != 0) p += 1 // index-name cstring
+      p += 1
+      buf += decodeValue(t, bytes, p, et, sub)
+      p += Bson.valueLength(t, bytes, p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 }

@@ -54,7 +54,22 @@ object Dedup {
                           aCol: String, bCol: String,
                           maxIters: Int = 20,
                           checkpointDir: Option[String] = None,
-                          jumps: Int = 1): DataFrame = {
+                          jumps: Int = 1): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, idCol, aCol, bCol,
+      maxIters, checkpointDir, jumps)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took — the scale metric (each round is one barrier at a fixed
+    * ~0.3 s floor locally, more on a cluster): near-dup cliques
+    * converge in O(1)-ish rounds, and `DedupSpec` pins that a
+    * HIGH-DIAMETER path graph stays ~log(n) under the pointer-doubling
+    * + label-equivalence accelerations, whatever the id order. */
+  def connectedComponentsWithRounds(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      aCol: String, bCol: String,
+      maxIters: Int = 20,
+      checkpointDir: Option[String] = None,
+      jumps: Int = 1): (DataFrame, Int) = {
     require(jumps >= 0, "jumps must be >= 0")
     import org.apache.spark.sql.GraftSqlShim
     val spark = nodes.sparkSession
@@ -192,6 +207,7 @@ object Dedup {
           "rounds — labels would be wrong (partial propagation); raise " +
           "maxIters (diameter bound) or pre-contract the graph")
     }
+    val rounds = i
     val result = labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
     // Hand the result its OWN materialized copy and release the loop's
     // persisted RDDs: otherwise every call pins its last rounds' cache
@@ -204,8 +220,8 @@ object Dedup {
       val out = result.localCheckpoint(eager = true)
       liveRdds.foreach(_.unpersist(blocking = false))
       liveRdds = Nil
-      out
-    } else result
+      (out, rounds)
+    } else (result, rounds)
   }
 
   /** Keep the rows attaining ALL the given per-key extremes

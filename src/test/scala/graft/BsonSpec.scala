@@ -77,6 +77,33 @@ class BsonSpec extends AnyFunSuite {
     assert(owner.getUTF8String(0).toString == "octocat")
   }
 
+  test("arrays decode into ARRAY fields: primitives coerce per element, " +
+    "struct elements recurse, mismatched elements go null") {
+    val schema = StructType.fromDDL(
+      "ids ARRAY<BIGINT>, parents ARRAY<STRUCT<sha: STRING>>, tag STRING")
+    val body = Bson.doc(Seq(
+      // int32/int64/double mixed + a non-numeric element -> null slot
+      "ids" -> Bson.BArray(Seq(1, 2L, 3.0, "nope")),
+      "parents" -> Bson.BArray(Seq(Seq("sha" -> "p1"), Seq("sha" -> "p2"))),
+      "skipped_array" -> Bson.BArray(Seq("a", "b")), // unknown field
+      "tag" -> "t"))
+    val row = new BsonDecoder(schema).decode(body)
+    val ids = row.getArray(0)
+    assert(ids.numElements() == 4)
+    assert(Seq(ids.getLong(0), ids.getLong(1), ids.getLong(2)) ==
+      Seq(1L, 2L, 3L))
+    assert(ids.isNullAt(3))
+    val parents = row.getArray(1)
+    assert(parents.numElements() == 2)
+    assert(parents.getStruct(0, 1).getUTF8String(0).toString == "p1")
+    assert(parents.getStruct(1, 1).getUTF8String(0).toString == "p2")
+    assert(row.getUTF8String(2).toString == "t")
+    // a scalar where the schema wants an array -> null field, no error
+    val mismatch = new BsonDecoder(schema).decode(
+      Bson.doc(Seq("ids" -> 5L, "tag" -> "u")))
+    assert(mismatch.isNullAt(0) && mismatch.getUTF8String(2).toString == "u")
+  }
+
   test("undecodable bytes give a NULL row, not an error (from_json's " +
     "permissive contract)") {
     val dec = new BsonDecoder(StructType.fromDDL("id BIGINT"))

@@ -175,20 +175,34 @@ class DedupSpec extends AnyFunSuite {
   test("connectedComponents converges logarithmically on a long path " +
     "with SHUFFLED ids (the label-local-minima shape where pointer " +
     "jumping alone stalls)") {
-    // a 512-node path whose ids are randomly placed along the
-    // structure: plain hash-min needs ~eccentricity rounds (hundreds),
-    // pointer jumping stalls on interior local minima — the
-    // label-equivalence augmentation keeps rounds near-logarithmic
-    // (measured: <=14 at n=64, <=18 at n=512; 24 is headroom)
-    val r = new scala.util.Random(7)
-    val ids = r.shuffle((0L until 512L).toVector)
-    val nodes = ids.toDF("doc_id")
-    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(nodes, edges, "doc_id", "id_a", "id_b",
-        maxIters = 24)
-      .as[(Long, Long)].collect()
-    assert(got.length == 512)
-    assert(got.forall(_._2 == 0L), "every node labels to the component min")
+    // paths whose ids are randomly placed along the structure: plain
+    // hash-min needs ~eccentricity rounds (O(n) — 2047 at the larger
+    // size), pointer jumping stalls on interior local minima — the
+    // label-equivalence augmentation keeps measured rounds at
+    // ~1.8·log2(n) across sizes AND seeds (n=256: 14-16, n=2048:
+    // 19-21, n=4096: 22). Assert the absolute bound at both sizes and
+    // that 8× the diameter costs only additively more rounds — the
+    // logarithmic signature an O(diameter) regression would break.
+    def pathRounds(n: Int): Int = {
+      val r = new scala.util.Random(7)
+      val ids = r.shuffle((0L until n.toLong).toVector)
+      val nodes = ids.toDF("doc_id")
+      val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+        .toDF("id_a", "id_b")
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+        nodes, edges, "doc_id", "id_a", "id_b", maxIters = 60)
+      val got = labels.as[(Long, Long)].collect()
+      assert(got.length == n)
+      assert(got.forall(_._2 == 0L), "every node labels to the component min")
+      rounds
+    }
+    def log2(n: Int): Int = 32 - Integer.numberOfLeadingZeros(n - 1)
+    val small = pathRounds(256)
+    val large = pathRounds(2048)
+    assert(small <= 2 * log2(256) + 4, s"n=256 took $small rounds")
+    assert(large <= 2 * log2(2048) + 4, s"n=2048 took $large rounds")
+    assert(large - small <= 8,
+      s"rounds grew $small -> $large over 8x diameter: not logarithmic")
   }
 
   test("connectedComponents releases the loop's persisted RDDs: after " +

@@ -286,6 +286,80 @@ class IngestSpec extends AnyFunSuite {
     assert(ghRepos.select($"github_id").as[Long].head() == 100L)
   }
 
+  test("a BSON-framed commits dump decodes the parents ARRAY and nested " +
+    "commit struct; importCommits dedups per sha first-wins") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-bson-c").toString
+    Files.createDirectories(Paths.get(s"$dir/commits"))
+    def commitDoc(sha: String, msg: String, date: String,
+                  parents: Seq[String], login: Any = "alice") =
+      Bson.docBody(Seq("sha" -> sha,
+        "url" -> s"https://api.github.example/commits/$sha",
+        "author" -> Seq("id" -> 1L, "login" -> login),
+        "committer" -> Seq("id" -> 1L, "login" -> login),
+        "commit" -> Seq("message" -> msg, "comment_count" -> 2,
+          "author" -> Seq("name" -> "Alice", "email" -> "a@x.org",
+            "date" -> date),
+          "committer" -> Seq("name" -> "Alice", "email" -> "a@x.org",
+            "date" -> date)),
+        "parents" -> Bson.BArray(parents.map(p => Seq("sha" -> p)))))
+    DumpSource.writeDump(s"$dir/commits/2014-01-01.bson", Iterator(
+      // a merge commit with TWO parents, and a message with a NUL byte
+      commitDoc("c1", "merge\u0000 branch", "2014-01-01T10:00:00Z",
+        Seq("p1", "p2")),
+      // root commit: empty parents array, unmapped author (no login)
+      commitDoc("c0", "initial", "2014-01-01T09:00:00Z", Nil, null),
+      // duplicate sha from a re-shipped dump: first-wins per sha
+      commitDoc("c1", "merge later copy", "2014-01-02T10:00:00Z",
+        Seq("p1", "p2"))))
+    val commits = Ingest.importCommits(
+      Ingest.readEntity(spark, s"$dir/commits", Ingest.commitSchema))
+    val rows = commits
+      .select($"sha", $"message", $"parent_shas", $"author_login")
+      .as[(String, String, Seq[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq("c0", "c1"))
+    // NUL stripped, earliest copy won, parents in order
+    assert(rows(1)._2 == "merge branch")
+    assert(rows(1)._3 == Seq("p1", "p2"))
+    assert(rows(0)._3 == Nil)
+    assert(rows(0)._4.isEmpty && rows(1)._4.contains("alice"))
+    assert(commits.select($"authored_at".cast("string"))
+      .as[String].collect().toSet ==
+      Set("2014-01-01 09:00:00", "2014-01-01 10:00:00"))
+  }
+
+  test("a BSON-framed events dump decodes actor/repo/org structs; " +
+    "importEvents dedups per event id") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-bson-e").toString
+    Files.createDirectories(Paths.get(s"$dir/events"))
+    def eventDoc(id: String, typ: String, at: String, org: Any) =
+      Bson.docBody(Seq("id" -> id, "type" -> typ, "public" -> true,
+        "created_at" -> at,
+        "actor" -> Seq("id" -> 1L, "login" -> "alice"),
+        "repo" -> Seq("id" -> 100L, "name" -> "devmine/ght2dm"),
+        "org" -> org,
+        "payload" -> Seq("action" -> "opened", "number" -> 7L)))
+    DumpSource.writeDump(s"$dir/events/2014-01-01.bson", Iterator(
+      eventDoc("2001", "PushEvent", "2014-01-01T10:00:00Z",
+        Seq("id" -> 3L, "login" -> "devmine")),
+      eventDoc("2002", "IssuesEvent", "2014-01-01T11:00:00Z", null),
+      eventDoc("2001", "PushEvent", "2014-01-01T10:00:00Z",
+        Seq("id" -> 3L, "login" -> "devmine")))) // re-shipped duplicate
+    val events = Ingest.importEvents(
+      Ingest.readEntity(spark, s"$dir/events", Ingest.eventSchema))
+    val rows = events.select($"event_id", $"event_type", $"actor_login",
+        $"repo_full_name", $"org_login")
+      .as[(String, String, String, String, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("2001", "PushEvent", "alice", "devmine/ght2dm", Some("devmine")),
+      ("2002", "IssuesEvent", "alice", "devmine/ght2dm", None)))
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
