@@ -81,17 +81,18 @@ object Bson {
 
   // ---- encoder (dump fixtures / writing dumps) ---------------------------
 
-  /** Encode a document from (name, value) pairs. Values: Long/Int →
-    * int64/int32, Double, String, Boolean, null → null element,
-    * Seq[(String, Any)] → embedded document, java.time.Instant → UTC
-    * datetime. Returns the FULL document (length prefix + elements +
-    * terminator) — exactly the bytes mongodump would emit, and what
-    * [[graft.sources.DumpSource.writeDump]] expects minus its own
-    * prefix (see [[docBody]]). */
   /** Array value marker for the encoder (a bare Seq means an embedded
     * document of (name, value) pairs). */
   final case class BArray(items: Seq[Any])
 
+  /** Encode a document from (name, value) pairs. Values: Long/Int →
+    * int64/int32, Double, String, Boolean, null → null element,
+    * Seq[(String, Any)] → embedded document, [[BArray]] → array,
+    * java.time.Instant → UTC datetime. Returns the FULL document
+    * (length prefix + elements + terminator) — exactly the bytes
+    * mongodump would emit, and what
+    * [[graft.sources.DumpSource.writeDump]] expects minus its own
+    * prefix (see [[docBody]]). */
   def doc(fields: Seq[(String, Any)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     writeDoc(out, fields)

@@ -36,13 +36,21 @@ object BucketCap {
 
   /** Drop counters for one capped operator instance.
     * `droppedBuckets` = buckets over the cap; `droppedIds` = the sum of
-    * their sizes (an upper bound on ids losing SOME candidate edges). */
+    * their sizes (an upper bound on ids losing SOME candidate edges).
+    * Serializable because the cap predicate's closure captures the
+    * WHOLE wrapper (not just the accumulators): the driver-side plan
+    * then strongly references it for exactly as long as the query can
+    * run, which is the lifetime the weak logging registry needs — an
+    * internally-created counter must not be GC'd before its action's
+    * listener callback fires. The logged-delta fields are driver-only
+    * (executors never read them). */
   final class CapCounters private[BucketCap](val name: String,
-      val droppedBuckets: LongAccumulator, val droppedIds: LongAccumulator) {
+      val droppedBuckets: LongAccumulator, val droppedIds: LongAccumulator)
+      extends Serializable {
     // last values the session listener reported, so each action logs
     // only its own delta
-    private[BucketCap] var loggedBuckets = 0L
-    private[BucketCap] var loggedIds = 0L
+    @transient private[BucketCap] var loggedBuckets = 0L
+    @transient private[BucketCap] var loggedIds = 0L
   }
 
   object CapCounters {
@@ -78,10 +86,15 @@ object BucketCap {
     installLogger(spark)
     val counters = capMetrics.getOrElse(CapCounters(spark, op))
     registry.synchronized { registry.put(counters, java.lang.Boolean.TRUE) }
-    val (db, di) = (counters.droppedBuckets, counters.droppedIds)
+    // capture the WRAPPER, not its accumulators: the UDF closure rides
+    // in the plan, pinning `counters` (and thus its weak registry
+    // entry) until the query itself is collectable — see CapCounters
     val underCap = udf { (size: Int) =>
-      if (size > maxBucket) { db.add(1L); di.add(size.toLong); false }
-      else true
+      if (size > maxBucket) {
+        counters.droppedBuckets.add(1L)
+        counters.droppedIds.add(size.toLong)
+        false
+      } else true
     }.asNondeterministic()
     df.filter(sizeCol >= minSize).filter(underCap(sizeCol))
   }

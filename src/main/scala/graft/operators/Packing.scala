@@ -37,9 +37,13 @@ object Packing {
     * depends on row order, so two independent evaluations could
     * disagree on the row→partition mapping and mis-shift a slice
     * (same reasoning as [[Surrogate.rangeDenseIds]]). `materialize`
-    * (default) eagerly pins the result and releases that cache;
-    * one-shot query callers pass false to keep the plan inspectable
-    * and skip the checkpoint copy. */
+    * (default) eagerly pins the result and releases that cache.
+    * `materialize = false` keeps the plan inspectable and skips the
+    * checkpoint copy, but the persisted shard input then lives until
+    * the session drops it — each CALL pins one cached copy of the
+    * projected input, so repeated invocations in a long-lived session
+    * must either keep the default or clear the cache between runs
+    * (the bench/verify harnesses do). */
   def groupedRunningSum(df: DataFrame, groups: Seq[String], order: Seq[String],
                         valueCol: Column, cumName: String,
                         numPartitions: Int = 32,

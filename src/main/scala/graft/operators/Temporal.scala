@@ -100,7 +100,12 @@ object Temporal {
           acc + when(col("__t").cast("double") >= b, 1).otherwise(0) }
         val nb = bs.size
         val ranged = unioned.withColumn("__range", rangeOf)
-        val rAgg = ranged.filter(col("__side") === 0)
+        // aggregated from rTagged DIRECTLY (not a side-filter of the
+        // union) so the carry branch never depends on the left scan.
+        // The right input is still read twice — once here, once in the
+        // union — the price of the split pass; the right side of an
+        // as-of is the snapshot stream, normally the small one.
+        val rAgg = rTagged.withColumn("__range", rangeOf)
           .groupBy((keys.map(col) :+ col("__range")): _*)
           .agg(max_by(struct(col("__t").as("t"), col("__r").as("r")),
             col("__t")).as("__m"))

@@ -36,7 +36,7 @@ object AsOfKey {
 
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         keyPairs: Seq[(AsOfKey, AsOfKey)],
-                        leftTime: String, rightTime: String)
+                        leftTime: AsOfKey, rightTime: AsOfKey)
   extends BinaryNode {
   // unresolved marker: the analyzer keeps running rules (ours fires and
   // replaces the node) and nothing upstream binds to its output early
@@ -81,22 +81,30 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               s"right has ${describe(r.output)})")
         }
       }
-      val ltAttr = l.output.find(a => resolver(a.name, lt)).getOrElse(
+      // times validate qualifiers too: `ON s.snap_ms >= p.ts_ms` puts
+      // the right side's time on the probe (greater) side — an
+      // orientation THIS operator cannot honor — and must error, not
+      // silently bind whichever column shares the name
+      val ltAttr = findIn(l.output, lt).getOrElse(
         throw new IllegalArgumentException(
-          s"ASOF JOIN probe time $lt not found on the left side " +
+          s"ASOF JOIN probe time ${lt.show} not found on the left side " +
             s"(${describe(l.output)}); the GREATER side of the time " +
-            "inequality must be the left/probe time"))
-      val rtAttr = r.output.find(a => resolver(a.name, rt)).getOrElse(
+            "inequality is the left/probe time, so its qualifier must " +
+            "name the left side"))
+      val rtAttr = findIn(r.output, rt).getOrElse(
         throw new IllegalArgumentException(
-          s"ASOF JOIN snapshot time $rt not found on the right side " +
-            s"(${describe(r.output)})"))
+          s"ASOF JOIN snapshot time ${rt.show} not found on the right " +
+            s"side (${describe(r.output)})"))
       val rightDf = oriented.foldLeft(GraftSqlShim.ofRows(spark, r)) {
         case (df, (la, ra)) =>
           if (la.name == ra.name) df
           else {
-            // a pre-existing right column under the left key's name
-            // would collide with the rename and bind ambiguously below
-            if (r.output.exists(a => (a ne ra) && resolver(a.name, la.name)))
+            // a column already under the left key's name would collide
+            // with the rename and bind ambiguously below. Checked
+            // against the PROGRESSIVELY-RENAMED frame, not r.output:
+            // an earlier pair may have renamed that very name away
+            // (p.uid = s.user_id AND p.user_id = s.parent_uid is fine)
+            if (df.columns.exists(c => resolver(c, la.name)))
               throw new IllegalArgumentException(
                 s"ASOF JOIN: right side already exposes a column named " +
                   s"${la.name}; cannot rename key ${ra.name} onto it")
@@ -118,6 +126,7 @@ object AsOfJoinPlan {
     val spark = SparkSession.active
     GraftSqlShim.ofRows(spark, AsOfJoinPlan(
       GraftSqlShim.logicalPlan(left), GraftSqlShim.logicalPlan(right),
-      keys.map(k => (AsOfKey.bare(k), AsOfKey.bare(k))), leftTime, rightTime))
+      keys.map(k => (AsOfKey.bare(k), AsOfKey.bare(k))),
+      AsOfKey.bare(leftTime), AsOfKey.bare(rightTime)))
   }
 }

@@ -98,18 +98,20 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
     * parse time, so the pairs are carried as written — qualifiers
     * included — and oriented against the resolved children in
     * [[ResolveAsOfJoin]]. */
-  private def asOfShape(cond: Expression): Option[(Seq[(AsOfKey, AsOfKey)], String, String)] = {
+  private def asOfShape(cond: Expression): Option[(Seq[(AsOfKey, AsOfKey)], AsOfKey, AsOfKey)] = {
     val cs = conjuncts(cond)
     val keyPairs = cs.collect { case EqualTo(l, r)
         if keyOf(l).isDefined && keyOf(r).isDefined =>
       (keyOf(l).get, keyOf(r).get)
     }
     val ineqs = cs.collect {
-      // the GREATER side is the probe time (backward as-of)
-      case GreaterThanOrEqual(l, r) if lastName(l).isDefined && lastName(r).isDefined =>
-        (lastName(l).get, lastName(r).get)
-      case LessThanOrEqual(l, r) if lastName(l).isDefined && lastName(r).isDefined =>
-        (lastName(r).get, lastName(l).get)
+      // the GREATER side is the probe time (backward as-of); its
+      // written qualifier rides along so resolution can reject an
+      // inequality whose probe side names the RIGHT alias
+      case GreaterThanOrEqual(l, r) if keyOf(l).isDefined && keyOf(r).isDefined =>
+        (keyOf(l).get, keyOf(r).get)
+      case LessThanOrEqual(l, r) if keyOf(l).isDefined && keyOf(r).isDefined =>
+        (keyOf(r).get, keyOf(l).get)
     }
     if (ineqs.size == 1 && keyPairs.size + 1 == cs.size) {
       val (lt, rt) = ineqs.head
@@ -179,7 +181,7 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
             val asof = AsOfJoinPlan(nl, nr, keyPairs, lt, rt)
             val converted: LogicalPlan =
               if (jt == Inner)
-                Filter(IsNotNull(UnresolvedAttribute(s"matched_$rt")), asof)
+                Filter(IsNotNull(UnresolvedAttribute(s"matched_${rt.name}")), asof)
               else asof
             // differing key names surface under the LEFT side's name
             // (the lowering renames the right key), so a right-alias
@@ -199,7 +201,7 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
             val subs = mergeSubs(Seq(ml, mr,
               sideAlias(l).map(a => a -> identity[String] _).toMap,
               sideAlias(r).map(a => a -> ((c: String) =>
-                if (resolver(c, rt)) s"matched_$rt"
+                if (resolver(c, rt.name)) s"matched_${rt.name}"
                 else partner.collectFirst {
                   case (k, v) if resolver(c, k) => v
                 }.getOrElse(c))).toMap))

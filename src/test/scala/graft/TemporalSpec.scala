@@ -412,6 +412,40 @@ class TemporalSpec extends AnyFunSuite {
       .select($"event_id", $"matched_snap_ms", $"tag")
       .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
     assert(reversedOk == direct)
+    // the time inequality validates qualifiers too: putting the RIGHT
+    // alias's time on the probe (greater) side names an orientation
+    // the backward as-of cannot honor — clear error, not a silent
+    // name-only binding (both sides expose both time names here)
+    val badTime = intercept[Exception] {
+      spark.sql(
+        """SELECT event_id FROM asof_pts_both p ASOF JOIN asof_snaps_both s
+          |ON p.uid = s.uid AND s.snap_ms >= p.ts_ms""".stripMargin)
+        .collect()
+    }
+    assert(badTime.getMessage.contains("probe time"), badTime.getMessage)
+  }
+
+  test("ASOF JOIN multi-key rename chains: a later pair's left name may " +
+    "equal an earlier pair's renamed-away right name") {
+    // right key user_id renames to uid FIRST; the second pair then
+    // renames parent_uid onto the now-free user_id name — the
+    // collision guard must consult the renamed frame, not the original
+    pts.withColumnRenamed("user_id", "uid").withColumn("user_id", $"uid")
+      .createOrReplaceTempView("asof_chain_pts")
+    snaps.withColumn("parent_uid", $"user_id")
+      .createOrReplaceTempView("asof_chain_snaps")
+    val got = spark.sql(
+      """SELECT p.event_id, s.snap_ms, s.tag
+        |FROM asof_chain_pts p ASOF LEFT JOIN asof_chain_snaps s
+        |ON p.uid = s.user_id AND p.user_id = s.parent_uid
+        |   AND p.ts_ms >= s.snap_ms""".stripMargin)
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    val direct = Temporal.asOfJoinBackward(pts, snaps,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == direct)
   }
 
   test("ASOF JOIN guards: alias-qualified star errors with guidance; " +
