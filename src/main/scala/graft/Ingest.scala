@@ -97,6 +97,38 @@ object Ingest {
       |repo STRUCT<id: BIGINT, name: STRING>,
       |org STRUCT<id: BIGINT, login: STRING>""".stripMargin.replaceAll("\n", " "))
 
+  /** GHTorrent `issues` collection (GitHub issue API shape; `labels`
+    * exercises the ARRAY<STRUCT> decode). */
+  val issueSchema: StructType = StructType.fromDDL(
+    """id BIGINT, number BIGINT, state STRING, title STRING, body STRING,
+      |comments BIGINT,
+      |user STRUCT<id: BIGINT, login: STRING>,
+      |assignee STRUCT<id: BIGINT, login: STRING>,
+      |labels ARRAY<STRUCT<name: STRING, color: STRING>>,
+      |created_at STRING, updated_at STRING,
+      |closed_at STRING""".stripMargin.replaceAll("\n", " "))
+
+  /** GHTorrent `pull_requests` collection (GitHub PR API shape; the
+    * head/base refs carry the repos the PR bridges). */
+  val pullRequestSchema: StructType = StructType.fromDDL(
+    """id BIGINT, number BIGINT, state STRING, title STRING, body STRING,
+      |merged BOOLEAN, additions BIGINT, deletions BIGINT,
+      |changed_files BIGINT,
+      |user STRUCT<id: BIGINT, login: STRING>,
+      |head STRUCT<sha: STRING, ref: STRING,
+      |  repo: STRUCT<id: BIGINT, full_name: STRING>>,
+      |base STRUCT<sha: STRING, ref: STRING,
+      |  repo: STRUCT<id: BIGINT, full_name: STRING>>,
+      |created_at STRING, updated_at STRING, merged_at STRING,
+      |closed_at STRING""".stripMargin.replaceAll("\n", " "))
+
+  /** GHTorrent `watchers` collection (stargazer rows; GHTorrent stamps
+    * the retrieval keys `repo`/`owner` next to the raw API fields,
+    * same as org_members/repo_collaborators). */
+  val watcherSchema: StructType = StructType.fromDDL(
+    """id BIGINT, login STRING, repo STRING, owner STRING,
+      |created_at STRING""".stripMargin.replaceAll("\n", " "))
+
   /** Per-row decode dispatch. A JSON doc starts with `{` and never
     * ends with 0x00; BSON always ends with the 0x00 terminator — in
     * BOTH shapes [[graft.functions.BsonDecoder.decode]] accepts: a
@@ -283,6 +315,84 @@ object Ingest {
       col("org.id").as("org_github_id"),
       Normalize.removeNullBytes(col("org.login")).as("org_login"))
   }
+
+  /** issues folder → flat `issues` table: latest-wins dedup per issue
+    * id (re-shipped dumps carry the issue's newest state; updated_at
+    * decides), label names flattened to an array column. */
+  def importIssues(raw: DataFrame): DataFrame = {
+    val deduped = raw.filter(col("id").isNotNull)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("updated_at").desc_nulls_last)))
+      .filter(col("__rn") === 1).drop("__rn")
+    deduped.select(
+      col("id").as("github_id"),
+      col("number"),
+      clean("state").as("state"),
+      Normalize.removeNullBytes(col("title")).as("title"),
+      Normalize.removeNullBytes(col("body")).as("body"),
+      col("comments").as("comment_count"),
+      col("user.id").as("reporter_github_id"),
+      Normalize.removeNullBytes(col("user.login")).as("reporter_login"),
+      col("assignee.id").as("assignee_github_id"),
+      Normalize.removeNullBytes(col("assignee.login")).as("assignee_login"),
+      transform(coalesce(col("labels"),
+        array().cast("array<struct<name:string,color:string>>")),
+        l => l.getField("name")).as("label_names"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
+        .cast("timestamp").as("created_at"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("updated_at")))
+        .cast("timestamp").as("updated_at"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("closed_at")))
+        .cast("timestamp").as("closed_at"))
+  }
+
+  /** pull_requests folder → flat `pull_requests` table: latest-wins
+    * per PR id; head/base refs flattened for downstream joins on
+    * full_name. */
+  def importPullRequests(raw: DataFrame): DataFrame = {
+    val deduped = raw.filter(col("id").isNotNull)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("updated_at").desc_nulls_last)))
+      .filter(col("__rn") === 1).drop("__rn")
+    deduped.select(
+      col("id").as("github_id"),
+      col("number"),
+      clean("state").as("state"),
+      Normalize.removeNullBytes(col("title")).as("title"),
+      col("merged"),
+      col("additions"), col("deletions"), col("changed_files"),
+      col("user.id").as("author_github_id"),
+      Normalize.removeNullBytes(col("user.login")).as("author_login"),
+      Normalize.removeNullBytes(col("head.sha")).as("head_sha"),
+      Normalize.removeNullBytes(col("head.ref")).as("head_ref"),
+      Normalize.removeNullBytes(col("head.repo.full_name"))
+        .as("head_repo_full_name"),
+      Normalize.removeNullBytes(col("base.sha")).as("base_sha"),
+      Normalize.removeNullBytes(col("base.ref")).as("base_ref"),
+      Normalize.removeNullBytes(col("base.repo.full_name"))
+        .as("base_repo_full_name"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
+        .cast("timestamp").as("created_at"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("merged_at")))
+        .cast("timestamp").as("merged_at"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("closed_at")))
+        .cast("timestamp").as("closed_at"))
+  }
+
+  /** watchers folder → (user login, "owner/repo" full_name, starred_at)
+    * rows, deduped (a star re-ships on every dump day it survives);
+    * resolution to warehouse ids composes with [[Resolve.joinDim]]
+    * exactly like repo_collaborators. */
+  def importWatchers(raw: DataFrame): DataFrame =
+    raw.select(clean("login").as("login"),
+        concat(clean("owner"), lit("/"), clean("repo")).as("repo_full_name"),
+        Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
+          .cast("timestamp").as("starred_at"))
+      .filter(col("login") =!= "" && col("repo_full_name") =!= "/")
+      .groupBy(col("login"), col("repo_full_name"))
+      .agg(min(col("starred_at")).as("starred_at"))
 
   /** org_members folder → gh_users_organizations via broadcast
     * login→id resolution; unresolved rows drop (the reference's

@@ -360,6 +360,87 @@ class IngestSpec extends AnyFunSuite {
       ("2002", "IssuesEvent", "alice", "devmine/ght2dm", None)))
   }
 
+  test("BSON-framed issues and pull_requests dumps decode; latest-wins " +
+    "per id keeps the newest shipped state") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-bson-ip").toString
+    Files.createDirectories(Paths.get(s"$dir/issues"))
+    Files.createDirectories(Paths.get(s"$dir/pull_requests"))
+    def issueDoc(id: Long, state: String, updated: String,
+                 labels: Seq[String], assignee: Any) =
+      Bson.docBody(Seq("id" -> id, "number" -> (id + 10L),
+        "state" -> state, "title" -> s"issue $id", "body" -> "text",
+        "comments" -> 3,
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "assignee" -> assignee,
+        "labels" -> Bson.BArray(labels.map(n =>
+          Seq("name" -> n, "color" -> "f00"))),
+        "created_at" -> "2014-01-01T00:00:00Z",
+        "updated_at" -> updated, "closed_at" -> ""))
+    DumpSource.writeDump(s"$dir/issues/2014-01-01.bson", Iterator(
+      issueDoc(500L, "open", "2014-01-01T10:00:00Z", Seq("bug"),
+        Seq("id" -> 2L, "login" -> "bob")),
+      // the re-shipped newer state closes it and adds a label
+      issueDoc(500L, "closed", "2014-01-02T10:00:00Z",
+        Seq("bug", "wontfix"), null),
+      issueDoc(501L, "open", "2014-01-01T11:00:00Z", Nil, null)))
+    val issues = Ingest.importIssues(
+      Ingest.readEntity(spark, s"$dir/issues", Ingest.issueSchema))
+    val got = issues.select($"github_id", $"state", $"label_names",
+        $"assignee_login")
+      .as[(Long, String, Seq[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (500L, "closed", Seq("bug", "wontfix"), None),
+      (501L, "open", Nil, None)))
+
+    def prDoc(id: Long, merged: Boolean, updated: String) =
+      Bson.docBody(Seq("id" -> id, "number" -> 7L, "state" -> "closed",
+        "title" -> "add feature", "merged" -> merged,
+        "additions" -> 120L, "deletions" -> 8L, "changed_files" -> 3,
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "head" -> Seq("sha" -> "h1", "ref" -> "feature",
+          "repo" -> Seq("id" -> 200L, "full_name" -> "alice/fork")),
+        "base" -> Seq("sha" -> "b1", "ref" -> "master",
+          "repo" -> Seq("id" -> 100L, "full_name" -> "devmine/ght2dm")),
+        "created_at" -> "2014-01-01T00:00:00Z",
+        "updated_at" -> updated,
+        "merged_at" -> (if (merged) "2014-01-02T00:00:00Z" else ""),
+        "closed_at" -> "2014-01-02T00:00:00Z"))
+    DumpSource.writeDump(s"$dir/pull_requests/2014-01-01.bson", Iterator(
+      prDoc(900L, merged = false, "2014-01-01T10:00:00Z"),
+      prDoc(900L, merged = true, "2014-01-02T10:00:00Z")))
+    val prs = Ingest.importPullRequests(Ingest.readEntity(
+      spark, s"$dir/pull_requests", Ingest.pullRequestSchema))
+    val pr = prs.select($"github_id", $"merged", $"head_repo_full_name",
+        $"base_repo_full_name", $"merged_at".cast("string"))
+      .as[(Long, Boolean, String, String, Option[String])].head()
+    assert(pr == ((900L, true, "alice/fork", "devmine/ght2dm",
+      Some("2014-01-02 00:00:00"))))
+  }
+
+  test("watchers dedup to first starred_at per (login, repo)") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-bson-w").toString
+    Files.createDirectories(Paths.get(s"$dir/watchers"))
+    def w(id: Long, login: String, at: String) =
+      Bson.docBody(Seq("id" -> id, "login" -> login, "repo" -> "ght2dm",
+        "owner" -> "devmine", "created_at" -> at))
+    DumpSource.writeDump(s"$dir/watchers/2014-01-01.bson", Iterator(
+      w(1L, "alice", "2014-01-01T08:00:00Z"),
+      w(2L, "alice", "2014-01-02T08:00:00Z"), // re-shipped next day
+      w(3L, "bob", "2014-01-02T09:00:00Z")))
+    val got = Ingest.importWatchers(Ingest.readEntity(
+        spark, s"$dir/watchers", Ingest.watcherSchema))
+      .select($"login", $"repo_full_name", $"starred_at".cast("string"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("alice", "devmine/ght2dm", "2014-01-01 08:00:00"),
+      ("bob", "devmine/ght2dm", "2014-01-02 09:00:00")))
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
