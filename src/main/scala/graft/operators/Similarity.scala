@@ -194,6 +194,26 @@ object Similarity {
     cents
   }
 
+  /** Append a corpus DELTA to a persisted IVF index: assign with the
+    * SAME quantizer the index was built with and append to the
+    * cell-partitioned layout — no rebuild, no touch of existing files,
+    * and probes/partition pruning stay valid because the cell space is
+    * unchanged. This is the 100 TB ingestion shape: daily embedding
+    * deltas are one assignment scan + append each, and the full
+    * rebuild is reserved for when the delta stream has shifted the
+    * distribution enough that cell balance degrades (watch cell row
+    * counts; the quantizer deliberately does NOT retrain here — new
+    * centroids would strand existing rows in stale cells). */
+  def appendToIvfIndex(delta: DataFrame, path: String,
+                       cents: Array[Array[Double]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    import graft.plans.VecExpressions.nearestCell
+    delta.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed
     * cell ids are known on the driver, so they are pushed as a static
     * partition filter — the scan reads ONLY the probed cells'
@@ -295,6 +315,28 @@ object Similarity {
       }: _*)).as("tb"))
       .select(col(idCol), col("v"), col("tb.table_id"), col("tb.bucket"))
       .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "table_id", "bucket")
+      .sortBy("table_id", "bucket")
+      .saveAsTable(table)
+  }
+
+  /** Append a corpus DELTA to a persisted LSH index table: signatures
+    * from the SAME planes (`seed`/`bits`/`numTables`/`numBuckets` must
+    * match the build) appended through the catalog, which validates
+    * the bucket spec — the bucketed layout the probe join relies on is
+    * preserved, so per-batch probes stay zero-corpus-shuffle after any
+    * number of appends. */
+  def appendToLshIndex(delta: DataFrame, table: String, dim: Int,
+                       bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       numBuckets: Int = 16): Unit = {
+    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
+    delta.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
+        struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("v"), col("tb.table_id"), col("tb.bucket"))
+      .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "table_id", "bucket")
       .sortBy("table_id", "bucket")
       .saveAsTable(table)

@@ -130,6 +130,43 @@ object Temporal {
       (matchedTime +: payloadCols).map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Pick `timeSplits` from OBSERVED key skew instead of asking the
+    * caller: estimate the hottest key's row count from a bounded
+    * deterministic sample of the left side and split so no single
+    * (key, time-range) window partition holds more than `targetRows`
+    * left rows. One small sample+aggregate job; the estimate only
+    * steers parallelism, never correctness (any return value yields
+    * identical join results).
+    *
+    * At 100 TB: `targetRows` bounds a task's sort buffer — the
+    * default keeps a hot key's per-task slice in the tens of MB for
+    * typical row widths. `maxSplits` caps the carry-row overhead
+    * (≤ keys·splits²/2 metadata rows). */
+  def autoTimeSplits(left: DataFrame, keys: Seq[String],
+                     targetRows: Long = 4000000L,
+                     sampleFraction: Double = 0.01,
+                     maxSplits: Int = 64, seed: Long = 42L): Int = {
+    require(targetRows > 0 && sampleFraction > 0 && sampleFraction <= 1)
+    val hottestSampled = left.sample(withReplacement = false,
+        sampleFraction, seed)
+      .groupBy(keys.map(col): _*).count()
+      .agg(max(col("count"))).head().get(0)
+    val hottest = Option(hottestSampled)
+      .map(_.asInstanceOf[Number].longValue() / sampleFraction).getOrElse(0.0)
+    val splits = math.ceil(hottest / targetRows).toLong
+    math.max(1L, math.min(splits, maxSplits.toLong)).toInt
+  }
+
+  /** [[asOfJoinBackward]] with `timeSplits` chosen by
+    * [[autoTimeSplits]] — skewed inputs spread their hot keys, uniform
+    * inputs keep the plain single-pass plan. */
+  def asOfJoinBackwardAuto(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], leftTime: String,
+                           rightTime: String,
+                           targetRows: Long = 4000000L): DataFrame =
+    asOfJoinBackward(left, right, keys, leftTime, rightTime,
+      timeSplits = autoTimeSplits(left, keys, targetRows))
+
   /** Interval containment join: every (point, interval) pair with
     * `startCol <= pointTime <= endCol` and equal join keys — WITHOUT a
     * cross product or a broadcast-nested-loop plan.

@@ -130,6 +130,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("incremental index append: half-then-append equals built-at-once " +
+    "for BOTH index kinds, and probes stay pruned/bucketed") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val halfA = emb.filter($"vec_id" % 2 === 0)
+    val halfB = emb.filter($"vec_id" % 2 === 1)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // IVF: build on half A (quantizer trains there), append half B
+    // with the SAME centroids; compare against a one-shot index over
+    // the full corpus under those centroids
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivfappend").toString
+    val cents = Similarity.buildIvfIndex(halfA, s"$base/incr", nlist = 8)
+    Similarity.appendToIvfIndex(halfB, s"$base/incr", cents)
+    Similarity.appendToIvfIndex(emb, s"$base/full", cents)
+    def probe(path: String) = Similarity.ivfTopKIndexed(spark, path,
+        cents, queries, k = 3, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(probe(s"$base/incr") == probe(s"$base/full"))
+    // appended index still partition-prunes
+    val scan = Similarity.ivfTopKIndexed(spark, s"$base/incr", cents,
+        queries, k = 1, nprobe = 2)
+      .queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("cell"), s"no partition filter after append:\n$scan")
+    // LSH: build on half A, append half B; equals inline LSH over the
+    // full corpus (same planes)
+    Similarity.buildLshIndex(halfA, "lsh_append_test", dim = 64,
+      bits = 3, numTables = 8)
+    try {
+      Similarity.appendToLshIndex(halfB, "lsh_append_test", dim = 64,
+        bits = 3, numTables = 8)
+      val indexed = Similarity.lshTopKIndexed(spark, "lsh_append_test",
+          queries, k = 2, dim = 64, bits = 3, numTables = 8)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val inline = Similarity.lshTopK(emb, queries, k = 2, dim = 64,
+          bits = 3, numTables = 8)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(indexed == inline)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_append_test")
+  }
+
   test("cosineNearDupPairs finds planted perturbed copies, not random pairs") {
     val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf0001)
       .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()

@@ -84,6 +84,41 @@ class TemporalSpec extends AnyFunSuite {
       s"window not partitioned by time range:\n$plan")
   }
 
+  test("autoTimeSplits: a hot key triggers splitting, a uniform key " +
+    "distribution keeps the single-pass plan; auto result matches") {
+    val hot = Seq.tabulate(5000)(i => (i.toLong, 7L, i.toLong * 2 + 1))
+      .toDF("event_id", "user_id", "ts_ms")
+    val uniform = Seq.tabulate(5000)(i => (i.toLong, i.toLong % 500, i.toLong))
+      .toDF("event_id", "user_id", "ts_ms")
+    // sample the whole frame: the test is about the decision logic,
+    // not the estimator variance
+    val hotSplits = Temporal.autoTimeSplits(hot, Seq("user_id"),
+      targetRows = 1000, sampleFraction = 1.0)
+    assert(hotSplits >= 4 && hotSplits <= 8, s"hotSplits=$hotSplits")
+    assert(Temporal.autoTimeSplits(uniform, Seq("user_id"),
+      targetRows = 1000, sampleFraction = 1.0) === 1)
+    // maxSplits caps; empty input degrades to 1
+    assert(Temporal.autoTimeSplits(hot, Seq("user_id"),
+      targetRows = 10, sampleFraction = 1.0, maxSplits = 16) === 16)
+    assert(Temporal.autoTimeSplits(hot.limit(0), Seq("user_id"),
+      targetRows = 1000, sampleFraction = 1.0) === 1)
+    // the auto path returns the same rows as the explicit single-pass
+    val snapsHot = hot.filter($"event_id" % 10 === 0)
+      .select($"user_id", $"ts_ms".as("snap_ms"),
+        concat(lit("s"), $"ts_ms").as("tag"))
+    val ptsHot = hot.filter($"event_id" % 10 =!= 0)
+      .select($"event_id", $"user_id", $"ts_ms")
+    val auto = Temporal.asOfJoinBackwardAuto(ptsHot, snapsHot,
+        Seq("user_id"), "ts_ms", "snap_ms", targetRows = 1000)
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    val single = Temporal.asOfJoinBackward(ptsHot, snapsHot,
+        Seq("user_id"), "ts_ms", "snap_ms")
+      .select($"event_id", $"matched_snap_ms", $"tag")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(auto == single)
+  }
+
   test("as-of join equals the quadratic reference on random data") {
     val r = new scala.util.Random(7)
     val rndSnaps = Seq.fill(200)((r.nextInt(5).toLong,
