@@ -277,6 +277,60 @@ object SparkEntry {
           col("j.c_mktsegment").as("c_mktsegment"))
     }),
 
+    // §2a-1/§6 (entity breadth): commits ingestion end to end — REAL
+    // framed BSON commit documents (nested author/commit structs + the
+    // parents ARRAY) through FromBson + Ingest.importCommits. Every
+    // sha ships twice with different author dates (re-shipped dump
+    // semantics); first-wins keeps the earlier copy, and the oracle
+    // replays the whole projection from the orders rows the fixture
+    // was built from
+    "q_commits_ingest" -> ((s, dir) => {
+      val out = dumpDir(dir) + "_commits"
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        concat(lit("clerk"), col("o_custkey")).as("clerk"),
+        col("o_orderdate").cast("date").cast("string").as("d"))
+      src.repartition(4, col("o_orderkey")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          DumpSource.writeDump(f"$out/2014-02-${pid + 1}%02d.bson",
+            it.flatMap { r =>
+              val k = r.getLong(0)
+              val clerk = r.getString(1)
+              val d = r.getString(2)
+              val d2 = java.time.LocalDate.parse(d).plusDays(1).toString
+              val parents = (k % 3) match {
+                case 0 => Nil
+                case 1 => Seq(s"sha${k - 1}")
+                case _ => Seq(s"sha${k - 1}", s"sha${k - 2}")
+              }
+              def doc(date: String, msg: String) =
+                graft.functions.Bson.docBody(Seq(
+                  "sha" -> s"sha$k",
+                  "author" -> Seq("id" -> (k % 100), "login" -> clerk),
+                  "committer" -> Seq("id" -> (k % 100), "login" -> clerk),
+                  "commit" -> Seq(
+                    "message" -> msg, "comment_count" -> (k % 10),
+                    "author" -> Seq("name" -> clerk,
+                      "email" -> s"$clerk@x", "date" -> s"${date}T00:00:00Z"),
+                    "committer" -> Seq("name" -> clerk,
+                      "email" -> s"$clerk@x", "date" -> s"${date}T12:00:00Z")),
+                  "parents" -> graft.functions.Bson.BArray(
+                    parents.map(p => Seq("sha" -> p)))))
+              Iterator(doc(d, s"v1 commit $k"), doc(d2, s"v2 commit $k"))
+            })
+      }
+      val paths = DumpSource.listDateOrdered(out)
+      val raw = s.read.format("graft.sources.DumpDataSource").load(paths: _*)
+        .select(graft.plans.BsonFunctions.fromBson(
+          col("doc"), Ingest.commitSchema).as("e"))
+        .select(col("e.*"))
+      Ingest.importCommits(raw).select(
+        col("sha"), col("author_github_id"), col("author_login"),
+        col("message"), col("comment_count"),
+        col("authored_at").cast("date").as("authored_day"),
+        array_join(col("parent_shas"), ",").as("parent_shas"))
+    }),
+
     // §2b-18: exact content dedup
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
@@ -942,6 +996,20 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_nationkey FROM customer i
         |WHERE NOT EXISTS (SELECT 1 FROM customer e
         |  WHERE e.c_custkey % 2 = 0 AND e.c_custkey = i.c_custkey)""".stripMargin,
+
+    "q_commits_ingest" ->
+      """SELECT 'sha' || o_orderkey AS sha,
+        |  o_orderkey % 100 AS author_github_id,
+        |  'clerk' || o_custkey AS author_login,
+        |  'v1 commit ' || o_orderkey AS message,
+        |  o_orderkey % 10 AS comment_count,
+        |  CAST(o_orderdate AS DATE) AS authored_day,
+        |  CASE CAST(o_orderkey % 3 AS INTEGER)
+        |    WHEN 0 THEN ''
+        |    WHEN 1 THEN 'sha' || (o_orderkey - 1)
+        |    ELSE 'sha' || (o_orderkey - 1) || ',sha' || (o_orderkey - 2)
+        |  END AS parent_shas
+        |FROM orders""".stripMargin,
 
     "q_dump_source" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
