@@ -335,6 +335,16 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
 
+    // §2b-18c: duplicated-substring removal at 8-token-window
+    // granularity (Lee et al. 2022 ExactSubstr, Spark-shaped: window
+    // key shuffle + first-occurrence retention instead of a corpus
+    // suffix array). byHash=false keys windows on their strings so the
+    // DuckDB oracle replays the winner choice exactly; byHash=true is
+    // the 8-byte-key corpus path (DedupSpec pins the equivalence)
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(neardupCorpus(s, dir), "doc_id", "text",
+        w = 8, byHash = false)),
+
     // §2b-18b: corpus-wide exact PARAGRAPH dedup (Lee et al. 2022's
     // within-and-across-document step). The flat synthetic corpus gets
     // deterministic paragraph structure first — 20-token chunks plus a
@@ -996,6 +1006,39 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_nationkey FROM customer i
         |WHERE NOT EXISTS (SELECT 1 FROM customer e
         |  WHERE e.c_custkey % 2 = 0 AND e.c_custkey = i.c_custkey)""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+        |toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+        |         count(*) OVER (PARTITION BY s) AS n
+        |  FROM wins),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, g.tp
+        |  FROM marked, unnest(generate_series(pos, pos + 7)) AS g(tp)
+        |  WHERE n > 1 AND rn > 1),
+        |tokpos AS (
+        |  SELECT doc_id, i - 1 AS tp, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.tp, k.tok FROM tokpos k
+        |  LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.tp = c.tp
+        |  WHERE c.doc_id IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(r.text, '') AS text
+        |FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id""".stripMargin,
 
     "q_commits_ingest" ->
       """SELECT 'sha' || o_orderkey AS sha,

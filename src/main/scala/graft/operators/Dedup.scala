@@ -304,6 +304,68 @@ object Dedup {
           p => p.getField("para")), sep).as(textCol))
   }
 
+  /** Corpus-wide duplicated-substring removal at token-window
+    * granularity — the scalable re-expression of Lee et al. 2022's
+    * ExactSubstr pass (suffix-array dedup of ≥50-token repeats),
+    * shaped for Spark instead of a 100 TB suffix array:
+    *
+    * every rolling `w`-token window of every document is keyed
+    * (content string, or fnv64 of it with `byHash` — the 8-byte
+    * shuffle key is the corpus-scale path); a window whose key occurs
+    * more than once in the corpus is a duplicated span, its globally
+    * FIRST occurrence (minimum (doc, position)) is retained, and every
+    * token covered by any OTHER occurrence is removed. Documents are
+    * reassembled from their surviving tokens (single-space joined —
+    * token-level canonical form, as in [[paragraphDedup]]); fully
+    * gutted documents come back as empty strings rather than
+    * disappearing.
+    *
+    * Semantics note vs the paper: removal is per-occurrence, so
+    * self-overlapping repeats (a token run repeating in place) can eat
+    * into the retained copy's tail — deterministic, SQL-replayable,
+    * and aggressive in exactly the boilerplate cases the pass exists
+    * for. Documents shorter than `w` tokens carry no windows and pass
+    * through untouched.
+    *
+    * Plan shape: one hash shuffle on the window key (count+min only —
+    * map-side combinable, no occurrence lists, no cap needed), one
+    * join back on the key for duplicated windows, and narrow
+    * (id, token-position) anti-join + reassembly shuffles. Volume is
+    * O(total tokens), never O(pairs). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8, byHash: Boolean = true): DataFrame = {
+    require(w >= 2, "w must be >= 2")
+    val toks = df.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+    val wins = toks.filter(size(col("t")) >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("t")) - w),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(w)))))
+        .as(Seq("pos", "s")))
+    val key =
+      if (byHash) graft.plans.HashExpressions.fnv64(col("s"))
+      else col("s")
+    val occ = wins.select(col(idCol), col("pos"), key.as("k"))
+    val firsts = occ.groupBy(col("k"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"),
+        count(lit(1)).as("n"))
+    val dupOcc = occ.join(firsts.filter(col("n") > 1)
+        .select(col("k"), col("f")), "k")
+      .filter(!(col(idCol) === col(s"f.$idCol") && col("pos") === col("f.pos")))
+    val covered = dupOcc.select(col(idCol),
+      explode(sequence(col("pos"), col("pos") + (w - 1))).as("tp"))
+      .dropDuplicates(idCol, "tp")
+    val tokPos = toks.select(col(idCol),
+      posexplode(col("t")).as(Seq("tp", "tok")))
+    val rebuilt = tokPos.join(covered, Seq(idCol, "tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("tp"), col("tok")))),
+          p => p.getField("tok")), " ").as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Insert-if-absent (the reference's fetch*ID existence checks,
     * ght2dm.go:440-490, done row-at-a-time there; set-based here):
     * result = existing ∪ (incoming \ existing by key), with incoming

@@ -214,6 +214,26 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Cell-balance profile of a persisted IVF index: one aggregate over
+    * the partition column ONLY (row groups are skipped — `cell` is a
+    * directory key, so the scan reads footers, not vectors). Returns
+    * (cell, n_vectors) plus a driver-side balance factor =
+    * max/mean cell size. Use it to drive the rebuild-vs-append
+    * decision for [[appendToIvfIndex]]: a balance factor drifting
+    * well past its build-time value means the frozen quantizer no
+    * longer fits the corpus and probe cost is skewing — retrain and
+    * rebuild. */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, Double) = {
+    val counts = spark.read.parquet(path)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val row = counts.agg(max(col("n_vectors")), avg(col("n_vectors"))).head()
+    val balance =
+      if (row.isNullAt(0) || row.getDouble(1) == 0.0) 1.0
+      else row.getLong(0).toDouble / row.getDouble(1)
+    (counts, balance)
+  }
+
   /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed
     * cell ids are known on the driver, so they are pushed as a static
     * partition filter — the scan reads ONLY the probed cells'

@@ -89,6 +89,34 @@ class DedupSpec extends AnyFunSuite {
     assert(v2 == Seq("e2"))
   }
 
+  test("substringDedup removes duplicated token windows, keeps the " +
+    "global first occurrence, passes short docs through; byHash " +
+    "matches the string-keyed oracle mode") {
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $span gamma delta epsilon zeta eta theta"),
+      // same 8-token span later in the corpus: its tokens vanish, the
+      // unique tail survives
+      (2L, s"$span tail1 tail2 tail3 tail4 tail5 tail6 tail7"),
+      (3L, "too short to carry a window"),
+      // exact duplicate of doc 2: fully covered by doc 2's windows
+      (4L, s"$span tail1 tail2 tail3 tail4 tail5 tail6 tail7")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(corpus, "doc_id", "text",
+        w = 8, byHash = false)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) ==
+      s"alpha beta $span gamma delta epsilon zeta eta theta")
+    assert(got(2L) == "tail1 tail2 tail3 tail4 tail5 tail6 tail7",
+      s"doc2 = ${got(2L)}")
+    assert(got(3L) == "too short to carry a window")
+    assert(got(4L) == "", s"doc4 = ${got(4L)}")
+    val hashed = Dedup.substringDedup(corpus, "doc_id", "text",
+        w = 8, byHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(hashed == got, "byHash diverged from string-keyed mode")
+  }
+
   test("connectedComponents equals union-find on random graphs, maps " +
     "singletons to themselves") {
     val r = new scala.util.Random(11)

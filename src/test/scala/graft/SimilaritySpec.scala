@@ -155,6 +155,16 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.linesIterator
       .find(_.contains("PartitionFilters")).getOrElse("")
     assert(scan.contains("cell"), s"no partition filter after append:\n$scan")
+    // cell stats: counts cover the appended index exactly, and the
+    // scan that produces them reads the partition column only
+    val (cellCounts, balance) = Similarity.ivfCellStats(spark, s"$base/incr")
+    assert(cellCounts.agg(sum($"n_vectors")).head().getLong(0) ==
+      emb.count())
+    assert(balance >= 1.0, s"balance=$balance")
+    val statsScan = cellCounts.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!statsScan.contains("\"v\""),
+      s"cell stats scan reads vectors:\n$statsScan")
     // LSH: build on half A, append half B; equals inline LSH over the
     // full corpus (same planes)
     Similarity.buildLshIndex(halfA, "lsh_append_test", dim = 64,
