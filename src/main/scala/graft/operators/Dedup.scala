@@ -335,8 +335,15 @@ object Dedup {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 8, byHash: Boolean = true): DataFrame = {
     require(w >= 2, "w must be >= 2")
+    // persisted (the minhashPairs precedent): `toks` feeds the window
+    // generation AND the token-position reassembly, `occ` feeds the
+    // first-occurrence aggregate AND the duplicated-window join —
+    // without the cache each consumer re-tokenizes / re-explodes the
+    // whole corpus. With byHash (the corpus path) the cached occ rows
+    // are (id, pos, 8-byte key) — narrow
     val toks = df.select(col(idCol),
       graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wins = toks.filter(size(col("t")) >= w)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("t")) - w),
@@ -346,6 +353,7 @@ object Dedup {
       if (byHash) graft.plans.HashExpressions.fnv64(col("s"))
       else col("s")
     val occ = wins.select(col(idCol), col("pos"), key.as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = occ.groupBy(col("k"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"),
         count(lit(1)).as("n"))
