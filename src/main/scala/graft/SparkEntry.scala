@@ -370,6 +370,33 @@ object SparkEntry {
       Dedup.paragraphDedup(structured, "doc_id", "text", byHash = false)
     }),
 
+    // §2b-25i: within-document duplicate-line character fraction (the
+    // Gopher repetition battery's line-level signal, Rae et al. 2021:
+    // "fraction of characters in duplicate lines"): docs get
+    // deterministic line structure (20-token chunks + header) with the
+    // FIRST chunk repeated at the end, so every doc carries a planted
+    // internal duplicate; one explode + two hash aggs, all built-ins
+    "q_dup_line_frac" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+      val lines = withToks.select(col("doc_id"), explode(concat(
+          array(lit("shared boilerplate header")),
+          transform(sequence(lit(0),
+              ((size(col("__t")) - 1) / 20).cast("int")),
+            i => array_join(slice(col("__t"), i * 20 + 1, lit(20)), " ")),
+          array(array_join(slice(col("__t"), lit(1), lit(20)), " "))))
+        .as("line"))
+      lines.groupBy(col("doc_id"), col("line"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("l", length(col("line")).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(round(
+          sum(when(col("c") > 1, col("l") * col("c")).otherwise(0L))
+            .cast("double") /
+          sum(col("l") * col("c")).cast("double"), 6)
+          .as("dup_line_char_frac"))
+    }),
+
     // §2b-19/21: MinHash-LSH near-dup candidates + exact-Jaccard verify.
     // The corpus is augmented with deterministic truncated copies
     // (doc_id+100000) so the operator demonstrably finds the planted
@@ -1006,6 +1033,24 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_nationkey FROM customer i
         |WHERE NOT EXISTS (SELECT 1 FROM customer e
         |  WHERE e.c_custkey % 2 = 0 AND e.c_custkey = i.c_custkey)""".stripMargin,
+
+    "q_dup_line_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, array_to_string(t[(i*20+1):(i*20+20)], ' ') AS line
+        |  FROM toks, unnest(generate_series(0, (len(t)-1)//20)) AS u(i)),
+        |alllines AS (
+        |  SELECT doc_id, line FROM chunks
+        |  UNION ALL SELECT doc_id, 'shared boilerplate header' FROM toks
+        |  UNION ALL SELECT doc_id, array_to_string(t[1:20], ' ') FROM toks),
+        |counts AS (
+        |  SELECT doc_id, line, count(*) AS c, len(line) AS l
+        |  FROM alllines GROUP BY doc_id, line)
+        |SELECT doc_id,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN l*c ELSE 0 END) AS DOUBLE) /
+        |        CAST(sum(l*c) AS DOUBLE), 6) AS dup_line_char_frac
+        |FROM counts GROUP BY doc_id""".stripMargin,
 
     "q_substring_dedup" ->
       """WITH corpus AS (
