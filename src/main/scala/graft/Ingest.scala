@@ -160,15 +160,24 @@ object Ingest {
   private def cleanDate(c: String) =
     Normalize.emptyToNull(Normalize.removeNullBytes(col(c)))
 
+  /** Keep one row per `key`: the first under `order` (the reference's
+    * fetch*ID existence-check semantics, set-based). NOTE: rows tying
+    * on `order` pick a nondeterministic winner — give `order` a
+    * tie-breaker if the dumps can carry same-key same-order rows with
+    * differing payloads. */
+  private def firstBy(df: DataFrame, key: org.apache.spark.sql.Column,
+                      order: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key)
+          .orderBy(order)))
+      .filter(col("__rn") === 1).drop("__rn")
+
   /** users folder → (users, gh_users, gh_organizations).
     * Mirrors importUsers (ght2dm.go:238-337): per-doc type dispatch,
     * updated_at<-created_at fill, idempotency by github id. */
   def importUsers(raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val deduped = raw.filter(col("login").isNotNull)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(coalesce(col("updated_at"), col("created_at")).desc_nulls_last)))
-      .filter(col("__rn") === 1).drop("__rn") // fetch*ID existence check: first wins per github id
+    val deduped = firstBy(raw.filter(col("login").isNotNull), col("id"),
+      coalesce(col("updated_at"), col("created_at")).desc_nulls_last)
     val users = deduped.filter(col("type") === "User")
     val orgs = deduped.filter(col("type") === "Organization")
     val usersOut = users.select(
@@ -272,11 +281,8 @@ object Ingest {
     * to an array column. Author/committer logins may be NULL (commits
     * by unmapped emails have no account objects in the API). */
   def importCommits(raw: DataFrame): DataFrame = {
-    val deduped = raw.filter(col("sha").isNotNull)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sha"))
-          .orderBy(col("commit.author.date").asc_nulls_last)))
-      .filter(col("__rn") === 1).drop("__rn")
+    val deduped = firstBy(raw.filter(col("sha").isNotNull), col("sha"),
+      col("commit.author.date").asc_nulls_last)
     deduped.select(
       clean("sha").as("sha"),
       col("author.id").as("author_github_id"),
@@ -297,11 +303,8 @@ object Ingest {
   /** events folder → flat `events` table: first-wins dedup per event
     * id, actor/repo/org references flattened for downstream joins. */
   def importEvents(raw: DataFrame): DataFrame = {
-    val deduped = raw.filter(col("id").isNotNull)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("created_at").asc_nulls_last)))
-      .filter(col("__rn") === 1).drop("__rn")
+    val deduped = firstBy(raw.filter(col("id").isNotNull), col("id"),
+      col("created_at").asc_nulls_last)
     deduped.select(
       clean("id").as("event_id"),
       clean("type").as("event_type"),
@@ -320,11 +323,8 @@ object Ingest {
     * id (re-shipped dumps carry the issue's newest state; updated_at
     * decides), label names flattened to an array column. */
   def importIssues(raw: DataFrame): DataFrame = {
-    val deduped = raw.filter(col("id").isNotNull)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("updated_at").desc_nulls_last)))
-      .filter(col("__rn") === 1).drop("__rn")
+    val deduped = firstBy(raw.filter(col("id").isNotNull), col("id"),
+      col("updated_at").desc_nulls_last)
     deduped.select(
       col("id").as("github_id"),
       col("number"),
@@ -351,16 +351,14 @@ object Ingest {
     * per PR id; head/base refs flattened for downstream joins on
     * full_name. */
   def importPullRequests(raw: DataFrame): DataFrame = {
-    val deduped = raw.filter(col("id").isNotNull)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("updated_at").desc_nulls_last)))
-      .filter(col("__rn") === 1).drop("__rn")
+    val deduped = firstBy(raw.filter(col("id").isNotNull), col("id"),
+      col("updated_at").desc_nulls_last)
     deduped.select(
       col("id").as("github_id"),
       col("number"),
       clean("state").as("state"),
       Normalize.removeNullBytes(col("title")).as("title"),
+      Normalize.removeNullBytes(col("body")).as("body"),
       col("merged"),
       col("additions"), col("deletions"), col("changed_files"),
       col("user.id").as("author_github_id"),
@@ -375,6 +373,8 @@ object Ingest {
         .as("base_repo_full_name"),
       Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
         .cast("timestamp").as("created_at"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("updated_at")))
+        .cast("timestamp").as("updated_at"),
       Normalize.emptyToNull(Normalize.removeNullBytes(col("merged_at")))
         .cast("timestamp").as("merged_at"),
       Normalize.emptyToNull(Normalize.removeNullBytes(col("closed_at")))
@@ -386,11 +386,12 @@ object Ingest {
     * resolution to warehouse ids composes with [[Resolve.joinDim]]
     * exactly like repo_collaborators. */
   def importWatchers(raw: DataFrame): DataFrame =
-    raw.select(clean("login").as("login"),
+    raw.filter(clean("login") =!= "" && clean("owner") =!= "" &&
+        clean("repo") =!= "") // per-component: "/x" or "x/" never joins
+      .select(clean("login").as("login"),
         concat(clean("owner"), lit("/"), clean("repo")).as("repo_full_name"),
         Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
           .cast("timestamp").as("starred_at"))
-      .filter(col("login") =!= "" && col("repo_full_name") =!= "/")
       .groupBy(col("login"), col("repo_full_name"))
       .agg(min(col("starred_at")).as("starred_at"))
 

@@ -377,8 +377,11 @@ object SparkEntry {
     // FIRST chunk repeated at the end, so every doc carries a planted
     // internal duplicate; one explode + two hash aggs, all built-ins
     "q_dup_line_frac" -> ((s, dir) => {
+      // NULL text scores 0.0 like the oracle (tokens(NULL) would
+      // otherwise propagate to explode(NULL) and DROP the row)
       val withToks = t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          TextFunctions.tokens(coalesce(col("text"), lit(""))).as("__t"))
       val lines = withToks.select(col("doc_id"), explode(concat(
           array(lit("shared boilerplate header")),
           transform(sequence(lit(0),

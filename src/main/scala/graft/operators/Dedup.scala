@@ -370,7 +370,9 @@ object Dedup {
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("tp"), col("tok")))),
           p => p.getField("tok")), " ").as(textCol))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+    // id universe from the CACHED toks frame — df.select(id) would
+    // re-read the uncached source a third time
+    toks.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 

@@ -147,10 +147,12 @@ object Temporal {
                      sampleFraction: Double = 0.01,
                      maxSplits: Int = 64, seed: Long = 42L): Int = {
     require(targetRows > 0 && sampleFraction > 0 && sampleFraction <= 1)
+    // aliased aggregate, not .count(): a join key literally named
+    // "count" would otherwise make the max() reference ambiguous
     val hottestSampled = left.sample(withReplacement = false,
         sampleFraction, seed)
-      .groupBy(keys.map(col): _*).count()
-      .agg(max(col("count"))).head().get(0)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_n"))
+      .agg(max(col("__graft_n"))).head().get(0)
     val hottest = Option(hottestSampled)
       .map(_.asInstanceOf[Number].longValue() / sampleFraction).getOrElse(0.0)
     val splits = math.ceil(hottest / targetRows).toLong
