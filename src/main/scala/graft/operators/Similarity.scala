@@ -62,12 +62,9 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucket: Int = 10000,
                          capMetrics: Option[BucketCap.CapCounters] = None): DataFrame = {
-    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val sigs = c.select(col(idCol), explode(array(tables.map { case (tid, planes) =>
-        struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
+    val sigs = signatureFrame(corpus, idCol, col(vecCol), "v",
+      dim, bits, numTables, seed).drop("v")
     // oversized buckets drop explicitly; the drop is counted + logged
     // ([[BucketCap.applyCap]]) so the recall loss is visible, not silent
     val buckets = BucketCap.applyCap(
@@ -317,6 +314,33 @@ object Similarity {
   def signature(vec: Column, planes: Array[Array[Double]]): Column =
     graft.plans.VecExpressions.hyperplaneSig(vec, planes)
 
+  /** The ONE multi-table signature layout every LSH path shares:
+    * (id, <vecName>, table_id, bucket) rows, one per (vector, table).
+    * Build, append, index probe, and inline query all derive from
+    * this frame — change the layout here or the persisted index and
+    * its probes silently diverge. */
+  private def signatureFrame(df: DataFrame, idCol: String, vecCol: Column,
+                             vecName: String, dim: Int, bits: Int,
+                             numTables: Int, seed: Long): DataFrame = {
+    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
+    df.select(col(idCol), vecCol.cast("array<double>").as(vecName))
+      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
+        struct(lit(tid).as("table_id"),
+          signature(col(vecName), planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col(vecName), col("tb.table_id"), col("tb.bucket"))
+  }
+
+  /** Bucketed catalog write shared by [[buildLshIndex]] (overwrite)
+    * and [[appendToLshIndex]] (append; the catalog validates the
+    * bucket spec against the existing table). */
+  private def writeLshIndex(sigs: DataFrame, table: String,
+                            numBuckets: Int, mode: String): Unit =
+    sigs.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, "table_id", "bucket")
+      .sortBy("table_id", "bucket")
+      .saveAsTable(table)
+
   /** Persist the multi-table LSH index: the bucketed signature frame
     * (id, vector, table_id, bucket) written hash-bucketed on
     * (table_id, bucket) via the session catalog. Built ONCE per corpus;
@@ -328,16 +352,8 @@ object Similarity {
                     bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     numBuckets: Int = 16): Unit = {
-    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
-    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
-        struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col(idCol), col("v"), col("tb.table_id"), col("tb.bucket"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, "table_id", "bucket")
-      .sortBy("table_id", "bucket")
-      .saveAsTable(table)
+    writeLshIndex(signatureFrame(corpus, idCol, col(vecCol), "v",
+      dim, bits, numTables, seed), table, numBuckets, "overwrite")
   }
 
   /** Append a corpus DELTA to a persisted LSH index table: signatures
@@ -350,16 +366,8 @@ object Similarity {
                        bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        numBuckets: Int = 16): Unit = {
-    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
-    delta.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
-        struct(lit(tid).as("table_id"), signature(col("v"), planes).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col(idCol), col("v"), col("tb.table_id"), col("tb.bucket"))
-      .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "table_id", "bucket")
-      .sortBy("table_id", "bucket")
-      .saveAsTable(table)
+    writeLshIndex(signatureFrame(delta, idCol, col(vecCol), "v",
+      dim, bits, numTables, seed), table, numBuckets, "append")
   }
 
   /** Query a persisted LSH index (see [[buildLshIndex]]); identical
@@ -371,13 +379,8 @@ object Similarity {
                      bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
                      idCol: String = "vec_id",
                      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
-    val tables = (0 until numTables).map(t => t -> hyperplanes(dim, bits, seed + t))
-    val q = queries
-      .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
-      .select(col("*"), explode(array(tables.map { case (tid, planes) =>
-        struct(lit(tid).as("table_id"), signature(col("qv"), planes).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col(qidCol), col("qv"), col("tb.table_id"), col("tb.bucket"))
+    val q = signatureFrame(queries, qidCol, col(qvecCol), "qv",
+      dim, bits, numTables, seed)
     val c = spark.table(table)
     val candidates = c.join(q, Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
@@ -406,19 +409,15 @@ object Similarity {
               bits: Int = 4, numTables: Int = 8, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
-    val tables = (0 until numTables).map(t =>
-      t -> hyperplanes(dim, bits, seed + t))
-    def bucketed(df: DataFrame, vec: String): DataFrame =
-      df.select(col("*"), explode(array(tables.map { case (tid, planes) =>
-        struct(lit(tid).as("table_id"), signature(col(vec), planes).as("bucket"))
-      }: _*)).as("tb")).select(col("*"), col("tb.table_id"), col("tb.bucket")).drop("tb")
     val cv = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val qv = queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
     // candidate IDs only through the bucket join + cross-table distinct;
     // vectors are attached after, so each candidate is scored once and
     // the dedup shuffle moves narrow (query_id, vec_id) rows
-    val c = bucketed(cv.select(col(idCol), col("v")), "v").drop("v")
-    val q = bucketed(qv.select(col(qidCol), col("qv")), "qv").drop("qv")
+    val c = signatureFrame(corpus, idCol, col(vecCol), "v",
+      dim, bits, numTables, seed).drop("v")
+    val q = signatureFrame(queries, qidCol, col(qvecCol), "qv",
+      dim, bits, numTables, seed).drop("qv")
     val candidates = c.join(q, Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol))
