@@ -129,6 +129,25 @@ object Ingest {
     """id BIGINT, login STRING, repo STRING, owner STRING,
       |created_at STRING""".stripMargin.replaceAll("\n", " "))
 
+  /** GHTorrent `commit_comments` / `issue_comments` collections — the
+    * GitHub comment API shape is shared; the anchor differs
+    * (`commit_id` sha vs GHTorrent's stamped `issue_id`), so one
+    * schema carries both and [[importComments]] keeps whichever anchor
+    * the row has. */
+  val commentSchema: StructType = StructType.fromDDL(
+    """id BIGINT, body STRING, commit_id STRING, issue_id BIGINT,
+      |position BIGINT, line BIGINT, path STRING,
+      |user STRUCT<id: BIGINT, login: STRING>,
+      |created_at STRING, updated_at STRING""".stripMargin.replaceAll("\n", " "))
+
+  /** GHTorrent `forks` collection (repository objects carrying their
+    * `parent` ref). */
+  val forkSchema: StructType = StructType.fromDDL(
+    """id BIGINT, name STRING, full_name STRING,
+      |owner STRUCT<id: BIGINT, login: STRING>,
+      |parent STRUCT<id: BIGINT, full_name: STRING>,
+      |created_at STRING""".stripMargin.replaceAll("\n", " "))
+
   /** Per-row decode dispatch. A JSON doc starts with `{` and never
     * ends with 0x00; BSON always ends with the 0x00 terminator — in
     * BOTH shapes [[graft.functions.BsonDecoder.decode]] accepts: a
@@ -394,6 +413,44 @@ object Ingest {
           .cast("timestamp").as("starred_at"))
       .groupBy(col("login"), col("repo_full_name"))
       .agg(min(col("starred_at")).as("starred_at"))
+
+  /** commit_comments / issue_comments folders → flat `comments` table:
+    * latest-wins per comment id; both anchor columns survive (one is
+    * NULL per row kind). */
+  def importComments(raw: DataFrame): DataFrame = {
+    val deduped = firstBy(raw.filter(col("id").isNotNull), col("id"),
+      col("updated_at").desc_nulls_last)
+    deduped.select(
+      col("id").as("github_id"),
+      Normalize.removeNullBytes(col("body")).as("body"),
+      clean("commit_id").as("commit_sha"),
+      col("issue_id"),
+      col("position"), col("line"),
+      clean("path").as("path"),
+      col("user.id").as("author_github_id"),
+      Normalize.removeNullBytes(col("user.login")).as("author_login"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
+        .cast("timestamp").as("created_at"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("updated_at")))
+        .cast("timestamp").as("updated_at"))
+  }
+
+  /** forks folder → flat `forks` table: first-wins per fork repo id,
+    * parent ref flattened for joins on full_name. */
+  def importForks(raw: DataFrame): DataFrame = {
+    val deduped = firstBy(raw.filter(col("id").isNotNull), col("id"),
+      col("created_at").asc_nulls_last)
+    deduped.select(
+      col("id").as("fork_github_id"),
+      clean("full_name").as("full_name"),
+      col("owner.id").as("owner_github_id"),
+      Normalize.removeNullBytes(col("owner.login")).as("owner_login"),
+      col("parent.id").as("parent_github_id"),
+      Normalize.removeNullBytes(col("parent.full_name"))
+        .as("parent_full_name"),
+      Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
+        .cast("timestamp").as("forked_at"))
+  }
 
   /** org_members folder → gh_users_organizations via broadcast
     * login→id resolution; unresolved rows drop (the reference's

@@ -441,6 +441,56 @@ class IngestSpec extends AnyFunSuite {
       ("bob", "devmine/ght2dm", "2014-01-02 09:00:00")))
   }
 
+  test("comment dumps (both anchor kinds) and fork dumps decode and " +
+    "dedup through the shared comment schema") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-bson-cf").toString
+    Files.createDirectories(Paths.get(s"$dir/commit_comments"))
+    Files.createDirectories(Paths.get(s"$dir/forks"))
+    DumpSource.writeDump(s"$dir/commit_comments/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("id" -> 7000L, "body" -> "nice commit",
+        "commit_id" -> "c1", "position" -> 3L, "line" -> 10L,
+        "path" -> "src/a.go",
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "created_at" -> "2014-01-01T10:00:00Z",
+        "updated_at" -> "2014-01-01T10:00:00Z")),
+      // issue-comment shape: issue_id anchor, no commit fields
+      Bson.docBody(Seq("id" -> 7001L, "body" -> "agree",
+        "issue_id" -> 500L,
+        "user" -> Seq("id" -> 2L, "login" -> "bob"),
+        "created_at" -> "2014-01-02T10:00:00Z",
+        "updated_at" -> "2014-01-02T10:00:00Z")),
+      // re-shipped newer edit of 7001: latest-wins
+      Bson.docBody(Seq("id" -> 7001L, "body" -> "agree (edited)",
+        "issue_id" -> 500L,
+        "user" -> Seq("id" -> 2L, "login" -> "bob"),
+        "created_at" -> "2014-01-02T10:00:00Z",
+        "updated_at" -> "2014-01-03T10:00:00Z"))))
+    val comments = Ingest.importComments(Ingest.readEntity(
+      spark, s"$dir/commit_comments", Ingest.commentSchema))
+    val got = comments.select($"github_id", $"body", $"commit_sha",
+        $"issue_id", $"author_login")
+      .as[(Long, String, Option[String], Option[Long], String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (7000L, "nice commit", Some("c1"), None, "alice"),
+      (7001L, "agree (edited)", None, Some(500L), "bob")))
+
+    DumpSource.writeDump(s"$dir/forks/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("id" -> 8000L, "name" -> "ght2dm",
+        "full_name" -> "alice/ght2dm",
+        "owner" -> Seq("id" -> 1L, "login" -> "alice"),
+        "parent" -> Seq("id" -> 100L, "full_name" -> "devmine/ght2dm"),
+        "created_at" -> "2014-01-05T10:00:00Z"))))
+    val forks = Ingest.importForks(Ingest.readEntity(
+      spark, s"$dir/forks", Ingest.forkSchema))
+    val f = forks.select($"fork_github_id", $"full_name",
+        $"parent_full_name", $"owner_login")
+      .as[(Long, String, String, String)].head()
+    assert(f == ((8000L, "alice/ght2dm", "devmine/ght2dm", "alice")))
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
