@@ -42,7 +42,11 @@ class EntryContractSpec extends AnyFunSuite {
       "q_embed_neardup" -> Set("id_a", "id_b", "sim"),
       "q_neardup_prune" -> Set("doc_id", "text"),
       "q_decontaminate" -> Set("doc_id", "text"),
-      "q_diverse_sample" -> Set("vec_id", "cell", "rank", "sim"))
+      "q_diverse_sample" -> Set("vec_id", "cell", "rank", "sim"),
+      "q_substring_dedup" -> Set("doc_id", "text"),
+      "q_dup_line_frac" -> Set("doc_id", "dup_line_char_frac"),
+      "q_commits_ingest" -> Set("sha", "author_github_id", "author_login",
+        "message", "comment_count", "authored_day", "parent_shas"))
     expected.foreach { case (name, cols) =>
       val got = SparkEntry.queries(name)(spark, TestSpark.sf0001).columns.toSet
       assert(got == cols, s"$name columns drifted: $got")
