@@ -643,6 +643,46 @@ object Ingest {
       .start()
   }
 
+  /** Continuous commits ingestion: each daily shard micro-batch runs
+    * [[importCommits]] (within-batch first-wins per sha) and merges
+    * idempotently on sha — across batches the EARLIER shipped copy
+    * wins, because the merge only inserts shas absent from the
+    * warehouse (the same first-wins policy the batch path applies
+    * within a dump set). */
+  def runCommitsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format("graft.sources.DumpDataSource")
+      .load(folder)
+      .select(decodeDoc(col("doc"), commitSchema).as("e"))
+      .select(col("e.*"))
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeParquetAll(spark, Seq((importCommits(batch),
+          s"$warehouseDir/commits", Seq("sha"))))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Continuous events ingestion; see [[runCommitsStream]] — merge key
+    * is the event id. */
+  def runEventsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format("graft.sources.DumpDataSource")
+      .load(folder)
+      .select(decodeDoc(col("doc"), eventSchema).as("e"))
+      .select(col("e.*"))
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeParquetAll(spark, Seq((importEvents(batch),
+          s"$warehouseDir/events", Seq("event_id"))))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Continuous relation ingestion: org-membership (and, with
     * [[runCollaboratorsStream]], repo-collaborator) rows resolve
     * against the CURRENT warehouse dimensions per micro-batch and

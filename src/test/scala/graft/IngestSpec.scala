@@ -441,6 +441,43 @@ class IngestSpec extends AnyFunSuite {
       ("bob", "devmine/ght2dm", "2014-01-02 09:00:00")))
   }
 
+  test("continuous commits ingestion: shards stream in, first shipped " +
+    "copy wins per sha across batches") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_commits_stream").toString
+    Files.createDirectories(Paths.get(s"$dir/commits"))
+    val wh = s"$dir/warehouse"; val ckpt = s"$dir/_ckpt"
+    def commitDoc(sha: String, msg: String, date: String) =
+      Bson.docBody(Seq("sha" -> sha,
+        "author" -> Seq("id" -> 1L, "login" -> "alice"),
+        "committer" -> Seq("id" -> 1L, "login" -> "alice"),
+        "commit" -> Seq("message" -> msg, "comment_count" -> 0L,
+          "author" -> Seq("name" -> "Alice", "email" -> "a@x",
+            "date" -> date),
+          "committer" -> Seq("name" -> "Alice", "email" -> "a@x",
+            "date" -> date)),
+        "parents" -> Bson.BArray(Nil)))
+    DumpSource.writeDump(s"$dir/commits/2014-01-01.bson", Iterator(
+      commitDoc("c1", "first copy", "2014-01-01T10:00:00Z")))
+    def runOnce(): Unit = {
+      val q = Ingest.runCommitsStream(spark, s"$dir/commits", wh, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$wh/commits").count() == 1)
+    // day 2 re-ships c1 with a different message + a new commit: the
+    // merged table keeps day-1's copy and adds only c2
+    DumpSource.writeDump(s"$dir/commits/2014-01-02.bson", Iterator(
+      commitDoc("c1", "later copy", "2014-01-02T10:00:00Z"),
+      commitDoc("c2", "second", "2014-01-02T11:00:00Z")))
+    runOnce()
+    val got = spark.read.parquet(s"$wh/commits")
+      .select($"sha", $"message").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("c1", "first copy"), ("c2", "second")), s"got $got")
+  }
+
   test("comment dumps (both anchor kinds) and fork dumps decode and " +
     "dedup through the shared comment schema") {
     import graft.functions.Bson
