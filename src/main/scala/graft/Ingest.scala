@@ -415,24 +415,29 @@ object Ingest {
       .agg(min(col("starred_at")).as("starred_at"))
 
   /** commit_comments / issue_comments folders → flat `comments` table:
-    * latest-wins per comment id; both anchor columns survive (one is
-    * NULL per row kind). */
+    * latest-wins per (kind, id) — commit-comment and issue-comment ids
+    * are SEPARATE GitHub sequences, so the anchor kind must be part of
+    * the identity or a cross-kind id collision silently drops a row
+    * when both folders load into the one shared table. `kind` rides in
+    * the output; merge downstream on (kind, github_id). */
   def importComments(raw: DataFrame): DataFrame = {
-    val deduped = firstBy(raw.filter(col("id").isNotNull), col("id"),
+    val kinded = raw.filter(col("id").isNotNull)
+      .withColumn("kind",
+        when(col("commit_id").isNotNull, "commit").otherwise("issue"))
+    val deduped = firstBy(kinded, struct(col("kind"), col("id")),
       col("updated_at").desc_nulls_last)
     deduped.select(
+      col("kind"),
       col("id").as("github_id"),
-      Normalize.removeNullBytes(col("body")).as("body"),
+      clean("body").as("body"),
       clean("commit_id").as("commit_sha"),
       col("issue_id"),
       col("position"), col("line"),
       clean("path").as("path"),
       col("user.id").as("author_github_id"),
-      Normalize.removeNullBytes(col("user.login")).as("author_login"),
-      Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
-        .cast("timestamp").as("created_at"),
-      Normalize.emptyToNull(Normalize.removeNullBytes(col("updated_at")))
-        .cast("timestamp").as("updated_at"))
+      clean("user.login").as("author_login"),
+      cleanDate("created_at").cast("timestamp").as("created_at"),
+      cleanDate("updated_at").cast("timestamp").as("updated_at"))
   }
 
   /** forks folder → flat `forks` table: first-wins per fork repo id,
@@ -444,12 +449,10 @@ object Ingest {
       col("id").as("fork_github_id"),
       clean("full_name").as("full_name"),
       col("owner.id").as("owner_github_id"),
-      Normalize.removeNullBytes(col("owner.login")).as("owner_login"),
+      clean("owner.login").as("owner_login"),
       col("parent.id").as("parent_github_id"),
-      Normalize.removeNullBytes(col("parent.full_name"))
-        .as("parent_full_name"),
-      Normalize.emptyToNull(Normalize.removeNullBytes(col("created_at")))
-        .cast("timestamp").as("forked_at"))
+      clean("parent.full_name").as("parent_full_name"),
+      cleanDate("created_at").cast("timestamp").as("forked_at"))
   }
 
   /** org_members folder → gh_users_organizations via broadcast
@@ -579,23 +582,14 @@ object Ingest {
     * a stream to batch merge logic. Exactly-once per file via the
     * checkpointed source offset + idempotent merge keys. */
   def runUsersStream(spark: SparkSession, folder: String, warehouseDir: String,
-                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream.format("graft.sources.DumpDataSource")
-      .load(folder)
-      .select(decodeDoc(col("doc"), userSchema).as("e"))
-      .select(col("e.*"))
-    raw.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (users, ghUsers, ghOrgs) = importUsers(batch)
-        mergeParquetAll(spark, Seq(
-          (users, s"$warehouseDir/users", Seq("github_id")),
-          (ghUsers, s"$warehouseDir/gh_users", Seq("github_id")),
-          (ghOrgs, s"$warehouseDir/gh_organizations", Seq("github_id"))))
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, userSchema, checkpoint) { batch =>
+      val (users, ghUsers, ghOrgs) = importUsers(batch)
+      mergeParquetAll(spark, Seq(
+        (users, s"$warehouseDir/users", Seq("github_id")),
+        (ghUsers, s"$warehouseDir/gh_users", Seq("github_id")),
+        (ghOrgs, s"$warehouseDir/gh_organizations", Seq("github_id"))))
+    }
 
   /** Continuous repo ingestion: each micro-batch runs the full staged →
     * latest-wins → double-anti-join pipeline against the CURRENT
@@ -604,13 +598,8 @@ object Ingest {
     * and merges. Replaying a batch after a failure is a no-op: the
     * anti-join sees the previously merged rows and yields zero fresh. */
   def runReposStream(spark: SparkSession, folder: String, warehouseDir: String,
-                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream.format("graft.sources.DumpDataSource")
-      .load(folder)
-      .select(decodeDoc(col("doc"), repoSchema).as("e"))
-      .select(col("e.*"))
-    raw.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, repoSchema, checkpoint) { batch =>
         val repoPath = s"$warehouseDir/repositories"
         val ghPath = s"$warehouseDir/gh_repositories"
         val fs = new org.apache.hadoop.fs.Path(repoPath)
@@ -637,11 +626,23 @@ object Ingest {
             repoPath, Seq("clone_path", "primary_language")),
           (gh.withColumn("repository_id", col("repository_id") + base),
             ghPath, Seq("github_id"))))
-      }
+    }
+
+  /** The shared continuous-ingestion scaffold every run*Stream uses:
+    * streaming dump source → decode → `foreachBatch(sink)`, checkpointed,
+    * AvailableNow. The sink owns the batch→warehouse merge logic. */
+  private def entityStream(spark: SparkSession, folder: String,
+      schema: StructType, checkpoint: String)(sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft.sources.DumpDataSource")
+      .load(folder)
+      .select(decodeDoc(col("doc"), schema).as("e"))
+      .select(col("e.*"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-  }
 
   /** Continuous commits ingestion: each daily shard micro-batch runs
     * [[importCommits]] (within-batch first-wins per sha) and merges
@@ -650,38 +651,20 @@ object Ingest {
     * warehouse (the same first-wins policy the batch path applies
     * within a dump set). */
   def runCommitsStream(spark: SparkSession, folder: String, warehouseDir: String,
-                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream.format("graft.sources.DumpDataSource")
-      .load(folder)
-      .select(decodeDoc(col("doc"), commitSchema).as("e"))
-      .select(col("e.*"))
-    raw.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeParquetAll(spark, Seq((importCommits(batch),
-          s"$warehouseDir/commits", Seq("sha"))))
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, commitSchema, checkpoint) { batch =>
+      mergeParquetAll(spark, Seq((importCommits(batch),
+        s"$warehouseDir/commits", Seq("sha"))))
+    }
 
   /** Continuous events ingestion; see [[runCommitsStream]] — merge key
     * is the event id. */
   def runEventsStream(spark: SparkSession, folder: String, warehouseDir: String,
-                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream.format("graft.sources.DumpDataSource")
-      .load(folder)
-      .select(decodeDoc(col("doc"), eventSchema).as("e"))
-      .select(col("e.*"))
-    raw.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeParquetAll(spark, Seq((importEvents(batch),
-          s"$warehouseDir/events", Seq("event_id"))))
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, eventSchema, checkpoint) { batch =>
+      mergeParquetAll(spark, Seq((importEvents(batch),
+        s"$warehouseDir/events", Seq("event_id"))))
+    }
 
   /** Continuous relation ingestion: org-membership (and, with
     * [[runCollaboratorsStream]], repo-collaborator) rows resolve
@@ -690,13 +673,8 @@ object Ingest {
     * simply drop this batch and resolve when re-shipped (the
     * reference's skip-on-missing-id behavior, ght2dm.go:757-765). */
   def runMembersStream(spark: SparkSession, folder: String, warehouseDir: String,
-                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream.format("graft.sources.DumpDataSource")
-      .load(folder)
-      .select(decodeDoc(col("doc"), orgMemberSchema).as("e"))
-      .select(col("e.*"))
-    raw.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, orgMemberSchema, checkpoint) { batch =>
         // skip-on-missing-dims, like the reference's skip-on-missing-id
         // (ght2dm.go:757-765): a relation shard arriving before its
         // dimension tables must not kill the stream — the rows resolve
@@ -709,11 +687,7 @@ object Ingest {
               s"$warehouseDir/gh_users_organizations",
               Seq("gh_user_id", "gh_organization_id"))))
         }
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+    }
 
   /** All dimension tables read, or None if any is not yet present. */
   private def dimsIfPresent(spark: SparkSession,
@@ -728,13 +702,8 @@ object Ingest {
 
   /** See [[runMembersStream]]; resolves login + owner/repo full_name. */
   def runCollaboratorsStream(spark: SparkSession, folder: String, warehouseDir: String,
-                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val raw = spark.readStream.format("graft.sources.DumpDataSource")
-      .load(folder)
-      .select(decodeDoc(col("doc"), repoCollaboratorSchema).as("e"))
-      .select(col("e.*"))
-    raw.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, repoCollaboratorSchema, checkpoint) { batch =>
         // see runMembersStream: skip (not crash) while dims are absent
         dimsIfPresent(spark, Seq(s"$warehouseDir/gh_users",
             s"$warehouseDir/gh_repositories")).foreach {
@@ -744,11 +713,7 @@ object Ingest {
               s"$warehouseDir/users_repositories",
               Seq("user_id", "repository_id"))))
         }
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-  }
+    }
 
   /** Run the whole pipeline over a config; writes each output table to
     * `<warehouseDir>/<table>` parquet and returns the DataFrames. */

@@ -476,6 +476,25 @@ class IngestSpec extends AnyFunSuite {
       .select($"sha", $"message").as[(String, String)]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq(("c1", "first copy"), ("c2", "second")), s"got $got")
+    // the events twin on the same scaffold: stream two shards with a
+    // re-shipped id, merged table stays unique per event id
+    Files.createDirectories(Paths.get(s"$dir/events"))
+    def eventDoc(id: String, at: String) =
+      Bson.docBody(Seq("id" -> id, "type" -> "PushEvent",
+        "public" -> true, "created_at" -> at,
+        "actor" -> Seq("id" -> 1L, "login" -> "alice"),
+        "repo" -> Seq("id" -> 100L, "name" -> "devmine/ght2dm"),
+        "org" -> null))
+    DumpSource.writeDump(s"$dir/events/2014-01-01.bson", Iterator(
+      eventDoc("e1", "2014-01-01T10:00:00Z")))
+    DumpSource.writeDump(s"$dir/events/2014-01-02.bson", Iterator(
+      eventDoc("e1", "2014-01-01T10:00:00Z"),
+      eventDoc("e2", "2014-01-02T10:00:00Z")))
+    val q = Ingest.runEventsStream(spark, s"$dir/events", wh, s"$dir/_cke")
+    q.processAllAvailable(); q.stop()
+    val evs = spark.read.parquet(s"$wh/events")
+      .select($"event_id").as[String].collect().sorted.toSeq
+    assert(evs == Seq("e1", "e2"), s"got $evs")
   }
 
   test("comment dumps (both anchor kinds) and fork dumps decode and " +
@@ -504,15 +523,25 @@ class IngestSpec extends AnyFunSuite {
         "user" -> Seq("id" -> 2L, "login" -> "bob"),
         "created_at" -> "2014-01-02T10:00:00Z",
         "updated_at" -> "2014-01-03T10:00:00Z"))))
+    // an ISSUE comment colliding with commit comment 7000's id:
+    // separate GitHub id sequences, so BOTH must survive (identity is
+    // (kind, id), not id alone)
+    DumpSource.writeDump(s"$dir/commit_comments/2014-01-02.bson", Iterator(
+      Bson.docBody(Seq("id" -> 7000L, "body" -> "issue side",
+        "issue_id" -> 501L,
+        "user" -> Seq("id" -> 2L, "login" -> "bob"),
+        "created_at" -> "2014-01-03T10:00:00Z",
+        "updated_at" -> "2014-01-03T10:00:00Z"))))
     val comments = Ingest.importComments(Ingest.readEntity(
       spark, s"$dir/commit_comments", Ingest.commentSchema))
-    val got = comments.select($"github_id", $"body", $"commit_sha",
-        $"issue_id", $"author_login")
-      .as[(Long, String, Option[String], Option[Long], String)]
-      .collect().sortBy(_._1).toSeq
+    val got = comments.select($"kind", $"github_id", $"body",
+        $"commit_sha", $"issue_id", $"author_login")
+      .as[(String, Long, String, Option[String], Option[Long], String)]
+      .collect().sortBy(r => (r._2, r._1)).toSeq
     assert(got == Seq(
-      (7000L, "nice commit", Some("c1"), None, "alice"),
-      (7001L, "agree (edited)", None, Some(500L), "bob")))
+      ("commit", 7000L, "nice commit", Some("c1"), None, "alice"),
+      ("issue", 7000L, "issue side", None, Some(501L), "bob"),
+      ("issue", 7001L, "agree (edited)", None, Some(500L), "bob")))
 
     DumpSource.writeDump(s"$dir/forks/2014-01-01.bson", Iterator(
       Bson.docBody(Seq("id" -> 8000L, "name" -> "ght2dm",
