@@ -744,6 +744,28 @@ object Ingest {
       out += "users_repositories" -> importRepoCollaborators(
         readEntity(spark, folder, repoCollaboratorSchema), ghUsers, ghRepos)
     }
+    // the round-7 entity kinds: plain projections, no dim dependencies.
+    // Both comment folders feed ONE `comments` table — safe because
+    // importComments' identity is (kind, id), so the union can't
+    // cross-collide (the kinds are separate GitHub id sequences)
+    val commentFolders =
+      Seq("commit_comments", "issue_comments").flatMap(byEntity.get)
+    if (commentFolders.nonEmpty)
+      out += "comments" -> importComments(
+        commentFolders.map(readEntity(spark, _, commentSchema))
+          .reduce(_ unionByName _))
+    Seq[(String, StructType, DataFrame => DataFrame)](
+      ("commits", commitSchema, importCommits),
+      ("events", eventSchema, importEvents),
+      ("issues", issueSchema, importIssues),
+      ("pull_requests", pullRequestSchema, importPullRequests),
+      ("watchers", watcherSchema, importWatchers),
+      ("forks", forkSchema, importForks)
+    ).foreach { case (name, schema, importFn) =>
+      byEntity.get(name).foreach { folder =>
+        out += name -> importFn(readEntity(spark, folder, schema))
+      }
+    }
     out.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"${cfg.warehouseDir}/$name")
     }

@@ -557,6 +557,45 @@ class IngestSpec extends AnyFunSuite {
     assert(f == ((8000L, "alice/ght2dm", "devmine/ght2dm", "alice")))
   }
 
+  test("run() routes the extended entity folders: commits land as a " +
+    "table, both comment folders merge into one comments table") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest-ext-run").toString
+    Seq("commits", "commit_comments", "issue_comments")
+      .foreach(e => Files.createDirectories(Paths.get(s"$dir/$e")))
+    DumpSource.writeDump(s"$dir/commits/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("sha" -> "c1",
+        "author" -> Seq("id" -> 1L, "login" -> "alice"),
+        "committer" -> Seq("id" -> 1L, "login" -> "alice"),
+        "commit" -> Seq("message" -> "m", "comment_count" -> 0L,
+          "author" -> Seq("name" -> "A", "email" -> "a@x",
+            "date" -> "2014-01-01T00:00:00Z"),
+          "committer" -> Seq("name" -> "A", "email" -> "a@x",
+            "date" -> "2014-01-01T00:00:00Z")),
+        "parents" -> Bson.BArray(Nil)))))
+    def comment(id: Long, commit: Any, issue: Any) =
+      Bson.docBody(Seq("id" -> id, "body" -> "b", "commit_id" -> commit,
+        "issue_id" -> issue,
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "created_at" -> "2014-01-01T00:00:00Z",
+        "updated_at" -> "2014-01-01T00:00:00Z"))
+    DumpSource.writeDump(s"$dir/commit_comments/2014-01-01.bson",
+      Iterator(comment(1L, "c1", null)))
+    DumpSource.writeDump(s"$dir/issue_comments/2014-01-01.bson",
+      Iterator(comment(1L, null, 500L))) // same id, different kind
+    Files.writeString(Paths.get(s"$dir/graft.conf"),
+      s"""{"ghtorrent_folders": ["$dir/commits",
+         |  "$dir/commit_comments", "$dir/issue_comments"],
+         | "warehouse_dir": "$dir/warehouse"}""".stripMargin)
+    val tables = Ingest.run(spark, Ingest.Config.load(s"$dir/graft.conf"))
+    assert(tables.keySet == Set("commits", "comments"))
+    assert(spark.read.parquet(s"$dir/warehouse/commits").count() == 1)
+    val kinds = spark.read.parquet(s"$dir/warehouse/comments")
+      .select($"kind").as[String].collect().sorted.toSeq
+    assert(kinds == Seq("commit", "issue"), s"got $kinds")
+  }
+
   test("all tables land in the warehouse as parquet") {
     val tables = Seq("users", "gh_users", "gh_organizations",
       "repositories", "gh_repositories", "gh_users_organizations",
