@@ -148,6 +148,30 @@ object Ingest {
       |parent STRUCT<id: BIGINT, full_name: STRING>,
       |created_at STRING""".stripMargin.replaceAll("\n", " "))
 
+  /** GHTorrent `repo_labels` collection (GitHub label API shape, with
+    * GHTorrent's stamped `repo`/`owner` retrieval keys — same stamping
+    * as org_members/watchers). Label ids are a GitHub id sequence of
+    * their own. */
+  val repoLabelSchema: StructType = StructType.fromDDL(
+    """id BIGINT, name STRING, color STRING, url STRING,
+      |default BOOLEAN, repo STRING, owner STRING"""
+      .stripMargin.replaceAll("\n", " "))
+
+  /** GHTorrent `geo_locations` geocoding cache (one doc per distinct
+    * free-text `location` string seen on user profiles, with the
+    * resolved coordinates; `status` records whether geocoding
+    * succeeded). The natural key is the location TEXT, not an id. */
+  val geoLocationSchema: StructType = StructType.fromDDL(
+    """location STRING, lat DOUBLE, long DOUBLE, country_code STRING,
+      |state STRING, city STRING, status STRING, updated_at STRING"""
+      .stripMargin.replaceAll("\n", " "))
+
+  /** GHTorrent `followers` collection (follower user rows stamped with
+    * the followed login in `follows`, the org_members stamping
+    * pattern). */
+  val followerSchema: StructType = StructType.fromDDL(
+    "id BIGINT, login STRING, follows STRING, created_at STRING")
+
   /** Per-row decode dispatch. A JSON doc starts with `{` and never
     * ends with 0x00; BSON always ends with the 0x00 terminator — in
     * BOTH shapes [[graft.functions.BsonDecoder.decode]] accepts: a
@@ -185,10 +209,10 @@ object Ingest {
     * tie-breaker if the dumps can carry same-key same-order rows with
     * differing payloads. */
   private def firstBy(df: DataFrame, key: org.apache.spark.sql.Column,
-                      order: org.apache.spark.sql.Column): DataFrame =
+                      order: org.apache.spark.sql.Column*): DataFrame =
     df.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(key)
-          .orderBy(order)))
+          .orderBy(order: _*)))
       .filter(col("__rn") === 1).drop("__rn")
 
   /** users folder → (users, gh_users, gh_organizations).
@@ -419,11 +443,22 @@ object Ingest {
     * are SEPARATE GitHub sequences, so the anchor kind must be part of
     * the identity or a cross-kind id collision silently drops a row
     * when both folders load into the one shared table. `kind` rides in
-    * the output; merge downstream on (kind, github_id). */
+    * the output; merge downstream on (kind, github_id).
+    *
+    * Kind comes from a `source_kind` column when the caller tagged
+    * rows at read time from the source FOLDER (run() and the comments
+    * stream do) — authoritative, because a commit comment whose
+    * commit_id is missing or failed the permissive decode must not be
+    * reclassified. Payload inference (commit_id null-ness) is the
+    * fallback for untagged frames only. */
   def importComments(raw: DataFrame): DataFrame = {
+    val inferred = when(col("commit_id").isNotNull, "commit").otherwise("issue")
     val kinded = raw.filter(col("id").isNotNull)
       .withColumn("kind",
-        when(col("commit_id").isNotNull, "commit").otherwise("issue"))
+        if (raw.columns.contains("source_kind"))
+          coalesce(col("source_kind"), inferred)
+        else inferred)
+      .drop("source_kind")
     val deduped = firstBy(kinded, struct(col("kind"), col("id")),
       col("updated_at").desc_nulls_last)
     deduped.select(
@@ -454,6 +489,55 @@ object Ingest {
       clean("parent.full_name").as("parent_full_name"),
       cleanDate("created_at").cast("timestamp").as("forked_at"))
   }
+
+  /** repo_labels folder → flat `repo_labels` table: latest-wins per
+    * label id (labels are renamed/recolored in place on GitHub, so a
+    * re-ship carries the newest state; there is no payload timestamp,
+    * so within one dump set the NEWEST file's copy — which
+    * [[graft.sources.DumpSource]] visits first — wins:
+    * `monotonically_increasing_id` carries the input partition
+    * ordinal in its high bits and the source maps one partition per
+    * file in newest-first visitation order, so ascending id order IS
+    * visitation order, computed narrowly before the window
+    * shuffle). */
+  def importRepoLabels(raw: DataFrame): DataFrame = {
+    val deduped = firstBy(raw.filter(col("id").isNotNull &&
+        clean("owner") =!= "" && clean("repo") =!= ""),
+      col("id"), monotonically_increasing_id().asc)
+    deduped.select(
+      col("id").as("label_github_id"),
+      clean("name").as("name"),
+      clean("color").as("color"),
+      col("default").as("is_default"),
+      concat(clean("owner"), lit("/"), clean("repo")).as("repo_full_name"))
+  }
+
+  /** geo_locations folder → geocoding cache keyed by the location
+    * TEXT: latest-wins per location by `updated_at` (the cache is
+    * refreshed in place when a geocode is retried). */
+  def importGeoLocations(raw: DataFrame): DataFrame = {
+    val deduped = firstBy(raw.filter(col("location").isNotNull),
+      col("location"), col("updated_at").desc_nulls_last)
+    deduped.select(
+      clean("location").as("location"),
+      col("lat"), col("long"),
+      clean("country_code").as("country_code"),
+      clean("state").as("state"),
+      clean("city").as("city"),
+      clean("status").as("status"),
+      cleanDate("updated_at").cast("timestamp").as("updated_at"))
+  }
+
+  /** followers folder → (follower login, followed login, followed_at)
+    * rows: earliest sighting wins per edge (a follow re-ships on
+    * every dump day it survives, like a watcher star). */
+  def importFollowers(raw: DataFrame): DataFrame =
+    raw.filter(clean("login") =!= "" && clean("follows") =!= "")
+      .select(clean("login").as("follower_login"),
+        clean("follows").as("followed_login"),
+        cleanDate("created_at").cast("timestamp").as("followed_at"))
+      .groupBy(col("follower_login"), col("followed_login"))
+      .agg(min(col("followed_at")).as("followed_at"))
 
   /** org_members folder → gh_users_organizations via broadcast
     * login→id resolution; unresolved rows drop (the reference's
@@ -499,25 +583,55 @@ object Ingest {
     * transactional table format's multi-table MERGE; plain parquet +
     * staged swap keeps the same semantics catalog-free. */
   private[graft] def mergeParquetAll(spark: SparkSession,
-      merges: Seq[(DataFrame, String, Seq[String])]): Unit = {
+      merges: Seq[(DataFrame, String, Seq[String])]): Unit =
+    mergeParquetOrderedAll(spark,
+      merges.map { case (df, p, k) => (df, p, k, None) })
+
+  /** [[mergeParquetAll]] generalized with a per-table merge POLICY:
+    * `order = None` is insert-if-absent (first batch to ship a key
+    * wins — right for immutable kinds: commits, events, users'
+    * github_id identity), while `order = Some(sortExprs)` keeps, per
+    * key, the FIRST row under that ordering across existing ∪
+    * incoming, incoming winning exact ties so a re-shipped identical
+    * snapshot converges. Latest-wins kinds (issues / pull_requests /
+    * comments) pass `updated_at.desc_nulls_last`; oldest-wins kinds
+    * (watchers' earliest star, forks' first sighting) pass
+    * `asc_nulls_last`. The ordered path shuffles existing ∪ incoming
+    * once on the key — the same cost class as the anti-join the
+    * insert-if-absent path pays, and at warehouse scale the policy
+    * maps onto a MERGE ... WHEN MATCHED AND incoming.ord > existing
+    * .ord THEN UPDATE in a transactional table format. */
+  private[graft] def mergeParquetOrderedAll(spark: SparkSession,
+      merges: Seq[(DataFrame, String, Seq[String],
+                   Option[Seq[org.apache.spark.sql.Column]])]): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
     // phase 0: recover any interrupted prior swap BEFORE reading the
     // current state. Invariant of the swap protocol below: the target
     // can only be missing between rename-aside and rename-in, at which
     // point `__tmp` holds the COMPLETE merged table — so recovery is
     // always "finish the swap", never data loss.
-    merges.foreach { case (_, path, _) => recoverSwap(hc, path) }
+    merges.foreach { case (_, path, _, _) => recoverSwap(hc, path) }
     // phase 1: compute + write every merge to its temp dir — while ALL
     // target paths are still intact (see scaladoc)
-    val staged = merges.map { case (incoming, path, keys) =>
+    val staged = merges.map { case (incoming, path, keys, order) =>
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
       val merged =
-        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-          Dedup.idempotentUpsert(
-            existing = spark.read.parquet(path),
-            incoming = incoming.select(spark.read.parquet(path).columns
-              .toIndexedSeq.map(col): _*),
-            keys = keys)
+        if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+          val existing = spark.read.parquet(path)
+          val aligned =
+            incoming.select(existing.columns.toIndexedSeq.map(col): _*)
+          order match {
+            case None =>
+              Dedup.idempotentUpsert(existing, aligned, keys)
+            case Some(ord) =>
+              firstBy(
+                existing.withColumn("__src", lit(0))
+                  .unionByName(aligned.withColumn("__src", lit(1))),
+                struct(keys.map(col): _*),
+                ord :+ col("__src").desc: _*)
+                .drop("__src")
+          }
+        }
         else incoming
       val tmp = s"$path.__tmp"
       merged.write.mode("overwrite").parquet(tmp)
@@ -666,6 +780,77 @@ object Ingest {
         s"$warehouseDir/events", Seq("event_id"))))
     }
 
+  /** Continuous issues ingestion: latest-wins ACROSS batches — each
+    * micro-batch dedupes within itself ([[importIssues]]) and the
+    * merge keeps, per issue id, the newest `updated_at` over
+    * existing ∪ incoming — a re-shipped OLDER snapshot (out-of-order
+    * dump replay) must NOT overwrite newer warehouse state, which
+    * the insert-if-absent merge commits/events use can't express. */
+  def runIssuesStream(spark: SparkSession, folder: String, warehouseDir: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, issueSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((importIssues(batch),
+        s"$warehouseDir/issues", Seq("github_id"),
+        Some(Seq(col("updated_at").desc_nulls_last)))))
+    }
+
+  /** Continuous pull-request ingestion; latest-wins per PR id by
+    * `updated_at`, see [[runIssuesStream]]. */
+  def runPullRequestsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, pullRequestSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((importPullRequests(batch),
+        s"$warehouseDir/pull_requests", Seq("github_id"),
+        Some(Seq(col("updated_at").desc_nulls_last)))))
+    }
+
+  /** Continuous comments ingestion — one stream per source folder,
+    * the kind TAGGED from the folder basename (commit_comments /
+    * issue_comments), exactly like the batch `run()` dispatch: the
+    * anchor kind is part of the merge identity, so both streams can
+    * feed the one `comments` table concurrently with a shared
+    * warehouse and never cross-collide on id. Latest-wins per
+    * (kind, id) by `updated_at` (comments are editable). */
+  def runCommentsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val kind = new java.io.File(folder).getName match {
+      case "commit_comments" => "commit"
+      case "issue_comments" => "issue"
+      case other => throw new IllegalArgumentException(
+        s"comments stream folder must be named commit_comments or " +
+        s"issue_comments (the kind comes from the folder), got '$other'")
+    }
+    entityStream(spark, folder, commentSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((
+        importComments(batch.withColumn("source_kind", lit(kind))),
+        s"$warehouseDir/comments", Seq("kind", "github_id"),
+        Some(Seq(col("updated_at").desc_nulls_last)))))
+    }
+  }
+
+  /** Continuous watchers ingestion: OLDEST-wins — the warehouse keeps
+    * the earliest `starred_at` per (login, repo), the cross-batch
+    * twin of [[importWatchers]]' within-batch `min(starred_at)`; a
+    * late batch carrying an EARLIER star than the stored one must
+    * replace it, which again insert-if-absent can't express. */
+  def runWatchersStream(spark: SparkSession, folder: String, warehouseDir: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, watcherSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((importWatchers(batch),
+        s"$warehouseDir/watchers", Seq("login", "repo_full_name"),
+        Some(Seq(col("starred_at").asc_nulls_last)))))
+    }
+
+  /** Continuous forks ingestion: earliest `forked_at` wins per fork
+    * repo id — the cross-batch twin of [[importForks]]' first-wins. */
+  def runForksStream(spark: SparkSession, folder: String, warehouseDir: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, forkSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((importForks(batch),
+        s"$warehouseDir/forks", Seq("fork_github_id"),
+        Some(Seq(col("forked_at").asc_nulls_last)))))
+    }
+
   /** Continuous relation ingestion: org-membership (and, with
     * [[runCollaboratorsStream]], repo-collaborator) rows resolve
     * against the CURRENT warehouse dimensions per micro-batch and
@@ -736,31 +921,59 @@ object Ingest {
         t
       case None => (null, null)
     }
+    // relation kinds resolve against dimensions: from this run's
+    // imports when the dim folders are configured, else from the
+    // EXISTING warehouse (like runMembersStream's dimsIfPresent) —
+    // and fail with guidance when neither exists, instead of the
+    // bare NPE a null dim frame used to cause (the reference
+    // resolves against the live DB, ght2dm.go:757-765, so a
+    // relation-only config degrades there rather than crashes)
+    def dimOr(inMemory: DataFrame, table: String, forKind: String): DataFrame =
+      if (inMemory != null) inMemory
+      else dimsIfPresent(spark, Seq(s"${cfg.warehouseDir}/$table")) match {
+        case Some(Seq(df)) => df
+        case _ => throw new IllegalArgumentException(
+          s"config lists '$forKind' but no source for dimension '$table': " +
+          s"configure the dim folder too, or run against a warehouse " +
+          s"(${cfg.warehouseDir}) that already holds $table")
+      }
     byEntity.get("org_members").foreach { folder =>
       out += "gh_users_organizations" -> importOrgMembers(
-        readEntity(spark, folder, orgMemberSchema), ghUsers, ghOrgs)
+        readEntity(spark, folder, orgMemberSchema),
+        dimOr(ghUsers, "gh_users", "org_members"),
+        dimOr(ghOrgs, "gh_organizations", "org_members"))
     }
     byEntity.get("repo_collaborators").foreach { folder =>
       out += "users_repositories" -> importRepoCollaborators(
-        readEntity(spark, folder, repoCollaboratorSchema), ghUsers, ghRepos)
+        readEntity(spark, folder, repoCollaboratorSchema),
+        dimOr(ghUsers, "gh_users", "repo_collaborators"),
+        dimOr(ghRepos, "gh_repositories", "repo_collaborators"))
     }
     // the round-7 entity kinds: plain projections, no dim dependencies.
     // Both comment folders feed ONE `comments` table — safe because
     // importComments' identity is (kind, id), so the union can't
-    // cross-collide (the kinds are separate GitHub id sequences)
-    val commentFolders =
-      Seq("commit_comments", "issue_comments").flatMap(byEntity.get)
-    if (commentFolders.nonEmpty)
-      out += "comments" -> importComments(
-        commentFolders.map(readEntity(spark, _, commentSchema))
-          .reduce(_ unionByName _))
+    // cross-collide (the kinds are separate GitHub id sequences).
+    // The kind is TAGGED from the source folder here — inferring it
+    // from commit_id null-ness would silently reclassify a commit
+    // comment whose sha failed the permissive decode as an issue
+    // comment, colliding with a real issue comment of the same id
+    val commentFrames = Seq("commit_comments" -> "commit",
+        "issue_comments" -> "issue").flatMap { case (folder, kind) =>
+      byEntity.get(folder).map(readEntity(spark, _, commentSchema)
+        .withColumn("source_kind", lit(kind)))
+    }
+    if (commentFrames.nonEmpty)
+      out += "comments" -> importComments(commentFrames.reduce(_ unionByName _))
     Seq[(String, StructType, DataFrame => DataFrame)](
       ("commits", commitSchema, importCommits),
       ("events", eventSchema, importEvents),
       ("issues", issueSchema, importIssues),
       ("pull_requests", pullRequestSchema, importPullRequests),
       ("watchers", watcherSchema, importWatchers),
-      ("forks", forkSchema, importForks)
+      ("forks", forkSchema, importForks),
+      ("repo_labels", repoLabelSchema, importRepoLabels),
+      ("geo_locations", geoLocationSchema, importGeoLocations),
+      ("followers", followerSchema, importFollowers)
     ).foreach { case (name, schema, importFn) =>
       byEntity.get(name).foreach { folder =>
         out += name -> importFn(readEntity(spark, folder, schema))

@@ -188,12 +188,12 @@ class BsonDecoder(val schema: StructType) extends Serializable {
   }
   @transient private lazy val types: Array[DataType] =
     schema.fields.map(_.dataType)
+  // the struct decoder at the bottom of any array nesting: decodeArray
+  // hands the SAME `sub` down through every ArrayType level, so one
+  // decoder for the innermost struct serves array<struct>,
+  // array<array<struct>>, ... alike (and null for scalar leaves)
   @transient private lazy val nested: Array[BsonDecoder] =
-    schema.fields.map(_.dataType match {
-      case st: StructType => new BsonDecoder(st)
-      case ArrayType(st: StructType, _) => new BsonDecoder(st)
-      case _ => null
-    })
+    schema.fields.map(f => BsonDecoder.structDecoder(f.dataType))
 
   /** NULL on undecodable input (permissive, like from_json). */
   def decode(bytes: Array[Byte]): InternalRow =
@@ -236,9 +236,11 @@ class BsonDecoder(val schema: StructType) extends Serializable {
 
   /** One element value coerced to `dt` (mgo-style permissive: a
     * mismatch yields null, never an error). `sub` is the compiled
-    * decoder for a struct target — or for an array-of-struct's
-    * ELEMENT type; nested array-of-array targets are unsupported and
-    * yield null elements. */
+    * decoder for the INNERMOST struct under `dt` — the same instance
+    * serves struct, array-of-struct, and array-of-array-of-struct
+    * targets because array nesting only peels ArrayType levels off
+    * `dt` while the bottom struct stays fixed; null for scalar
+    * leaves (guarded below, honoring the permissive contract). */
   private def decodeValue(t: Int, bytes: Array[Byte], p: Int,
                           dt: DataType, sub: BsonDecoder): Any = dt match {
     case LongType => t match {
@@ -277,7 +279,7 @@ class BsonDecoder(val schema: StructType) extends Serializable {
       case _ => null
     }
     case _: StructType => t match {
-      case Bson.TDoc =>
+      case Bson.TDoc if sub != null =>
         val len = Bson.readInt32(bytes, p)
         sub.decodeElements(bytes, p + 4, p + len - 1)
       case _ => null
@@ -309,5 +311,16 @@ class BsonDecoder(val schema: StructType) extends Serializable {
       p += Bson.valueLength(t, bytes, p)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+}
+
+object BsonDecoder {
+  /** The decoder for the innermost StructType reachable through any
+    * depth of ArrayType nesting, or null if `dt` bottoms out in a
+    * scalar (scalar array elements decode inline, no sub-decoder). */
+  private[functions] def structDecoder(dt: DataType): BsonDecoder = dt match {
+    case st: StructType => new BsonDecoder(st)
+    case ArrayType(et, _) => structDecoder(et)
+    case _ => null
   }
 }

@@ -104,6 +104,27 @@ class BsonSpec extends AnyFunSuite {
     assert(mismatch.isNullAt(0) && mismatch.getUTF8String(2).toString == "u")
   }
 
+  test("array-of-array targets decode through arbitrary nesting: the " +
+    "innermost struct decoder serves every ArrayType level") {
+    val schema = StructType.fromDDL(
+      "grid ARRAY<ARRAY<STRUCT<x: BIGINT>>>, deep ARRAY<ARRAY<BIGINT>>")
+    val body = Bson.doc(Seq(
+      "grid" -> Bson.BArray(Seq(
+        Bson.BArray(Seq(Seq("x" -> 1L), Seq("x" -> 2L))),
+        Bson.BArray(Seq(Seq("x" -> 3L))))),
+      "deep" -> Bson.BArray(Seq(Bson.BArray(Seq(7L, 8L))))))
+    val row = new BsonDecoder(schema).decode(body)
+    assert(row != null, "array<array<struct>> must decode, not NPE")
+    val grid = row.getArray(0)
+    assert(grid.numElements() == 2)
+    val r0 = grid.getArray(0)
+    assert(Seq(r0.getStruct(0, 1).getLong(0),
+      r0.getStruct(1, 1).getLong(0)) == Seq(1L, 2L))
+    assert(grid.getArray(1).getStruct(0, 1).getLong(0) == 3L)
+    val deep = row.getArray(1).getArray(0)
+    assert(Seq(deep.getLong(0), deep.getLong(1)) == Seq(7L, 8L))
+  }
+
   test("undecodable bytes give a NULL row, not an error (from_json's " +
     "permissive contract)") {
     val dec = new BsonDecoder(StructType.fromDDL("id BIGINT"))

@@ -605,4 +605,250 @@ class IngestSpec extends AnyFunSuite {
       assert(n >= 0, s"$t unreadable") // presence + readability
     }
   }
+
+  test("run() on a relation-only config resolves dims from an existing " +
+    "warehouse, and fails with guidance when neither source exists") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_relonly").toString
+    Seq("users", "org_members").foreach(e =>
+      Files.createDirectories(Paths.get(s"$dir/$e")))
+    writeDocs(s"$dir/users/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","type":"User","name":"Alice","email":"a@x.org","created_at":"2013-01-01T00:00:00Z","updated_at":"","followers":1,"following":1,"hireable":true}""",
+      """{"id":3,"login":"devmine","type":"Organization","name":"DevMine","created_at":"2013-03-01T00:00:00Z","updated_at":""}"""))
+    writeDocs(s"$dir/org_members/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","org":"devmine","type":"User"}"""))
+    // no users folder AND no warehouse: a clear error, not a bare NPE
+    val err = intercept[IllegalArgumentException] {
+      Ingest.run(spark,
+        Ingest.Config(Seq(s"$dir/org_members"), s"$dir/wh_empty"))
+    }
+    assert(err.getMessage.contains("gh_users"), err.getMessage)
+    assert(err.getMessage.contains("org_members"), err.getMessage)
+    // a prior users-only run fills the warehouse; the relation-only
+    // config then resolves against it (the reference resolves against
+    // the live DB the same way, ght2dm.go:757-765)
+    Ingest.run(spark, Ingest.Config(Seq(s"$dir/users"), s"$dir/wh"))
+    val out = Ingest.run(spark,
+      Ingest.Config(Seq(s"$dir/org_members"), s"$dir/wh"))
+    val got = out("gh_users_organizations").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)), s"got $got")
+  }
+
+  test("continuous issues/PR ingestion: newest updated_at wins across " +
+    "batches; an older replay never overwrites newer warehouse state") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_issues_stream").toString
+    Seq("issues", "pull_requests").foreach(e =>
+      Files.createDirectories(Paths.get(s"$dir/$e")))
+    val wh = s"$dir/warehouse"
+    def issueDoc(id: Long, state: String, updated: String) =
+      Bson.docBody(Seq("id" -> id, "number" -> 1L, "state" -> state,
+        "title" -> "t", "body" -> "b", "comments" -> 0L,
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "labels" -> Bson.BArray(Nil),
+        "created_at" -> "2014-01-01T00:00:00Z",
+        "updated_at" -> updated, "closed_at" -> ""))
+    def runIssues(): Unit = {
+      val q = Ingest.runIssuesStream(spark, s"$dir/issues", wh, s"$dir/_cki")
+      q.processAllAvailable(); q.stop()
+    }
+    DumpSource.writeDump(s"$dir/issues/2014-01-02.bson", Iterator(
+      issueDoc(500L, "open", "2014-01-02T10:00:00Z")))
+    runIssues()
+    // day 3 ships an OLDER snapshot of 500 (out-of-order replay) plus
+    // a new issue: the stale copy must lose to the warehouse row
+    DumpSource.writeDump(s"$dir/issues/2014-01-03.bson", Iterator(
+      issueDoc(500L, "stale", "2014-01-01T09:00:00Z"),
+      issueDoc(501L, "open", "2014-01-03T09:00:00Z")))
+    runIssues()
+    val afterStale = spark.read.parquet(s"$wh/issues")
+      .select($"github_id", $"state").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(afterStale == Seq((500L, "open"), (501L, "open")),
+      s"got $afterStale")
+    // day 4 genuinely updates 500 -> newest copy replaces
+    DumpSource.writeDump(s"$dir/issues/2014-01-04.bson", Iterator(
+      issueDoc(500L, "closed", "2014-01-04T10:00:00Z")))
+    runIssues()
+    val afterNew = spark.read.parquet(s"$wh/issues")
+      .filter($"github_id" === 500L).select($"state").as[String].head()
+    assert(afterNew == "closed")
+
+    // the PR twin on the same merge policy
+    def prDoc(id: Long, merged: Boolean, updated: String) =
+      Bson.docBody(Seq("id" -> id, "number" -> 7L, "state" -> "open",
+        "title" -> "t", "merged" -> merged,
+        "additions" -> 1L, "deletions" -> 1L, "changed_files" -> 1L,
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "head" -> Seq("sha" -> "h", "ref" -> "f",
+          "repo" -> Seq("id" -> 200L, "full_name" -> "alice/fork")),
+        "base" -> Seq("sha" -> "b", "ref" -> "m",
+          "repo" -> Seq("id" -> 100L, "full_name" -> "devmine/ght2dm")),
+        "created_at" -> "2014-01-01T00:00:00Z",
+        "updated_at" -> updated, "merged_at" -> "", "closed_at" -> ""))
+    def runPrs(): Unit = {
+      val q = Ingest.runPullRequestsStream(spark, s"$dir/pull_requests",
+        wh, s"$dir/_ckp")
+      q.processAllAvailable(); q.stop()
+    }
+    DumpSource.writeDump(s"$dir/pull_requests/2014-01-02.bson", Iterator(
+      prDoc(900L, merged = true, "2014-01-02T10:00:00Z")))
+    runPrs()
+    DumpSource.writeDump(s"$dir/pull_requests/2014-01-03.bson", Iterator(
+      prDoc(900L, merged = false, "2014-01-01T09:00:00Z"))) // stale
+    runPrs()
+    val pr = spark.read.parquet(s"$wh/pull_requests")
+      .select($"github_id", $"merged").as[(Long, Boolean)].head()
+    assert(pr == ((900L, true)), s"got $pr")
+  }
+
+  test("continuous comments/watchers/forks ingestion: folder-tagged " +
+    "comment kinds merge latest-wins; stars and forks keep the earliest") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_cwf_stream").toString
+    Seq("commit_comments", "issue_comments", "watchers", "forks")
+      .foreach(e => Files.createDirectories(Paths.get(s"$dir/$e")))
+    val wh = s"$dir/warehouse"
+    def commentDoc(id: Long, body: String, updated: String) =
+      Bson.docBody(Seq("id" -> id, "body" -> body,
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "created_at" -> "2014-01-01T00:00:00Z", "updated_at" -> updated))
+    def runComments(folder: String, ck: String): Unit = {
+      val q = Ingest.runCommentsStream(spark, s"$dir/$folder", wh, ck)
+      q.processAllAvailable(); q.stop()
+    }
+    // same id through BOTH kind streams into the ONE comments table:
+    // the folder decides the kind (neither doc carries an anchor
+    // field, so payload inference would misfile the commit one)
+    DumpSource.writeDump(s"$dir/commit_comments/2014-01-01.bson",
+      Iterator(commentDoc(7000L, "commit side", "2014-01-01T10:00:00Z")))
+    DumpSource.writeDump(s"$dir/issue_comments/2014-01-01.bson",
+      Iterator(commentDoc(7000L, "issue side", "2014-01-01T10:00:00Z")))
+    runComments("commit_comments", s"$dir/_ckcc")
+    runComments("issue_comments", s"$dir/_ckic")
+    // an edited commit comment re-ships newer; a stale issue copy too
+    DumpSource.writeDump(s"$dir/commit_comments/2014-01-02.bson",
+      Iterator(commentDoc(7000L, "commit edited", "2014-01-02T10:00:00Z")))
+    DumpSource.writeDump(s"$dir/issue_comments/2014-01-02.bson",
+      Iterator(commentDoc(7000L, "issue stale", "2013-12-31T10:00:00Z")))
+    runComments("commit_comments", s"$dir/_ckcc")
+    runComments("issue_comments", s"$dir/_ckic")
+    val got = spark.read.parquet(s"$wh/comments")
+      .select($"kind", $"body").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("commit", "commit edited"), ("issue", "issue side")),
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      Ingest.runCommentsStream(spark, s"$dir/watchers", wh, s"$dir/_ckx")
+    }
+
+    // watchers: a LATER batch ships an EARLIER star -> replaces
+    def watcherDoc(at: String) =
+      Bson.docBody(Seq("id" -> 1L, "login" -> "alice", "repo" -> "ght2dm",
+        "owner" -> "devmine", "created_at" -> at))
+    def runWatchers(): Unit = {
+      val q = Ingest.runWatchersStream(spark, s"$dir/watchers", wh,
+        s"$dir/_ckw")
+      q.processAllAvailable(); q.stop()
+    }
+    DumpSource.writeDump(s"$dir/watchers/2014-01-02.bson",
+      Iterator(watcherDoc("2014-01-02T08:00:00Z")))
+    runWatchers()
+    DumpSource.writeDump(s"$dir/watchers/2014-01-03.bson",
+      Iterator(watcherDoc("2014-01-01T08:00:00Z"))) // earlier sighting
+    runWatchers()
+    val star = spark.read.parquet(s"$wh/watchers")
+      .select($"starred_at".cast("string")).as[String].collect().toSeq
+    assert(star == Seq("2014-01-01 08:00:00"), s"got $star")
+
+    // forks: earliest forked_at wins per fork id
+    def forkDoc(at: String) =
+      Bson.docBody(Seq("id" -> 8000L, "name" -> "ght2dm",
+        "full_name" -> "alice/ght2dm",
+        "owner" -> Seq("id" -> 1L, "login" -> "alice"),
+        "parent" -> Seq("id" -> 100L, "full_name" -> "devmine/ght2dm"),
+        "created_at" -> at))
+    def runForks(): Unit = {
+      val q = Ingest.runForksStream(spark, s"$dir/forks", wh, s"$dir/_ckf")
+      q.processAllAvailable(); q.stop()
+    }
+    DumpSource.writeDump(s"$dir/forks/2014-01-02.bson",
+      Iterator(forkDoc("2014-01-02T08:00:00Z")))
+    runForks()
+    DumpSource.writeDump(s"$dir/forks/2014-01-03.bson",
+      Iterator(forkDoc("2014-01-01T08:00:00Z")))
+    runForks()
+    val fork = spark.read.parquet(s"$wh/forks")
+      .select($"forked_at".cast("string")).as[String].collect().toSeq
+    assert(fork == Seq("2014-01-01 08:00:00"), s"got $fork")
+  }
+
+  test("repo_labels, geo_locations, followers decode, dedup by their " +
+    "natural keys, and route through run()") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_r8_kinds").toString
+    Seq("repo_labels", "geo_locations", "followers").foreach(e =>
+      Files.createDirectories(Paths.get(s"$dir/$e")))
+    // label 42 re-ships recolored: the NEWEST dump file's copy wins
+    // (no payload timestamp; newest-first visitation order decides)
+    DumpSource.writeDump(s"$dir/repo_labels/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("id" -> 42L, "name" -> "bug", "color" -> "red",
+        "default" -> true, "repo" -> "ght2dm", "owner" -> "devmine")),
+      Bson.docBody(Seq("id" -> 43L, "name" -> "docs", "color" -> "green",
+        "default" -> false, "repo" -> "ght2dm", "owner" -> "devmine"))))
+    DumpSource.writeDump(s"$dir/repo_labels/2014-01-02.bson", Iterator(
+      Bson.docBody(Seq("id" -> 42L, "name" -> "bug", "color" -> "blue",
+        "default" -> true, "repo" -> "ght2dm", "owner" -> "devmine"))))
+    // Paris re-geocodes with a newer updated_at -> latest wins
+    DumpSource.writeDump(s"$dir/geo_locations/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("location" -> "Paris", "lat" -> 48.85,
+        "long" -> 2.35, "country_code" -> "fr", "state" -> "IDF",
+        "city" -> "Paris", "status" -> "OK",
+        "updated_at" -> "2014-01-01T00:00:00Z")),
+      Bson.docBody(Seq("location" -> "Paris", "lat" -> 48.86,
+        "long" -> 2.35, "country_code" -> "fr", "state" -> "IDF",
+        "city" -> "Paris", "status" -> "OK",
+        "updated_at" -> "2014-01-02T00:00:00Z")),
+      Bson.docBody(Seq("location" -> "nowhere", "status" -> "failed",
+        "updated_at" -> "2014-01-01T00:00:00Z"))))
+    // alice->bob re-ships daily; the earliest sighting survives
+    DumpSource.writeDump(s"$dir/followers/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("id" -> 1L, "login" -> "alice", "follows" -> "bob",
+        "created_at" -> "2014-01-01T08:00:00Z")),
+      Bson.docBody(Seq("id" -> 1L, "login" -> "alice", "follows" -> "bob",
+        "created_at" -> "2014-01-02T08:00:00Z")),
+      Bson.docBody(Seq("id" -> 2L, "login" -> "bob", "follows" -> "alice",
+        "created_at" -> "2014-01-03T08:00:00Z"))))
+    Files.writeString(Paths.get(s"$dir/graft.conf"),
+      s"""{"ghtorrent_folders": ["$dir/repo_labels",
+         |  "$dir/geo_locations", "$dir/followers"],
+         | "warehouse_dir": "$dir/warehouse"}""".stripMargin)
+    val tables = Ingest.run(spark, Ingest.Config.load(s"$dir/graft.conf"))
+    assert(tables.keySet ==
+      Set("repo_labels", "geo_locations", "followers"))
+    val labels = spark.read.parquet(s"$dir/warehouse/repo_labels")
+      .select($"label_github_id", $"name", $"color", $"is_default",
+        $"repo_full_name")
+      .as[(Long, String, String, Boolean, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(labels == Seq(
+      (42L, "bug", "blue", true, "devmine/ght2dm"),
+      (43L, "docs", "green", false, "devmine/ght2dm")), s"got $labels")
+    val geo = spark.read.parquet(s"$dir/warehouse/geo_locations")
+      .select($"location", $"lat", $"status")
+      .as[(String, Option[Double], String)].collect()
+      .sortBy(_._1).toSeq
+    assert(geo == Seq(("Paris", Some(48.86), "OK"),
+      ("nowhere", None, "failed")), s"got $geo")
+    val follows = spark.read.parquet(s"$dir/warehouse/followers")
+      .select($"follower_login", $"followed_login",
+        $"followed_at".cast("string"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(follows == Seq(
+      ("alice", "bob", "2014-01-01 08:00:00"),
+      ("bob", "alice", "2014-01-03 08:00:00")), s"got $follows")
+  }
 }
