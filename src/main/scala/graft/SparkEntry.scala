@@ -338,12 +338,14 @@ object SparkEntry {
     // §2b-18c: duplicated-substring removal at 8-token-window
     // granularity (Lee et al. 2022 ExactSubstr, Spark-shaped: window
     // key shuffle + first-occurrence retention instead of a corpus
-    // suffix array). byHash=false keys windows on their strings so the
-    // DuckDB oracle replays the winner choice exactly; byHash=true is
-    // the 8-byte-key corpus path (DedupSpec pins the equivalence)
+    // suffix array). byHash=true is the 8-byte-key 100 TB path and is
+    // what's oracle-gated here: the DuckDB side replays fnv64 as
+    // HUGEINT mod-2^64 arithmetic and partitions on the HASH key, so
+    // the winner choice — including any 64-bit collision — is replayed
+    // exactly; string-key equivalence stays parity-pinned in DedupSpec
     "q_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(neardupCorpus(s, dir), "doc_id", "text",
-        w = 8, byHash = false)),
+        w = 8, byHash = true)),
 
     // §2b-18b: corpus-wide exact PARAGRAPH dedup (Lee et al. 2022's
     // within-and-across-document step). The flat synthetic corpus gets
@@ -752,7 +754,10 @@ object SparkEntry {
     // §2b-34: backward as-of join — enrich each event with the latest
     // snapshot row at or before it (single shuffle + sort, no
     // join-filter-max explosion). The snapshot stream is self-derived:
-    // every 10th event is a "profile snapshot" of its user.
+    // every 10th event is a "profile snapshot" of its user. Runs the
+    // AUTO path: the skew probe samples per-key counts and picks
+    // timeSplits (uniform events → 1 → the identical single-pass
+    // plan; TemporalSpec asserts the probe ran and chose 1).
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
         unix_millis(col("ts")).as("ts_ms"), col("value"))
@@ -761,7 +766,8 @@ object SparkEntry {
         .agg(max(col("value")).as("snap_value"))
       val pts = ev.filter(col("event_id") % 10 =!= 0)
         .select(col("event_id"), col("user_id"), col("ts_ms"))
-      Temporal.asOfJoinBackward(pts, snaps, Seq("user_id"), "ts_ms", "snap_ms")
+      Temporal.asOfJoinBackwardAuto(pts, snaps, Seq("user_id"), "ts_ms",
+          "snap_ms")
         .select(col("event_id"), col("user_id"), col("ts_ms"),
           col("matched_snap_ms"), col("snap_value"))
     }),
@@ -1066,11 +1072,19 @@ object SparkEntry {
         |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s
         |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
         |  WHERE len(t) >= 8),
+        |keyed AS (
+        |  SELECT doc_id, pos, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s)+1),
+        |        i -> CAST(unicode(substr(s, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS k
+        |  FROM wins),
         |marked AS (
         |  SELECT doc_id, pos,
-        |         row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
-        |         count(*) OVER (PARTITION BY s) AS n
-        |  FROM wins),
+        |         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn,
+        |         count(*) OVER (PARTITION BY k) AS n
+        |  FROM keyed),
         |covered AS (
         |  SELECT DISTINCT doc_id, g.tp
         |  FROM marked, unnest(generate_series(pos, pos + 7)) AS g(tp)

@@ -331,7 +331,17 @@ object Dedup {
     * map-side combinable, no occurrence lists, no cap needed), one
     * join back on the key for duplicated windows, and narrow
     * (id, token-position) anti-join + reassembly shuffles. Volume is
-    * O(total tokens), never O(pairs). */
+    * O(total tokens), never O(pairs).
+    *
+    * Collision trade-off of `byHash`: two DISTINCT windows sharing an
+    * fnv64 value are treated as duplicates, deleting legitimate text —
+    * expected collisions ≈ n²/2^65, i.e. ~thousands of 8-token spans
+    * at 10^12 windows (sub-ppb of the corpus), the standard accepted
+    * rate for 64-bit content keys in dedup pipelines (cf. the MinHash
+    * band keys). The oracle replay in SparkEntry partitions on the
+    * SAME 64-bit key, so correctness checks replay collisions rather
+    * than hide them; pass byHash=false to key on the window strings
+    * when exactness matters more than shuffle width. */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 8, byHash: Boolean = true): DataFrame = {
     require(w >= 2, "w must be >= 2")

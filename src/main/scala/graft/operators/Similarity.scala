@@ -201,14 +201,38 @@ object Similarity {
     * distribution enough that cell balance degrades (watch cell row
     * counts; the quantizer deliberately does NOT retrain here — new
     * centroids would strand existing rows in stale cells). */
+  /** Post-append cell balance factor of the last guarded
+    * [[appendToIvfIndex]] (-1 = no guarded append yet): the
+    * BucketCap/autoTimeSplits observability pattern — the drift
+    * signal is recorded where tests and operators can read it, not
+    * only logged. */
+  val lastAppendBalance =
+    new java.util.concurrent.atomic.AtomicReference[java.lang.Double](-1.0)
+
   def appendToIvfIndex(delta: DataFrame, path: String,
                        cents: Array[Array[Double]],
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       warnBalanceAbove: Option[Double] = None): Unit = {
     import graft.plans.VecExpressions.nearestCell
     delta.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", nearestCell(col("v"), cents))
       .write.mode("append").partitionBy("cell").parquet(path)
+    // drift guard: the rebuild-vs-append decision needs a trigger, not
+    // just a metric — compare the post-append balance factor against
+    // the caller's build-time reference (× slack) and log rebuild
+    // advice when the frozen quantizer has stopped fitting the corpus.
+    // Cost: one partition-column-only aggregate (footers, no vectors).
+    warnBalanceAbove.foreach { threshold =>
+      val balance = ivfCellStats(delta.sparkSession, path)._2
+      lastAppendBalance.set(balance)
+      if (balance > threshold)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"IVF index $path: cell balance factor $balance%.2f exceeds " +
+          f"$threshold%.2f after append — the frozen quantizer no " +
+          "longer fits the appended corpus; retrain and rebuild " +
+          "(buildIvfIndex) before probe cost skews further")
+    }
   }
 
   /** Cell-balance profile of a persisted IVF index: one aggregate over

@@ -142,6 +142,11 @@ object Temporal {
     * default keeps a hot key's per-task slice in the tens of MB for
     * typical row widths. `maxSplits` caps the carry-row overhead
     * (≤ keys·splits²/2 metadata rows). */
+  /** Last value [[autoTimeSplits]] computed (-1 = never ran): a
+    * test/ops-observable record that the skew probe actually executed
+    * and what it decided — the BucketCap observability pattern. */
+  val lastAutoTimeSplits = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def autoTimeSplits(left: DataFrame, keys: Seq[String],
                      targetRows: Long = 4000000L,
                      sampleFraction: Double = 0.01,
@@ -156,7 +161,9 @@ object Temporal {
     val hottest = Option(hottestSampled)
       .map(_.asInstanceOf[Number].longValue() / sampleFraction).getOrElse(0.0)
     val splits = math.ceil(hottest / targetRows).toLong
-    math.max(1L, math.min(splits, maxSplits.toLong)).toInt
+    val chosen = math.max(1L, math.min(splits, maxSplits.toLong)).toInt
+    lastAutoTimeSplits.set(chosen)
+    chosen
   }
 
   /** [[asOfJoinBackward]] with `timeSplits` chosen by

@@ -182,6 +182,37 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_append_test")
   }
 
+  test("IVF append drift guard: a distribution-shifted delta trips the " +
+    "balance warning; an in-distribution delta does not") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivfdrift").toString
+    val cents = Similarity.buildIvfIndex(emb, s"$base/idx", nlist = 8)
+    val builtBalance = Similarity.ivfCellStats(spark, s"$base/idx")._2
+    // in-distribution delta (the corpus itself, re-keyed): balance
+    // stays near the build-time value, no warning
+    Similarity.lastAppendBalance.set(-1.0)
+    Similarity.appendToIvfIndex(
+      emb.withColumn("vec_id", $"vec_id" + 100000L), s"$base/idx", cents,
+      warnBalanceAbove = Some(builtBalance * 2))
+    val sameBalance = Similarity.lastAppendBalance.get().doubleValue()
+    assert(sameBalance > 0, "guard did not run")
+    assert(sameBalance <= builtBalance * 2,
+      s"in-distribution append tripped: $sameBalance vs built $builtBalance")
+    // shifted delta: every vector sits at ONE centroid, piling a
+    // corpus-sized delta into a single cell -> balance blows past the
+    // build-time reference and the rebuild advice fires
+    val c0 = cents(0)
+    val shifted = emb.select(($"vec_id" + 200000L).as("vec_id"),
+      typedLit(c0.map(_.toFloat)).as("embedding"))
+    Similarity.lastAppendBalance.set(-1.0)
+    Similarity.appendToIvfIndex(shifted, s"$base/idx", cents,
+      warnBalanceAbove = Some(builtBalance * 2))
+    val driftBalance = Similarity.lastAppendBalance.get().doubleValue()
+    assert(driftBalance > builtBalance * 2,
+      s"shifted append should trip: $driftBalance vs built $builtBalance")
+  }
+
   test("cosineNearDupPairs finds planted perturbed copies, not random pairs") {
     val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf0001)
       .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()

@@ -119,6 +119,16 @@ class TemporalSpec extends AnyFunSuite {
     assert(auto == single)
   }
 
+  test("the registered q_asof_join runs the AUTO path: the skew probe " +
+    "executes and picks timeSplits=1 on the uniform events table") {
+    Temporal.lastAutoTimeSplits.set(-1)
+    val n = SparkEntry.queries("q_asof_join")(spark,
+      "/root/testdata/sf0.001").count()
+    assert(n > 0)
+    assert(Temporal.lastAutoTimeSplits.get() == 1,
+      s"probe recorded ${Temporal.lastAutoTimeSplits.get()}")
+  }
+
   test("as-of join equals the quadratic reference on random data") {
     val r = new scala.util.Random(7)
     val rndSnaps = Seq.fill(200)((r.nextInt(5).toLong,
