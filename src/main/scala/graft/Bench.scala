@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average and uptime seconds, read at capture time so
+    * a bench JSON carries its own contamination evidence: ambient host
+    * load (a concurrent sbt/test JVM) inflates per-query times 2-7×,
+    * and without load figures IN the artifact a contaminated capture
+    * can only be inferred from cross-round diffs (the round-7
+    * post-mortem). Returns (-1, -1) where /proc is unavailable. */
+  private def loadEvidence(): (Double, Double) =
+    try {
+      val la = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+      val up = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/uptime"))).split("\\s+")(0).toDouble
+      (la, up)
+    } catch { case _: Exception => (-1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val (loadBefore, uptimeBefore) = loadEvidence()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,7 +100,8 @@ object Bench {
     // prior rounds. The 12-way grouped-pass makespan is informative but
     // not comparable across rounds (scheduler contention noise), so it
     // rides under its own key, "grouped_total".
-    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val (loadAfter, uptimeAfter) = loadEvidence()
+    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
