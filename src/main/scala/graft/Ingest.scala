@@ -172,6 +172,27 @@ object Ingest {
   val followerSchema: StructType = StructType.fromDDL(
     "id BIGINT, login STRING, follows STRING, created_at STRING")
 
+  /** GHTorrent `issue_events` collection (issue timeline entries —
+    * closed/reopened/labeled/referenced… — with GHTorrent's stamped
+    * `issue_id`/`repo`/`owner` retrieval keys; timeline entries are
+    * immutable once emitted). */
+  val issueEventSchema: StructType = StructType.fromDDL(
+    """id BIGINT, event STRING, commit_id STRING,
+      |actor STRUCT<id: BIGINT, login: STRING>,
+      |issue_id BIGINT, repo STRING, owner STRING,
+      |created_at STRING""".stripMargin.replaceAll("\n", " "))
+
+  /** GHTorrent `pull_request_commits` collection (commit API objects
+    * stamped with the retrieval PR id — the (pr, sha) relation; one
+    * commit can belong to several PRs, so the natural key is the
+    * PAIR, not the sha). */
+  val pullRequestCommitSchema: StructType = StructType.fromDDL(
+    """sha STRING, pr_id BIGINT,
+      |author STRUCT<id: BIGINT, login: STRING>,
+      |commit STRUCT<message: STRING,
+      |  author: STRUCT<name: STRING, email: STRING, date: STRING>>"""
+      .stripMargin.replaceAll("\n", " "))
+
   /** Per-row decode dispatch. A JSON doc starts with `{` and never
     * ends with 0x00; BSON always ends with the 0x00 terminator — in
     * BOTH shapes [[graft.functions.BsonDecoder.decode]] accepts: a
@@ -539,6 +560,41 @@ object Ingest {
       .groupBy(col("follower_login"), col("followed_login"))
       .agg(min(col("followed_at")).as("followed_at"))
 
+  /** issue_events folder → flat `issue_events` table: first-wins per
+    * event id (timeline entries are immutable — any re-shipped copy
+    * is identical, so the tiebreak only needs determinism). */
+  def importIssueEvents(raw: DataFrame): DataFrame = {
+    val deduped = firstBy(raw.filter(col("id").isNotNull), col("id"),
+      monotonically_increasing_id().asc)
+    deduped.select(
+      col("id").as("event_github_id"),
+      clean("event").as("event"),
+      col("issue_id"),
+      clean("commit_id").as("commit_sha"),
+      col("actor.id").as("actor_github_id"),
+      clean("actor.login").as("actor_login"),
+      concat(clean("owner"), lit("/"), clean("repo")).as("repo_full_name"),
+      cleanDate("created_at").cast("timestamp").as("created_at"))
+  }
+
+  /** pull_request_commits folder → (pr_id, sha) relation rows with the
+    * flattened commit header: first-wins per PAIR — a commit re-ships
+    * under every PR that contains it, and under the same PR on every
+    * dump day the PR survives; the payload is immutable. */
+  def importPullRequestCommits(raw: DataFrame): DataFrame = {
+    val deduped = firstBy(
+      raw.filter(col("pr_id").isNotNull && clean("sha") =!= ""),
+      struct(col("pr_id"), col("sha")),
+      monotonically_increasing_id().asc)
+    deduped.select(
+      col("pr_id"),
+      clean("sha").as("sha"),
+      col("author.id").as("author_github_id"),
+      clean("author.login").as("author_login"),
+      clean("commit.message").as("message"),
+      cleanDate("commit.author.date").cast("timestamp").as("authored_at"))
+  }
+
   /** org_members folder → gh_users_organizations via broadcast
     * login→id resolution; unresolved rows drop (the reference's
     * "failed to retrieve" skip, ght2dm.go:757-765). */
@@ -816,9 +872,11 @@ object Ingest {
     val kind = new java.io.File(folder).getName match {
       case "commit_comments" => "commit"
       case "issue_comments" => "issue"
+      case "pull_request_comments" => "pull_request"
       case other => throw new IllegalArgumentException(
-        s"comments stream folder must be named commit_comments or " +
-        s"issue_comments (the kind comes from the folder), got '$other'")
+        s"comments stream folder must be named commit_comments, " +
+        s"issue_comments or pull_request_comments (the kind comes " +
+        s"from the folder), got '$other'")
     }
     entityStream(spark, folder, commentSchema, checkpoint) { batch =>
       mergeParquetOrderedAll(spark, Seq((
@@ -849,6 +907,60 @@ object Ingest {
       mergeParquetOrderedAll(spark, Seq((importForks(batch),
         s"$warehouseDir/forks", Seq("fork_github_id"),
         Some(Seq(col("forked_at").asc_nulls_last)))))
+    }
+
+  /** Continuous repo-label ingestion: INCOMING-wins per label id —
+    * labels are renamed/recolored in place and carry no payload
+    * timestamp, so the only freshness signal is batch arrival order
+    * (each micro-batch is a newer dump day). The constant sort makes
+    * every existing/incoming pair tie, and the merge's
+    * incoming-wins-ties rule keeps the newest batch's copy. */
+  def runRepoLabelsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, repoLabelSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((importRepoLabels(batch),
+        s"$warehouseDir/repo_labels", Seq("label_github_id"),
+        Some(Seq(lit(0).asc)))))
+    }
+
+  /** Continuous geo-location ingestion: latest `updated_at` wins per
+    * location text — the cache refreshes in place on geocode retry,
+    * and an out-of-order replay must not roll a fresher fix back. */
+  def runGeoLocationsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, geoLocationSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((importGeoLocations(batch),
+        s"$warehouseDir/geo_locations", Seq("location"),
+        Some(Seq(col("updated_at").desc_nulls_last)))))
+    }
+
+  /** Continuous follower ingestion: earliest `followed_at` wins per
+    * (follower, followed) edge — the cross-batch twin of
+    * [[importFollowers]]' within-batch `min`, like watchers' star. */
+  def runFollowersStream(spark: SparkSession, folder: String, warehouseDir: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, followerSchema, checkpoint) { batch =>
+      mergeParquetOrderedAll(spark, Seq((importFollowers(batch),
+        s"$warehouseDir/followers", Seq("follower_login", "followed_login"),
+        Some(Seq(col("followed_at").asc_nulls_last)))))
+    }
+
+  /** Continuous issue-event ingestion: insert-if-absent per event id
+    * (timeline entries are immutable, the commits/events policy). */
+  def runIssueEventsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, issueEventSchema, checkpoint) { batch =>
+      mergeParquetAll(spark, Seq((importIssueEvents(batch),
+        s"$warehouseDir/issue_events", Seq("event_github_id"))))
+    }
+
+  /** Continuous PR-commit ingestion: insert-if-absent per (pr, sha)
+    * pair (immutable payload; the pair re-ships daily). */
+  def runPullRequestCommitsStream(spark: SparkSession, folder: String, warehouseDir: String,
+                                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, pullRequestCommitSchema, checkpoint) { batch =>
+      mergeParquetAll(spark, Seq((importPullRequestCommits(batch),
+        s"$warehouseDir/pull_request_commits", Seq("pr_id", "sha"))))
     }
 
   /** Continuous relation ingestion: org-membership (and, with
@@ -958,10 +1070,12 @@ object Ingest {
     // comment whose sha failed the permissive decode as an issue
     // comment, colliding with a real issue comment of the same id
     val commentFrames = Seq("commit_comments" -> "commit",
-        "issue_comments" -> "issue").flatMap { case (folder, kind) =>
-      byEntity.get(folder).map(readEntity(spark, _, commentSchema)
-        .withColumn("source_kind", lit(kind)))
-    }
+        "issue_comments" -> "issue",
+        "pull_request_comments" -> "pull_request")
+      .flatMap { case (folder, kind) =>
+        byEntity.get(folder).map(readEntity(spark, _, commentSchema)
+          .withColumn("source_kind", lit(kind)))
+      }
     if (commentFrames.nonEmpty)
       out += "comments" -> importComments(commentFrames.reduce(_ unionByName _))
     Seq[(String, StructType, DataFrame => DataFrame)](
@@ -973,7 +1087,9 @@ object Ingest {
       ("forks", forkSchema, importForks),
       ("repo_labels", repoLabelSchema, importRepoLabels),
       ("geo_locations", geoLocationSchema, importGeoLocations),
-      ("followers", followerSchema, importFollowers)
+      ("followers", followerSchema, importFollowers),
+      ("issue_events", issueEventSchema, importIssueEvents),
+      ("pull_request_commits", pullRequestCommitSchema, importPullRequestCommits)
     ).foreach { case (name, schema, importFn) =>
       byEntity.get(name).foreach { folder =>
         out += name -> importFn(readEntity(spark, folder, schema))

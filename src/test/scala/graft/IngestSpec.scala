@@ -851,4 +851,208 @@ class IngestSpec extends AnyFunSuite {
       ("alice", "bob", "2014-01-01 08:00:00"),
       ("bob", "alice", "2014-01-03 08:00:00")), s"got $follows")
   }
+
+  test("issue_events, pull_request_comments and pull_request_commits " +
+    "decode and route through run() — the full GHTorrent dump surface") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_r8_tail").toString
+    Seq("issue_events", "pull_request_comments", "pull_request_commits")
+      .foreach(e => Files.createDirectories(Paths.get(s"$dir/$e")))
+    // event 1 re-ships identically (timeline entries are immutable);
+    // event 2 carries the closing commit sha
+    DumpSource.writeDump(s"$dir/issue_events/2014-01-01.bson", Iterator(
+      Bson.docBody(Seq("id" -> 1L, "event" -> "labeled",
+        "actor" -> Seq("id" -> 1L, "login" -> "alice"),
+        "issue_id" -> 500L, "repo" -> "ght2dm", "owner" -> "devmine",
+        "created_at" -> "2014-01-01T08:00:00Z")),
+      Bson.docBody(Seq("id" -> 2L, "event" -> "closed",
+        "commit_id" -> "beef01",
+        "actor" -> Seq("id" -> 2L, "login" -> "bob"),
+        "issue_id" -> 500L, "repo" -> "ght2dm", "owner" -> "devmine",
+        "created_at" -> "2014-01-02T08:00:00Z"))))
+    DumpSource.writeDump(s"$dir/issue_events/2014-01-02.bson", Iterator(
+      Bson.docBody(Seq("id" -> 1L, "event" -> "labeled",
+        "actor" -> Seq("id" -> 1L, "login" -> "alice"),
+        "issue_id" -> 500L, "repo" -> "ght2dm", "owner" -> "devmine",
+        "created_at" -> "2014-01-01T08:00:00Z"))))
+    // a review comment has NO commit_id/issue_id anchor in this dump:
+    // payload inference would misfile it as 'issue'; the folder tag
+    // must pin kind='pull_request'
+    DumpSource.writeDump(s"$dir/pull_request_comments/2014-01-01.bson",
+      Iterator(Bson.docBody(Seq("id" -> 9000L, "body" -> "nit: rename",
+        "path" -> "a.go", "position" -> 3L,
+        "user" -> Seq("id" -> 1L, "login" -> "alice"),
+        "created_at" -> "2014-01-01T00:00:00Z",
+        "updated_at" -> "2014-01-01T00:00:00Z"))))
+    // sha 'abc' belongs to TWO PRs (the key is the pair); the (2,abc)
+    // pair also re-ships on day 2 and must not duplicate
+    DumpSource.writeDump(s"$dir/pull_request_commits/2014-01-01.bson",
+      Iterator(
+        Bson.docBody(Seq("sha" -> "abc", "pr_id" -> 1L,
+          "author" -> Seq("id" -> 1L, "login" -> "alice"),
+          "commit" -> Seq("message" -> "fix",
+            "author" -> Seq("name" -> "Alice", "email" -> "a@x.org",
+              "date" -> "2014-01-01T07:00:00Z")))),
+        Bson.docBody(Seq("sha" -> "abc", "pr_id" -> 2L,
+          "author" -> Seq("id" -> 1L, "login" -> "alice"),
+          "commit" -> Seq("message" -> "fix",
+            "author" -> Seq("name" -> "Alice", "email" -> "a@x.org",
+              "date" -> "2014-01-01T07:00:00Z"))))))
+    DumpSource.writeDump(s"$dir/pull_request_commits/2014-01-02.bson",
+      Iterator(Bson.docBody(Seq("sha" -> "abc", "pr_id" -> 2L,
+        "author" -> Seq("id" -> 1L, "login" -> "alice"),
+        "commit" -> Seq("message" -> "fix",
+          "author" -> Seq("name" -> "Alice", "email" -> "a@x.org",
+            "date" -> "2014-01-01T07:00:00Z"))))))
+    Files.writeString(Paths.get(s"$dir/graft.conf"),
+      s"""{"ghtorrent_folders": ["$dir/issue_events",
+         |  "$dir/pull_request_comments", "$dir/pull_request_commits"],
+         | "warehouse_dir": "$dir/warehouse"}""".stripMargin)
+    val tables = Ingest.run(spark, Ingest.Config.load(s"$dir/graft.conf"))
+    assert(tables.keySet ==
+      Set("issue_events", "comments", "pull_request_commits"))
+    val ev = spark.read.parquet(s"$dir/warehouse/issue_events")
+      .select($"event_github_id", $"event", $"commit_sha", $"issue_id",
+        $"actor_login", $"repo_full_name")
+      .as[(Long, String, Option[String], Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(ev == Seq(
+      (1L, "labeled", None, 500L, "alice", "devmine/ght2dm"),
+      (2L, "closed", Some("beef01"), 500L, "bob", "devmine/ght2dm")),
+      s"got $ev")
+    val cm = spark.read.parquet(s"$dir/warehouse/comments")
+      .select($"kind", $"github_id", $"body")
+      .as[(String, Long, String)].collect().toSeq
+    assert(cm == Seq(("pull_request", 9000L, "nit: rename")), s"got $cm")
+    val prc = spark.read.parquet(s"$dir/warehouse/pull_request_commits")
+      .select($"pr_id", $"sha", $"author_login", $"message")
+      .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(prc == Seq((1L, "abc", "alice", "fix"),
+      (2L, "abc", "alice", "fix")), s"got $prc")
+  }
+
+  test("continuous repo_labels/geo_locations/followers/issue_events/" +
+    "pull_request_commits ingestion: each kind's merge policy holds " +
+    "across micro-batches") {
+    import graft.functions.Bson
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_r8_streams").toString
+    Seq("repo_labels", "geo_locations", "followers", "issue_events",
+      "pull_request_commits")
+      .foreach(e => Files.createDirectories(Paths.get(s"$dir/$e")))
+    val wh = s"$dir/warehouse"
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.processAllAvailable(); q.stop()
+    }
+    // labels carry no timestamp: the NEWER batch's recolor must win
+    def labelDoc(color: String) =
+      Bson.docBody(Seq("id" -> 42L, "name" -> "bug", "color" -> color,
+        "default" -> true, "repo" -> "ght2dm", "owner" -> "devmine"))
+    DumpSource.writeDump(s"$dir/repo_labels/2014-01-01.bson",
+      Iterator(labelDoc("red")))
+    drain(Ingest.runRepoLabelsStream(spark, s"$dir/repo_labels", wh,
+      s"$dir/_ckl"))
+    DumpSource.writeDump(s"$dir/repo_labels/2014-01-02.bson",
+      Iterator(labelDoc("blue")))
+    drain(Ingest.runRepoLabelsStream(spark, s"$dir/repo_labels", wh,
+      s"$dir/_ckl"))
+    val color = spark.read.parquet(s"$wh/repo_labels")
+      .select($"color").as[String].collect().toSeq
+    assert(color == Seq("blue"), s"got $color")
+
+    // a LATER batch replaying an OLDER geocode must NOT roll back
+    def geoDoc(lat: Double, updated: String) =
+      Bson.docBody(Seq("location" -> "Paris", "lat" -> lat,
+        "long" -> 2.35, "country_code" -> "fr", "state" -> "IDF",
+        "city" -> "Paris", "status" -> "OK", "updated_at" -> updated))
+    DumpSource.writeDump(s"$dir/geo_locations/2014-01-01.bson",
+      Iterator(geoDoc(48.86, "2014-01-02T00:00:00Z")))
+    drain(Ingest.runGeoLocationsStream(spark, s"$dir/geo_locations", wh,
+      s"$dir/_ckg"))
+    DumpSource.writeDump(s"$dir/geo_locations/2014-01-02.bson",
+      Iterator(geoDoc(48.00, "2014-01-01T00:00:00Z"))) // stale replay
+    drain(Ingest.runGeoLocationsStream(spark, s"$dir/geo_locations", wh,
+      s"$dir/_ckg"))
+    val lat = spark.read.parquet(s"$wh/geo_locations")
+      .select($"lat").as[Double].collect().toSeq
+    assert(lat == Seq(48.86), s"got $lat")
+
+    // followers: earliest sighting wins even when it arrives later
+    def followDoc(at: String) =
+      Bson.docBody(Seq("id" -> 1L, "login" -> "alice", "follows" -> "bob",
+        "created_at" -> at))
+    DumpSource.writeDump(s"$dir/followers/2014-01-02.bson",
+      Iterator(followDoc("2014-01-02T08:00:00Z")))
+    drain(Ingest.runFollowersStream(spark, s"$dir/followers", wh,
+      s"$dir/_ckfo"))
+    DumpSource.writeDump(s"$dir/followers/2014-01-03.bson",
+      Iterator(followDoc("2014-01-01T08:00:00Z")))
+    drain(Ingest.runFollowersStream(spark, s"$dir/followers", wh,
+      s"$dir/_ckfo"))
+    val fat = spark.read.parquet(s"$wh/followers")
+      .select($"followed_at".cast("string")).as[String].collect().toSeq
+    assert(fat == Seq("2014-01-01 08:00:00"), s"got $fat")
+
+    // issue_events: insert-if-absent — a re-ship can't duplicate
+    def ievDoc(id: Long) =
+      Bson.docBody(Seq("id" -> id, "event" -> "closed",
+        "actor" -> Seq("id" -> 1L, "login" -> "alice"),
+        "issue_id" -> 500L, "repo" -> "ght2dm", "owner" -> "devmine",
+        "created_at" -> "2014-01-01T08:00:00Z"))
+    DumpSource.writeDump(s"$dir/issue_events/2014-01-01.bson",
+      Iterator(ievDoc(1L)))
+    drain(Ingest.runIssueEventsStream(spark, s"$dir/issue_events", wh,
+      s"$dir/_ckie"))
+    DumpSource.writeDump(s"$dir/issue_events/2014-01-02.bson",
+      Iterator(ievDoc(1L), ievDoc(2L)))
+    drain(Ingest.runIssueEventsStream(spark, s"$dir/issue_events", wh,
+      s"$dir/_ckie"))
+    val ids = spark.read.parquet(s"$wh/issue_events")
+      .select($"event_github_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"got $ids")
+
+    // pull_request_commits: the (pr, sha) PAIR is the merge key
+    def prcDoc(pr: Long) =
+      Bson.docBody(Seq("sha" -> "abc", "pr_id" -> pr,
+        "author" -> Seq("id" -> 1L, "login" -> "alice"),
+        "commit" -> Seq("message" -> "fix",
+          "author" -> Seq("name" -> "Alice", "email" -> "a@x.org",
+            "date" -> "2014-01-01T07:00:00Z"))))
+    DumpSource.writeDump(s"$dir/pull_request_commits/2014-01-01.bson",
+      Iterator(prcDoc(1L)))
+    drain(Ingest.runPullRequestCommitsStream(spark,
+      s"$dir/pull_request_commits", wh, s"$dir/_ckpc"))
+    DumpSource.writeDump(s"$dir/pull_request_commits/2014-01-02.bson",
+      Iterator(prcDoc(1L), prcDoc(2L)))
+    drain(Ingest.runPullRequestCommitsStream(spark,
+      s"$dir/pull_request_commits", wh, s"$dir/_ckpc"))
+    val pairs = spark.read.parquet(s"$wh/pull_request_commits")
+      .select($"pr_id", $"sha").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(pairs == Seq((1L, "abc"), (2L, "abc")), s"got $pairs")
+  }
+
+  test("the ght2dm CLI: verbose run succeeds with the reference's " +
+    "per-entity progress lines; bad flags and a bad config are fatal " +
+    "(exit 1) without touching Spark (ght2dm.go:1129-1158)") {
+    out // force the shared fixture so $root/graft.conf exists
+    val printed = collection.mutable.Buffer.empty[String]
+    val errs = collection.mutable.Buffer.empty[String]
+    val status = Ght2dm.runCli(Array("-v", s"$root/graft.conf"),
+      printed += _, errs += _, _ => spark)
+    assert(status == 0 && errs.isEmpty, s"errs=$errs")
+    assert(printed.exists(_.matches(
+      raw"\[users\] processing '2014-01-0\d\.bson'")), s"got $printed")
+    assert(printed.exists(_.startsWith("[gh_users] ")), s"got $printed")
+
+    var touched = false
+    assert(Ght2dm.runCli(Array("-x", s"$root/graft.conf"),
+      _ => (), errs += _, { _ => touched = true; spark }) == 1)
+    assert(Ght2dm.runCli(Array(s"$root/no_such.conf"),
+      _ => (), errs += _, { _ => touched = true; spark }) == 1)
+    assert(!touched, "fatal paths must not build a session")
+    assert(errs.exists(_.startsWith("usage:")) &&
+      errs.exists(_.contains("cannot read config")), s"errs=$errs")
+  }
 }
