@@ -440,6 +440,27 @@ object SparkEntry {
     "q_top_tokens" -> ((s, dir) =>
       LmScore.topTokens(t(s, dir, "documents"), "lang", "text", k = 10)),
 
+    // §2b-41: sliding token-window chunking (sequence prep) — 32-token
+    // chunks overlapping by 8; entirely narrow, no shuffle (Chunking)
+    "q_chunk_docs" -> ((s, dir) =>
+      Chunking.chunkTokens(t(s, dir, "documents"), Seq("doc_id"),
+        col("text"), chunkSize = 32, overlap = 8)),
+
+    // §2b-42: deterministic stratified sampling — content-hash gated
+    // per-language rates (en kept at 20%, the rest at 50%), stable
+    // under re-sharding/replay where df.sample() is not
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSampleByHash(t(s, dir, "documents"),
+          col("lang"), col("text"), Map("en" -> 0.2), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"))),
+
+    // §2b-43: BM25 lexical retrieval — top-10 docs per query term, the
+    // sparse half of a hybrid retrieval stack (dense half: q_ann_* /
+    // q_hybrid_search)
+    "q_bm25" -> ((s, dir) =>
+      LmScore.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "window", "hash", "vector"), k = 10)),
+
     // §2b: benchmark decontamination (the GPT-3/PaLM appendix policy,
     // Lee et al. 2022 §6): drop every training doc sharing ANY word
     // 5-shingle with the eval set. Shingle sets are the codegen
@@ -1407,6 +1428,74 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rank
         |  FROM counts)
         |SELECT lang, tok, c, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // chunk i of a doc with n tokens covers [i*24, min(i*24+32, n));
+    // DuckDB list slicing is 1-based inclusive, range(x) is 0..x-1
+    "q_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |n AS (
+        |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM toks
+        |  WHERE len(ts) > 0)
+        |SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+        |  array_to_string(ts[g*24+1 : CAST(least(g*24+32, n) AS INT)], ' ')
+        |    AS chunk_text,
+        |  CAST(least(g*24+32, n) - g*24 AS BIGINT) AS n_tokens
+        |FROM n, UNNEST(range((n + 23) // 24)) AS u(g)""".stripMargin,
+
+    // the fnv64-mod-10000 gate replayed in HUGEINT (the q_split_assign
+    // template); en keeps 2000/10000, every other stratum 5000/10000
+    "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS u
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    ((CAST(u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+        |      % 10000) + 10000) % 10000 AS hm
+        |  FROM h)
+        |SELECT doc_id, lang FROM m
+        |WHERE hm < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END""".stripMargin,
+
+    // Okapi BM25, k1=1.2 b=0.75; the score expression tree mirrors the
+    // Spark side token for token (ln/div/mul are IEEE-deterministic and
+    // bitwise-identical across JVM and libm; round(...,6) as belt)
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM base),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT b.doc_id, t.term AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM base b, UNNEST(b.ts) AS t(term)
+        |  WHERE t.term IN ('spark', 'join', 'window', 'hash', 'vector')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    round((ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+        |      AS score
+        |  FROM tf
+        |  JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s),
+        |ranked AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
+        |      AS rank,
+        |    score
+        |  FROM scored)
+        |SELECT term, doc_id, CAST(rank AS INT) AS rank, score
         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // string shingles instead of the engine's 64-bit FNV shingle

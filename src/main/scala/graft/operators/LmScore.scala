@@ -51,4 +51,57 @@ object LmScore {
       .filter(col("rank") <= k)
       .select(col(groupCol), col("tok"), col("c"), col("rank"))
   }
+
+  /** BM25 lexical retrieval: the top-`k` documents per query term,
+    * scored with the standard Okapi formula
+    * `idf(t) * tf / (tf + k1 * (1 - b + b * dl/avgdl))`,
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` — the sparse half of a
+    * hybrid (BM25 + embedding) retrieval stack, next to the dense
+    * [[Similarity]] paths.
+    *
+    * Plan shape: one tokenize scan carries the doc length through the
+    * explode so a single (doc, term) hash aggregation (map-combined)
+    * yields tf AND dl; the term filter sits directly on the exploded
+    * tokens, so only query-term occurrences — a vanishing fraction of
+    * the corpus — reach that one shuffle. Document frequencies and
+    * the corpus stats (N, avgdl: two scalars, collected driver-side)
+    * aggregate from the already-tiny tf table and broadcast back.
+    * Top-k per term plans WindowGroupLimit: at most k rows per term
+    * per partition reach the rank shuffle. Scores are rounded to 6
+    * decimals; ties rank by doc id, so the output is deterministic. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "terms must be non-empty")
+    val base = docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("__ts"))
+    val stats = base
+      .agg(count(lit(1)).as("n"), sum(size(col("__ts"))).as("sum_dl"))
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = base
+      .select(col("doc_id"), size(col("__ts")).cast("long").as("dl"),
+        explode(col("__ts")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // expression trees mirror the oracle SQL token for token: every
+    // intermediate is IEEE-deterministic (ln parity with libm is
+    // pinned by the Box-Muller golden vectors in SimilaritySpec)
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = (idf * col("tf")) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score", round(score, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Chunking, LmScore, Sampling}
+
+/** The round-8 corpus-prep trio: sliding token-window chunking,
+  * deterministic stratified sampling, and BM25 lexical retrieval. */
+class ChunkingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The operator's contract, in plain Scala. */
+  private def naiveChunks(text: String, size: Int, overlap: Int):
+      Seq[(Long, String, Long)] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val step = size - overlap
+    if (toks.isEmpty) Seq.empty
+    else (0 until (toks.length + step - 1) / step).map { i =>
+      val slice = toks.slice(i * step, math.min(i * step + size, toks.length))
+      (i.toLong, slice.mkString(" "), slice.length.toLong)
+    }
+  }
+
+  test("chunkTokens equals the naive sliding window on edge shapes: " +
+    "short doc, exact fit, off-by-one tails, whitespace runs, empty") {
+    val docs = Seq(
+      1L -> "one two three",                         // n < size: one short chunk
+      2L -> (1 to 8).map(i => s"t$i").mkString(" "), // n == size
+      3L -> (1 to 9).map(i => s"t$i").mkString(" "), // one past: 2nd chunk
+      4L -> (1 to 21).map(i => s"t$i").mkString(" "),// several, short tail
+      5L -> "  leading   and\ttab\nnewline  spaced ",// tokenizer robustness
+      6L -> "",                                      // no tokens: no rows
+      7L -> "   "                                    // whitespace only
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(docs, Seq("doc_id"), col("text"),
+        chunkSize = 8, overlap = 3)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq
+        .map(r => (r._2, r._3, r._4))).toMap
+    val want = Seq(
+      1L -> "one two three",
+      2L -> (1 to 8).map(i => s"t$i").mkString(" "),
+      3L -> (1 to 9).map(i => s"t$i").mkString(" "),
+      4L -> (1 to 21).map(i => s"t$i").mkString(" "),
+      5L -> "  leading   and\ttab\nnewline  spaced ")
+      .map { case (id, txt) => id -> naiveChunks(txt, 8, 3) }.toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("chunk coverage: every token position lands in >=1 chunk and " +
+    "consecutive chunks share exactly `overlap` tokens (random docs)") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 50L).map(i =>
+      (i, (0 until rnd.nextInt(40)).map(j => s"w${rnd.nextInt(9)}_$j")
+        .mkString(" "))).toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(docs, Seq("doc_id"), col("text"), 10, 4)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    docs.as[(Long, String)].collect().foreach { case (id, txt) =>
+      val toks = txt.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) assert(!got.contains(id))
+      else {
+        val chunks = got(id).sortBy(_._2).map(_._3.split(" ").toSeq)
+        // stitching at stride `step` reproduces the token stream
+        val stitched = chunks.head ++ chunks.tail.flatMap(_.drop(4))
+        assert(stitched == toks.toSeq, s"doc $id: $stitched vs ${toks.toSeq}")
+        chunks.sliding(2).foreach {
+          // the final chunk may be shorter than the overlap itself
+          // a short final chunk sits entirely inside its predecessor's
+          // tail (both end at n), so the shared run is a's LAST m tokens
+          case Array(a, b) =>
+            val m = math.min(4, b.length)
+            assert(a.takeRight(m) == b.take(m),
+              s"doc $id: overlap mismatch between $a and $b")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("stratifiedSampleByHash keeps exactly the hash-gated rows, is " +
+    "invariant under re-partitioning, and respects per-stratum rates") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    val rates = Map("en" -> 0.2, "de" -> 0.0)
+    val expected = docs
+      .withColumn("hm",
+        pmod(graft.plans.HashExpressions.fnv64($"text"), lit(10000L)))
+      .filter($"hm" < when($"lang" === "en", 2000L)
+        .when($"lang" === "de", 0L).otherwise(5000L))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val got = Sampling.stratifiedSampleByHash(docs, $"lang", $"text",
+        rates, defaultRate = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < expected.size + 1)
+    // re-sharding must not move the sample (the df.sample() failure mode)
+    val reshuffled = Sampling.stratifiedSampleByHash(
+        docs.repartition(17, $"doc_id"), $"lang", $"text",
+        rates, defaultRate = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(reshuffled == got)
+    // a zero-rate stratum drops entirely; output schema is the input's
+    val langs = Sampling.stratifiedSampleByHash(docs, $"lang", $"text",
+      rates, defaultRate = 0.5).select($"lang").distinct()
+      .as[String].collect().toSet
+    assert(!langs.contains("de"), s"zero-rate stratum survived: $langs")
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleByHash(docs, $"lang", $"text", Map("en" -> 1.5))
+    }
+  }
+
+  test("bm25TopK equals a naive in-memory Okapi BM25 on the testdata") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val terms = Seq("table", "join", "zebra") // zebra: df=0, no rows
+    val k = 5
+    val corpus = docs.as[(Long, String)].collect()
+    val tokenized = corpus.map { case (id, txt) =>
+      id -> "[a-z0-9]+".r.findAllIn(txt.toLowerCase).toSeq }.toMap
+    val n = corpus.length.toLong
+    val avgdl = tokenized.values.map(_.length.toLong).sum.toDouble / n
+    val want = terms.flatMap { term =>
+      val tfs = tokenized.toSeq
+        .map { case (id, ts) => id -> ts.count(_ == term).toLong }
+        .filter(_._2 > 0)
+      val df = tfs.size.toLong
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      tfs.map { case (id, tf) =>
+        val dl = tokenized(id).length.toLong
+        val s = (idf * tf) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        (term, id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((t, id, s), i) => (t, id, i + 1, s) }
+    }.toSet
+    val got = LmScore.bm25TopK(docs, "doc_id", "text", terms, k)
+      .as[(String, Long, Int, Double)].collect().toSet
+    assert(got == want, s"diff: ${got.diff(want)} / ${want.diff(got)}")
+    assert(!got.exists(_._1 == "zebra"))
+  }
+}

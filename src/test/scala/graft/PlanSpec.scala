@@ -87,11 +87,26 @@ class PlanSpec extends AnyFunSuite {
 
   test("per-group top-k windows plan WindowGroupLimit (partial+final): " +
     "at most k rows per group per partition reach the rank shuffle") {
-    for (q <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_diverse_sample")) {
+    for (q <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_diverse_sample",
+                  "q_bm25")) {
       val plan = physical(SparkEntry.queries(q)(spark, TestSpark.sf0001))
       val spans = plan.linesIterator.count(_.contains("WindowGroupLimit"))
       assert(spans >= 2, s"$q: rank<=k did not push into WindowGroupLimit\n$plan")
     }
+  }
+
+  test("chunking and stratified sampling are shuffle-free: narrow " +
+    "token slicing, and a broadcast-joined hash gate on the scan") {
+    for (q <- Seq("q_chunk_docs", "q_stratified_sample")) {
+      val plan = physical(SparkEntry.queries(q)(spark, TestSpark.sf0001))
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
+        s"$q: a per-row transform planned a shuffle\n$plan")
+    }
+    val sample = physical(
+      SparkEntry.queries("q_stratified_sample")(spark, TestSpark.sf0001))
+    assert(sample.contains("BroadcastHashJoin"), sample)
   }
 
   test("IVF probe join broadcasts the query side and plans no extra " +
