@@ -9,7 +9,8 @@ object PlanDump {
     Seq("q_latest_wins", "q_anti_join_new", "q_resolve_members",
       "q_minhash_pairs", "q_ann_lsh", "q_ann_ivf", "q_exact_dedup",
       "q_embed_neardup", "q_surrogate_ids", "q_top_revenue",
-      "q_pricing_summary", "q_window_agg").foreach { name =>
+      "q_pricing_summary", "q_window_agg",
+      "q_chunk_docs", "q_stratified_sample", "q_bm25").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
       out.println(df.queryExecution.explainString(
