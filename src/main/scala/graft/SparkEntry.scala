@@ -454,6 +454,16 @@ object SparkEntry {
           col("lang"), col("text"), Map("en" -> 0.2), defaultRate = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // §2b-45: per-source cap (domain balancing) — keep the 10
+    // smallest-content-hash docs per source; deterministic and
+    // replay-stable like the stratified sample, WindowGroupLimit keeps
+    // the exchange at O(sources × cap × partitions)
+    "q_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(t(s, dir, "documents"),
+          col("source"), HashExpressions.fnv64(col("text")), col("doc_id"),
+          n = 10)
+        .select(col("doc_id"), col("source"))),
+
     // §2b-43: BM25 lexical retrieval — top-10 docs per query term, the
     // sparse half of a hybrid retrieval stack (dense half: q_ann_* /
     // q_hybrid_search)
@@ -481,6 +491,17 @@ object SparkEntry {
       val contaminated = docSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
         .select(col("doc_id")).distinct()
       docs.join(contaminated, Seq("doc_id"), "left_anti")
+    }),
+
+    // §2b-44: the SAME policy at eval-set sizes a broadcast can't hold
+    // — Bloom prefilter in the corpus scan (no false negatives), exact
+    // verify join over the fpp-thinned survivors; output identical to
+    // q_decontaminate for any fpp, so it shares that oracle verbatim
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      Decontaminate.decontaminateBloom(docs, "doc_id", "text",
+        bench, "text", shingleK = 5, fpp = 0.01)
     }),
 
     // §2b: the APPLIED near-dup policy — the composition users actually
@@ -970,7 +991,7 @@ object SparkEntry {
        |c1n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM c1pre),
        |c1 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c1n)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_users_projection" ->
       """SELECT lower(c_name) AS username, c_name AS name,
         |       concat(replace(lower(c_name), '#', '_'), '@example.org') AS email
@@ -2051,6 +2072,35 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    // fnv64 HUGEINT replay (the q_stratified_sample template) as the
+    // ORDERING hash: signed-long conversion makes DuckDB's BIGINT sort
+    // agree with Spark's, doc_id breaks ties, row_number caps at 10
+    "q_source_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS u
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    CAST(u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hv
+        |  FROM h),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |      FROM s)
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin
   )
+
+  // The Bloom-prefiltered path is exact by construction (no false
+  // negatives + exact verify join), so it is graded against the plain
+  // policy's oracle VERBATIM — any divergence is a defect.
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate"))
 }

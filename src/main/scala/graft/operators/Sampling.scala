@@ -41,4 +41,32 @@ object Sampling {
       .filter(h < coalesce(col("__rate_bp"), lit(defaultBp)))
       .drop("__stratum", "__rate_bp")
   }
+
+  /** Keep at most `n` rows per group — domain/source balancing, the
+    * "cap docs per domain" rule every crawl-derived corpus applies so
+    * one mega-site can't dominate the mixture.
+    *
+    * Selection is the `n` smallest `(orderCol, tieCol)` per group, so
+    * with `orderCol = fnv64(text)` the kept set is a pure function of
+    * the data — stable under re-sharding, replay, and append (the
+    * [[stratifiedSampleByHash]] argument), and unbiased w.r.t. crawl
+    * order; with a quality score it's best-n-per-domain curation.
+    * `tieCol` must make the order total or the cap boundary is
+    * nondeterministic.
+    *
+    * Plan shape: `row_number() <= n` lowers to WindowGroupLimit
+    * Partial → Exchange(group) → Final, so at most `n` rows per group
+    * PER INPUT PARTITION reach the shuffle — exchange volume is
+    * O(groups × n × partitions) regardless of corpus size, the same
+    * bound as `q_diverse_sample`.
+    */
+  def capPerGroup(df: DataFrame, groupCol: Column, orderCol: Column,
+                  tieCol: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol.asc, tieCol.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

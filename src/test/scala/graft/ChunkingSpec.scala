@@ -142,4 +142,42 @@ class ChunkingSpec extends AnyFunSuite {
     assert(got == want, s"diff: ${got.diff(want)} / ${want.diff(got)}")
     assert(!got.exists(_._1 == "zebra"))
   }
+
+  test("capPerGroup keeps exactly the n smallest (hash, tiebreak) per " +
+    "group and is stable under re-partitioning") {
+    import graft.plans.HashExpressions
+    val rows = (1L to 40L).map { i =>
+      (i, s"src${i % 4}", s"document number $i with text payload") }
+    val df = rows.toDF("doc_id", "source", "text")
+    val got = Sampling.capPerGroup(df, col("source"),
+        HashExpressions.fnv64(col("text")), col("doc_id"), n = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // contract replayed in plain Scala with the same hash
+    val want = rows.groupBy(_._2).values.flatMap { g =>
+      g.map { case (id, _, text) =>
+        (graft.functions.TextHash.fnv64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text)), id)
+      }.sorted.take(3).map(_._2)
+    }.toSeq.sorted
+    assert(got == want)
+    assert(got.size == 12)
+    // re-sharding must not move the cap boundary
+    val reshuffled = Sampling.capPerGroup(df.repartition(7), col("source"),
+        HashExpressions.fnv64(col("text")), col("doc_id"), n = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(reshuffled == want)
+  }
+
+  test("capPerGroup plans as WindowGroupLimit partial+final around one " +
+    "exchange (per-partition pre-prune before the shuffle)") {
+    import graft.plans.HashExpressions
+    val df = Sampling.capPerGroup(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      col("source"), HashExpressions.fnv64(col("text")), col("doc_id"), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    val partial = plan.linesIterator.count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partial == 1, s"expected a Partial pre-prune stage:\n$plan")
+  }
 }
