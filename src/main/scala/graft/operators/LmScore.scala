@@ -72,11 +72,8 @@ object LmScore {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "terms must be non-empty")
-    val base = docs.select(col(idCol).as("doc_id"),
-      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
-        .as("__ts"))
+    val base = tokenizedBase(docs, idCol, textCol)
     val stats = base
       .agg(count(lit(1)).as("n"), sum(size(col("__ts"))).as("sum_dl"))
       .head()
@@ -88,10 +85,28 @@ object LmScore {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    scoreBm25(tf, n, avgdl, k, k1, b)
+  }
+
+  /** The ONE tokenizer every BM25 path shares (inline, index build,
+    * index append) — change it here or the persisted postings and the
+    * query-time scorer silently diverge on term boundaries. */
+  private def tokenizedBase(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+        .as("__ts"))
+
+  /** Scoring tail shared by [[bm25TopK]] and [[bm25TopKIndexed]]:
+    * takes the (doc_id, term, tf, dl) rows already restricted to the
+    * query terms, derives per-term document frequencies, and ranks.
+    * The expression trees mirror the oracle SQL token for token: every
+    * intermediate is IEEE-deterministic (ln parity with libm is
+    * pinned by the Box-Muller golden vectors in SimilaritySpec). */
+  private def scoreBm25(tf: DataFrame, n: Long, avgdl: Double, k: Int,
+                        k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // expression trees mirror the oracle SQL token for token: every
-    // intermediate is IEEE-deterministic (ln parity with libm is
-    // pinned by the Box-Muller golden vectors in SimilaritySpec)
     val idf = log(lit(1.0) +
       (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val score = (idf * col("tf")) /
@@ -103,5 +118,98 @@ object LmScore {
           .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
       .select(col("term"), col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** Bucketed catalog write shared by [[buildBm25Index]] (overwrite)
+    * and [[appendToBm25Index]] (append; the catalog validates the
+    * bucket spec against the existing table). */
+  private def writeBm25(postings: DataFrame, table: String,
+                        numBuckets: Int, mode: String): Unit =
+    postings.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .saveAsTable(table)
+
+  /** Rewrite the 1-row `<table>_stats` side table from driver-side
+    * scalars (doc count, total token count — the BM25 analog of the
+    * IVF quantizer header: the only non-postings state the scorer
+    * needs). Values are collected before the overwrite so the write
+    * never reads the table it replaces. */
+  private def writeBm25Stats(spark: org.apache.spark.sql.SparkSession,
+                             table: String, n: Long, sumDl: Long): Unit = {
+    import spark.implicits._
+    Seq((n, sumDl)).toDF("n", "sum_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** Persist the BM25 inverted index: the FULL (term, doc_id, tf, dl)
+    * postings table hash-bucketed on `term` via the session catalog,
+    * plus the two corpus scalars (doc count, total token count) in a
+    * 1-row `<table>_stats` side table. Built ONCE per corpus — the
+    * tokenize scan and the one (doc, term) aggregation shuffle are
+    * paid here; every subsequent [[bm25TopKIndexed]] batch reads ONLY
+    * the buckets holding its query terms (bucket pruning) and plans
+    * zero postings-side exchanges (the bucket layout satisfies both
+    * the df aggregation and the per-term rank window). This is the
+    * 100 TB shape: per-batch cost is O(postings of the query terms),
+    * independent of corpus size. */
+  def buildBm25Index(docs: DataFrame, table: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     numBuckets: Int = 16): Unit = {
+    val base = tokenizedBase(docs, idCol, textCol)
+    writeBm25(postingsOf(base), table, numBuckets, "overwrite")
+    val stats = base
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__ts"))), lit(0L)).as("sum_dl"))
+      .head()
+    writeBm25Stats(docs.sparkSession, table, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** Append a corpus DELTA (documents NOT already in the index — the
+    * same new-rows contract as the ANN index appends) to a persisted
+    * BM25 index: postings from the shared tokenizer appended through
+    * the catalog (which validates the bucket spec, preserving the
+    * pruned-probe layout), and the stats row advanced by the delta's
+    * counts. Scores naturally shift as N/avgdl/df absorb the new
+    * documents — exactly as a full rebuild would move them. */
+  def appendToBm25Index(delta: DataFrame, table: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        numBuckets: Int = 16): Unit = {
+    val spark = delta.sparkSession
+    val base = tokenizedBase(delta, idCol, textCol)
+    writeBm25(postingsOf(base), table, numBuckets, "append")
+    val old = spark.table(s"${table}_stats").head()
+    val d = base
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__ts"))), lit(0L)).as("sum_dl"))
+      .head()
+    writeBm25Stats(spark, table,
+      old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1))
+  }
+
+  private def postingsOf(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), size(col("__ts")).cast("long").as("dl"),
+        explode(col("__ts")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+
+  /** Query a persisted BM25 index (see [[buildBm25Index]]); identical
+    * semantics to [[bm25TopK]] with the tokenize scan and the
+    * (doc, term) aggregation already paid at build time. The term
+    * IN-filter prunes the bucketed postings scan to the query terms'
+    * buckets. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                      terms: Seq[String], k: Int = 10,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val stats = spark.table(s"${table}_stats").head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = spark.table(table)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    scoreBm25(tf, n, avgdl, k, k1, b)
   }
 }

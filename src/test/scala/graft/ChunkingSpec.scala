@@ -143,6 +143,74 @@ class ChunkingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == "zebra"))
   }
 
+  test("persisted BM25 index: same answers as inline BM25, bucket-pruned " +
+    "postings scan, zero postings-side exchanges") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val terms = Seq("table", "join", "vector")
+    LmScore.buildBm25Index(docs, "bm25_index_test", numBuckets = 8)
+    try {
+      val inline = LmScore.bm25TopK(docs, "doc_id", "text", terms, k = 5)
+        .as[(String, Long, Int, Double)].collect().toSet
+      val indexed = LmScore.bm25TopKIndexed(spark, "bm25_index_test",
+          terms, k = 5)
+        .as[(String, Long, Int, Double)].collect().toSet
+      assert(indexed == inline,
+        s"diff: ${indexed.diff(inline)} / ${inline.diff(indexed)}")
+      // the postings layout must satisfy BOTH the df aggregation and
+      // the per-term rank window: no hash exchange on term anywhere,
+      // and the IN filter prunes the bucketed scan to the terms'
+      // buckets (dfreq rides an explicit broadcast, which survives a
+      // disabled auto-broadcast threshold)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = LmScore.bm25TopKIndexed(spark, "bm25_index_test",
+          terms, k = 5).queryExecution.executedPlan.toString
+        assert(!plan.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("term")),
+          s"postings side shuffled on term:\n$plan")
+        val buckets = plan.linesIterator
+          .find(_.contains("SelectedBucketsCount")).getOrElse("")
+        assert(buckets.contains("SelectedBucketsCount"),
+          s"no bucket pruning in scan:\n$plan")
+        val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+          .findFirstMatchIn(buckets).map(_.group(1).toInt)
+        assert(sel.exists(_ < 8), s"scan read all buckets: $buckets")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_index_test")
+      spark.sql("DROP TABLE IF EXISTS bm25_index_test_stats")
+    }
+  }
+
+  test("BM25 index append: build on half the corpus + append the rest " +
+    "equals inline BM25 over the full corpus (stats row advanced)") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val halfA = docs.filter($"doc_id" % 2 === 0)
+    val halfB = docs.filter($"doc_id" % 2 =!= 0)
+    val terms = Seq("table", "join")
+    LmScore.buildBm25Index(halfA, "bm25_append_test", numBuckets = 8)
+    try {
+      LmScore.appendToBm25Index(halfB, "bm25_append_test", numBuckets = 8)
+      val indexed = LmScore.bm25TopKIndexed(spark, "bm25_append_test",
+          terms, k = 5)
+        .as[(String, Long, Int, Double)].collect().toSet
+      val inline = LmScore.bm25TopK(docs, "doc_id", "text", terms, k = 5)
+        .as[(String, Long, Int, Double)].collect().toSet
+      // scores depend on N/avgdl/df, so parity here proves the stats
+      // row absorbed the delta exactly as a full rebuild would
+      assert(indexed == inline,
+        s"diff: ${indexed.diff(inline)} / ${inline.diff(indexed)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_append_test")
+      spark.sql("DROP TABLE IF EXISTS bm25_append_test_stats")
+    }
+  }
+
   test("capPerGroup keeps exactly the n smallest (hash, tiebreak) per " +
     "group and is stable under re-partitioning") {
     import graft.plans.HashExpressions
