@@ -632,6 +632,14 @@ object SparkEntry {
         TextFunctions.meanWordLen(col("text")).as("mean_word_len"),
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // §2b-25j: hashed n-gram linear classifier (fastText-style
+    // inference) — model-based quality filtering next to the
+    // heuristic q_quality_score; 1024 buckets keep the oracle's
+    // weight-replay CTE small, the kernel is bucket-count-agnostic
+    "q_classifier_score" -> ((s, dir) =>
+      Classify.scoreDocs(t(s, dir, "documents"), "doc_id", "text",
+        Classify.seededWeights(1024, seed = 7L))),
+
     // §2b-25g: unigram LM scoring (CCNet-style perplexity proxy):
     // mean -ln p(token) per doc, p self-estimated from the corpus.
     // round(4) keeps the double drift (unordered partial sums, 1-ulp
@@ -929,6 +937,17 @@ object SparkEntry {
     s"(((($x) // CAST('4294967296' AS HUGEINT)) * $c % CAST('4294967296' AS HUGEINT))" +
       s" * CAST('4294967296' AS HUGEINT)" +
       s" + (($x) % CAST('4294967296' AS HUGEINT)) * $c) % $sqlMod"
+  /** Byte-level FNV-1a fold of string expression `x` reduced to its
+    * 1024-bucket id (HUGEINT mod 2^64; 1024 divides 2^64, so the
+    * unsigned modulus equals the kernel's signed floorMod). Used by
+    * the q_classifier_score oracle's feature hashing. */
+  private def sqlFnvBucket(x: String): String =
+    s"CAST(list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+      s"list_transform(range(1, length($x)+1), " +
+      s"j -> CAST(unicode(substr($x, j, 1)) AS HUGEINT))), " +
+      s"(acc, ch) -> (xor(acc, ch) * CAST('1099511628211' AS HUGEINT)) % $sqlMod) " +
+      s"% 1024 AS BIGINT)"
+
   /** CTE chain applying the splitmix64 finisher to column z0`tag` of
     * g0`tag` (the +golden step must already be folded into z0), keyed
     * by `keys`; yields z4 in g5`tag`. */
@@ -1612,6 +1631,42 @@ object SparkEntry {
         |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
         |      CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
         |FROM documents""".stripMargin,
+
+    // hashed n-gram linear classifier: the 1024 weights replay the
+    // splitmix64 chain (w = 2u-1, exact dyadic), features replay the
+    // byte-level FNV-1a fold per unigram / space-joined bigram, and
+    // the logit folds the SAME interleaved feature order the kernel
+    // sums in (uni0, bi01, uni1, bi12, ...) so every IEEE addition
+    // matches bitwise; bucket 1024 is a power of two, so HUGEINT
+    // unsigned % equals the kernel's signed floorMod
+    "q_classifier_score" ->
+      s"""WITH g0w AS (
+         |  SELECT b, (CAST(7 + b AS HUGEINT) + $sqlGolden) % $sqlMod AS z0w
+         |  FROM range(0, 1024) rb(b)),
+         |${sqlMixChain("w", "b")},
+         |wt AS (SELECT b,
+         |  2.0 * ((CAST(z4 // CAST(2048 AS HUGEINT) AS DOUBLE) + 0.5)
+         |         / 9007199254740992.0) - 1.0 AS w
+         |  FROM g5w),
+         |wl AS (SELECT list(w ORDER BY b) AS ws FROM wt),
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, flatten(list_transform(range(1, len(t)+1), i ->
+         |    CASE WHEN i = 1 THEN [${sqlFnvBucket("t[i]")}]
+         |    ELSE [${sqlFnvBucket("concat(t[i-1], ' ', t[i])")},
+         |          ${sqlFnvBucket("t[i]")}] END)) AS fs
+         |  FROM toks),
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    CASE WHEN len(f.fs) = 0 THEN 0.0
+         |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(f.fs, x -> wl.ws[CAST(x AS INT) + 1])),
+         |      (a, v) -> a + v) END AS logit
+         |  FROM feats f CROSS JOIN wl)
+         |SELECT doc_id, round(logit, 6) AS logit, logit > 0.0 AS keep
+         |FROM scored""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

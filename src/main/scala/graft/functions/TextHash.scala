@@ -39,6 +39,48 @@ object TextHash {
     fnv64(b, 0, b.length)
   }
 
+  /** Hashing-trick linear text-classifier logit (fastText-style
+    * INFERENCE): whitespace unigrams plus adjacent bigrams, each
+    * hashed with FNV-1a into `weights.length` buckets, and the hit
+    * weights summed IN TOKEN ORDER — unigram of token 0, then for
+    * each later token the bigram closing at it followed by its own
+    * unigram — so an independent SQL replay can fold the identical
+    * IEEE addition sequence. A bigram hashes its two token spans
+    * joined by ONE 0x20 byte (tokenizer canonicalization: separator
+    * runs and tab/newline separators don't perturb the feature).
+    * Bucket = floorMod(hash, buckets), which for power-of-two bucket
+    * counts equals the unsigned low bits — keep `weights.length` a
+    * power of two if an unsigned-modulus replay must match. Empty and
+    * whitespace-only text scores 0.0. */
+  def hashGramLogit(s: UTF8String, weights: Array[Double]): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val m = weights.length
+    var acc = 0.0
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        if (prevStart >= 0) {
+          var h = fnv64(bytes, prevStart, prevEnd)
+          h ^= 0x20L
+          h *= FnvPrime
+          var j = start
+          while (j < i) { h ^= (bytes(j) & 0xffL); h *= FnvPrime; j += 1 }
+          acc += weights(java.lang.Math.floorMod(h, m))
+        }
+        acc += weights(java.lang.Math.floorMod(fnv64(bytes, start, i), m))
+        prevStart = start
+        prevEnd = i
+      }
+    }
+    acc
+  }
+
   /** Charikar SimHash over whitespace tokens: each token votes its hash
     * bits; the sign of each bit-counter forms the 64-bit signature.
     * Near-identical token multisets give near-identical signatures

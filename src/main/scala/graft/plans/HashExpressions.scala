@@ -180,6 +180,33 @@ case class RepRatio64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repratio64"
 }
 
+/** Hashing-trick linear classifier logit ([[TextHash.hashGramLogit]]):
+  * one pass over the text, unigram + adjacent-bigram FNV features into
+  * the weight vector's buckets — the weights ride along as a
+  * referenced object exactly like [[HyperplaneSig]]'s planes, and the
+  * whole inference stays inside whole-stage codegen (the
+  * transform/aggregate higher-order-function formulation would be
+  * CodegenFallback and evaluate interpreted per row). */
+case class HashGramLogit(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hashgram_logit requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.hashGramLogit(v.asInstanceOf[UTF8String], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weights, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.hashGramLogit($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashGramLogit =
+    copy(child = newChild)
+  override def prettyName: String = "hashgram_logit"
+}
+
 object HashExpressions {
   /** One-pass MinHash signature (array<long>) as a Column function. */
   def minhash64(c: Column, k: Int, numHashes: Int): Column =
@@ -206,6 +233,10 @@ object HashExpressions {
   /** One-pass max-bigram-share (-1.0 when the text has <2 tokens). */
   def repRatio64(c: Column): Column =
     GraftSqlShim.column(RepRatio64(GraftSqlShim.expression(c)))
+
+  /** Hashing-trick classifier logit over a string column. */
+  def hashGramLogit(c: Column, weights: Array[Double]): Column =
+    GraftSqlShim.column(HashGramLogit(GraftSqlShim.expression(c), weights))
 
   /** Winnowing fingerprint as a Column function. */
   def winnow64(c: Column, k: Int = 8): Column =

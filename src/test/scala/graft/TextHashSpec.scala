@@ -51,6 +51,53 @@ class TextHashSpec extends AnyFunSuite {
     assert(viaExpr == direct)
   }
 
+  test("hashGramLogit matches the plain-Scala interleaved replay and " +
+    "canonicalizes separators in bigrams") {
+    val weights = graft.operators.Classify.seededWeights(1024, seed = 7L)
+    def naive(s: String): Double = {
+      val toks = "\\S+".r.findAllIn(s).toVector
+      def bucket(f: String): Int = java.lang.Math.floorMod(
+        TextHash.fnv64(UTF8String.fromString(f)), 1024).toInt
+      // EXACT kernel order: uni0, then (bi(i-1,i), uni(i)) per token
+      val feats = toks.zipWithIndex.flatMap { case (t, i) =>
+        if (i == 0) Seq(bucket(t))
+        else Seq(bucket(toks(i - 1) + " " + t), bucket(t))
+      }
+      feats.foldLeft(0.0)((a, b) => a + weights(b))
+    }
+    def kernel(s: String): Double =
+      TextHash.hashGramLogit(UTF8String.fromString(s), weights)
+    assert(kernel("") == 0.0)
+    assert(kernel(" \t\n ") == 0.0)
+    assert(kernel("one") == naive("one"))
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val doc = (0 until rnd.nextInt(60))
+        .map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+      assert(kernel(doc) == naive(doc), s"doc=$doc") // bitwise ==
+    }
+    // a bigram hashes its tokens joined by ONE space regardless of the
+    // original separator run
+    assert(kernel("alpha\t\tbeta") == kernel("alpha beta"))
+    assert(kernel("alpha \n beta") == kernel("alpha beta"))
+  }
+
+  test("seededWeights is deterministic, in (-1, 1), and the expression " +
+    "codegen path equals direct kernel calls") {
+    val w = graft.operators.Classify.seededWeights(256, seed = 3L)
+    assert(w.toSeq == graft.operators.Classify.seededWeights(256, 3L).toSeq)
+    assert(w.forall(x => x > -1.0 && x < 1.0))
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+    val viaExpr = docs.select($"doc_id",
+        HashExpressions.hashGramLogit($"text", w).as("l"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val direct = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+      .map { case (id, t) =>
+        (id, TextHash.hashGramLogit(UTF8String.fromString(t), w)) }
+    assert(viaExpr == direct)
+  }
+
   test("fnv64 matches the published FNV-1a test vector") {
     // FNV-1a 64 of empty input is the offset basis
     assert(TextHash.fnv64(Array.emptyByteArray, 0, 0) == 0xcbf29ce484222325L)
