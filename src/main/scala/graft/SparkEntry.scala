@@ -372,6 +372,39 @@ object SparkEntry {
       Dedup.paragraphDedup(structured, "doc_id", "text", byHash = false)
     }),
 
+    // §2b-25k: C4-style boilerplate line cleaning (Raffel et al. 2020
+    // §2.2): the synthetic corpus has no line structure or
+    // punctuation, so lines are rebuilt deterministically from the
+    // token stream (10-token chunks) with a replayable defect mix —
+    // unpunctuated lines (i%4=0), a brace+javascript line (i%7=2), a
+    // mixed-case javascript mention (i%5=1), short tails — then
+    // filtered by the one-pass cleanLines kernel (no line explode);
+    // docs with no surviving line are dropped like C4 pages
+    "q_clean_lines" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) > 0)
+      val structured = withToks.select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), ((size(col("__t")) - 1) / 10).cast("int")),
+            i => concat(
+              array_join(slice(col("__t"), i * 10 + 1, lit(10)), " "),
+              when(pmod(i, lit(7)) === 2, lit(" { javascript }"))
+                .when(pmod(i, lit(4)) === 0, lit(""))
+                .when(pmod(i, lit(5)) === 1, lit(" enable Javascript please."))
+                .otherwise(lit(".")))),
+          "\n").as("text"))
+      structured
+        .select(col("doc_id"),
+          HashExpressions.cleanLines(col("text"), minWords = 3).as("clean_text"),
+          size(split(col("text"), "\n")).cast("long").as("__total"))
+        .filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text"),
+          size(split(col("clean_text"), "\n")).cast("long").as("n_lines_kept"),
+          (col("__total") - size(split(col("clean_text"), "\n")))
+            .cast("long").as("n_lines_dropped"))
+    }),
+
     // §2b-25i: within-document duplicate-line character fraction (the
     // Gopher repetition battery's line-level signal, Rae et al. 2021:
     // "fraction of characters in duplicate lines"): docs get
@@ -1667,6 +1700,39 @@ object SparkEntry {
          |  FROM feats f CROSS JOIN wl)
          |SELECT doc_id, round(logit, 6) AS logit, logit > 0.0 AS keep
          |FROM scored""".stripMargin,
+
+    // line structure rebuilt identically to the Spark side (10-token
+    // chunks + the deterministic defect mix), then the kernel's line
+    // rules replayed as a list_filter: >=3 words, terminal
+    // punctuation after rtrim of in-line blanks, no brace, no
+    // case-insensitive "javascript"
+    "q_clean_lines" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |structured AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(generate_series(0, (len(t)-1)//10), i ->
+        |      array_to_string(t[(i*10+1):(i*10+10)], ' ') ||
+        |      CASE WHEN i % 7 = 2 THEN ' { javascript }'
+        |           WHEN i % 4 = 0 THEN ''
+        |           WHEN i % 5 = 1 THEN ' enable Javascript please.'
+        |           ELSE '.' END),
+        |    chr(10)) AS text
+        |  FROM toks),
+        |lines AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),
+        |kept AS (
+        |  SELECT doc_id, len(ls) AS n_total, list_filter(ls, l ->
+        |    len(regexp_extract_all(l, '[^ \t\r\f\x0b]+')) >= 3
+        |    AND regexp_matches(rtrim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)), '[.!?"]$')
+        |    AND NOT contains(lower(l), 'javascript')
+        |    AND NOT contains(l, '{') AND NOT contains(l, '}')) AS ks
+        |  FROM lines)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,
+        |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+        |  CAST(n_total - len(ks) AS BIGINT) AS n_lines_dropped
+        |FROM kept WHERE len(ks) > 0""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

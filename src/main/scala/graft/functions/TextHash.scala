@@ -81,6 +81,70 @@ object TextHash {
     acc
   }
 
+  /** C4-style boilerplate line filter (Raffel et al. 2020 §2.2, the
+    * line-level rules): keep a line iff it has at least `minWords`
+    * whitespace words, its last non-blank character is terminal
+    * punctuation (. ! ? "), and it contains neither a curly brace nor
+    * the word "javascript" (ASCII-case-insensitive). Kept lines are
+    * re-joined with '\n'; a doc with no kept lines returns "" (the
+    * caller drops it — C4 discards emptied pages). One pass over the
+    * bytes, no line explode, no shuffle; all checks are on ASCII
+    * bytes, which never occur inside multi-byte UTF-8 sequences. */
+  def cleanLines(s: UTF8String, minWords: Int): UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.io.ByteArrayOutputStream(n)
+    var first = true
+    var lineStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        if (keepLine(bytes, lineStart, i, minWords)) {
+          if (!first) out.write('\n')
+          out.write(bytes, lineStart, i - lineStart)
+          first = false
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  // in-line blank set: the Java \s class minus the line separator
+  private def isLineSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
+
+  private final val JsPattern = "javascript".getBytes
+  private def keepLine(bytes: Array[Byte], from: Int, until: Int,
+                       minWords: Int): Boolean = {
+    var e = until
+    while (e > from && isLineSpace(bytes(e - 1))) e -= 1
+    if (e == from) return false
+    val last = bytes(e - 1)
+    if (last != '.' && last != '!' && last != '?' && last != '"') return false
+    var words = 0
+    var inWord = false
+    // "javascript" matcher: the only border of the pattern is 'j'
+    // itself, so on mismatch falling back to (c=='j' ? 1 : 0) is a
+    // correct KMP restart
+    var js = 0
+    var i = from
+    while (i < until) {
+      val b = bytes(i)
+      if (b == '{' || b == '}') return false
+      if (isLineSpace(b)) inWord = false
+      else if (!inWord) { words += 1; inWord = true }
+      val c = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      if (c == JsPattern(js)) {
+        js += 1
+        if (js == JsPattern.length) return false
+      } else js = if (c == 'j') 1 else 0
+      i += 1
+    }
+    words >= minWords
+  }
+
   /** Charikar SimHash over whitespace tokens: each token votes its hash
     * bits; the sign of each bit-counter forms the 64-bit signature.
     * Near-identical token multisets give near-identical signatures

@@ -180,6 +180,28 @@ case class RepRatio64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repratio64"
 }
 
+/** C4-style boilerplate line filter ([[TextHash.cleanLines]]) as a
+  * single codegen kernel call: per-row line filtering with no line
+  * explode (the explode→filter→re-agg formulation shuffles the corpus
+  * by ~line count; this is a narrow projection). */
+case class CleanLines(child: Expression, minWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"clean_lines requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.cleanLines(v.asInstanceOf[UTF8String], minWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.cleanLines($c, $minWords)")
+  override protected def withNewChildInternal(newChild: Expression): CleanLines =
+    copy(child = newChild)
+  override def prettyName: String = "clean_lines"
+}
+
 /** Hashing-trick linear classifier logit ([[TextHash.hashGramLogit]]):
   * one pass over the text, unigram + adjacent-bigram FNV features into
   * the weight vector's buckets — the weights ride along as a
@@ -237,6 +259,10 @@ object HashExpressions {
   /** Hashing-trick classifier logit over a string column. */
   def hashGramLogit(c: Column, weights: Array[Double]): Column =
     GraftSqlShim.column(HashGramLogit(GraftSqlShim.expression(c), weights))
+
+  /** C4-style boilerplate line filter over a string column. */
+  def cleanLines(c: Column, minWords: Int): Column =
+    GraftSqlShim.column(CleanLines(GraftSqlShim.expression(c), minWords))
 
   /** Winnowing fingerprint as a Column function. */
   def winnow64(c: Column, k: Int = 8): Column =

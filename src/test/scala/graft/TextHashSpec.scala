@@ -98,6 +98,69 @@ class TextHashSpec extends AnyFunSuite {
     assert(viaExpr == direct)
   }
 
+  test("cleanLines matches the plain-Scala C4 line rules on handcrafted " +
+    "edges and random structured docs") {
+    def naiveKeep(l: String, minWords: Int): Boolean = {
+      val trimmed = l.replaceAll("[ \t\r\f]+$", "")
+      trimmed.nonEmpty &&
+        "[.!?\"]$".r.findFirstIn(trimmed).isDefined &&
+        "[^ \t\r\f]+".r.findAllIn(l).size >= minWords &&
+        !l.toLowerCase.contains("javascript") &&
+        !l.contains("{") && !l.contains("}")
+    }
+    def naive(s: String, minWords: Int): String =
+      s.split("\n", -1).filter(naiveKeep(_, minWords)).mkString("\n")
+    def kernel(s: String, minWords: Int): String =
+      TextHash.cleanLines(UTF8String.fromString(s), minWords).toString
+    val edges = Seq(
+      "",                                        // empty -> ""
+      "just two.",                               // < minWords
+      "this line survives fine.",                // kept
+      "this one ends well!",                     // '!' terminal
+      "does it end well?",                       // '?' terminal
+      "he said \"quoted.\"",                     // '"' terminal
+      "ends with punct but { brace }.",          // brace -> dropped
+      "enable JavaScript to continue.",          // mixed case -> dropped
+      "jjavascript restart still matches here.", // KMP restart
+      "javajavascript double prefix drops too.", // KMP restart mid-word
+      "trailing blanks survive the rtrim.   \t", // rtrim then '.'
+      "no terminal punctuation here",            // dropped
+      "   \t  ",                                 // blank-only line
+      "one.\nsecond line is retained too.\nbad\nfourth line stays in order.")
+    edges.foreach { s =>
+      assert(kernel(s, 3) == naive(s, 3), s"text=${s.replace("\n", "\\n")}")
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val doc = (0 until rnd.nextInt(12)).map { _ =>
+        val words = (0 until rnd.nextInt(6))
+          .map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+        words + (rnd.nextInt(5) match {
+          case 0 => ""
+          case 1 => " javascript."
+          case 2 => " { x }."
+          case 3 => "!"
+          case _ => "."
+        })
+      }.mkString("\n")
+      assert(kernel(doc, 3) == naive(doc, 3), s"doc=${doc.replace("\n", "\\n")}")
+    }
+  }
+
+  test("cleanLines codegen and interpreted eval agree") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select($"doc_id",
+        regexp_replace($"text", " (\\w+ \\w+ \\w+)", ".\n$1").as("text"))
+    val viaExpr = docs.select($"doc_id",
+        HashExpressions.cleanLines($"text", 3).as("c"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val direct = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+      .map { case (id, t) =>
+        (id, TextHash.cleanLines(UTF8String.fromString(t), 3).toString) }
+    assert(viaExpr == direct)
+  }
+
   test("fnv64 matches the published FNV-1a test vector") {
     // FNV-1a 64 of empty input is the offset basis
     assert(TextHash.fnv64(Array.emptyByteArray, 0, 0) == 0xcbf29ce484222325L)
