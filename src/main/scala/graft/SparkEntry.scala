@@ -553,6 +553,18 @@ object SparkEntry {
       corpus.join(canon, Seq("doc_id"), "left_semi")
     }),
 
+    // §2b-20f: keep-best-exemplar near-dup prune — the SAME cluster
+    // graph as q_neardup_prune, retention by quality argmax instead of
+    // minimum id (curation policy: keep each duplicate family's best
+    // document; ties resolve to the lowest id)
+    "q_cluster_best" -> ((s, dir) => {
+      val corpus = neardupCorpus(s, dir)
+      val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3)
+      Dedup.keepBestPerCluster(corpus, pairs, "doc_id", "id_a", "id_b",
+        TextFunctions.qualityScore(col("text")))
+    }),
+
     // §2b-22: brute-force cosine top-k (correctness baseline)
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -970,6 +982,71 @@ object SparkEntry {
     s"(((($x) // CAST('4294967296' AS HUGEINT)) * $c % CAST('4294967296' AS HUGEINT))" +
       s" * CAST('4294967296' AS HUGEINT)" +
       s" + (($x) % CAST('4294967296' AS HUGEINT)) * $c) % $sqlMod"
+  /** Shared simhash-cluster replay CTEs (`corpus` … `labels`): the
+    * augmented near-dup corpus, per-doc simhash (token FNV votes),
+    * hamming<=3 pair graph, and a recursive-CTE reachability fixpoint
+    * labeling every doc with its component minimum. Continued by the
+    * q_neardup_prune (min-id retention) and q_cluster_best (quality
+    * argmax retention) oracles. */
+  private val sqlSimhashClustersCte: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      |  FROM corpus),
+      |th AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |      list_transform(range(1, length(tok)+1),
+      |        i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+      |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+      |                % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM toks),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
+      |sim AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+      |  FROM votes GROUP BY doc_id),
+      |sig AS (
+      |  SELECT c.doc_id,
+      |    CAST(coalesce(s.u, CAST(0 AS HUGEINT))
+      |      - CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
+      |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
+      |  FROM corpus c LEFT JOIN sim s ON c.doc_id = s.doc_id),
+      |prs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |edges AS (
+      |  SELECT id_a AS x, id_b AS y FROM prs
+      |  UNION ALL SELECT id_b, id_a FROM prs),
+      |cc(id, comp) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x)
+      |, labels AS (SELECT id, min(comp) AS m FROM cc GROUP BY id)""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.TextFunctions.qualityScore]]
+    * over column `text` — the q_quality_score oracle's expression,
+    * reused as q_cluster_best's retention score. */
+  private val sqlQualityExprText: String =
+    """round(
+      |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3 +
+      |    (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
+      |      CAST(length(text) AS DOUBLE) END) * 0.4 +
+      |    least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+      |      CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
+      |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+      |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
+      |      CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6)""".stripMargin
+
   /** Byte-level FNV-1a fold of string expression `x` reduced to its
     * 1024-bucket id (HUGEINT mod 2^64; 1024 divides 2^64, so the
     * unsigned modulus equals the kernel's signed floorMod). Used by
@@ -1877,50 +1954,21 @@ object SparkEntry {
 
     // same reachability fixpoint, then the applied policy: keep only
     // docs that are their own component minimum
-    "q_neardup_prune" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
-        |  FROM corpus),
-        |th AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(tok)+1),
-        |        i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
-        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
-        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
-        |  FROM toks),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
-        |sim AS (
-        |  SELECT doc_id,
-        |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
-        |  FROM votes GROUP BY doc_id),
-        |sig AS (
-        |  SELECT c.doc_id,
-        |    CAST(coalesce(s.u, CAST(0 AS HUGEINT))
-        |      - CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
-        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
-        |  FROM corpus c LEFT JOIN sim s ON c.doc_id = s.doc_id),
-        |prs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        |edges AS (
-        |  SELECT id_a AS x, id_b AS y FROM prs
-        |  UNION ALL SELECT id_b, id_a FROM prs),
-        |cc(id, comp) AS (
-        |  SELECT doc_id, doc_id FROM corpus
-        |  UNION
-        |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x)
-        |, labels AS (SELECT id, min(comp) AS m FROM cc GROUP BY id)
-        |SELECT c.doc_id, c.text
-        |FROM corpus c JOIN labels l ON c.doc_id = l.id AND l.id = l.m""".stripMargin,
+    "q_neardup_prune" -> (sqlSimhashClustersCte + "\n" +
+      """SELECT c.doc_id, c.text
+        |FROM corpus c JOIN labels l ON c.doc_id = l.id AND l.id = l.m""".stripMargin),
+
+    // same cluster replay; retention flips from min-id to quality
+    // argmax (the qualityScore replay), ties by id
+    "q_cluster_best" -> (sqlSimhashClustersCte + ",\n" +
+      ("""qual AS (SELECT doc_id, __QUALITY__ AS q FROM corpus),
+         |ranked AS (
+         |  SELECT l.id,
+         |    row_number() OVER (PARTITION BY l.m ORDER BY q.q DESC, l.id) AS rn
+         |  FROM labels l JOIN qual q ON l.id = q.doc_id)
+         |SELECT c.doc_id, c.text
+         |FROM corpus c JOIN ranked r ON c.doc_id = r.id AND r.rn = 1""").stripMargin
+        .replace("__QUALITY__", sqlQualityExprText)),
 
     "q_simhash_pairs" ->
       """WITH corpus AS (

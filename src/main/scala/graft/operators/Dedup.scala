@@ -258,6 +258,35 @@ object Dedup {
       keys, "left_anti")
   }
 
+  /** Near-dup prune with a KEEP-BEST retention policy: cluster the
+    * candidate-pair graph ([[connectedComponents]]), then keep each
+    * cluster's row MAXIMIZING `score` (ties: lowest id) — the curation
+    * policy ("keep the best exemplar of each duplicate family")
+    * complementing the keep-lowest-id prune, which optimizes for
+    * determinism rather than quality.
+    *
+    * Plan: only (id, label, score) triples ride the argmax window's
+    * one hash exchange on the cluster label (WindowGroupLimit prunes
+    * to 1 row per label per partition before the shuffle); full rows
+    * — text included — never move until the final winner semi-join.
+    * Scale is governed by the clustering rounds, same as
+    * [[connectedComponents]]. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         aCol: String, bCol: String,
+                         score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(docs.select(col(idCol)), pairs,
+      idCol, aCol, bCol)
+    val scored = docs.select(col(idCol), score.as("__score"))
+    val winners = labels.join(scored, idCol)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("canonical_id"))
+          .orderBy(col("__score").desc, col(idCol))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Exact content dedup for the LLM pipeline: one hash-shuffle on
     * sha2(content) with map-side partial aggregation; keeps the smallest
     * id per content group and the duplicate count. */

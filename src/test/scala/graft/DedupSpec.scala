@@ -144,6 +144,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == n)
   }
 
+  test("keepBestPerCluster keeps the score argmax per cluster, ties to " +
+    "the lowest id, singletons survive") {
+    val docs = Seq(
+      (1L, "a", 0.2), (2L, "b", 0.9), (3L, "c", 0.5), // cluster {1,2,3} -> 2
+      (5L, "e", 0.7), (6L, "f", 0.7),                 // tie -> lowest id 5
+      (4L, "d", 0.1), (7L, "g", 0.0)                  // singletons
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, pairs, "doc_id",
+        "id_a", "id_b", col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L, 7L))
+  }
+
   test("paragraphDedup keeps the globally FIRST occurrence of each " +
     "paragraph and reassembles survivors in order") {
     val docs = Seq(
