@@ -487,6 +487,15 @@ object SparkEntry {
           col("lang"), col("text"), Map("en" -> 0.2), defaultRate = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // §2b-42b: temperature-scaled mixture (XLM-R/mT5 alpha-sampling):
+    // per-language rates derived from the corpus shares at alpha=0.5
+    // (rare languages upsampled toward uniform), gated by the same
+    // content hash as the stratified sample
+    "q_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"),
+          col("lang"), col("text"), alpha = 0.5, targetFrac = 0.25)
+        .select(col("doc_id"), col("lang"))),
+
     // §2b-45: per-source cap (domain balancing) — keep the 10
     // smallest-content-hash docs per source; deterministic and
     // replay-stable like the stratified sample, WindowGroupLimit keeps
@@ -1613,6 +1622,45 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, lang FROM m
         |WHERE hm < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END""".stripMargin,
+
+    // temperature mixture: the rate table replays the driver's
+    // arithmetic bitwise — sqrt corpus shares (libm/JVM parity),
+    // weights summed in stratum-name order via an ordered list_reduce
+    // (matching the Scala foldLeft), fixed multiply/divide
+    // association, floor to basis points — then the same fnv64
+    // HUGEINT gate as q_stratified_sample
+    "q_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang AS g, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |w AS (
+        |  SELECT g, n, sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS w
+        |  FROM c CROSS JOIN t),
+        |sw AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(w ORDER BY g)), (a, x) -> a + x) AS sumw FROM w),
+        |r AS (
+        |  SELECT g, CAST(floor(least(
+        |    0.25 * CAST(t.total AS DOUBLE) * w.w / (sw.sumw * CAST(w.n AS DOUBLE)),
+        |    1.0) * 10000) AS BIGINT) AS rate_bp
+        |  FROM w CROSS JOIN t CROSS JOIN sw),
+        |h AS (
+        |  SELECT doc_id, lang, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS u
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    ((CAST(u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+        |      % 10000) + 10000) % 10000 AS hm
+        |  FROM h)
+        |SELECT m.doc_id, m.lang FROM m JOIN r ON m.lang = r.g
+        |WHERE m.hm < r.rate_bp""".stripMargin,
 
     // Okapi BM25, k1=1.2 b=0.75; the score expression tree mirrors the
     // Spark side token for token (ln/div/mul are IEEE-deterministic and

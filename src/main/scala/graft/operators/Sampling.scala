@@ -42,6 +42,50 @@ object Sampling {
       .drop("__stratum", "__rate_bp")
   }
 
+  /** Temperature-scaled corpus mixture (the multilingual
+    * alpha-sampling of XLM-R / mT5): stratum g with corpus share
+    * p_g = n_g/N is sampled at a rate proportional to p_g^alpha / p_g,
+    * flattening the mixture toward uniform as alpha -> 0 (alpha = 1
+    * is the natural distribution). `targetFrac` of the corpus is kept
+    * in expectation; per-stratum rates cap at 1.0 — a stratum hitting
+    * the cap contributes all its rows, the standard degenerate case
+    * callers resolve by epoch repetition.
+    *
+    * Plan: ONE metadata-sized aggregation (groupBy(stratum).count,
+    * map-combined) collected to the driver computes the rate table —
+    * the IVF-header pattern, strata counts are cluster metadata — and
+    * the data pass is exactly [[stratifiedSampleByHash]]: broadcast
+    * rate dim + codegen hash gate, zero corpus shuffles.
+    *
+    * Rate arithmetic is ordered (weights summed in stratum-name
+    * order, fixed multiply/divide association) so a SQL oracle
+    * replays the rates bitwise at alpha = 0.5, where p^alpha is
+    * `sqrt` with proven JVM/libm parity; other alphas go through
+    * `Math.pow`, which carries no such cross-engine guarantee. */
+  def temperatureSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+                        alpha: Double = 0.5,
+                        targetFrac: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0, 1], got $targetFrac")
+    val counts = df.groupBy(stratumCol.as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureSample on an empty corpus")
+    val total = counts.map(_._2).sum
+    def weight(n: Long): Double = {
+      val p = n.toDouble / total.toDouble
+      if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)
+    }
+    val sumW = counts.foldLeft(0.0)((a, gn) => a + weight(gn._2))
+    val rates = counts.map { case (g, n) =>
+      g -> math.min(
+        targetFrac * total.toDouble * weight(n) / (sumW * n.toDouble), 1.0)
+    }.toMap
+    stratifiedSampleByHash(df, stratumCol, keyCol, rates)
+  }
+
   /** Keep at most `n` rows per group — domain/source balancing, the
     * "cap docs per domain" rule every crawl-derived corpus applies so
     * one mega-site can't dominate the mixture.

@@ -112,6 +112,54 @@ class ChunkingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureSample flattens the mixture toward uniform, matches " +
+    "the plain-Scala rate replay, and is re-partitioning invariant") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    val got = Sampling.temperatureSample(docs, $"lang", $"text",
+        alpha = 0.5, targetFrac = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // rate replay in plain Scala (same op order), then the hash gate
+    val corpus = docs.as[(Long, String, String)].collect()
+    val counts = corpus.groupBy(_._2).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val sumW = counts.foldLeft(0.0)((a, gn) =>
+      a + math.sqrt(gn._2.toDouble / total.toDouble))
+    val bp = counts.map { case (g, n) =>
+      val r = math.min(0.25 * total.toDouble *
+        math.sqrt(n.toDouble / total.toDouble) / (sumW * n.toDouble), 1.0)
+      g -> math.floor(r * 10000).toLong
+    }.toMap
+    val want = corpus.filter { case (_, lang, text) =>
+      java.lang.Math.floorMod(graft.functions.TextHash.fnv64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)), 10000L) <
+        bp(lang)
+    }.map(_._1).toSet
+    assert(got == want)
+    // flattening: rarer languages sample at a HIGHER rate than 'en'
+    val en = bp("en")
+    counts.filter(_._1 != "en").foreach { case (g, n) =>
+      assert(bp(g) > en, s"stratum $g (n=$n) rate ${bp(g)} <= en rate $en")
+    }
+    // pure function of the data: partitioning must not change the set
+    val reshuffled = Sampling.temperatureSample(docs.repartition(13),
+        $"lang", $"text", alpha = 0.5, targetFrac = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reshuffled == got)
+    // a stratum pushed past rate 1.0 caps (upsampling would need
+    // epoch repetition, not a >1 gate)
+    val tiny = docs.filter($"lang" =!= "en").limit(3)
+      .unionByName(docs.filter($"lang" === "en"))
+    val capped = Sampling.temperatureSample(tiny, $"lang", $"text",
+      alpha = 0.5, targetFrac = 0.9)
+    assert(capped.count() > 0)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(docs, $"lang", $"text", alpha = 0.0)
+    }
+  }
+
   test("bm25TopK equals a naive in-memory Okapi BM25 on the testdata") {
     val docs = spark.read
       .parquet(s"${TestSpark.sf0001}/documents.parquet")
