@@ -10,7 +10,9 @@ object PlanDump {
       "q_minhash_pairs", "q_ann_lsh", "q_ann_ivf", "q_exact_dedup",
       "q_embed_neardup", "q_surrogate_ids", "q_top_revenue",
       "q_pricing_summary", "q_window_agg",
-      "q_chunk_docs", "q_stratified_sample", "q_bm25").foreach { name =>
+      "q_chunk_docs", "q_stratified_sample", "q_bm25",
+      "q_classifier_score", "q_clean_lines", "q_cluster_best",
+      "q_temperature_sample").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
       out.println(df.queryExecution.explainString(
