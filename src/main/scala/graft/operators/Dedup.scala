@@ -265,24 +265,25 @@ object Dedup {
     * complementing the keep-lowest-id prune, which optimizes for
     * determinism rather than quality.
     *
-    * Plan: only (id, label, score) triples ride the argmax window's
-    * one hash exchange on the cluster label (WindowGroupLimit prunes
-    * to 1 row per label per partition before the shuffle); full rows
-    * — text included — never move until the final winner semi-join.
-    * Scale is governed by the clustering rounds, same as
-    * [[connectedComponents]]. */
+    * Plan: only (id, label, score) triples enter the argmax, and the
+    * argmax itself is a map-combinable `max_by` hash aggregation on
+    * the cluster label — each input partition pre-reduces to one
+    * candidate per label before the single exchange (no per-group
+    * sort, no window); full rows — text included — never move until
+    * the final winner semi-join. Scale is governed by the clustering
+    * rounds, same as [[connectedComponents]]. */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
                          aCol: String, bCol: String,
                          score: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val labels = connectedComponents(docs.select(col(idCol)), pairs,
       idCol, aCol, bCol)
     val scored = docs.select(col(idCol), score.as("__score"))
+    // lexicographic max of (score, -id) = highest score, ties to the
+    // LOWEST id; ids are non-negative in every caller, keeping -id
+    // clear of Long.MinValue
     val winners = labels.join(scored, idCol)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("canonical_id"))
-          .orderBy(col("__score").desc, col(idCol))))
-      .filter(col("__rn") === 1)
+      .groupBy(col("canonical_id"))
+      .agg(max_by(col(idCol), struct(col("__score"), -col(idCol))).as(idCol))
       .select(col(idCol))
     docs.join(winners, Seq(idCol), "left_semi")
   }
