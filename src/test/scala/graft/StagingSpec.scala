@@ -26,6 +26,64 @@ class StagingSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(o_status"), scan)
   }
 
+  test("writeTrainingShards: content-keyed split/shard layout, in-file " +
+    "order, bounded files, re-run determinism") {
+    import graft.operators.Shards
+    import graft.plans.HashExpressions
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "shards").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text",
+        when(pmod($"doc_id", lit(10)) < 8, "train").otherwise("val")
+          .as("split"))
+    Shards.writeTrainingShards(docs, dir, "split",
+      HashExpressions.fnv64($"text"), numShards = 4, orderCol = $"doc_id",
+      maxRecordsPerFile = 40)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // every (split, shard) group holds exactly the docs whose content
+    // hash lands in that shard
+    val got = back.select($"split", $"shard".cast("long"), $"doc_id")
+      .as[(String, Long, Long)].collect().groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).toSet).toMap
+    val want = docs.select($"split", $"doc_id",
+        pmod(HashExpressions.fnv64($"text"), lit(4L)).as("shard"))
+      .as[(String, Long, Long)].collect().groupBy(t => (t._1, t._3))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == want)
+    // layout: split=*/shard=* leaf dirs; maxRecordsPerFile=40 cuts
+    // multiple files in the bigger shards, each within the bound
+    val leafFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("split=")).flatMap(_.listFiles)
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(leafFiles.nonEmpty)
+    assert(leafFiles.length >
+      back.select($"split", $"shard").distinct().count(),
+      "maxRecordsPerFile never cut a file")
+    leafFiles.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select($"doc_id").as[Long].collect()
+      assert(rows.length <= 40, s"${f.getPath}: ${rows.length} rows")
+      assert(rows.sameElements(rows.sorted), s"${f.getPath} not ordered")
+    }
+    // pure function of the data: a second run over re-partitioned
+    // input produces identical per-group ordered contents
+    val dir2 = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "shards").toString
+    Shards.writeTrainingShards(docs.repartition(17), dir2, "split",
+      HashExpressions.fnv64($"text"), numShards = 4, orderCol = $"doc_id",
+      maxRecordsPerFile = 40)
+    val again = spark.read.parquet(dir2)
+      .select($"split", $"shard".cast("long"), $"doc_id")
+      .as[(String, Long, Long)].collect().groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val first = back.select($"split", $"shard".cast("long"), $"doc_id")
+      .as[(String, Long, Long)].collect().groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(again == first)
+  }
+
   test("salted aggregation equals plain groupBy count") {
     val events = Tables.events(spark, TestSpark.sf0001)
     val plain = events.groupBy($"event_type").count()

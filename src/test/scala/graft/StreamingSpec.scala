@@ -71,6 +71,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size < docs.size + 1)
   }
 
+  test("corpus-prep narrow ops (clean lines -> classifier -> hash gate) " +
+    "compose in a stream with exact batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.plans.HashExpressions
+    val weights = graft.operators.Classify.seededWeights(256, seed = 5L)
+    // the pipeline under test: all scan-side narrow expressions, so
+    // the SAME Column stack must run stateless in a stream
+    def prep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select($"doc_id",
+          HashExpressions.cleanLines($"text", 2).as("clean_text"))
+        .filter(length($"clean_text") > 0)
+        .withColumn("logit",
+          round(HashExpressions.hashGramLogit($"clean_text", weights), 6))
+        .filter(pmod(HashExpressions.fnv64($"clean_text"), lit(10000L)) < 7000)
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id",
+        // graft line structure on so cleanLines has work to do
+        regexp_replace($"text", "(\\w+) (\\w+) ", "$1 $2.\n").as("text"))
+    val batch = prep(docs)
+      .as[(Long, String, Double)].collect().toSet
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.as[(Long, String)].collect().toSeq)
+    val q = prep(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("prep_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("prep_test")
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessionize closes a session after the gap and keeps state per user") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
