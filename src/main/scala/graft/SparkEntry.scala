@@ -535,6 +535,27 @@ object SparkEntry {
       docs.join(contaminated, Seq("doc_id"), "left_anti")
     }),
 
+    // §2b-20g: fractional contamination scoring — the thresholdable
+    // form of decontamination (report |doc shingles ∩ eval shingles| /
+    // |doc shingles| instead of a binary drop), the measurement the
+    // binary policy's threshold is tuned from. Same narrow shape as
+    // q_decontaminate: only 8-byte shingle hashes move, then one
+    // map-combinable per-doc aggregation.
+    "q_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val docSh = docs.select(col("doc_id"),
+        explode(HashExpressions.shingles64(col("text"), 5)).as("sh"))
+      val benchSh = bench.select(
+          explode(HashExpressions.shingles64(col("text"), 5)).as("sh"))
+        .distinct().withColumn("__hit", lit(1))
+      docSh.join(broadcast(benchSh), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(round(
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("contamination_frac"))
+    }),
+
     // §2b-44: the SAME policy at eval-set sizes a broadcast can't hold
     // — Bloom prefilter in the corpus scan (no false negatives), exact
     // verify join over the fpp-thinned survivors; output identical to
@@ -1720,6 +1741,30 @@ object SparkEntry {
         |bad AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh ON dsh.s = bsh.s)
         |SELECT d.doc_id, d.text FROM documents d
         |LEFT JOIN bad b ON d.doc_id = b.doc_id WHERE b.doc_id IS NULL""".stripMargin,
+
+    // same string-shingle replay; reports the overlap fraction per doc
+    // instead of the binary drop
+    "q_contamination_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 5 THEN
+        |      list_transform(generate_series(1, len(t)-4),
+        |        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 20 = 0),
+        |dsh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+        |j AS (
+        |  SELECT d.doc_id, CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM dsh d LEFT JOIN bsh b ON d.s = b.s)
+        |SELECT doc_id,
+        |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS contamination_frac
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // winner choice replayed on paragraph STRINGS (row_number over
     // (para) ordered by (doc_id, idx) = Spark's min-struct); corpus
