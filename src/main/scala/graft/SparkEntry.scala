@@ -722,6 +722,23 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       LmScore.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // §2b-47: Gopher document quality rules (Rae et al. 2021 A1.1) —
+    // the named heuristic rule set as ONE codegen pass over the text
+    // column; minWords relaxed to 10 (synthetic docs are ~30 words),
+    // every other threshold is the paper's
+    "q_gopher_rules" -> ((s, dir) =>
+      QualityRules.gopherSignals(t(s, dir, "documents"), "doc_id", "text",
+        QualityRules.GopherParams(minWords = 10))),
+
+    // §2b-48: CCNet perplexity bucketing (Wenzek et al. 2020 §3.3) —
+    // head/middle/tail terciles of the unigram LM score within each
+    // language; tercile cutoffs broadcast back (NO per-language ntile
+    // window, which would serialize each language through one sort
+    // partition at corpus scale)
+    "q_ppl_buckets" -> ((s, dir) =>
+      LmScore.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+        "lang")),
+
     // §2b-25b: repetition ratio (Gopher-style boilerplate signal)
     "q_rep_ratio" -> ((s, dir) =>
       TextFunctions.repetitionRatio(
@@ -2185,6 +2202,70 @@ object SparkEntry {
         |       round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
         |FROM toks JOIN vocab USING (tok), tot
         |GROUP BY doc_id""".stripMargin,
+
+    // Gopher rules: every signal replayed verbatim — token counts via
+    // the same RE2 regexes, line fractions over chr(10) splits
+    // (str_split keeps trailing empties like Spark's split(limit=-1)),
+    // and the keep verdict on the unrounded IEEE doubles
+    "q_gopher_rules" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |      CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS mwl,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) /
+        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS symr,
+        |    CAST(len(list_filter(str_split(text, chr(10)),
+        |           l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) /
+        |      CAST(len(str_split(text, chr(10))) AS DOUBLE) AS bullf,
+        |    CAST(len(list_filter(str_split(text, chr(10)),
+        |           l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE) /
+        |      CAST(len(str_split(text, chr(10))) AS DOUBLE) AS ellf,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS DOUBLE) /
+        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS alphf,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|be|to|of|and|that|have|with)\b')) AS stops
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(symr, 6) AS symbol_word_ratio,
+        |  round(bullf, 6) AS bullet_line_frac,
+        |  round(ellf, 6) AS ellipsis_line_frac,
+        |  round(alphf, 6) AS alpha_word_frac,
+        |  CAST(stops AS BIGINT) AS stop_hits,
+        |  (n BETWEEN 10 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |   AND symr <= 0.1 AND bullf <= 0.9 AND ellf <= 0.3
+        |   AND alphf >= 0.8 AND stops >= 2) AS keep
+        |FROM sig""".stripMargin,
+
+    // CCNet buckets: the q_lm_score NLL replay + per-language
+    // quantile_cont tercile cutoffs (the proven percentile parity of
+    // q_value_quantiles) + the same <= comparisons on rounded NLLs
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+        |nll AS (
+        |  SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        |  FROM toks JOIN vocab USING (tok), tot
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.lang, x.doc_id, x.nll
+        |  FROM nll x JOIN documents d USING (doc_id)),
+        |cuts AS (
+        |  SELECT lang, quantile_cont(nll, 1.0/3) AS q1,
+        |         quantile_cont(nll, 2.0/3) AS q2
+        |  FROM scored GROUP BY lang)
+        |SELECT doc_id, lang, nll,
+        |  CASE WHEN nll <= q1 THEN 'head'
+        |       WHEN nll <= q2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored JOIN cuts USING (lang)""".stripMargin,
 
     "q_zorder" ->
       """WITH base AS (

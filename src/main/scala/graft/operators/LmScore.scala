@@ -19,9 +19,15 @@ import graft.functions.TextFunctions
   * aggregation/broadcast shape is unchanged. */
 object LmScore {
 
-  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+  /** Per-doc mean negative log-likelihood under the corpus unigram
+    * model. `carry` columns (constant within a doc, e.g. the language)
+    * ride through the explode and the per-doc aggregation via min(),
+    * so downstream consumers need no extra join back to `docs`.
+    * Docs with zero tokens have no NLL and drop out. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+                 carry: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select(col(idCol) +: carry.map(col) :+
+      explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("n"))
     toks
@@ -29,7 +35,40 @@ object LmScore {
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(round(avg(-log(col("c").cast("double") / col("n").cast("double"))), 4)
-        .as("nll"))
+          .as("nll"),
+        carry.map(c => min(col(c)).as(c)): _*)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): rank
+    * every document by its LM score within its language and cut the
+    * corpus into head / middle / tail terciles — head (lowest
+    * perplexity) is the usual pretraining keep, tail the discard.
+    *
+    * Plan shape: [[unigramNll]] carries the language through its
+    * per-doc aggregation (no join back to the corpus); the tercile
+    * cutoffs are ONE tiny per-language aggregate broadcast back onto
+    * the scored docs, and bucket assignment is a codegen comparison —
+    * there is deliberately NO per-language ntile window, which would
+    * funnel each language (at 100 TB, possibly most of the corpus)
+    * through a single sort partition. Exact `percentile` holds one
+    * language's score list in memory on the agg side; pass
+    * `approxCutoffs = true` at corpus scale to swap in
+    * `percentile_approx` (same plan, bounded state — the
+    * [[Profile]] approxDistinct pattern). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String,
+                        approxCutoffs: Boolean = false): DataFrame = {
+    val scored = unigramNll(docs, idCol, textCol, carry = Seq(langCol))
+    val fracs = array(lit(1.0 / 3), lit(2.0 / 3))
+    val cut =
+      if (approxCutoffs) percentile_approx(col("nll"), fracs, lit(10000))
+      else percentile(col("nll"), fracs)
+    val cuts = scored.groupBy(col(langCol)).agg(cut.as("__qs"))
+    scored.join(broadcast(cuts), langCol)
+      .select(col(idCol), col(langCol), col("nll"),
+        when(col("nll") <= element_at(col("__qs"), 1), lit("head"))
+          .when(col("nll") <= element_at(col("__qs"), 2), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /** Per-group vocabulary top-k (corpus composition stats): the `k`

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021, appendix
+  * A1.1) — the named heuristic filter set most corpus pipelines run
+  * before any model-based scoring: word-count bounds, mean word
+  * length bounds, symbol-to-word ratio, bullet / ellipsis line
+  * fractions, alphabetic-word fraction, and a required-stopword
+  * floor.
+  *
+  * Everything is codegen'd built-ins over the raw text column — one
+  * narrow projection, no explode, no shuffle, no UDF — so at 100 TB
+  * the cost is the byte scan every other text operator already pays,
+  * and the filter composes into the same scan pass as tokenize /
+  * dedup-hash / langId. Regexes are RE2-safe; the DuckDB oracle
+  * replays every rule verbatim.
+  *
+  * Thresholds are parameters with the paper's defaults; the driver
+  * query relaxes `minWords` because the synthetic docs are ~30 words.
+  */
+object QualityRules {
+
+  /** Rule thresholds (defaults = the paper's published values). */
+  case class GopherParams(minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanWordLen: Double = 3.0,
+                          maxMeanWordLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1,
+                          maxBulletFrac: Double = 0.9,
+                          maxEllipsisFrac: Double = 0.3,
+                          minAlphaFrac: Double = 0.8,
+                          minStopHits: Int = 2)
+
+  /** The paper's required-stopword set (≥ minStopHits hits keeps the doc). */
+  private val RequiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The per-rule signal expressions over one text column. Order:
+    * (n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    * ellipsis_line_frac, alpha_word_frac, stop_hits). */
+  private def signalExprs(c: Column): (Column, Column, Column, Column, Column, Column, Column) = {
+    val n = regexp_count(c, lit("\\S+"))
+    val mwl = when(n === 0, lit(0.0)).otherwise(
+      length(replace(c, lit(" "), lit(""))).cast("double") / n.cast("double"))
+    // '#' occurrences plus literal ellipses — the paper's "symbols"
+    val symRatio = when(n === 0, lit(0.0)).otherwise(
+      regexp_count(c, lit("#|\\.\\.\\.")).cast("double") / n.cast("double"))
+    // split(limit = -1) keeps trailing empty lines, matching DuckDB's
+    // str_split; an empty text is one empty line, so nLines >= 1
+    val lines = split(c, "\n", -1)
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+      .cast("double") / nLines
+    // \S* cannot cross whitespace, so each match is one token that
+    // contains at least one ASCII letter
+    val alphaFrac = when(n === 0, lit(0.0)).otherwise(
+      regexp_count(c, lit("\\S*[A-Za-z]\\S*")).cast("double") / n.cast("double"))
+    val stopHits = regexp_count(lower(c),
+      lit("\\b(" + RequiredStops.mkString("|") + ")\\b"))
+    (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits)
+  }
+
+  /** The composite keep predicate over one text column. */
+  def keepExpr(c: Column, p: GopherParams = GopherParams()): Column = {
+    val (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits) =
+      signalExprs(c)
+    n.between(p.minWords, p.maxWords) &&
+      mwl.between(p.minMeanWordLen, p.maxMeanWordLen) &&
+      symRatio <= p.maxSymbolRatio &&
+      bulletFrac <= p.maxBulletFrac && ellipsisFrac <= p.maxEllipsisFrac &&
+      alphaFrac >= p.minAlphaFrac && stopHits >= p.minStopHits
+  }
+
+  /** Per-document rule signals + the composite `keep` verdict:
+    * (idCol, n_words, mean_word_len, symbol_word_ratio,
+    * bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    * stop_hits, keep). Ratios are rounded to 6 decimals for the
+    * output; `keep` is evaluated on the unrounded values (both
+    * engines compute identical IEEE doubles, so the verdict
+    * replays exactly). */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+                    p: GopherParams = GopherParams()): DataFrame = {
+    val (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits) =
+      signalExprs(col(textCol))
+    df.select(col(idCol), n.cast("long").as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      round(symRatio, 6).as("symbol_word_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      keepExpr(col(textCol), p).as("keep"))
+  }
+
+  /** The corpus-path form: rows of `df` that pass every rule, original
+    * columns untouched (the predicate composes into the scan). */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   p: GopherParams = GopherParams()): DataFrame =
+    df.filter(keepExpr(col(textCol), p))
+}
