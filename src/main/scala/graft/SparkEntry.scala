@@ -715,6 +715,19 @@ object SparkEntry {
       Classify.scoreDocs(t(s, dir, "documents"), "doc_id", "text",
         Classify.seededWeights(1024, seed = 7L))),
 
+    // §2b-49: DSIR importance resampling (Xie et al. 2023) — select
+    // raw docs whose hashed-n-gram distribution looks like a target
+    // corpus (here: the English slice as target over the full
+    // multilingual table). λ estimation is two metadata-sized bucket
+    // counts; the per-doc weight is the classifier kernel re-used
+    // with λ as the weights; Gumbel-top-k draws 200 docs ∝ exp(w)
+    // deterministically (content-hash uniforms)
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dsir.select(docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", numBuckets = 1024, k = 200, seed = 42L)
+    }),
+
     // §2b-25g: unigram LM scoring (CCNet-style perplexity proxy):
     // mean -ln p(token) per doc, p self-estimated from the corpus.
     // round(4) keeps the double drift (unordered partial sums, 1-ulp
@@ -1104,6 +1117,16 @@ object SparkEntry {
       s"j -> CAST(unicode(substr($x, j, 1)) AS HUGEINT))), " +
       s"(acc, ch) -> (xor(acc, ch) * CAST('1099511628211' AS HUGEINT)) % $sqlMod) " +
       s"% 1024 AS BIGINT)"
+
+  /** The same byte-level FNV-1a fold as [[sqlFnvBucket]] but
+    * UNREDUCED — the full unsigned 64-bit hash as HUGEINT. Used where
+    * an oracle needs the hash's high bits (`// 2048` = the kernel's
+    * `>>> 11` top-53-bit uniform), not a bucket id. */
+  private def sqlFnvRaw(x: String): String =
+    s"list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+      s"list_transform(range(1, length($x)+1), " +
+      s"j -> CAST(unicode(substr($x, j, 1)) AS HUGEINT))), " +
+      s"(acc, ch) -> (xor(acc, ch) * CAST('1099511628211' AS HUGEINT)) % $sqlMod)"
 
   /** CTE chain applying the splitmix64 finisher to column z0`tag` of
     * g0`tag` (the +golden step must already be folded into z0), keyed
@@ -1887,6 +1910,56 @@ object SparkEntry {
          |  FROM feats f CROSS JOIN wl)
          |SELECT doc_id, round(logit, 6) AS logit, logit > 0.0 AS keep
          |FROM scored""".stripMargin,
+
+    // DSIR: the q_classifier_score feature replay feeds two bucket
+    // counts (target = lang 'en', raw = all); λ(b) is the add-1
+    // log-ratio over range(0,1024); the per-doc weight folds λ in the
+    // SAME interleaved feature order as the kernel; the Gumbel key
+    // replays fnv64('42:'||doc_id) via the unreduced FNV fold, top-53
+    // uniform, -ln(-ln(u)); selection = ORDER BY unrounded key LIMIT k
+    "q_dsir_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang, flatten(list_transform(range(1, len(t)+1), i ->
+         |    CASE WHEN i = 1 THEN [${sqlFnvBucket("t[i]")}]
+         |    ELSE [${sqlFnvBucket("concat(t[i-1], ' ', t[i])")},
+         |          ${sqlFnvBucket("t[i]")}] END)) AS fs
+         |  FROM toks),
+         |tc AS (SELECT b, count(*) AS c FROM (
+         |  SELECT unnest(fs) AS b FROM feats WHERE lang = 'en') GROUP BY b),
+         |rc AS (SELECT b, count(*) AS c FROM (
+         |  SELECT unnest(fs) AS b FROM feats) GROUP BY b),
+         |tt AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM tc),
+         |rt AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM rc),
+         |lam AS (
+         |  SELECT rng.b,
+         |    ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / tt.tot) -
+         |    ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / rt.tot) AS l
+         |  FROM range(0, 1024) rng(b)
+         |  LEFT JOIN tc ON tc.b = rng.b
+         |  LEFT JOIN rc ON rc.b = rng.b, tt, rt),
+         |ll AS (SELECT list(l ORDER BY b) AS ls FROM lam),
+         |w AS (
+         |  SELECT f.doc_id,
+         |    CASE WHEN len(f.fs) = 0 THEN 0.0
+         |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(f.fs, x -> ll.ls[CAST(x AS INT) + 1])),
+         |      (a, v) -> a + v) END AS w
+         |  FROM feats f CROSS JOIN ll),
+         |g AS (
+         |  SELECT doc_id, -ln(-ln(
+         |    (CAST(${sqlFnvRaw("concat('42:', CAST(doc_id AS VARCHAR))")}
+         |       // CAST(2048 AS HUGEINT) AS DOUBLE) + 0.5)
+         |    / 9007199254740992.0)) AS g
+         |  FROM documents)
+         |SELECT w.doc_id, round(w.w, 6) AS weight,
+         |       round(w.w + g.g, 6) AS sel_score
+         |FROM w JOIN g USING (doc_id)
+         |ORDER BY w.w + g.g DESC, w.doc_id
+         |LIMIT 200""".stripMargin,
 
     // line structure rebuilt identically to the Spark side (10-token
     // chunks + the deterministic defect mix), then the kernel's line

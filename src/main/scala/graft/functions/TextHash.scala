@@ -81,6 +81,49 @@ object TextHash {
     acc
   }
 
+  /** The hashed-gram FEATURE IDS behind [[hashGramLogit]]: the same
+    * whitespace unigram + adjacent-bigram walk, same FNV-1a fold and
+    * floorMod bucketing, but returning the bucket sequence itself (in
+    * the kernel's interleaved emission order — unigram 0, then bigram
+    * closing at each later token followed by its unigram) instead of
+    * summing weights. This is the feature-extraction half of
+    * importance-resampling data selection (DSIR, Xie et al. 2023):
+    * corpus-level bucket-count distributions are one
+    * explode-and-count away, and a per-document log-likelihood-ratio
+    * weight under those distributions is exactly
+    * `hashGramLogit(text, lambda)` — the two kernels are guaranteed
+    * to walk identical features because they share this loop shape.
+    * Keep `numBuckets` a power of two (see [[hashGramLogit]]'s
+    * bucket-modulus note). */
+  def hashGramBuckets(s: UTF8String, numBuckets: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        if (prevStart >= 0) {
+          var h = fnv64(bytes, prevStart, prevEnd)
+          h ^= 0x20L
+          h *= FnvPrime
+          var j = start
+          while (j < i) { h ^= (bytes(j) & 0xffL); h *= FnvPrime; j += 1 }
+          buf += java.lang.Math.floorMod(h, numBuckets).toLong
+        }
+        buf += java.lang.Math.floorMod(fnv64(bytes, start, i), numBuckets).toLong
+        prevStart = start
+        prevEnd = i
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
   /** C4-style boilerplate line filter (Raffel et al. 2020 §2.2, the
     * line-level rules): keep a line iff it has at least `minWords`
     * whitespace words, its last non-blank character is terminal

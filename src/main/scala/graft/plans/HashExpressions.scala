@@ -229,6 +229,33 @@ case class HashGramLogit(child: Expression, weights: Array[Double])
   override def prettyName: String = "hashgram_logit"
 }
 
+/** The feature-id half of [[HashGramLogit]]
+  * ([[TextHash.hashGramBuckets]]): the identical unigram+bigram walk
+  * emitting the bucket sequence (array<long>) instead of a weighted
+  * sum — corpus-level feature distributions (DSIR) are then one
+  * explode + count away, with the per-doc weighting left to
+  * [[HashGramLogit]] so both sides provably share one feature space. */
+case class HashGramBuckets(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hashgram_buckets requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.hashGramBuckets(v.asInstanceOf[UTF8String], numBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.hashGramBuckets($c, $numBuckets)")
+  override protected def withNewChildInternal(newChild: Expression): HashGramBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "hashgram_buckets"
+}
+
 object HashExpressions {
   /** One-pass MinHash signature (array<long>) as a Column function. */
   def minhash64(c: Column, k: Int, numHashes: Int): Column =
@@ -259,6 +286,10 @@ object HashExpressions {
   /** Hashing-trick classifier logit over a string column. */
   def hashGramLogit(c: Column, weights: Array[Double]): Column =
     GraftSqlShim.column(HashGramLogit(GraftSqlShim.expression(c), weights))
+
+  /** Hashed-gram feature-bucket sequence over a string column. */
+  def hashGramBuckets(c: Column, numBuckets: Int): Column =
+    GraftSqlShim.column(HashGramBuckets(GraftSqlShim.expression(c), numBuckets))
 
   /** C4-style boilerplate line filter over a string column. */
   def cleanLines(c: Column, minWords: Int): Column =
