@@ -669,6 +669,26 @@ object SparkEntry {
       Similarity.diverseSample(t(s, dir, "embeddings"),
         nlist = 16, perCell = 8, iters = 1)),
 
+    // §2b-50: SemDedup (Abbas et al. 2023) — exact pairwise cosine
+    // within k-means cells, greedy smaller-id-wins retention. The
+    // q_embed_neardup planted-copy construction with a tighter 0.01
+    // noise scale: planted cosine ~0.998, so the copy's direction is
+    // near-identical and lands in its original's Voronoi cell (the
+    // 0.05 scale sits at cos~0.96 ≈ 16° and splits cells ~30% of the
+    // time — exactly the cross-cell recall loss the scaladoc
+    // documents); tau 0.95 stays above natural-pair similarity
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = emb.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.01)
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.semDedup(emb.unionByName(perturbed),
+        nlist = 16, tau = 0.95, iters = 1)
+    }),
+
     // §2b-21: exact n-gram Jaccard over planted (original, truncated)
     // pairs — the verification metric of the near-dup family as a
     // standalone oracle-checked operator. Shingle SETS are the codegen
@@ -1163,7 +1183,15 @@ object SparkEntry {
     * oracles, which continue from `ev` and `c1`. */
   private def sqlIvfCentroidsCte: String =
     s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |g0m AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $sqlGolden) % $sqlMod AS z0m FROM ev),
+       |$sqlCentroidsBody""".stripMargin
+
+  /** The quantizer replay AFTER the corpus CTE: expects an `ev`
+    * (vec_id, v DOUBLE[]) CTE already defined (plain embeddings above;
+    * the perturbed union for `q_semdedup`), yields centroids in `c1`.
+    * Factored so oracles over DIFFERENT corpora replay the identical
+    * mix64-sample → normalize → one-Lloyd-iteration chain. */
+  private def sqlCentroidsBody: String =
+    s"""g0m AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $sqlGolden) % $sqlMod AS z0m FROM ev),
        |${sqlMixChain("m", "vec_id")},
        |hv AS (SELECT vec_id, CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
        |    THEN $sqlMod ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h FROM g5m),
@@ -1437,6 +1465,29 @@ object SparkEntry {
          |FROM cand cd JOIN corpus va ON cd.id_a = va.vec_id
          |JOIN corpus vb ON cd.id_b = vb.vec_id
          |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9""".stripMargin,
+
+    // SemDedup: the q_embed_neardup perturbed-union corpus feeds the
+    // shared quantizer-replay CTE chain (sqlCentroidsBody), vectors
+    // assign to their argmax-dot cell, and the greedy retention is one
+    // NOT EXISTS — kept iff no smaller-id same-cell vector has
+    // cosine >= tau (both engines compare the unrounded IEEE value)
+    "q_semdedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pert AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.01 ORDER BY d) AS v
+         |  FROM base, range(0,64) r(d) GROUP BY vec_id),
+         |ev AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+         |$sqlCentroidsBody,
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, e.v, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |asg AS (SELECT vec_id, cell, v FROM a1 WHERE rn = 1)
+         |SELECT a.vec_id, a.cell FROM asg a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM asg b WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |    AND list_cosine_similarity(b.v, a.v) >= 0.95)""".stripMargin,
 
     // Full IVF replay: the shared centroid CTEs, then nprobe=6 probe
     // cells per query, single-cell index assignment, exact cosine top-k.

@@ -333,6 +333,48 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDedup (Abbas et al. 2023): semantic deduplication by exact
+    * pairwise cosine WITHIN k-means cells — the published recipe for
+    * pruning embedding-level near-duplicates that MinHash/SimHash
+    * (surface-form) dedup can't see. Returns the KEPT rows as
+    * (idCol, cell).
+    *
+    * Retention policy: a vector is dropped iff a SMALLER-ID vector in
+    * the same cell has cosine >= tau (the deterministic greedy
+    * simplification of the paper's keep-one-per-eps-group — one
+    * relational predicate, no iteration; transitive chains a→b→c where
+    * only b bridges are resolved by dropping both b and c, the
+    * conservative direction for dedup). Cross-cell near-dups are
+    * invisible BY DESIGN — that is SemDedup's published recall
+    * trade-off, and exactly why [[cosineNearDupPairs]] (multi-table
+    * LSH) coexists with it.
+    *
+    * Scale shape: the quantizer train is the only full-corpus
+    * iteration (driver holds nlist×dim centroids); the pair pass is
+    * ONE shuffle of (id, vec) on cell, then Σ|cell|² codegen cosine
+    * kernels — the paper's own cost model, bounded by choosing nlist
+    * so cells stay ~constant-size (nlist ∝ corpus size; they use 50k
+    * clusters at web scale). The anti-join back is on narrow ids. */
+  def semDedup(corpus: DataFrame, nlist: Int = 16, tau: Double = 0.95,
+               iters: Int = 1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VecExpressions.nearestCell
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val assigned = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cell", nearestCell(col("__v"), cents))
+      .persist()
+    val dropped = assigned
+      .select(col("cell"), col(idCol).as("__id_a"), col("__v").as("__va"))
+      .join(assigned.select(col("cell"), col(idCol).as("__id_b"),
+        col("__v").as("__vb")), Seq("cell"))
+      .filter(col("__id_a") < col("__id_b") &&
+        cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0.
     * Kernel expression — see [[graft.plans.VecOps.hyperplaneSig]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =

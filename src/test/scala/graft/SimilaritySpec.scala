@@ -225,6 +225,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length >= 350, s"recall too low: ${pairs.length}/500")
   }
 
+  test("semDedup keeps exactly the greedy smaller-id-wins set on a " +
+    "hand-built two-cluster corpus") {
+    // cluster A: 1,2,3 mutually near-identical; cluster B: 10 isolated,
+    // 11 near 10. Greedy: keep 1 (drops 2,3), keep 10 (drops 11).
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.999, 0.01, 0.0)),
+      (3L, Array(0.998, 0.02, 0.0)),
+      (10L, Array(0.0, 1.0, 0.0)), (11L, Array(0.0, 0.999, 0.01))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(corpus, nlist = 2, tau = 0.95, iters = 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L), s"kept $kept")
+  }
+
+  test("semDedup prunes the planted perturbed copies and keeps the originals") {
+    val kept = SparkEntry.queries("q_semdedup")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect()
+    assert(kept.length == kept.distinct.length)
+    val (orig, pert) = kept.partition(_ < 100000L)
+    // every original survives (no natural 0.95-pair at this sf), and
+    // nearly every perturbed copy lands in its original's cell and dies;
+    // a perturbed copy only survives the rare cell-boundary split
+    val n = Tables.embeddings(spark, TestSpark.sf0001).count()
+    assert(orig.length == n, s"originals kept: ${orig.length}/$n")
+    assert(pert.length <= n / 20, s"perturbed copies kept: ${pert.length}")
+    // determinism
+    val again = SparkEntry.queries("q_semdedup")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect()
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("hyperplanes are the EXACT splitmix64 Box-Muller sequence the " +
     "DuckDB oracles replay (golden bit patterns)") {
     // bit-for-bit golden values from the validated JVM/DuckDB parity
