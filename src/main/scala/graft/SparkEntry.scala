@@ -763,6 +763,14 @@ object SparkEntry {
       QualityRules.gopherSignals(t(s, dir, "documents"), "doc_id", "text",
         QualityRules.GopherParams(minWords = 10))),
 
+    // §2b-51: Gopher repetition battery (Rae et al. 2021 A1) — the
+    // nine top/dup n-gram char-fraction signals as ONE codegen kernel
+    // pass (per-doc local counting; the explode formulation would
+    // shuffle ~9 rows per token on (doc, n, gram))
+    "q_gopher_rep" -> ((s, dir) =>
+      QualityRules.repetitionSignals(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     // §2b-48: CCNet perplexity bucketing (Wenzek et al. 2020 §3.3) —
     // head/middle/tail terciles of the unigram LM score within each
     // language; tercile cutoffs broadcast back (NO per-language ntile
@@ -2364,6 +2372,68 @@ object SparkEntry {
         |   AND symr <= 0.1 AND bullf <= 0.9 AND ellf <= 0.3
         |   AND alphf >= 0.8 AND stops >= 2) AS keep
         |FROM sig""".stripMargin,
+
+    // Gopher repetition battery: grams rebuilt as lateral
+    // range-windows joined by single spaces (the kernel's tokenizer
+    // canonicalization), per-(doc, n, gram) counts, the top gram
+    // picked by the kernel's total (count, len, lexicographic) order,
+    // dup sums filtered to count>=2; every signal is one exact
+    // integer-ratio IEEE division, so the keep verdict on the
+    // UNROUNDED values replays bitwise
+    "q_gopher_rep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t,
+        |         CAST(length(text) AS DOUBLE) AS total
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, n, total, unnest(gs) AS gram FROM (
+        |    SELECT doc_id, rn.n AS n, total,
+        |      list_transform(range(1, len(t) - rn.n + 2),
+        |        i -> array_to_string(t[i : i + rn.n - 1], ' ')) AS gs
+        |    FROM toks, range(2, 11) rn(n))),
+        |gc AS (
+        |  SELECT doc_id, n, gram, any_value(total) AS total,
+        |         count(*) AS c, length(gram) AS gl
+        |  FROM grams GROUP BY doc_id, n, gram),
+        |top AS (
+        |  SELECT doc_id, n, c * gl / total AS f,
+        |         row_number() OVER (PARTITION BY doc_id, n
+        |           ORDER BY c DESC, gl DESC, gram ASC) AS rn
+        |  FROM gc WHERE n <= 4),
+        |dup AS (
+        |  SELECT doc_id, n,
+        |         coalesce(sum(c * gl) FILTER (WHERE c >= 2), 0) / any_value(total) AS f
+        |  FROM gc WHERE n >= 5 GROUP BY doc_id, n),
+        |sig AS (
+        |  SELECT doc_id, n, f FROM top WHERE rn = 1
+        |  UNION ALL SELECT doc_id, n, f FROM dup),
+        |wide AS (
+        |  SELECT d.doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN f END), 0.0) AS f2,
+        |    coalesce(max(CASE WHEN n = 3 THEN f END), 0.0) AS f3,
+        |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) AS f4,
+        |    coalesce(max(CASE WHEN n = 5 THEN f END), 0.0) AS f5,
+        |    coalesce(max(CASE WHEN n = 6 THEN f END), 0.0) AS f6,
+        |    coalesce(max(CASE WHEN n = 7 THEN f END), 0.0) AS f7,
+        |    coalesce(max(CASE WHEN n = 8 THEN f END), 0.0) AS f8,
+        |    coalesce(max(CASE WHEN n = 9 THEN f END), 0.0) AS f9,
+        |    coalesce(max(CASE WHEN n = 10 THEN f END), 0.0) AS f10
+        |  FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id,
+        |  round(f2, 6) AS top_2gram_char_frac,
+        |  round(f3, 6) AS top_3gram_char_frac,
+        |  round(f4, 6) AS top_4gram_char_frac,
+        |  round(f5, 6) AS dup_5gram_char_frac,
+        |  round(f6, 6) AS dup_6gram_char_frac,
+        |  round(f7, 6) AS dup_7gram_char_frac,
+        |  round(f8, 6) AS dup_8gram_char_frac,
+        |  round(f9, 6) AS dup_9gram_char_frac,
+        |  round(f10, 6) AS dup_10gram_char_frac,
+        |  f2 <= 0.20 AND f3 <= 0.18 AND f4 <= 0.16 AND f5 <= 0.15 AND
+        |  f6 <= 0.14 AND f7 <= 0.13 AND f8 <= 0.12 AND f9 <= 0.11 AND
+        |  f10 <= 0.10 AS keep
+        |FROM wide""".stripMargin,
 
     // CCNet buckets: the q_lm_score NLL replay + per-language
     // quantile_cont tercile cutoffs (the proven percentile parity of

@@ -124,6 +124,86 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 
+  /** Gopher repetition battery (Rae et al. 2021, appendix A1 — the
+    * "repetitious documents" rules next to the A1.1 quality rules):
+    * nine char-fraction signals in one pass over the text, returned
+    * as array<double> in fixed order
+    * [top2, top3, top4, dup5, dup6, dup7, dup8, dup9, dup10].
+    *
+    *  - top-n (n = 2,3,4): fraction of characters covered by
+    *    occurrences of the MOST COMMON n-gram —
+    *    count·len(gram) / len(text), with the most-common choice made
+    *    total by the (count, gram length, lexicographic) tie-break so
+    *    a SQL replay picks the identical gram.
+    *  - dup-n (n = 5..10): fraction of characters in n-grams
+    *    occurring more than once — Σ_{count≥2} count·len(gram) /
+    *    len(text). All occurrences count and overlaps double-count
+    *    (the common published implementation shape); the value can
+    *    exceed 1 on degenerate text, thresholds treat it as "remove".
+    *
+    * N-grams are whitespace tokens joined by ONE space (the
+    * [[hashGramLogit]] canonicalization), so separator runs don't
+    * perturb the signal. Every signal is an exact integer ratio in
+    * one IEEE division — a SQL replay reproduces the doubles (and any
+    * threshold verdicts on them) bitwise. Fewer than n tokens or
+    * empty text → 0.0 for that signal. */
+  def gopherRepetition(s: UTF8String):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // tokenize once (the hashGramLogit walk), decoding each token
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start)
+        toks += new String(bytes, start, i - start,
+          java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val total = s.numChars.toDouble
+    val out = new Array[Any](9)
+    var oi = 0
+    var gn = 2
+    while (gn <= 10) {
+      val sig =
+        if (total == 0.0 || toks.length < gn) 0.0
+        else {
+          val counts = new java.util.HashMap[String, Array[Int]]()
+          var j = 0
+          while (j + gn <= toks.length) {
+            val gram = toks.slice(j, j + gn).mkString(" ")
+            val c = counts.get(gram)
+            if (c == null) counts.put(gram, Array(1)) else c(0) += 1
+            j += 1
+          }
+          if (gn <= 4) {
+            // most common gram; ties → longer gram, then lexicographic min
+            var bc = 0; var bl = -1; var bg: String = null
+            counts.forEach { (g, c) =>
+              val l = g.codePointCount(0, g.length)
+              if (c(0) > bc || (c(0) == bc && (l > bl ||
+                  (l == bl && (bg == null || g.compareTo(bg) < 0))))) {
+                bc = c(0); bl = l; bg = g
+              }
+            }
+            bc.toDouble * bl / total
+          } else {
+            var acc = 0L
+            counts.forEach { (g, c) =>
+              if (c(0) >= 2) acc += c(0).toLong * g.codePointCount(0, g.length)
+            }
+            acc.toDouble / total
+          }
+        }
+      out(oi) = sig
+      oi += 1
+      gn += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** C4-style boilerplate line filter (Raffel et al. 2020 §2.2, the
     * line-level rules): keep a line iff it has at least `minWords`
     * whitespace words, its last non-blank character is terminal

@@ -99,4 +99,44 @@ object QualityRules {
   def gopherFilter(df: DataFrame, textCol: String,
                    p: GopherParams = GopherParams()): DataFrame =
     df.filter(keepExpr(col(textCol), p))
+
+  /** Thresholds for the repetition battery (defaults = Rae et al.
+    * 2021 table A1: top 2/3/4-gram char fractions, duplicate
+    * 5..10-gram char fractions; a doc exceeding ANY is removed). */
+  case class RepetitionParams(maxTop: Seq[Double] = Seq(0.20, 0.18, 0.16),
+                              maxDup: Seq[Double] =
+                                Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)) {
+    require(maxTop.length == 3 && maxDup.length == 6,
+      "thresholds must cover top 2-4 and dup 5-10")
+  }
+
+  /** The A1 repetition battery next to [[gopherSignals]]: per document,
+    * the nine char-fraction signals of
+    * [[graft.functions.TextHash.gopherRepetition]] as named columns
+    * (rounded to 6) plus the composite `keep` verdict evaluated on the
+    * unrounded values (each signal is one exact integer-ratio IEEE
+    * division, so the verdict replays bitwise in SQL).
+    *
+    * Plan shape: the kernel counts n-grams PER DOCUMENT inside one
+    * codegen projection — no explode, no (doc, gram) shuffle. The
+    * explode formulation moves ~9 rows per token through an exchange
+    * keyed on (doc, n, gram); this moves zero, which at 100 TB is the
+    * difference between a byte-scan-bound signal and a shuffle-bound
+    * one. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        p: RepetitionParams = RepetitionParams()): DataFrame = {
+    val sig = graft.plans.HashExpressions.gopherRepetition(col(textCol))
+    val named = Seq("top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac", "dup_5gram_char_frac", "dup_6gram_char_frac",
+      "dup_7gram_char_frac", "dup_8gram_char_frac", "dup_9gram_char_frac",
+      "dup_10gram_char_frac")
+    val limits = p.maxTop ++ p.maxDup
+    val keep = (0 until 9).map(i => element_at(col("__sig"), i + 1) <= limits(i))
+      .reduce(_ && _)
+    df.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol) +:
+        named.zipWithIndex.map { case (nm, i) =>
+          round(element_at(col("__sig"), i + 1), 6).as(nm) } :+
+        keep.as("keep"): _*)
+  }
 }

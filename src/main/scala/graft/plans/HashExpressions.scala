@@ -256,6 +256,30 @@ case class HashGramBuckets(child: Expression, numBuckets: Int)
   override def prettyName: String = "hashgram_buckets"
 }
 
+/** Gopher repetition battery ([[TextHash.gopherRepetition]]): nine
+  * char-fraction repetition signals (top 2/3/4-gram, duplicate
+  * 5..10-gram) in ONE pass with per-doc local counting — no explode,
+  * no (doc, gram) shuffle, no UDF; the whole battery stays a narrow
+  * codegen projection over the scan. */
+case class GopherRepetition(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gopher_repetition requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.gopherRepetition(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.gopherRepetition($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherRepetition =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_repetition"
+}
+
 object HashExpressions {
   /** One-pass MinHash signature (array<long>) as a Column function. */
   def minhash64(c: Column, k: Int, numHashes: Int): Column =
@@ -290,6 +314,10 @@ object HashExpressions {
   /** Hashed-gram feature-bucket sequence over a string column. */
   def hashGramBuckets(c: Column, numBuckets: Int): Column =
     GraftSqlShim.column(HashGramBuckets(GraftSqlShim.expression(c), numBuckets))
+
+  /** Gopher repetition-signal battery over a string column. */
+  def gopherRepetition(c: Column): Column =
+    GraftSqlShim.column(GopherRepetition(GraftSqlShim.expression(c)))
 
   /** C4-style boilerplate line filter over a string column. */
   def cleanLines(c: Column, minWords: Int): Column =

@@ -71,6 +71,49 @@ class QualityRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRepetition matches hand-computed fractions on a crafted doc") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // "a b a b a b": 11 chars; 2-grams "a b"x3 "b a"x2; 3-grams tie at
+    // count 2 / len 5 -> lexicographic min "a b a"; 4-grams "a b a b"x2
+    // "b a b a"x1; 5-grams unique -> dup5..10 = 0
+    val sig = graft.functions.TextHash
+      .gopherRepetition(UTF8String.fromString("a b a b a b"))
+      .toDoubleArray()
+    assert(sig(0) == 3.0 * 3.0 / 11.0, s"top2 ${sig(0)}")
+    assert(sig(1) == 2.0 * 5.0 / 11.0, s"top3 ${sig(1)}")
+    assert(sig(2) == 2.0 * 7.0 / 11.0, s"top4 ${sig(2)}")
+    assert((3 until 9).forall(sig(_) == 0.0), sig.mkString(","))
+    // degenerate repetition fails the battery; a LONG varied doc
+    // passes (on short docs even a unique top-4-gram exceeds 16% of
+    // the chars — the thresholds presuppose the minWords gate of the
+    // A1.1 rules, which is why the batteries compose)
+    val varied = (1 to 100).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, Seq.fill(30)("spam").mkString(" ")), (2L, varied))
+      .toDF("doc_id", "text")
+    val keep = QualityRules.repetitionSignals(docs, "doc_id", "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(!keep(1L) && keep(2L), keep.toString)
+    // a doc with <2 tokens yields all-zero signals and keeps
+    val one = QualityRules.repetitionSignals(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert((1 to 9).forall(one.getDouble(_) == 0.0) && one.getBoolean(10))
+  }
+
+  test("gopherRepetition codegen and interpreted eval agree on real docs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(40)
+    val viaExpr = docs.select($"doc_id",
+        graft.plans.HashExpressions.gopherRepetition($"text").as("s"))
+      .as[(Long, Seq[Double])].collect()
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(viaExpr.nonEmpty)
+    viaExpr.foreach { case (id, s) =>
+      val direct = graft.functions.TextHash
+        .gopherRepetition(UTF8String.fromString(texts(id))).toDoubleArray().toSeq
+      assert(s == direct, s"doc $id")
+    }
+  }
+
   test("approxCutoffs=true assigns the same buckets off-boundary (>=90% agreement)") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val exact = LmScore.perplexityBuckets(docs, "doc_id", "text", "lang")
