@@ -855,6 +855,18 @@ object SparkEntry {
         cols = Seq("o_orderkey", "o_custkey", "o_orderdate"),
         distinctCols = Seq("o_custkey", "o_orderpriority"))),
 
+    // §2b-52: dataset card — the per-(source, lang) release summary
+    // (docs / tokens / duplication / quality) in ONE hash aggregation.
+    // Re-shipped even-id copies planted so dup_doc_frac measurably
+    // tracks the exact-dup rate (~1/3 per stratum)
+    "q_dataset_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reshipped = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      Profile.datasetCard(docs.unionByName(reshipped), "text",
+        Seq("source", "lang"))
+    }),
+
     // §2b-29: tumbling-window event aggregation (batch twin of the
     // streaming op)
     "q_window_agg" -> ((s, dir) =>
@@ -1611,6 +1623,28 @@ object SparkEntry {
         |  count(DISTINCT o_custkey) AS nd_o_custkey,
         |  count(DISTINCT o_orderpriority) AS nd_o_orderpriority
         |FROM orders""".stripMargin,
+
+    // dataset card: the planted re-ship union, token/char sums as
+    // exact integers, the dup rate via count(DISTINCT <fnv64 replay>)
+    // (same cardinality as the kernel's signed longs), and the
+    // q_quality_score expression averaged per stratum (round 4 —
+    // partial-sum drift far below resolution)
+    "q_dataset_card" ->
+      s"""WITH corpus AS (
+         |  SELECT * FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |h AS (SELECT source, lang, text, ${sqlFnvRaw("text")} AS h FROM corpus)
+         |SELECT source, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+         |  round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_doc_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_doc_frac,
+         |  round(avg(__QUALITY__), 4) AS mean_quality
+         |FROM h GROUP BY source, lang""".stripMargin
+        .replace("__QUALITY__", sqlQualityExprText),
 
     "q_rep_ratio" ->
       """WITH toks AS (

@@ -30,4 +30,39 @@ object Profile {
          else countDistinct(col(c))).as(s"nd_$c"))
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Dataset card: the per-stratum corpus summary every curated
+    * dataset release ships (docs / token volume / duplication /
+    * quality per source × language) — the reporting rollup that
+    * closes a curation pipeline, over the same codegen signal
+    * expressions the filtering operators use.
+    *
+    * Per group: n_docs, total_tokens, avg_doc_tokens, total_chars,
+    * dup_doc_frac (1 − distinct content hashes / docs — the exact-dup
+    * rate [[graft.operators.Dedup]] would remove), mean_quality
+    * (mean [[graft.functions.TextFunctions.qualityScore]]).
+    *
+    * ONE scan, ONE hash aggregation keyed on the group columns; the
+    * distinct-hash term shuffles 8-byte fnv64 values with map-side
+    * partial dedup (never the text). `approxDistinct = true` swaps
+    * the exact distinct for the HLL++ sketch — at 100 TB the shuffle
+    * then carries one sketch per (group, partition). avg terms are
+    * round(4): partial-sum order drift sits far below that
+    * resolution (the q_lm_score argument). */
+  def datasetCard(df: DataFrame, textCol: String, groupCols: Seq[String],
+                  approxDistinct: Boolean = false): DataFrame = {
+    val toks = regexp_count(col(textCol), lit("\\S+")).cast("long")
+    val h = graft.plans.HashExpressions.fnv64(col(textCol))
+    val uniq =
+      if (approxDistinct) approx_count_distinct(h) else countDistinct(h)
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks).as("total_tokens"),
+      round(avg(toks), 4).as("avg_doc_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      round(lit(1.0) - uniq.cast("double") / count(lit(1)).cast("double"), 6)
+        .as("dup_doc_frac"),
+      round(avg(graft.functions.TextFunctions.qualityScore(col(textCol))), 4)
+        .as("mean_quality"))
+  }
 }

@@ -59,6 +59,33 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"approx variant still expands:\n$plan")
   }
 
+  test("datasetCard matches hand-computed stats and the approx swap " +
+    "keeps schema + near-exact dup rate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s0", "en"),
+      (2L, "alpha beta gamma", "s0", "en"), // exact dup of 1
+      (3L, "delta epsilon", "s0", "en"),
+      (4L, "zeta", "s0", "en"),
+      (5L, "other group here", "s1", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val card = graft.operators.Profile
+      .datasetCard(docs, "text", Seq("source", "lang"))
+      .orderBy($"source").collect()
+    assert(card.length == 2)
+    val s0 = card(0)
+    assert(s0.getLong(s0.fieldIndex("n_docs")) == 4L)
+    assert(s0.getLong(s0.fieldIndex("total_tokens")) == 9L)
+    assert(s0.getDouble(s0.fieldIndex("avg_doc_tokens")) == 2.25)
+    assert(s0.getDouble(s0.fieldIndex("dup_doc_frac")) == 0.25)
+    val approx = graft.operators.Profile
+      .datasetCard(docs, "text", Seq("source", "lang"), approxDistinct = true)
+      .orderBy($"source").collect()
+    assert(approx.head.schema.fieldNames.sameElements(s0.schema.fieldNames))
+    // HLL at 4 values is exact in practice; allow one-off drift
+    assert(math.abs(approx.head.getDouble(
+      approx.head.fieldIndex("dup_doc_frac")) - 0.25) <= 0.25)
+  }
+
   test("approx_count_distinct tracks exact distinct within its " +
     "standard-error bound on the orders table") {
     val o = Tables.orders(spark, TestSpark.sf0001)
