@@ -335,6 +335,18 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
 
+    // §2b-53: normalized ("fuzzy exact") dedup — exact dedup over the
+    // canonicalized key (lowercase, punctuation→space, collapsed
+    // whitespace). Planted casing/punctuation variants (+100000)
+    // collapse onto their originals; byte-exact dedup would miss all
+    // of them
+    "q_norm_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val noisy = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(upper(col("text")), lit("  !!")).as("text"))
+      Dedup.normalizedDedup(docs.unionByName(noisy), "text", "doc_id")
+    }),
+
     // §2b-18c: duplicated-substring removal at 8-token-window
     // granularity (Lee et al. 2022 ExactSubstr, Spark-shaped: window
     // key shuffle + first-occurrence retention instead of a corpus
@@ -854,6 +866,18 @@ object SparkEntry {
       Profile.profile(t(s, dir, "orders"),
         cols = Seq("o_orderkey", "o_custkey", "o_orderdate"),
         distinctCols = Seq("o_custkey", "o_orderpriority"))),
+
+    // §2b-54: quality-threshold curation as a FRACTION — keep the
+    // best 60% per language by the heuristic quality score
+    // (integer-exact rank selection; the approx-percentile threshold
+    // is the no-sort 100 TB swap, ApproxSwapSpec)
+    "q_quality_topp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      Sampling.topFractionPerGroup(docs, col("lang"), col("quality"),
+          col("doc_id"), frac = 0.6)
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
 
     // §2b-52: dataset card — the per-(source, lang) release summary
     // (docs / tokens / duplication / quality) in ONE hash aggregation.
@@ -1624,6 +1648,21 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority) AS nd_o_orderpriority
         |FROM orders""".stripMargin,
 
+    // top-fraction curation: the quality expression, per-lang counts,
+    // rank window with the identical (quality desc, doc_id) total
+    // order, and the same ceil(frac*n) integer cut — row-for-row
+    // agreement with no float-threshold boundary
+    "q_quality_topp" ->
+      s"""WITH q AS (SELECT doc_id, lang, __QUALITY__ AS quality FROM documents),
+         |n AS (SELECT lang, count(*) AS n FROM q GROUP BY lang),
+         |r AS (SELECT q.doc_id, q.lang, q.quality, n.n,
+         |  row_number() OVER (PARTITION BY q.lang
+         |    ORDER BY q.quality DESC, q.doc_id ASC) AS rn
+         |  FROM q JOIN n USING (lang))
+         |SELECT doc_id, lang, quality FROM r
+         |WHERE rn <= ceil(0.6 * n)""".stripMargin
+        .replace("__QUALITY__", sqlQualityExprText),
+
     // dataset card: the planted re-ship union, token/char sums as
     // exact integers, the dup rate via count(DISTINCT <fnv64 replay>)
     // (same cardinality as the kernel's signed longs), and the
@@ -1730,6 +1769,20 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    // normalized dedup: the same grouping with the canonicalization
+    // applied first; whitespace spelled as the explicit class both
+    // sides (Java \s vs RE2 \s disagree on \x0b), 'g' for replace-all
+    "q_norm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, upper(text) || '  !!' AS text
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+        |FROM corpus
+        |GROUP BY sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 \t\n\x0b\f\r]', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')))""".stripMargin,
 
     "q_top_tokens" ->
       """WITH toks AS (

@@ -49,4 +49,17 @@ object Normalize {
     val phone = "\\+?[0-9]{1,2}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
     regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
   }
+
+  /** Dedup-key canonicalization (the "fuzzy exact dedup"
+    * normalization of RefinedWeb/SlimPajama-style pipelines):
+    * lowercase, punctuation → space, whitespace runs collapsed, ends
+    * trimmed — so casing, punctuation, and spacing variants of the
+    * same page hash to one exact-dedup key. Whitespace is the
+    * EXPLICIT class [ \t\n\x0b\f\r] on both engines: Java's \s and
+    * RE2's \s disagree on \x0b, so spelling it out is what keeps the
+    * oracle replay exact. */
+  def dedupKey(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 \\t\\n\\x0b\\f\\r]", " "),
+      "[ \\t\\n\\x0b\\f\\r]+", " "))
 }

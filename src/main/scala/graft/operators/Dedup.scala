@@ -296,6 +296,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
       .select(col(idCol), col("n_dupes"))
 
+  /** [[exactDedup]] over the canonicalized key
+    * ([[graft.functions.Normalize.dedupKey]]): catches the
+    * casing/punctuation/spacing variants of a page that byte-exact
+    * hashing misses — the standard "fuzzy exact" pass pipelines run
+    * between exact and MinHash dedup. Same plan as exactDedup (the
+    * normalization fuses into the scan projection ahead of the one
+    * hash-key shuffle). */
+  def normalizedDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(
+        sha2(graft.functions.Normalize.dedupKey(col(textCol)), 256)
+          .as("norm_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+      .select(col(idCol), col("n_dupes"))
+
   /** Corpus-wide exact PARAGRAPH dedup (the within-and-across-document
     * normalization step of Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better", at paragraph granularity):

@@ -113,4 +113,45 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Keep the best `frac` of each group by score — the
+    * quality-threshold curation rule ("top 60% per language by
+    * classifier score") stated as a FRACTION, where [[capPerGroup]]
+    * states it as a count.
+    *
+    * Exact (default): per-group row_number over (score desc, tie asc)
+    * kept while rn <= ceil(frac · n_g), with n_g from ONE
+    * metadata-sized count aggregate broadcast back — integer-exact,
+    * so a SQL replay agrees row-for-row with no float-threshold
+    * boundary. Cost is the per-group sort behind the rank window.
+    *
+    * `approx = true` is the 100 TB swap: a per-group
+    * approx_percentile(score, 1 − frac) threshold (t-digest sketch,
+    * one map-combined agg) broadcast into a codegen `>=` filter on
+    * the scan — no window, no sort, no corpus shuffle; the kept
+    * fraction is then approximate near the quantile boundary (the
+    * ApproxSwapSpec trade). `tieCol` must make the order total or
+    * the exact path's cut boundary is nondeterministic. */
+  def topFractionPerGroup(df: DataFrame, groupCol: Column, scoreCol: Column,
+                          tieCol: Column, frac: Double,
+                          approx: Boolean = false): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    if (approx) {
+      val thr = df.groupBy(groupCol.as("__g"))
+        .agg(percentile_approx(scoreCol, lit(1.0 - frac), lit(10000))
+          .as("__thr"))
+      df.join(broadcast(thr), groupCol === col("__g"))
+        .filter(scoreCol >= col("__thr"))
+        .drop("__g", "__thr")
+    } else {
+      val counts = df.groupBy(groupCol.as("__g"))
+        .agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(scoreCol.desc, tieCol.asc)
+      df.join(broadcast(counts), groupCol === col("__g"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+        .drop("__g", "__n", "__rn")
+    }
+  }
 }

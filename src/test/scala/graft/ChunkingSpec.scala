@@ -284,6 +284,43 @@ class ChunkingSpec extends AnyFunSuite {
     assert(reshuffled == want)
   }
 
+  test("topFractionPerGroup keeps exactly ceil(frac*n) best rows per group; " +
+    "the approx swap keeps a near-identical set with no window in the plan") {
+    val rows = (1L to 30L).map(i => (i, s"g${i % 3}", (i % 10).toDouble))
+    val df = rows.toDF("id", "g", "score")
+    val got = Sampling.topFractionPerGroup(df, col("g"), col("score"),
+        col("id"), frac = 0.5)
+      .select("id").as[Long].collect().toSet
+    // replay: per group, sort by (score desc, id asc), take ceil(0.5*10)=5
+    val want = rows.groupBy(_._2).values.flatMap(g =>
+      g.sortBy { case (id, _, s) => (-s, id) }.take(5).map(_._1)).toSet
+    assert(got == want)
+    val approxDf = Sampling.topFractionPerGroup(df, col("g"), col("score"),
+      col("id"), frac = 0.5, approx = true)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx path should not sort/window:\n$plan")
+    val ap = approxDf.select("id").as[Long].collect().toSet
+    // t-digest boundary slack: the approx cut can drift by the tied
+    // boundary rows but must agree on the clear interior
+    assert((got.size - (got & ap).size) <= got.size / 3, s"approx far off: $ap vs $got")
+  }
+
+  test("normalizedDedup collapses casing/punctuation/whitespace variants " +
+    "that byte-exact dedup keeps apart") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "Hello, World!  This is fine."),
+      (2L, "hello world this is fine"),      // variant of 1
+      (3L, "HELLO   world -- this is FINE"), // variant of 1
+      (4L, "an entirely different page")
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(df, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L), got.toString)
+    val exact = Dedup.exactDedup(df, "text", "doc_id").count()
+    assert(exact == 4, "byte-exact sees 4 distinct docs")
+  }
+
   test("capPerGroup plans as WindowGroupLimit partial+final around one " +
     "exchange (per-partition pre-prune before the shuffle)") {
     import graft.plans.HashExpressions
