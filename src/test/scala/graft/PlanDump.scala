@@ -12,7 +12,9 @@ object PlanDump {
       "q_pricing_summary", "q_window_agg",
       "q_chunk_docs", "q_stratified_sample", "q_bm25",
       "q_classifier_score", "q_clean_lines", "q_cluster_best",
-      "q_temperature_sample", "q_dsir_select").foreach { name =>
+      "q_temperature_sample", "q_dsir_select", "q_semdedup",
+      "q_gopher_rep", "q_dataset_card", "q_norm_dedup",
+      "q_quality_topp").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
       out.println(df.queryExecution.explainString(
