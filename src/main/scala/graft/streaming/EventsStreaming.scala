@@ -127,6 +127,22 @@ object EventsStreaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming twin of
+    * [[graft.operators.Dedup.normalizedDedup]] — continuous
+    * "fuzzy exact" dedup: the canonicalized-key hash
+    * ([[graft.functions.Normalize.dedupKey]] → sha2) is a STATELESS
+    * derived column computed in the scan projection, and the state
+    * store holds only that fixed-width hash within the watermark —
+    * casing/punctuation/spacing re-ships of a page are dropped just
+    * like the batch pass drops them. */
+  def normalizedDedupStream(docs: DataFrame, textCol: String = "text",
+                            watermark: String = "2 hours"): DataFrame =
+    docs.withColumn("__norm_hash",
+        sha2(graft.functions.Normalize.dedupKey(col(textCol)), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__norm_hash")
+      .drop("__norm_hash")
+
   /** Streaming benchmark decontamination — the streaming twin of the
     * batch `q_decontaminate` policy: drop every incoming doc sharing a
     * word `k`-shingle with the eval set. The eval shingle set is

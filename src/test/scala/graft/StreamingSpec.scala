@@ -177,6 +177,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L))
   }
 
+  test("streaming normalized dedup drops casing/punctuation re-ships " +
+    "like the batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7L, "doc", 1.0, "Hello, World! Fine."),
+      Event(2, ts("2024-01-01 10:01:00"), 7L, "doc", 1.0, "hello world fine"),
+      Event(3, ts("2024-01-01 10:02:00"), 8L, "doc", 2.0, "HELLO -- world FINE"),
+      Event(4, ts("2024-01-01 10:03:00"), 9L, "doc", 3.0, "a different page")
+    )
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventsStreaming.normalizedDedupStream(stream.toDF(),
+        textCol = "props")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("norm_dedup_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("norm_dedup_test").select($"event_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 4L), got.toString)
+    // batch twin keeps the same survivors (min-id per normalized key)
+    val batch = graft.operators.Dedup.normalizedDedup(
+        events.toDF().select($"event_id", $"props"), "props", "event_id")
+      .select($"event_id").as[Long].collect().toSet
+    assert(batch == got, s"batch $batch vs stream $got")
+  }
+
   test("batch sessionization agrees with the stateful streaming version " +
     "on closed sessions") {
     val events = Tables.events(spark, TestSpark.sf0001)
