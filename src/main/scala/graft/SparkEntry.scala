@@ -1667,7 +1667,10 @@ object SparkEntry {
     // exact integers, the dup rate via count(DISTINCT <fnv64 replay>)
     // (same cardinality as the kernel's signed longs), and the
     // q_quality_score expression averaged per stratum (round 4 —
-    // partial-sum drift far below resolution)
+    // partial-sum drift far below resolution). Tokens use the
+    // explicit whitespace class = Java's \S exactly (RE2's \S keeps
+    // \x0b inside tokens; latent on this corpus, but the convention
+    // is to spell it out)
     "q_dataset_card" ->
       s"""WITH corpus AS (
          |  SELECT * FROM documents
@@ -1677,8 +1680,8 @@ object SparkEntry {
          |h AS (SELECT source, lang, text, ${sqlFnvRaw("text")} AS h FROM corpus)
          |SELECT source, lang,
          |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
-         |  round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_doc_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS total_tokens,
+         |  round(avg(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))), 4) AS avg_doc_tokens,
          |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
          |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_doc_frac,
          |  round(avg(__QUALITY__), 4) AS mean_quality

@@ -304,11 +304,10 @@ object Dedup {
     * normalization fuses into the scan projection ahead of the one
     * hash-key shuffle). */
   def normalizedDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(
-        sha2(graft.functions.Normalize.dedupKey(col(textCol)), 256)
-          .as("norm_hash"))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
-      .select(col(idCol), col("n_dupes"))
+    exactDedup(
+      df.select(col(idCol),
+        graft.functions.Normalize.dedupKey(col(textCol)).as(textCol)),
+      textCol, idCol)
 
   /** Corpus-wide exact PARAGRAPH dedup (the within-and-across-document
     * normalization step of Lee et al. 2022, "Deduplicating Training

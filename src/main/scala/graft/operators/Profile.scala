@@ -51,7 +51,8 @@ object Profile {
     * resolution (the q_lm_score argument). */
   def datasetCard(df: DataFrame, textCol: String, groupCols: Seq[String],
                   approxDistinct: Boolean = false): DataFrame = {
-    val toks = regexp_count(col(textCol), lit("\\S+")).cast("long")
+    val toks =
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
     val h = graft.plans.HashExpressions.fnv64(col(textCol))
     val uniq =
       if (approxDistinct) approx_count_distinct(h) else countDistinct(h)

@@ -136,11 +136,14 @@ object Sampling {
                           tieCol: Column, frac: Double,
                           approx: Boolean = false): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    // joins are null-SAFE (<=>): a null group is a group like any
+    // other (capPerGroup's window semantics) — a plain equi-join
+    // would silently drop every null-group row
     if (approx) {
       val thr = df.groupBy(groupCol.as("__g"))
         .agg(percentile_approx(scoreCol, lit(1.0 - frac), lit(10000))
           .as("__thr"))
-      df.join(broadcast(thr), groupCol === col("__g"))
+      df.join(broadcast(thr), groupCol <=> col("__g"))
         .filter(scoreCol >= col("__thr"))
         .drop("__g", "__thr")
     } else {
@@ -148,7 +151,7 @@ object Sampling {
         .agg(count(lit(1)).as("__n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol).orderBy(scoreCol.desc, tieCol.asc)
-      df.join(broadcast(counts), groupCol === col("__g"))
+      df.join(broadcast(counts), groupCol <=> col("__g"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
         .drop("__g", "__n", "__rn")

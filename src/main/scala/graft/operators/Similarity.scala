@@ -360,10 +360,15 @@ object Similarity {
                vecCol: String = "embedding"): DataFrame = {
     import graft.plans.VecExpressions.nearestCell
     val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    // deliberately NOT persisted: the result is lazy, so a persist
+    // here could never be unpersisted safely (the connectedComponents
+    // discipline) and would pin the corpus per call. The assignment is
+    // a cheap deterministic projection recomputed by the three
+    // consumers below; at corpus scale callers persist `corpus` once
+    // themselves.
     val assigned = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("cell", nearestCell(col("__v"), cents))
-      .persist()
     val dropped = assigned
       .select(col("cell"), col(idCol).as("__id_a"), col("__v").as("__va"))
       .join(assigned.select(col("cell"), col(idCol).as("__id_b"),

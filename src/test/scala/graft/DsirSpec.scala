@@ -36,11 +36,11 @@ class DsirSpec extends AnyFunSuite {
         size(split(trim($"text"), "\\s+")).as("n"))
       .as[(Long, Seq[Long], Int)].collect()
     assert(viaExpr.nonEmpty)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
     viaExpr.foreach { case (id, fs, n) =>
       assert(fs.length == 2 * n - 1, s"doc $id: ${fs.length} features for $n tokens")
       val direct = TextHash.hashGramBuckets(
-        UTF8String.fromString(docs.filter($"doc_id" === id)
-          .select($"text").as[String].head()), B).toLongArray().toSeq
+        UTF8String.fromString(texts(id)), B).toLongArray().toSeq
       assert(fs == direct, s"doc $id codegen/interpreted mismatch")
     }
   }
