@@ -49,18 +49,24 @@ object Bench {
     // second run and amortizing one-time janino codegen compile out of
     // the number. These are the honest per-query figures; each includes
     // Spark's fixed ~0.3 s job-submission overhead.
+    var maxLoad = loadBefore
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val t1 = once(fn)
-        val t2 = once(fn)
-        cold(name) = t1
-        // ambient host load can inflate a single run 2-3x; when the two
-        // warm runs disagree badly, buy one more sample so a noise
-        // spike can't masquerade as a plan regression
-        val best = math.min(t1, t2)
-        timings(name) =
-          if (math.max(t1, t2) > best * 1.5) math.min(best, once(fn))
-          else best
+        // ambient host load (driver runs tests/judge JVMs concurrently)
+        // inflates single runs 2-7×, and two rounds running it produced
+        // phantom regressions in the round artifact. Adaptive sampling:
+        // keep timing (max 5 runs) until the two BEST samples agree
+        // within 25% — a capture only settles on a number two
+        // independent runs could reproduce. At idle this is the same
+        // 2-run minimum as before.
+        val samples = scala.collection.mutable.ArrayBuffer(once(fn))
+        cold(name) = samples.head
+        samples += once(fn)
+        while (samples.length < 5 && {
+          val b = samples.sorted.take(2); b(1) > b(0) * 1.25
+        }) samples += once(fn)
+        timings(name) = samples.min
+        maxLoad = math.max(maxLoad, loadEvidence()._1)
       } catch {
         case e: Throwable =>
           // a failed query is reported as failed (-1), never as a timing
@@ -101,7 +107,11 @@ object Bench {
     // not comparable across rounds (scheduler contention noise), so it
     // rides under its own key, "grouped_total".
     val (loadAfter, uptimeAfter) = loadEvidence()
-    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
+    // load_warning: the capture saw sustained ambient load — per-query
+    // numbers are minimums over adaptive re-samples and should still be
+    // close to idle figures, but treat cross-round diffs with care
+    val loadWarning = math.max(maxLoad, loadBefore) > 2.0
+    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

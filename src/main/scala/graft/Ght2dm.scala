@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** The reference's command-line entry point, Spark-first:
-  * `ght2dm [-v] [-d] <config>` (ght2dm.go:1129-1158). Reads the same
+  * `ght2dm [-v] [-d] [-nocheck] <config>` (ght2dm.go:1123-1158;
+  * all three reference flags). Reads the same
   * JSON config shape (`ghtorrent_folders`, with a `warehouse_dir`
   * output in place of the reference's PostgreSQL target), echoes the
   * per-entity progress the reference prints while visiting
@@ -20,9 +21,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Ght2dm {
   private def usage(err: String => Unit): Unit = {
-    err("usage: ght2dm [-v] [-d] <config>")
-    err("  -v  verbose: per-entity progress and row counts")
-    err("  -d  debug: failing context on errors")
+    err("usage: ght2dm [-v] [-d] [-nocheck] <config>")
+    err("  -v        verbose: per-entity progress and row counts")
+    err("  -d        debug: failing context on errors")
+    err("  -nocheck  do not check if an entry is already present " +
+      "(only use when there is no duplicate)")
   }
 
   /** The whole CLI minus process concerns: parses flags, loads the
@@ -35,7 +38,10 @@ object Ght2dm {
     val (flags, pos) = args.partition(_.startsWith("-"))
     val verbose = flags.contains("-v")
     val debug = flags.contains("-d")
-    val unknown = flags.filterNot(Set("-v", "-d"))
+    // -nocheck (ght2dm.go:1126): bulk-load fast path that skips the
+    // existence-check stages in Ingest.run
+    val noCheck = flags.contains("-nocheck")
+    val unknown = flags.filterNot(Set("-v", "-d", "-nocheck"))
     if (unknown.nonEmpty || pos.length != 1) { usage(err); return 1 }
 
     val cfg =
@@ -53,7 +59,7 @@ object Ght2dm {
           graft.sources.DumpSource.listDateOrdered(f).foreach(p =>
             out(s"[$entity] processing '${new java.io.File(p).getName}'"))
         }
-      val tables = Ingest.run(spark, cfg)
+      val tables = Ingest.run(spark, cfg, noCheck)
       if (verbose)
         tables.toSeq.sortBy(_._1).foreach { case (name, _) =>
           val n = spark.read.parquet(s"${cfg.warehouseDir}/$name").count()

@@ -238,10 +238,21 @@ object Ingest {
 
   /** users folder → (users, gh_users, gh_organizations).
     * Mirrors importUsers (ght2dm.go:238-337): per-doc type dispatch,
-    * updated_at<-created_at fill, idempotency by github id. */
-  def importUsers(raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val deduped = firstBy(raw.filter(col("login").isNotNull), col("id"),
-      coalesce(col("updated_at"), col("created_at")).desc_nulls_last)
+    * updated_at<-created_at fill, idempotency by github id.
+    *
+    * `noCheck` is the reference's `-nocheck` bulk-load fast path
+    * (ght2dm.go:341,376,415,1126): skip the fetch*ID existence
+    * semantics — here the per-id `firstBy` dedup — when the caller
+    * guarantees the input carries no duplicates. Duplicate inputs then
+    * pass through duplicated, exactly as the reference would
+    * double-insert. */
+  def importUsers(raw: DataFrame,
+                  noCheck: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val filtered = raw.filter(col("login").isNotNull)
+    val deduped =
+      if (noCheck) filtered
+      else firstBy(filtered, col("id"),
+        coalesce(col("updated_at"), col("created_at")).desc_nulls_last)
     val users = deduped.filter(col("type") === "User")
     val orgs = deduped.filter(col("type") === "Organization")
     val usersOut = users.select(
@@ -597,35 +608,39 @@ object Ingest {
 
   /** org_members folder → gh_users_organizations via broadcast
     * login→id resolution; unresolved rows drop (the reference's
-    * "failed to retrieve" skip, ght2dm.go:757-765). */
+    * "failed to retrieve" skip, ght2dm.go:757-765). `noCheck` skips the
+    * relation-existence dedup (ght2dm.go:732's `if !*nocheck` guard on
+    * the already-exists query): duplicate member rows pass through. */
   def importOrgMembers(raw: DataFrame, ghUsers: DataFrame,
-                       ghOrgs: DataFrame): DataFrame = {
-    val members = raw.select(clean("login").as("m_login"), clean("org").as("m_org"))
-      .dropDuplicates()
+                       ghOrgs: DataFrame, noCheck: Boolean = false): DataFrame = {
+    val all = raw.select(clean("login").as("m_login"), clean("org").as("m_org"))
+    val members = if (noCheck) all else all.dropDuplicates()
     val u = ghUsers.select(col("login").as("u_login"), col("github_id").as("gh_user_id"))
     val o = ghOrgs.select(col("login").as("o_login"), col("github_id").as("gh_organization_id"))
-    Resolve.joinDim(
+    val resolved = Resolve.joinDim(
         Resolve.joinDim(members, u, Seq(("m_login", "u_login"))),
         o, Seq(("m_org", "o_login")))
       .select(col("gh_user_id"), col("gh_organization_id"))
-      .dropDuplicates()
+    if (noCheck) resolved else resolved.dropDuplicates()
   }
 
   /** repo_collaborators folder → users_repositories via login +
-    * "owner/repo" full_name resolution (ght2dm.go:890-935). */
+    * "owner/repo" full_name resolution (ght2dm.go:890-935). `noCheck`
+    * skips the relation-existence dedup (ght2dm.go:891). */
   def importRepoCollaborators(raw: DataFrame, ghUsers: DataFrame,
-                              ghRepositories: DataFrame): DataFrame = {
-    val collabs = raw.select(clean("login").as("c_login"),
+                              ghRepositories: DataFrame,
+                              noCheck: Boolean = false): DataFrame = {
+    val all = raw.select(clean("login").as("c_login"),
         concat(clean("owner"), lit("/"), clean("repo")).as("c_full_name"))
-      .dropDuplicates()
+    val collabs = if (noCheck) all else all.dropDuplicates()
     val u = ghUsers.select(col("login").as("u_login"), col("github_id").as("user_id"))
     val r = ghRepositories.select(col("full_name").as("r_full_name"),
       col("repository_id"))
-    Resolve.joinDim(
+    val resolved = Resolve.joinDim(
         Resolve.joinDim(collabs, u, Seq(("c_login", "u_login"))),
         r, Seq(("c_full_name", "r_full_name")))
       .select(col("user_id"), col("repository_id"))
-      .dropDuplicates()
+    if (noCheck) resolved else resolved.dropDuplicates()
   }
 
   /** Idempotent warehouse merge of one or more tables: for each
@@ -1014,14 +1029,21 @@ object Ingest {
 
   /** Run the whole pipeline over a config; writes each output table to
     * `<warehouseDir>/<table>` parquet and returns the DataFrames. */
-  def run(spark: SparkSession, cfg: Config): Map[String, DataFrame] = {
+  /** `noCheck` = the reference's `-nocheck` flag (ght2dm.go:1126):
+    * skip every is-it-already-present stage — the per-id user dedup
+    * and the relation-existence dedups — for bulk loads the caller
+    * knows are duplicate-free. The repos pipeline's latest-wins/
+    * anti-join SQL stage is NOT gated: the reference runs
+    * insert_from_tmp_tables.sql unconditionally. */
+  def run(spark: SparkSession, cfg: Config,
+          noCheck: Boolean = false): Map[String, DataFrame] = {
     val byEntity = cfg.ghtorrentFolders.map(f =>
       new java.io.File(f).getName -> f).toMap
     var out = Map.empty[String, DataFrame]
 
     val (users, ghUsers, ghOrgs) = byEntity.get("users") match {
       case Some(folder) =>
-        val t = importUsers(readEntity(spark, folder, userSchema))
+        val t = importUsers(readEntity(spark, folder, userSchema), noCheck)
         out ++= Map("users" -> t._1, "gh_users" -> t._2, "gh_organizations" -> t._3)
         t
       case None => (null, null, null)
@@ -1053,13 +1075,13 @@ object Ingest {
       out += "gh_users_organizations" -> importOrgMembers(
         readEntity(spark, folder, orgMemberSchema),
         dimOr(ghUsers, "gh_users", "org_members"),
-        dimOr(ghOrgs, "gh_organizations", "org_members"))
+        dimOr(ghOrgs, "gh_organizations", "org_members"), noCheck)
     }
     byEntity.get("repo_collaborators").foreach { folder =>
       out += "users_repositories" -> importRepoCollaborators(
         readEntity(spark, folder, repoCollaboratorSchema),
         dimOr(ghUsers, "gh_users", "repo_collaborators"),
-        dimOr(ghRepos, "gh_repositories", "repo_collaborators"))
+        dimOr(ghRepos, "gh_repositories", "repo_collaborators"), noCheck)
     }
     // the round-7 entity kinds: plain projections, no dim dependencies.
     // Both comment folders feed ONE `comments` table — safe because

@@ -41,6 +41,30 @@ object SparkEntry {
     docs.unionByName(mutated)
   }
 
+  /** The CC trio (q_dedup_clusters / q_neardup_prune / q_cluster_best)
+    * runs the SAME simhash-pair connected-components labeling and
+    * differs only in retention policy. Standalone, each query computes
+    * it itself (sequential semantics unchanged); inside [[runAll]],
+    * when two or more of the trio are in the group, the labels frame is
+    * computed ONCE, persisted, and shared — the iterative CC rounds are
+    * the dominant cost, so the group pays them once instead of 3×. */
+  private val clusterLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private val ccTrio = Set("q_dedup_clusters", "q_neardup_prune", "q_cluster_best")
+
+  private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val corpus = neardupCorpus(s, dir)
+    val pairs = NearDup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+    Dedup.connectedComponents(corpus.select(col("doc_id")), pairs,
+      "doc_id", "id_a", "id_b")
+  }
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val cached = clusterLabelCache.get((s, dir))
+    if (cached != null) cached else computeClusterLabels(s, dir)
+  }
+
   /** orders staged like tmp_gh_repositories, replaying each row as two
     * dump snapshots (the reference re-imports daily dumps, so the same
     * clone_path appears once per dump): the later snapshot has a newer
@@ -100,6 +124,19 @@ object SparkEntry {
     require(parallelism >= 1, "parallelism must be >= 1")
     val unknown = names.filterNot(queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    // Shared-computation amortization: when >= 2 of the CC trio run in
+    // this group, materialize their common cluster-labels frame once
+    // (persisted) instead of re-running the iterative CC per query.
+    // Row-level results are unchanged (RunAllSpec pins grouped ==
+    // sequential); only populated for the duration of this call.
+    val sharedLabels =
+      if (names.count(ccTrio) >= 2 &&
+          !clusterLabelCache.containsKey((spark, dir))) {
+        val labels = computeClusterLabels(spark, dir).persist()
+        labels.count()
+        clusterLabelCache.put((spark, dir), labels)
+        Some(labels)
+      } else None
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
       val futures = names.map { name =>
@@ -114,7 +151,13 @@ object SparkEntry {
             throw new RuntimeException(s"runAll: query $name failed", e.getCause)
         }
       }
-    } finally pool.shutdownNow()
+    } finally {
+      pool.shutdownNow()
+      sharedLabels.foreach { labels =>
+        clusterLabelCache.remove((spark, dir))
+        labels.unpersist()
+      }
+    }
   }
 
   // ---- the contract ------------------------------------------------------
@@ -342,8 +385,12 @@ object SparkEntry {
     // of them
     "q_norm_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // planted variants upper-case via ASCII translate, not upper():
+      // Unicode case mappings differ between Java and utf8proc (ß, İ),
+      // so the planted corpus itself must be engine-independent
       val noisy = docs.select((col("doc_id") + 100000L).as("doc_id"),
-        concat(upper(col("text")), lit("  !!")).as("text"))
+        concat(translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), lit("  !!")).as("text"))
       Dedup.normalizedDedup(docs.unionByName(noisy), "text", "doc_id")
     }),
 
@@ -471,13 +518,7 @@ object SparkEntry {
     // simhash pair graph; every doc maps to its component's minimum id
     // (the deterministic keep-one-canonical policy). Hash-min label
     // propagation, diameter-bounded iterations.
-    "q_dedup_clusters" -> ((s, dir) => {
-      val corpus = neardupCorpus(s, dir)
-      val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
-        maxHamming = 3)
-      Dedup.connectedComponents(corpus.select(col("doc_id")), pairs,
-        "doc_id", "id_a", "id_b")
-    }),
+    "q_dedup_clusters" -> ((s, dir) => clusterLabels(s, dir)),
 
     // §2b: corpus composition stats — per-language vocabulary top-10
     // (two map-combinable hash aggs + a WindowGroupLimit rank: the
@@ -586,10 +627,7 @@ object SparkEntry {
     // is narrow and the text column never moves until the final join.
     "q_neardup_prune" -> ((s, dir) => {
       val corpus = neardupCorpus(s, dir)
-      val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
-        maxHamming = 3)
-      val canon = Dedup.connectedComponents(corpus.select(col("doc_id")),
-          pairs, "doc_id", "id_a", "id_b")
+      val canon = clusterLabels(s, dir)
         .filter(col("doc_id") === col("canonical_id"))
         .select(col("doc_id"))
       corpus.join(canon, Seq("doc_id"), "left_semi")
@@ -599,13 +637,9 @@ object SparkEntry {
     // graph as q_neardup_prune, retention by quality argmax instead of
     // minimum id (curation policy: keep each duplicate family's best
     // document; ties resolve to the lowest id)
-    "q_cluster_best" -> ((s, dir) => {
-      val corpus = neardupCorpus(s, dir)
-      val pairs = NearDup.simhashPairs(corpus, "doc_id", "text",
-        maxHamming = 3)
-      Dedup.keepBestPerCluster(corpus, pairs, "doc_id", "id_a", "id_b",
-        TextFunctions.qualityScore(col("text")))
-    }),
+    "q_cluster_best" -> ((s, dir) =>
+      Dedup.keepBestByLabels(neardupCorpus(s, dir), clusterLabels(s, dir),
+        "doc_id", TextFunctions.qualityScore(col("text")))),
 
     // §2b-22: brute-force cosine top-k (correctness baseline)
     "q_ann_topk" -> ((s, dir) => {
@@ -641,6 +675,16 @@ object SparkEntry {
       Similarity.lshTopK(emb, queries, k = 3, dim = 64, bits = 4, numTables = 8)
     }),
 
+    // the same LSH operator at a second layout (4 tables × 6-bit
+    // buckets vs 8 × 4): fewer, finer tables — a different
+    // recall/candidate-volume trade, oracle-replayed plane-for-plane
+    "q_ann_lsh2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(emb, queries, k = 3, dim = 64, bits = 6, numTables = 4)
+    }),
+
     // §2b: embedding-cosine near-dup over LSH buckets; the corpus is
     // augmented with deterministically perturbed copies (vec_id+100000)
     // so planted near-dups are demonstrably found
@@ -671,6 +715,16 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.ivfTopK(emb, queries, k = 3, nlist = 16, nprobe = 6, iters = 1)
+    }),
+
+    // the same IVF index probed with a TIGHTER budget (nprobe 2 vs 6):
+    // oracle-pins the recall knob's effect on the candidate set, not
+    // just one replayed configuration
+    "q_ann_ivf2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, queries, k = 3, nlist = 16, nprobe = 2, iters = 1)
     }),
 
     // §2b: cluster-balanced diversity sampling (SemDeDup-family
@@ -1220,6 +1274,62 @@ object SparkEntry {
        |  FROM up GROUP BY t, b, d),
        |planes AS (SELECT t, b, list(wt ORDER BY d) AS pl FROM gauss GROUP BY t, b)""".stripMargin
 
+  /** The full LSH top-k oracle at a given (tables, bits) layout —
+    * parameterized so a second configuration replays the identical SQL
+    * with only the plane grid changed. */
+  private def sqlAnnLsh(tables: Int, bits: Int): String =
+    s"""WITH ${sqlPlanesCte(tables, bits, 64, 42)},
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT e.vec_id, p.t,
+       |    sum(CASE WHEN list_inner_product(e.v, p.pl) > 0 THEN 1 << p.b ELSE 0 END) AS bucket
+       |  FROM ev e, planes p GROUP BY e.vec_id, p.t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM sigs c JOIN sigs q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    list_cosine_similarity(cv.v, qv.v) AS sim
+       |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
+       |  JOIN ev qv ON cd.query_id = qv.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** The full IVF top-k oracle at a given probe budget — parameterized
+    * so a second nprobe replays the identical centroid chain. */
+  private def sqlAnnIvf(nprobe: Int): String =
+    s"""WITH $sqlIvfCentroidsCte,
+       |pr AS (
+       |  SELECT e.vec_id AS query_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+       |  FROM ev e CROSS JOIN c1 c WHERE e.vec_id < 5),
+       |probes AS (SELECT query_id, cell FROM pr WHERE rn <= $nprobe),
+       |a1 AS (
+       |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+       |  FROM ev e CROSS JOIN c1 c),
+       |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+       |cand AS (
+       |  SELECT p.query_id, i.vec_id
+       |  FROM probes p JOIN idx i ON p.cell = i.cell
+       |  WHERE i.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    list_cosine_similarity(cv.v, qv.v) AS sim
+       |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
+       |  JOIN ev qv ON cd.query_id = qv.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Shared IVF-centroid replay CTEs (`ev` … `c1`): mix64-ordered
     * deterministic sample → normalize → one Lloyd iteration
     * (argmax-dot assign, per-dim avg, unchanged cells keep init) →
@@ -1461,28 +1571,12 @@ object SparkEntry {
     // the planes, signatures and buckets in SQL, then score candidates
     // with the same cosine as q_ann_topk. Ranks are decided on the
     // unrounded sim; sim is rounded for the value compare.
-    "q_ann_lsh" ->
-      s"""WITH ${sqlPlanesCte(8, 4, 64, 42)},
-         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sigs AS (
-         |  SELECT e.vec_id, p.t,
-         |    sum(CASE WHEN list_inner_product(e.v, p.pl) > 0 THEN 1 << p.b ELSE 0 END) AS bucket
-         |  FROM ev e, planes p GROUP BY e.vec_id, p.t),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-         |  FROM sigs c JOIN sigs q ON c.t = q.t AND c.bucket = q.bucket
-         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
-         |scored AS (
-         |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
-         |    list_cosine_similarity(cv.v, qv.v) AS sim
-         |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
-         |  JOIN ev qv ON cd.query_id = qv.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
-         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_lsh" -> sqlAnnLsh(tables = 8, bits = 4),
+
+    // the SAME operator at a second table/bits configuration (fewer,
+    // wider tables): pins that the recall knobs actually steer the
+    // bucket layout, not just one replayed setting
+    "q_ann_lsh2" -> sqlAnnLsh(tables = 4, bits = 6),
 
     // Same plane replay at bits=7; candidate pairs via per-(table,
     // bucket) grouping with the 2..maxBucket size gate, then exact
@@ -1533,35 +1627,13 @@ object SparkEntry {
          |  SELECT 1 FROM asg b WHERE b.cell = a.cell AND b.vec_id < a.vec_id
          |    AND list_cosine_similarity(b.v, a.v) >= 0.95)""".stripMargin,
 
-    // Full IVF replay: the shared centroid CTEs, then nprobe=6 probe
+    // Full IVF replay: the shared centroid CTEs, then nprobe probe
     // cells per query, single-cell index assignment, exact cosine top-k.
-    "q_ann_ivf" ->
-      s"""WITH $sqlIvfCentroidsCte,
-         |pr AS (
-         |  SELECT e.vec_id AS query_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
-         |  FROM ev e CROSS JOIN c1 c WHERE e.vec_id < 5),
-         |probes AS (SELECT query_id, cell FROM pr WHERE rn <= 6),
-         |a1 AS (
-         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
-         |  FROM ev e CROSS JOIN c1 c),
-         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
-         |cand AS (
-         |  SELECT p.query_id, i.vec_id
-         |  FROM probes p JOIN idx i ON p.cell = i.cell
-         |  WHERE i.vec_id <> p.query_id),
-         |scored AS (
-         |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
-         |    list_cosine_similarity(cv.v, qv.v) AS sim
-         |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
-         |  JOIN ev qv ON cd.query_id = qv.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
-         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf" -> sqlAnnIvf(nprobe = 6),
+
+    // a tighter probe budget over the SAME index: pins that nprobe
+    // actually narrows the candidate set (recall knob behavior)
+    "q_ann_ivf2" -> sqlAnnIvf(nprobe = 2),
 
     // same centroid replay; then each vector's own-cell cosine, ranked
     // within the cell, top 8 kept
@@ -1673,7 +1745,7 @@ object SparkEntry {
     // is to spell it out)
     "q_dataset_card" ->
       s"""WITH corpus AS (
-         |  SELECT * FROM documents
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
          |  UNION ALL
          |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
          |  FROM documents WHERE doc_id % 2 = 0),
@@ -1775,16 +1847,22 @@ object SparkEntry {
 
     // normalized dedup: the same grouping with the canonicalization
     // applied first; whitespace spelled as the explicit class both
-    // sides (Java \s vs RE2 \s disagree on \x0b), 'g' for replace-all
+    // sides (Java \s vs RE2 \s disagree on \x0b), 'g' for replace-all.
+    // Case folding is ASCII-only translate on BOTH sides — lower()/
+    // upper() Unicode mappings diverge between Java and utf8proc
     "q_norm_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, upper(text) || '  !!' AS text
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |              'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  !!' AS text
         |  FROM documents)
         |SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM corpus
-        |GROUP BY sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |GROUP BY sha256(trim(regexp_replace(regexp_replace(
+        |  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |            'abcdefghijklmnopqrstuvwxyz'),
         |  '[^a-z0-9 \t\n\x0b\f\r]', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')))""".stripMargin,
 
     "q_top_tokens" ->

@@ -57,9 +57,20 @@ object Normalize {
     * same page hash to one exact-dedup key. Whitespace is the
     * EXPLICIT class [ \t\n\x0b\f\r] on both engines: Java's \s and
     * RE2's \s disagree on \x0b, so spelling it out is what keeps the
-    * oracle replay exact. */
+    * oracle replay exact.
+    *
+    * Lowercasing is ASCII-ONLY, via `translate` (a 1:1 character map
+    * with identical semantics in Spark and DuckDB) — NOT `lower()`,
+    * whose Unicode case mappings diverge between Java (full mappings:
+    * İ → i+combining dot) and utf8proc (simple mappings). Non-ASCII
+    * letters are left unmapped and then fall to the punctuation→space
+    * rule, which is engine-independent by construction. The supported
+    * key alphabet is therefore exactly [a-z0-9] + single spaces. */
   def dedupKey(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9 \\t\\n\\x0b\\f\\r]", " "),
+      regexp_replace(
+        translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                     "abcdefghijklmnopqrstuvwxyz"),
+        "[^a-z0-9 \\t\\n\\x0b\\f\\r]", " "),
       "[ \\t\\n\\x0b\\f\\r]+", " "))
 }

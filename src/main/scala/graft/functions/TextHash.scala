@@ -147,6 +147,21 @@ object TextHash {
     * one IEEE division — a SQL replay reproduces the doubles (and any
     * threshold verdicts on them) bitwise. Fewer than n tokens or
     * empty text → 0.0 for that signal. */
+  /** Lexicographic comparison by Unicode code point — identical to
+    * comparing the strings' UTF-8 bytes unsigned, i.e. DuckDB's
+    * default binary collation. */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def gopherRepetition(s: UTF8String):
       org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val bytes = s.getBytes
@@ -179,12 +194,17 @@ object TextHash {
             j += 1
           }
           if (gn <= 4) {
-            // most common gram; ties → longer gram, then lexicographic min
+            // most common gram; ties → longer gram, then lexicographic
+            // min in CODE-POINT order (== UTF-8 byte order, the
+            // oracle's collation). Java String.compareTo is UTF-16
+            // code-unit order, which disagrees when one side has a
+            // supplementary-plane char and the other a BMP char in
+            // U+E000..U+FFFF.
             var bc = 0; var bl = -1; var bg: String = null
             counts.forEach { (g, c) =>
               val l = g.codePointCount(0, g.length)
               if (c(0) > bc || (c(0) == bc && (l > bl ||
-                  (l == bl && (bg == null || g.compareTo(bg) < 0))))) {
+                  (l == bl && (bg == null || codePointCompare(g, bg) < 0))))) {
                 bc = c(0); bl = l; bg = g
               }
             }

@@ -274,9 +274,17 @@ object Dedup {
     * rounds, same as [[connectedComponents]]. */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
                          aCol: String, bCol: String,
-                         score: Column): DataFrame = {
-    val labels = connectedComponents(docs.select(col(idCol)), pairs,
-      idCol, aCol, bCol)
+                         score: Column): DataFrame =
+    keepBestByLabels(docs,
+      connectedComponents(docs.select(col(idCol)), pairs, idCol, aCol, bCol),
+      idCol, score)
+
+  /** [[keepBestPerCluster]] with the (id, canonical_id) labels frame
+    * precomputed — so a workload running several retention policies
+    * over the SAME cluster graph pays for connected components once
+    * (the iterative part dominates; the retention join is one pass). */
+  def keepBestByLabels(docs: DataFrame, labels: DataFrame, idCol: String,
+                       score: Column): DataFrame = {
     val scored = docs.select(col(idCol), score.as("__score"))
     // lexicographic max of (score, -id) = highest score, ties to the
     // LOWEST id; ids are non-negative in every caller, keeping -id

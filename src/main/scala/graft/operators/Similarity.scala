@@ -357,7 +357,8 @@ object Similarity {
     * clusters at web scale). The anti-join back is on narrow ids. */
   def semDedup(corpus: DataFrame, nlist: Int = 16, tau: Double = 0.95,
                iters: Int = 1, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               warnCellOver: Long = 100000L): DataFrame = {
     import graft.plans.VecExpressions.nearestCell
     val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
     // deliberately NOT persisted: the result is lazy, so a persist
@@ -369,6 +370,20 @@ object Similarity {
     val assigned = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("cell", nearestCell(col("__v"), cents))
+    // Guard the Σ|cell|² pair pass: an undersized nlist on a large or
+    // skewed corpus degrades toward a quadratic in-cell cross join.
+    // One map-combined count agg (nlist rows to the driver — the call
+    // is already eager through trainQuantizer's collect) and a loud
+    // warning with the corrective nlist; the run still proceeds.
+    val sizes = assigned.groupBy(col("cell")).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("n")).collect()(0)
+    val (maxCell, total) = (sizes.getLong(0), sizes.getLong(1))
+    if (maxCell > warnCellOver)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semDedup: largest cell has $maxCell vectors (> $warnCellOver); " +
+        s"pair pass is sum(|cell|^2) comparisons. Raise nlist " +
+        s"(~${math.max(nlist, (total / warnCellOver + 1).toInt)} for " +
+        s"~$warnCellOver-vector cells; the paper uses nlist ~ corpus/2k).")
     val dropped = assigned
       .select(col("cell"), col(idCol).as("__id_a"), col("__v").as("__va"))
       .join(assigned.select(col("cell"), col(idCol).as("__id_b"),

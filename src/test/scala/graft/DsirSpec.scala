@@ -31,14 +31,18 @@ class DsirSpec extends AnyFunSuite {
   test("hashGramBuckets codegen and interpreted eval agree, and a doc with " +
     "n tokens emits 2n-1 features (n unigrams + n-1 bigrams)") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+    // n via regexp_extract_all, not size(split(trim(..))): split on an
+    // empty/whitespace-only doc yields one empty token (n=1) while the
+    // kernel emits 0 features — this form gives n=0 there instead
     val viaExpr = docs.select($"doc_id",
         HashExpressions.hashGramBuckets($"text", B).as("fs"),
-        size(split(trim($"text"), "\\s+")).as("n"))
+        size(regexp_extract_all($"text", lit("\\S+"), lit(0))).as("n"))
       .as[(Long, Seq[Long], Int)].collect()
     assert(viaExpr.nonEmpty)
     val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
     viaExpr.foreach { case (id, fs, n) =>
-      assert(fs.length == 2 * n - 1, s"doc $id: ${fs.length} features for $n tokens")
+      val expected = if (n == 0) 0 else 2 * n - 1
+      assert(fs.length == expected, s"doc $id: ${fs.length} features for $n tokens")
       val direct = TextHash.hashGramBuckets(
         UTF8String.fromString(texts(id)), B).toLongArray().toSeq
       assert(fs == direct, s"doc $id codegen/interpreted mismatch")

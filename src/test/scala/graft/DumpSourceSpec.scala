@@ -42,6 +42,47 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(lens.toSeq == Seq(0, 100000))
   }
 
+  test("sidecar-indexed fat file splits into multiple partitions, " +
+    "rows byte-identical to the unsplit read") {
+    val dir = tmpDir()
+    val path = s"$dir/2014-01-03.bson"
+    val docs = (0 until 2000).map(i => s"""{"i":$i,"pad":"${"y" * 500}"}""")
+    // written WITH an index checkpoint every 100 docs
+    DumpSource.writeDump(path, docs.iterator.map(_.getBytes(UTF_8)),
+      indexEvery = 100)
+    def read(opts: Map[String, String]) = {
+      val r = spark.read.format("graft.sources.DumpDataSource")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(path)
+    }
+    // ~1 MiB of frames, 64 KiB splits -> many partitions
+    val split = read(Map("splitBytes" -> (64 * 1024).toString))
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected sub-file splits, got ${split.rdd.getNumPartitions}")
+    val unsplit = read(Map("splitBytes" -> "0"))
+    assert(unsplit.rdd.getNumPartitions == 1)
+    val a = split.select($"doc_index", $"doc".cast("string"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val b = unsplit.select($"doc_index", $"doc".cast("string"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(a == b)
+    assert(a.map(_._1) == (0L until 2000L))
+    assert(a.map(_._2) == docs)
+    // an index retrofitted with buildDumpIndex plans the same splits
+    val retro = s"$dir/2014-01-04.bson"
+    DumpSource.writeDump(retro, docs.iterator.map(_.getBytes(UTF_8)))
+    DumpSource.buildDumpIndex(retro, every = 100)
+    val viaRetro = spark.read.format("graft.sources.DumpDataSource")
+      .option("splitBytes", (64 * 1024).toString).load(retro)
+    assert(viaRetro.rdd.getNumPartitions == split.rdd.getNumPartitions)
+    assert(viaRetro.count() == 2000)
+    // an unindexed file under the default split size stays 1 partition
+    val plain = s"$dir/2014-01-05.bson"
+    DumpSource.writeDump(plain, docs.iterator.take(10).map(_.getBytes(UTF_8)))
+    assert(spark.read.format("graft.sources.DumpDataSource")
+      .load(plain).rdd.getNumPartitions == 1)
+  }
+
   test("malformed frame (truncated doc) raises a clear error") {
     val dir = tmpDir()
     // length says 100 bytes but only 3 follow

@@ -1033,6 +1033,32 @@ class IngestSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, "abc"), (2L, "abc")), s"got $pairs")
   }
 
+  test("-nocheck skips the existence-check stages: duplicate inputs " +
+    "pass through; the default path dedups; usage lists all three " +
+    "reference flags (ght2dm.go:341,415,732,891,1126)") {
+    out // force the shared fixture
+    val conf2 = s"$root/graft_nocheck.conf"
+    Files.writeString(Paths.get(conf2),
+      s"""{"ghtorrent_folders": ["$root/users", "$root/repos",
+         |  "$root/org_members", "$root/repo_collaborators"],
+         | "warehouse_dir": "$root/warehouse_nocheck"}""".stripMargin)
+    val errs = collection.mutable.Buffer.empty[String]
+    val status = Ght2dm.runCli(Array("-nocheck", conf2),
+      _ => (), errs += _, _ => spark)
+    assert(status == 0 && errs.isEmpty, s"errs=$errs")
+    // alice is re-shipped by the day-2 dump: -nocheck double-inserts
+    // her (the reference's documented only-use-when-no-duplicate
+    // behavior); the checked path keeps exactly one
+    val noCheckUsers = spark.read.parquet(s"$root/warehouse_nocheck/users")
+    assert(noCheckUsers.filter($"username" === "alice").count() == 2)
+    assert(out("users").filter($"username" === "alice").count() == 1)
+    // bad flag prints a usage that documents -nocheck
+    val errs2 = collection.mutable.Buffer.empty[String]
+    assert(Ght2dm.runCli(Array("-bogus", conf2), _ => (), errs2 += _,
+      _ => spark) == 1)
+    assert(errs2.exists(_.contains("-nocheck")), s"errs=$errs2")
+  }
+
   test("the ght2dm CLI: verbose run succeeds with the reference's " +
     "per-entity progress lines; bad flags and a bad config are fatal " +
     "(exit 1) without touching Spark (ght2dm.go:1129-1158)") {
