@@ -107,10 +107,14 @@ object Bench {
     // not comparable across rounds (scheduler contention noise), so it
     // rides under its own key, "grouped_total".
     val (loadAfter, uptimeAfter) = loadEvidence()
-    // load_warning: the capture saw sustained ambient load — per-query
+    // load_warning: the capture STARTED under ambient load — per-query
     // numbers are minimums over adaptive re-samples and should still be
-    // close to idle figures, but treat cross-round diffs with care
-    val loadWarning = math.max(maxLoad, loadBefore) > 2.0
+    // close to idle figures, but treat cross-round diffs with care.
+    // Keyed on loadavg_before only: loadavg_max necessarily includes
+    // the bench's own 32-thread execution (the 1-minute average does
+    // not decay between queries), so it is contamination EVIDENCE for
+    // a reader, not a usable ambient-load signal.
+    val loadWarning = loadBefore > 2.0
     println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
     spark.stop()
   }

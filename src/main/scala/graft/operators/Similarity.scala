@@ -84,6 +84,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** [[cosineNearDupPairs]] with the LSH depth derived from the corpus
+    * size instead of hand-picked: bits = ceil(log2(n / targetBucket)),
+    * floored at `minBits`. Expected bucket occupancy stays ~constant
+    * (`targetBucket`) as the corpus grows, so candidate-pair volume —
+    * the operator's dominant cost, Σ|bucket|² per table — scales
+    * LINEARLY with n instead of quadratically at fixed bits (measured:
+    * fixed bits=7 went 30× on a 10× corpus; auto-sized stayed ~linear,
+    * see PLANS.md round 9). The price is one count() pass over the id
+    * column (metadata-sized; on a managed table, table stats already
+    * carry n — pass `knownCount` to skip the pass) and the recall
+    * shift of deeper hashes: per-pair collision probability per table
+    * is p_agree^bits, so keep `numTables` sized to the threshold as
+    * documented on [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsAuto(corpus: DataFrame, threshold: Double, dim: Int,
+                             targetBucket: Int = 32, minBits: Int = 4,
+                             numTables: Int = 8, seed: Long = 42L,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             maxBucket: Int = 10000,
+                             knownCount: Option[Long] = None,
+                             capMetrics: Option[BucketCap.CapCounters] = None): DataFrame = {
+    val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
+    val bits = math.max(minBits, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    cosineNearDupPairs(corpus, threshold, dim, bits, numTables, seed,
+      idCol, vecCol, maxBucket, capMetrics)
+  }
+
   /** Deterministic random hyperplanes (seeded) — computed once on the
     * driver and carried into the plan as a referenced object.
     *

@@ -225,6 +225,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length >= 350, s"recall too low: ${pairs.length}/500")
   }
 
+  test("cosineNearDupPairsAuto derives the depth that keeps bucket " +
+    "occupancy constant, and matches the fixed-bits result exactly") {
+    // 4000-vector corpus at targetBucket=32 → n/32 = 125 → ceil(log2)
+    // = 7, the q_embed_neardup hand-picked depth — auto must reproduce
+    // the fixed-bits pair set bit for bit (same hyperplanes, same
+    // buckets), so the convenience entry point can't drift from the
+    // oracle-gated operator
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select($"vec_id",
+      $"embedding".cast("array<double>").as("embedding"))
+    val perturbed = emb.select($"vec_id",
+        transform($"embedding", (x, i) =>
+          x + sin(i.cast("double") + $"vec_id".cast("double")) * 0.05)
+          .as("embedding"))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(perturbed)
+    val n = corpus.count()
+    val expectedBits = math.max(4, math.ceil(
+      math.log(n / 32.0) / math.log(2.0)).toInt)
+    val auto = Similarity.cosineNearDupPairsAuto(corpus, threshold = 0.9,
+      dim = 64, targetBucket = 32, numTables = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Similarity.cosineNearDupPairs(corpus, threshold = 0.9,
+      dim = 64, bits = expectedBits, numTables = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == fixed)
+    assert(auto.nonEmpty)
+    // knownCount skips the count pass and must not change the result
+    val known = Similarity.cosineNearDupPairsAuto(corpus, threshold = 0.9,
+      dim = 64, targetBucket = 32, numTables = 8, knownCount = Some(n))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(known == auto)
+  }
+
   test("semDedup keeps exactly the greedy smaller-id-wins set on a " +
     "hand-built two-cluster corpus") {
     // cluster A: 1,2,3 mutually near-identical; cluster B: 10 isolated,
