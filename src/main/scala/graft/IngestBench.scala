@@ -37,8 +37,17 @@ object IngestBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = s"/root/repo/target/ingest_bench"
+    // wipe stale dump files (and their sidecar indexes) from previous
+    // runs with different nFiles — the reader visits the whole folder,
+    // so leftovers silently contaminate both input volume and the
+    // planned partition count
+    def cleanDir(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(_.delete())
+      f.mkdirs()
+    }
     val folder = s"$dir/users"
-    new java.io.File(folder).mkdirs()
+    cleanDir(folder)
     val perFile = nDocs / nFiles
     // deterministic synthetic GHTorrent-shaped user docs; ~5% re-ships
     // (same id, newer updated_at) so the dedup path does real work
@@ -67,7 +76,7 @@ object IngestBench {
     // double anti-join (vs an empty warehouse) + surrogate ids + the
     // two-table split — the reference's PL/pgSQL insert_from_tmp_tables
     val repoFolder = s"$dir/repos"
-    new java.io.File(repoFolder).mkdirs()
+    cleanDir(repoFolder)
     (0 until nFiles).foreach { f =>
       val day = f % 28 + 1
       writeRepoFile(s"$repoFolder/2014-01-${"%02d".format(day)}.bson", f, perFile, indexEvery)
