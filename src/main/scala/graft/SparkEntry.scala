@@ -755,6 +755,29 @@ object SparkEntry {
         nlist = 16, tau = 0.95, iters = 1)
     }),
 
+    // §2b-55: embedding-space outlier filter (CLIP-filtering analog) —
+    // vectors whose cosine to their own quantizer cell centroid falls
+    // below tau: mislabeled / out-of-distribution points no surface-
+    // form filter can see. Same iters=1 deterministic quantizer as the
+    // IVF family, so the oracle replays centroid assignment exactly
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"),
+        nlist = 16, tau = 0.30, iters = 1)),
+
+    // §2b-21b: edit-distance verification of candidate pairs — the
+    // precision pass after a recall-oriented generator. Jaccard is
+    // order-insensitive; normalized Levenshtein prices reorderings and
+    // rewrites. Candidates here: consecutive doc ids (a deterministic
+    // pair set spanning the corpus — same-generator docs share
+    // vocabulary, so similarities spread across the threshold)
+    "q_edit_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      NearDup.editVerify(pairs, docs.filter(length(col("text")) > 0),
+        minSim = 0.25)
+    }),
+
     // §2b-21: exact n-gram Jaccard over planted (original, truncated)
     // pairs — the verification metric of the near-dup family as a
     // standalone oracle-checked operator. Shingle SETS are the codegen
@@ -1655,6 +1678,40 @@ object SparkEntry {
          |SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank,
          |       round(sim, 6) AS sim
          |FROM ranked WHERE rank <= 8""".stripMargin,
+
+    // same centroid replay as q_diverse_sample; own-cell cosine kept
+    // when it falls BELOW tau (both engines filter on the unrounded
+    // IEEE value) — the outliers the diversity sampler's top-k drops
+    "q_embed_outliers" ->
+      s"""WITH $sqlIvfCentroidsCte,
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+         |scored AS (
+         |  SELECT i.vec_id, i.cell, list_cosine_similarity(e.v, c.cv) AS sim
+         |  FROM idx i JOIN ev e ON i.vec_id = e.vec_id
+         |  JOIN c1 c ON i.cell = c.cell)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, round(sim, 6) AS sim
+         |FROM scored WHERE sim < 0.30""".stripMargin,
+
+    // normalized Levenshtein over consecutive-id pairs: single-op
+    // IEEE arithmetic (int/int division, one subtraction) so the
+    // unrounded threshold comparison replays bitwise; both engines'
+    // levenshtein is the standard unit-cost DP on characters
+    "q_edit_verify" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE length(a.text) > 0 AND length(b.text) > 0),
+        |sim AS (
+        |  SELECT id_a, id_b,
+        |    1.0 - CAST(levenshtein(ta, tb) AS DOUBLE) /
+        |      CAST(greatest(length(ta), length(tb)) AS DOUBLE) AS edit_sim
+        |  FROM pairs)
+        |SELECT id_a, id_b, round(edit_sim, 6) AS edit_sim
+        |FROM sim WHERE edit_sim >= 0.25""".stripMargin,
 
     "q_hybrid_search" ->
       """WITH scored_docs AS (

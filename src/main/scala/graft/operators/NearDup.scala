@@ -140,4 +140,34 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Edit-distance verification of candidate pairs: normalized
+    * Levenshtein similarity 1 − dist/max(len_a, len_b), kept at
+    * `minSim`+. The precision pass AFTER a recall-oriented candidate
+    * generator (MinHash/SimHash buckets, key-equality groups) —
+    * n-gram Jaccard ([[q_ngram_jaccard]]'s kernel) is order-insensitive
+    * and misses transpositions/rewrites that edit distance prices
+    * exactly; code-dedup pipelines verify on edit similarity for that
+    * reason.
+    *
+    * Scale shape: `pairs` carries narrow ids only; the two text joins
+    * shuffle on the SAME id keys the dedup family already uses, and
+    * the Levenshtein kernel (Spark's codegen built-in) runs once per
+    * surviving pair. Cost is O(len_a · len_b) PER PAIR — quadratic in
+    * document length — so this is for bounded-length fields or
+    * LSH-thinned candidate sets, never an all-pairs or long-document
+    * pass; cap lengths upstream (e.g. verify on the first N chars)
+    * when docs are unbounded. */
+  def editVerify(pairs: DataFrame, docs: DataFrame, minSim: Double,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val ta = docs.select(col(idCol).as(idACol), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as(idBCol), col(textCol).as("__tb"))
+    pairs.join(ta, idACol).join(tb, idBCol)
+      .withColumn("edit_sim",
+        lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+      .filter(col("edit_sim") >= minSim)
+      .select(col(idACol), col(idBCol), round(col("edit_sim"), 6).as("edit_sim"))
+  }
 }

@@ -422,6 +422,52 @@ object Similarity {
       .select(col(idCol), col("cell"))
   }
 
+  /** [[semDedup]] with nlist derived from the corpus size instead of
+    * hand-picked: nlist = ceil(n / targetCell), floored at `minNlist`.
+    * Expected cell size stays ~`targetCell` as the corpus grows, so
+    * the Σ|cell|² pair pass scales LINEARLY (n · targetCell) — the
+    * paper's own nlist ∝ corpus discipline (they run ~corpus/2k) made
+    * the default instead of a scaladoc note. One count() pass (or
+    * caller-known `knownCount`); the [[semDedup]] oversized-cell
+    * warning still guards skew. */
+  def semDedupAuto(corpus: DataFrame, targetCell: Int = 2000,
+                   tau: Double = 0.95, iters: Int = 1,
+                   minNlist: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
+    val nlist = math.max(minNlist,
+      ((n + targetCell - 1) / targetCell).toInt)
+    semDedup(corpus, nlist, tau, iters, idCol, vecCol)
+  }
+
+  /** Embedding-space outlier detection (CLIP-filtering analog): flag
+    * vectors whose cosine to their OWN cell centroid falls below
+    * `tau` — mislabeled, noisy, or out-of-distribution points that sit
+    * far from every semantic cluster. Returns the flagged rows as
+    * (idCol, cell, sim); callers drop them with a broadcast anti-join
+    * on idCol (ids only — the corpus never reshuffles).
+    *
+    * Plan shape: the [[diverseSample]] scoring pass without the rank
+    * window — quantizer train (driver holds nlist×dim centroids), then
+    * ONE codegen projection (nearest-cell assign + own-centroid
+    * cosine) and a filter, zero exchanges. Embarrassingly parallel at
+    * any scale; nlist follows the same ∝-corpus discipline as
+    * [[semDedupAuto]]. */
+  def centroidOutliers(corpus: DataFrame, nlist: Int = 16,
+                       tau: Double = 0.5, iters: Int = 1,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VecExpressions.nearestCell
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    c.withColumn("cell", nearestCell(col("v"), cents))
+      .withColumn("sim", cosine(col("v"), element_at(centLit, col("cell") + 1)))
+      .filter(col("sim") < tau)
+      .select(col(idCol), col("cell"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0.
     * Kernel expression — see [[graft.plans.VecOps.hyperplaneSig]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =

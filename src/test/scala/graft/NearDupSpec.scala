@@ -115,4 +115,24 @@ class NearDupSpec extends AnyFunSuite {
       k = 3, numBands = 8, rowsPerBand = 4, threshold = 0.1, maxBucket = 10)
     assert(capped.count() == 0)
   }
+
+  test("editVerify computes normalized Levenshtein exactly and keeps " +
+    "only pairs at minSim+") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),         // dist 3, max len 7
+      (3L, "identical text"), (4L, "identical text"),
+      (5L, "aaaaaaaaaa"), (6L, "zzzzzzzzzz")   // dist 10 → sim 0.0
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = NearDup.editVerify(pairs, docs, minSim = 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(math.abs(got((1L, 2L)) - (1.0 - 3.0 / 7.0)) < 1e-6)
+    assert(got((3L, 4L)) == 1.0)
+  }
+
+  implicit private class TupleMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, s) => (a, b) -> s }.toMap
+  }
 }

@@ -258,6 +258,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(known == auto)
   }
 
+  test("semDedupAuto derives nlist = ceil(n/targetCell) and matches " +
+    "the fixed-nlist result exactly") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val n = emb.count()
+    val target = 100
+    val expectedNlist = math.max(2, ((n + target - 1) / target).toInt)
+    val auto = Similarity.semDedupAuto(emb, targetCell = target,
+      tau = 0.95, iters = 1).as[(Long, Int)].collect().toSet
+    val fixed = Similarity.semDedup(emb, nlist = expectedNlist,
+      tau = 0.95, iters = 1).as[(Long, Int)].collect().toSet
+    assert(auto == fixed)
+    assert(auto.nonEmpty)
+    val known = Similarity.semDedupAuto(emb, targetCell = target,
+      tau = 0.95, iters = 1, knownCount = Some(n)).as[(Long, Int)].collect().toSet
+    assert(known == auto)
+  }
+
+  test("centroidOutliers flags exactly the far-from-every-cluster " +
+    "vector on a hand-built corpus") {
+    // two tight clusters on the first two axes; vector 99 sits on the
+    // third axis, far from both centroids — the one true outlier
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.99, 0.01, 0.0)),
+      (3L, Array(0.98, 0.02, 0.0)),
+      (10L, Array(0.0, 1.0, 0.0)), (11L, Array(0.0, 0.99, 0.01)),
+      (99L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(corpus, nlist = 2, tau = 0.5,
+      iters = 3).select($"vec_id").as[Long].collect().toSet
+    // 99 lands in SOME cell but its cosine to that centroid is ~0;
+    // every clustered vector sits at ~1.0 to its own centroid
+    assert(out == Set(99L), s"flagged $out")
+  }
+
   test("semDedup keeps exactly the greedy smaller-id-wins set on a " +
     "hand-built two-cluster corpus") {
     // cluster A: 1,2,3 mutually near-identical; cluster B: 10 isolated,
