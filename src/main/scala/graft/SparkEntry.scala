@@ -509,6 +509,15 @@ object SparkEntry {
         HashExpressions.simhash64(col("text")).as("simhash"),
         HashExpressions.winnow64(col("text"), 8).as("fingerprint"))),
 
+    // §2b-18d: content-defined-chunking block duplication stats —
+    // storage-dedup's shift-robust block granularity applied to corpus
+    // curation: boundaries are a w-byte local hash predicate, so a
+    // shared block is found even when edits move it (fixed blocks
+    // mis-align forever; token windows need exact alignment)
+    "q_cdc_blocks" -> ((s, dir) =>
+      Dedup.cdcBlockStats(t(s, dir, "documents"), "text", "doc_id",
+        w = 8, maskBits = 6)),
+
     // §2b-20: SimHash near-dup pairs over the augmented corpus
     "q_simhash_pairs" -> ((s, dir) =>
       NearDup.simhashPairs(neardupCorpus(s, dir), "doc_id", "text",
@@ -2437,8 +2446,38 @@ object SparkEntry {
          |FROM corpus c JOIN ranked r ON c.doc_id = r.id AND r.rn = 1""").stripMargin
         .replace("__QUALITY__", sqlQualityExprText)),
 
+    // CDC block stats: the cut rule is a per-position FNV predicate on
+    // the 8 chars ENDING at the cut (replayed with sqlFnvRaw % 64 —
+    // the kernel's & 63 on nonnegative low bits), the final cut is
+    // forced at length(text), chunks rebuild via lag(), and each
+    // chunk's full-content FNV feeds the corpus-wide multiplicity
+    // count. Gram starts cap at len-8 because the kernel's hash rule
+    // excludes a boundary at the text end (the forced cut covers it)
+    "q_cdc_blocks" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+         |cuts AS (
+         |  SELECT doc_id, CAST(p AS INT) + 7 AS cut
+         |  FROM d, unnest(range(1, greatest(length(text) - 7, 1))) t(p)
+         |  WHERE ${sqlFnvRaw("substr(text, CAST(p AS INT), 8)")} % 64 = 0
+         |  UNION ALL
+         |  SELECT doc_id, length(text) AS cut FROM d),
+         |bounds AS (
+         |  SELECT doc_id, cut AS e,
+         |    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS s
+         |  FROM cuts),
+         |hashed AS (
+         |  SELECT b.doc_id, b.e - b.s + 1 AS len,
+         |    ${sqlFnvRaw("substr(d.text, b.s, b.e - b.s + 1)")} AS h
+         |  FROM bounds b JOIN d ON b.doc_id = d.doc_id),
+         |cnt AS (SELECT h, count(*) AS c FROM hashed GROUP BY h)
+         |SELECT hashed.doc_id, count(*) AS n_blocks,
+         |  round(CAST(sum(CASE WHEN cnt.c > 1 THEN len ELSE 0 END) AS DOUBLE)
+         |        / CAST(sum(len) AS DOUBLE), 6) AS dup_frac
+         |FROM hashed JOIN cnt ON hashed.h = cnt.h
+         |GROUP BY hashed.doc_id""".stripMargin,
+
     "q_simhash_pairs" ->
-      """WITH corpus AS (
+"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),

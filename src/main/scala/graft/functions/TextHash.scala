@@ -339,6 +339,42 @@ object TextHash {
     min
   }
 
+  /** Content-defined chunk CUT positions (Rabin/FastCDC-family
+    * boundary rule, gear-free deterministic form): a cut falls AFTER
+    * 1-based position p (p >= w) iff the fnv64 of the w bytes ENDING
+    * at p has its low `maskBits` bits all zero — expected chunk length
+    * 2^maskBits. The text length is always the final cut, so the cuts
+    * partition [1, n] into chunks `(prevCut, cut]`. Boundaries depend
+    * only on a w-byte local context, so an insertion near the front
+    * shifts positions but re-synchronizes the remaining boundaries —
+    * the property that makes block-level dedup robust to prefix/infix
+    * edits where fixed-size blocks mis-align forever.
+    *
+    * Pure content rule, no min/max chunk bound: every boundary is a
+    * position-independent predicate, which is what lets the DuckDB
+    * oracle replay the cut set declaratively (a min-length rule makes
+    * cut k depend on cut k-1 — recursive, and the FastCDC extension
+    * documented for pathological inputs, not the default). Byte-level
+    * FNV like every other kernel (oracle replays per-character; ASCII
+    * corpus — see the q_fingerprint note). Empty text → empty array. */
+  def cdcCuts(s: UTF8String, w: Int, maskBits: Int): Array[Int] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return Array.emptyIntArray
+    val mask = (1L << maskBits) - 1L
+    val cuts = new java.util.ArrayList[Integer]()
+    var p = w
+    while (p < n) { // p == n handled by the forced final cut
+      if ((fnv64(bytes, p - w, p) & mask) == 0L) cuts.add(p)
+      p += 1
+    }
+    cuts.add(n)
+    val out = new Array[Int](cuts.size())
+    var j = 0
+    while (j < out.length) { out(j) = cuts.get(j); j += 1 }
+    out
+  }
+
   // exactly Java regex \s = [ \t\n\x0B\f\r], so every kernel tokenizes
   // identically to the \S+ forms the DuckDB oracles replay
   private def isSpace(b: Byte): Boolean =

@@ -448,4 +448,52 @@ object Dedup {
         keys, "left_anti")
     existing.unionByName(newRows)
   }
+
+  /** Content-defined-chunking block duplication stats: per document,
+    * the number of CDC blocks and the fraction of its characters lying
+    * in blocks whose hash occurs MORE THAN ONCE corpus-wide (within- or
+    * cross-document). The block granularity between whole-doc exact
+    * dedup (18) and token-window substring dedup (18c): boundaries are
+    * content-defined ([[graft.functions.TextHash.cdcCuts]] — a w-byte
+    * local predicate), so a shared block is detected even when prefix
+    * or infix edits shift its position, where fixed-size blocks
+    * mis-align forever. Storage-dedup's standard trick applied to
+    * corpus curation: a high `dup_frac` doc is boilerplate-assembled
+    * even if no whole-doc or aligned-window duplicate exists.
+    *
+    * Plan shape: cut positions from one codegen kernel pass; chunks
+    * explode to (doc, start, end) ordinals and hash via the fnv64
+    * kernel on a substring — text itself never shuffles. One count
+    * agg on 8-byte block hashes (map-side combined), duplicated
+    * hashes join back (broadcast at dim scale, same-key shuffle
+    * beyond), one per-doc agg. O(chars) work, shuffle volume
+    * O(blocks). Expected block length 2^maskBits chars. */
+  def cdcBlockStats(df: DataFrame, textCol: String, idCol: String,
+                    w: Int = 8, maskBits: Int = 6): DataFrame = {
+    val cuts = df
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        graft.plans.HashExpressions.cdcCuts(col(textCol), w, maskBits).as("__ends"))
+    val blocks = cuts
+      .select(col(idCol), col("__t"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("__i", "__end")))
+      .withColumn("__start",
+        when(col("__i") === 0, lit(1)).otherwise(element_at(col("__ends"), col("__i")) + 1))
+      .withColumn("__len", col("__end") - col("__start") + 1)
+      .withColumn("__h", graft.plans.HashExpressions.fnv64(
+        col("__t").substr(col("__start"), col("__len"))))
+      .select(col(idCol), col("__h"), col("__len"))
+    // global per-hash occurrence counts join straight back on the SAME
+    // __h key (both subtrees shuffle blocks identically — ReuseExchange
+    // pays the block shuffle once), then one per-doc aggregation
+    val counts = blocks.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
+    blocks.join(counts, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__cnt") > 1, col("__len")).otherwise(lit(0))).as("__duplen"),
+        sum(col("__len")).as("__totlen"))
+      .select(col(idCol), col("n_blocks"),
+        round(col("__duplen").cast("double") /
+          col("__totlen").cast("double"), 6).as("dup_frac"))
+  }
 }

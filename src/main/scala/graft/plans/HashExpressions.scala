@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftSqlShim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.TextHash
@@ -280,10 +280,38 @@ case class GopherRepetition(child: Expression) extends UnaryExpression {
   override def prettyName: String = "gopher_repetition"
 }
 
+/** Content-defined chunk cut positions (array<int>, ascending, last =
+  * text length) — see [[graft.functions.TextHash.cdcCuts]] for the
+  * boundary rule and its replay contract. */
+case class CdcCuts(child: Expression, w: Int, maskBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cdc_cuts requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHash.cdcCuts(v.asInstanceOf[UTF8String], w, maskBits))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.cdcCuts($c, $w, $maskBits))")
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_cuts"
+}
+
 object HashExpressions {
   /** One-pass MinHash signature (array<long>) as a Column function. */
   def minhash64(c: Column, k: Int, numHashes: Int): Column =
     GraftSqlShim.column(MinHash64(GraftSqlShim.expression(c), k, numHashes))
+
+  /** Content-defined chunk cut positions as a Column function. */
+  def cdcCuts(c: Column, w: Int = 8, maskBits: Int = 6): Column =
+    GraftSqlShim.column(CdcCuts(GraftSqlShim.expression(c), w, maskBits))
 
   /** Distinct sorted shingle-hash set as a Column function. */
   def shingles64(c: Column, k: Int): Column =

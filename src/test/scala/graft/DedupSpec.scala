@@ -274,4 +274,40 @@ class DedupSpec extends AnyFunSuite {
       (None, None),
       (Some(10L), Some(10L)), (Some(11L), Some(10L)), (Some(12L), Some(10L))))
   }
+
+  test("cdcCuts kernel: ascending cuts, forced final cut, rule matches " +
+    "a direct recompute") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextHash
+    val rnd = new scala.util.Random(7)
+    val text = (1 to 120).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cuts = TextHash.cdcCuts(UTF8String.fromString(text), 8, 4)
+    assert(cuts.last == text.length)
+    assert(cuts.toSeq == cuts.toSeq.sorted && cuts.distinct.length == cuts.length)
+    val bytes = text.getBytes("UTF-8")
+    val expected = (8 until text.length).filter(p =>
+      (TextHash.fnv64(bytes, p - 8, p) & 15L) == 0L) :+ text.length
+    assert(cuts.toSeq == expected)
+  }
+
+  test("cdcBlockStats finds a shared block at DIFFERENT offsets " +
+    "(the shift-robustness fixed-size blocks lack)") {
+    val rnd = new scala.util.Random(42)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val block = rand(400)
+    // same 400-char block behind prefixes of DIFFERENT lengths: every
+    // aligned-offset scheme sees different block contents; CDC
+    // boundaries resynchronize inside `block` so its interior chunks
+    // hash identically in both docs
+    val docs = Seq(
+      (1L, "shortpre " + block),
+      (2L, "a much longer and different prefix here " + block),
+      (3L, rand(400))
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcBlockStats(docs, "text", "doc_id", w = 8, maskBits = 5)
+      .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.5, s"doc 1 dup_frac ${got(1L)}")
+    assert(got(2L) > 0.5, s"doc 2 dup_frac ${got(2L)}")
+    assert(got(3L) == 0.0, s"doc 3 dup_frac ${got(3L)}")
+  }
 }
