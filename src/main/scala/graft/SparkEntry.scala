@@ -904,6 +904,16 @@ object SparkEntry {
           round(element_at(col("q"), 2), 6).as("p50"),
           round(element_at(col("q"), 3), 6).as("p75"))),
 
+    // §2b-25l: shuffle-skew pre-flight — the per-key count
+    // distribution + suggested salt factor a 100 TB job checks before
+    // committing to a partitioning key
+    "q_skew_report" -> ((s, dir) =>
+      Profile.skewReport(t(s, dir, "events"), Seq("event_type"))),
+
+    // the keys the report warns about: top-k by count with share
+    "q_heavy_keys" -> ((s, dir) =>
+      Profile.heavyHitters(t(s, dir, "events"), Seq("event_type"), k = 3)),
+
     // §2b composed: corpus preparation = quality filter → exact dedup
     // (canonical min doc_id per content hash) → stats on the survivors
     "q_corpus_prep" -> ((s, dir) => {
@@ -1855,6 +1865,28 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.50), 6) AS p50,
         |  round(quantile_cont(value, 0.75), 6) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // per-key counts → one summary row; percentile↔quantile_cont use
+    // the same linear interpolation (the q_value_quantiles precedent),
+    // avg = exact-integer-sum / count (IEEE-exact both engines)
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |  max(cnt) AS max_count, round(avg(cnt), 6) AS avg_count,
+        |  round(quantile_cont(cnt, 0.5), 6) AS p50_count,
+        |  round(quantile_cont(cnt, 0.99), 6) AS p99_count,
+        |  round(CAST(max(cnt) AS DOUBLE) / avg(cnt), 6) AS skew_factor,
+        |  CAST(ceil(CAST(max(cnt) AS DOUBLE) / avg(cnt)) AS BIGINT) AS suggested_salt
+        |FROM c""".stripMargin,
+
+    "q_heavy_keys" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT event_type, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM c, t ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
 
     "q_corpus_prep" ->
       """WITH scored AS (

@@ -66,4 +66,46 @@ object Profile {
       round(avg(graft.functions.TextFunctions.qualityScore(col(textCol))), 4)
         .as("mean_quality"))
   }
+
+  /** Shuffle-skew diagnosis for a prospective groupBy/join key — the
+    * pre-flight a 100 TB job runs BEFORE committing to a partitioning.
+    * One row: total rows, distinct keys, max/avg/p50/p99 per-key
+    * counts, the skew factor (max/avg), and `suggested_salt` =
+    * ceil(max/avg) — the [[Staging.saltedCount]]-style fan-out that
+    * levels the heaviest key to ~average partition load (AQE splits
+    * skewed SHUFFLE blocks, but pre-aggregation salting is the fix
+    * when one key dominates a hash aggregate's build side).
+    *
+    * Plan: one map-combined count per key + one metadata-sized
+    * summary aggregate — the same two-phase shape as any groupBy;
+    * nothing but (key, count) pairs shuffle. */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_count"),
+        round(avg(col("cnt")), 6).as("avg_count"),
+        percentile(col("cnt"), array(lit(0.5), lit(0.99))).as("__q"),
+        (max(col("cnt")).cast("double") / avg(col("cnt"))).as("__skew"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"), col("avg_count"),
+        round(element_at(col("__q"), 1), 6).as("p50_count"),
+        round(element_at(col("__q"), 2), 6).as("p99_count"),
+        round(col("__skew"), 6).as("skew_factor"),
+        ceil(col("__skew")).cast("long").as("suggested_salt"))
+  }
+
+  /** The keys [[skewReport]] warns about: top-k by row count with
+    * their corpus share. TakeOrderedAndProject (per-partition heap +
+    * driver merge of k·partitions rows), never a global sort. */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(keyCols.map(col) :+ col("cnt") :+
+        round(col("cnt").cast("double") / col("__total").cast("double"), 6)
+          .as("share"): _*)
+      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+      .limit(k)
+  }
 }

@@ -97,4 +97,29 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.06,
       s"exact=$exact approx=$approx")
   }
+
+  test("skewReport computes the exact distribution summary and the " +
+    "salt that levels the hottest key") {
+    // key "hot" 12 rows, "a" 2, "b" 2 → avg 16/3, max 12,
+    // skew = 12/(16/3) = 2.25 → suggested salt 3
+    val df = (Seq.fill(12)("hot") ++ Seq.fill(2)("a") ++ Seq.fill(2)("b"))
+      .toDF("k")
+    val r = graft.operators.Profile.skewReport(df, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 16L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("max_count") == 12L)
+    assert(r.getAs[Double]("skew_factor") == 2.25)
+    assert(r.getAs[Long]("suggested_salt") == 3L)
+  }
+
+  test("heavyHitters returns top-k keys by count with exact shares, " +
+    "deterministic on ties") {
+    val df = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("w") ++
+      Seq("z")).toDF("k")
+    val got = graft.operators.Profile.heavyHitters(df, Seq("k"), k = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    // tie between y and w breaks on key order
+    assert(got == Seq(("x", 6L, 0.461538), ("w", 3L, 0.230769),
+      ("y", 3L, 0.230769)))
+  }
 }
