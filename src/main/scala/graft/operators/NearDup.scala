@@ -141,6 +141,75 @@ object NearDup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Persist a MinHash near-dup index for a FROZEN corpus: the banded
+    * signature table bucketed on (band_id, band_val) plus the shingle
+    * sets bucketed on id. Built once per corpus release; every later
+    * batch (or micro-batch — [[graft.streaming.EventsStreaming
+    * .nearDupFilterStream]]) probes it WITHOUT re-reading or
+    * re-clustering the corpus: the bucketed layout satisfies the probe
+    * join's distribution, so the corpus side of every probe plans zero
+    * exchanges. `band_val` is xxhash64 of the band's minhash slice —
+    * a hash collision only ADDS a candidate pair, which the exact
+    * Jaccard verify then rejects (candidates prune, Jaccard decides —
+    * the [[minhashPairs]] contract). */
+  def buildNearDupIndex(corpus: DataFrame, tablePrefix: String,
+                        k: Int = 3, numHashes: Int = 32,
+                        numBands: Int = 8, rowsPerBand: Int = 4,
+                        numBuckets: Int = 16,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val sig = signatures(corpus, idCol, textCol, k, numHashes)
+    banded(sig, idCol, numBands, rowsPerBand)
+      .select(col(idCol), col("band_id"),
+        xxhash64(col("band_id"), col("band_hash")).as("band_val"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band_id", "band_val")
+      .sortBy("band_id", "band_val")
+      .saveAsTable(s"${tablePrefix}_bands")
+    sig.select(col(idCol), col("shingles"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${tablePrefix}_shingles")
+  }
+
+  /** Drop every batch row that is a near-duplicate (exact shingle
+    * Jaccard >= `threshold`) of ANY document in the persisted index
+    * ([[buildNearDupIndex]] — same k/numHashes/numBands/rowsPerBand or
+    * the band spaces don't line up). The incremental-ingest dedup
+    * policy: new data dedupes against yesterday's frozen corpus
+    * without touching it.
+    *
+    * Plan shape per batch: batch signatures are one kernel pass;
+    * candidates come from the (band_id, band_val) equi-join against
+    * the bucketed bands table (no corpus-side exchange), collapse to
+    * distinct narrow id pairs BEFORE any shingle array moves, verify
+    * joins fetch exactly the candidate docs' shingle sets (bucketed on
+    * id — again no corpus-side exchange), and matched batch ids
+    * left-anti back. Batch text never shuffles. */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        tablePrefix: String, batch: DataFrame,
+                        threshold: Double = 0.7,
+                        k: Int = 3, numHashes: Int = 32,
+                        numBands: Int = 8, rowsPerBand: Int = 4,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = signatures(batch, idCol, textCol, k, numHashes)
+    val bands = banded(sig, idCol, numBands, rowsPerBand)
+      .select(col(idCol), col("band_id"),
+        xxhash64(col("band_id"), col("band_hash")).as("band_val"))
+    val corpusBands = spark.table(s"${tablePrefix}_bands")
+      .withColumnRenamed(idCol, "__corpus_id")
+    val cand = bands.join(corpusBands, Seq("band_id", "band_val"))
+      .select(col(idCol), col("__corpus_id")).distinct()
+    val dupIds = cand
+      .join(sig.select(col(idCol), col("shingles").as("__sa")), idCol)
+      .join(spark.table(s"${tablePrefix}_shingles")
+        .select(col(idCol).as("__corpus_id"), col("shingles").as("__sb")),
+        "__corpus_id")
+      .filter(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+        size(array_union(col("__sa"), col("__sb"))).cast("double") >= threshold)
+      .select(col(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Edit-distance verification of candidate pairs: normalized
     * Levenshtein similarity 1 − dist/max(len_a, len_b), kept at
     * `minSim`+. The precision pass AFTER a recall-oriented candidate

@@ -199,6 +199,34 @@ object EventsStreaming {
     writer.start()
   }
 
+  /** Continuous near-dup filtering against a FROZEN corpus index —
+    * the streaming twin of [[graft.operators.NearDup
+    * .dedupAgainstIndex]]: each micro-batch of incoming documents
+    * drops everything whose exact shingle Jaccard against ANY indexed
+    * document reaches `threshold`. This is the incremental-ingest
+    * shape at 100 TB: yesterday's corpus is indexed ONCE
+    * ([[graft.operators.NearDup.buildNearDupIndex]]); the stream pays
+    * only its own signature kernel pass plus probe joins whose
+    * corpus side plans zero exchanges (bucketed layout). foreachBatch
+    * is the stream→batch bridge (the [[runAsOfEnrichStream]] pattern);
+    * `sink` receives (survivors, batchId); pass a checkpoint for
+    * exactly-once across restarts. */
+  def nearDupFilterStream(docs: DataFrame, tablePrefix: String,
+      threshold: Double = 0.7, k: Int = 3, numHashes: Int = 32,
+      numBands: Int = 8, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text",
+      checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.NearDup.dedupAgainstIndex(
+          batch.sparkSession, tablePrefix, batch, threshold,
+          k, numHashes, numBands, rowsPerBand, idCol, textCol), id)
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
     * identical grouping expressed with date_trunc so DuckDB can evaluate
     * the same SQL. */

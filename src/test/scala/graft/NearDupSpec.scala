@@ -135,4 +135,64 @@ class NearDupSpec extends AnyFunSuite {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, s) => (a, b) -> s }.toMap
   }
+
+  test("dedupAgainstIndex drops batch near-dups of the FROZEN indexed " +
+    "corpus and keeps fresh docs; streaming twin agrees") {
+    // clean any orphaned warehouse location from a previously killed
+    // run (catalog-less leftover dirs fail CTAS with overwrite mode)
+    Seq("ndidx_test_bands", "ndidx_test_shingles").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    NearDup.buildNearDupIndex(corpus, "ndidx_test", numBuckets = 4)
+    val batch = Seq(
+      // near-dup of indexed doc 1 (one word dropped)
+      (1000L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1001L, "entirely novel content nothing like the corpus at all here"),
+      // exact re-ship of indexed doc 3
+      (1002L, "completely different content about cooking pasta with garlic")
+    ).toDF("doc_id", "text")
+    val kept = NearDup.dedupAgainstIndex(spark, "ndidx_test", batch,
+        threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1001L), s"kept $kept")
+
+    // with broadcast off, the candidate probe must leave the bucketed
+    // bands side exchange-free (any band_id hash exchange is the
+    // batch side's own)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = NearDup.dedupAgainstIndex(spark, "ndidx_test", batch,
+        threshold = 0.5).queryExecution.executedPlan.toString
+      val bandExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("band_id"))
+      assert(bandExchanges <= 1, s"index side shuffled on probe:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    stream.addData(Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1001L, "entirely novel content nothing like the corpus at all here"),
+      (1002L, "completely different content about cooking pasta with garlic")))
+    val out = scala.collection.mutable.Set[Long]()
+    val q = graft.streaming.EventsStreaming.nearDupFilterStream(
+      stream.toDF().toDF("doc_id", "text"), "ndidx_test",
+      threshold = 0.5) { (survivors, _) =>
+      out ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    q.processAllAvailable(); q.stop()
+    assert(out.toSet == kept, s"stream $out vs batch $kept")
+    spark.sql("DROP TABLE IF EXISTS ndidx_test_bands")
+    spark.sql("DROP TABLE IF EXISTS ndidx_test_shingles")
+  }
 }
