@@ -914,6 +914,18 @@ object SparkEntry {
     "q_heavy_keys" -> ((s, dir) =>
       Profile.heavyHitters(t(s, dir, "events"), Seq("event_type"), k = 3)),
 
+    // §2b-52b: cross-release overlap card — two overlapping id-range
+    // slices of documents stand in for consecutive corpus releases;
+    // shared-content counts are distinct sha2 hashes (8-byte shuffles,
+    // text never moves), the oracle counts distinct raw text (equal
+    // up to a ~2^-128 sha2 collision)
+    "q_overlap_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Profile.overlapCard(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 200), "text")
+    }),
+
     // §2b composed: corpus preparation = quality filter → exact dedup
     // (canonical min doc_id per content hash) → stats on the survivors
     "q_corpus_prep" -> ((s, dir) => {
@@ -1887,6 +1899,23 @@ object SparkEntry {
         |SELECT event_type, cnt,
         |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
         |FROM c, t ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+
+    "q_overlap_card" ->
+      """WITH a AS (SELECT text FROM documents WHERE doc_id < 400),
+        |b AS (SELECT text FROM documents WHERE doc_id >= 200),
+        |da AS (SELECT DISTINCT text FROM a),
+        |db AS (SELECT DISTINCT text FROM b),
+        |m AS (
+        |  SELECT count(*) AS shared FROM da JOIN db ON da.text = db.text)
+        |SELECT (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM da) AS distinct_a,
+        |  (SELECT count(*) FROM db) AS distinct_b,
+        |  m.shared AS shared,
+        |  round(CAST(m.shared AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM da) AS DOUBLE), 6) AS frac_a_in_b,
+        |  (SELECT count(*) FROM db) - m.shared AS new_in_b
+        |FROM m""".stripMargin,
 
     "q_corpus_prep" ->
       """WITH scored AS (

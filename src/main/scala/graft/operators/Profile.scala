@@ -95,6 +95,39 @@ object Profile {
         ceil(col("__skew")).cast("long").as("suggested_salt"))
   }
 
+  /** Cross-release overlap card: how much of corpus release A survives
+    * into release B, by exact content — the pre-ship diff a curation
+    * pipeline runs against the previous release (and the measurement
+    * behind "X% new data this release" claims). One row: raw row
+    * counts, distinct content counts, the shared-content count, the
+    * fraction of A's distinct content present in B, and B's
+    * genuinely-new distinct count.
+    *
+    * Plan: each side is one distinct over sha2 content hashes
+    * (fixed-width 8-byte-key shuffles — text never moves), a full
+    * outer join on the SAME hash key (co-partitioned with the
+    * distincts), one summary aggregate; raw counts ride in as two
+    * 1-row crossJoin literals (the LmScore corpus-stats pattern). */
+  def overlapCard(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val ha = a.select(sha2(col(textCol), 256).as("__h")).distinct()
+      .withColumn("__ina", lit(1L))
+    val hb = b.select(sha2(col(textCol), 256).as("__h")).distinct()
+      .withColumn("__inb", lit(1L))
+    val joined = ha.join(hb, Seq("__h"), "full_outer")
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    joined.agg(
+        sum(col("__ina")).as("distinct_a"),
+        sum(col("__inb")).as("distinct_b"),
+        sum(col("__ina") * col("__inb")).as("shared"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"), col("distinct_a"), col("distinct_b"),
+        col("shared"),
+        round(col("shared").cast("double") /
+          col("distinct_a").cast("double"), 6).as("frac_a_in_b"),
+        (col("distinct_b") - col("shared")).as("new_in_b"))
+  }
+
   /** The keys [[skewReport]] warns about: top-k by row count with
     * their corpus share. TakeOrderedAndProject (per-partition heap +
     * driver merge of k·partitions rows), never a global sort. */

@@ -112,6 +112,20 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("suggested_salt") == 3L)
   }
 
+  test("overlapCard counts shared vs new content exactly on a " +
+    "hand-built release pair") {
+    // A: x (twice — a dup), y; B: y, z, z → distinct_a 2, distinct_b 2,
+    // shared {y} = 1, frac 0.5, new {z} = 1
+    val a = Seq("x", "x", "y").toDF("text")
+    val b = Seq("y", "z", "z").toDF("text")
+    val r = graft.operators.Profile.overlapCard(a, b, "text").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("distinct_a") == 2L && r.getAs[Long]("distinct_b") == 2L)
+    assert(r.getAs[Long]("shared") == 1L)
+    assert(r.getAs[Double]("frac_a_in_b") == 0.5)
+    assert(r.getAs[Long]("new_in_b") == 1L)
+  }
+
   test("heavyHitters returns top-k keys by count with exact shares, " +
     "deterministic on ties") {
     val df = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("w") ++
