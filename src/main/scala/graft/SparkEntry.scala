@@ -629,6 +629,83 @@ object SparkEntry {
         bench, "text", shingleK = 5, fpp = 0.01)
     }),
 
+    // §2b-44b: SPAN-level decontamination — remove exactly the tokens
+    // covered by an eval-matching 5-shingle instead of dropping the
+    // whole doc (the surgical variant; substringDedup's covered-token
+    // machinery pointed at an eval set). Corpus = the non-eval docs.
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      Decontaminate.decontaminateSpans(corpus, "doc_id", "text",
+        bench, "text", shingleK = 5)
+    }),
+
+    // §2b-21c: containment (inclusion coefficient |A∩B| / |side|) on
+    // the same constructed near-dup pair as q_ngram_jaccard — the
+    // asymmetric signal that catches SUBSET duplication (quote,
+    // excerpt, truncation) that symmetric Jaccard under-scores: the
+    // planted pair here is a strict truncation, so containment_b_in_a
+    // is 1.0 while jaccard is < 1. Same narrow shape: only distinct
+    // shingle-hash sets are compared, text never moves.
+    "q_containment" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(size(split(trim(col("text")), "\\s+")) >= 4)
+      val a = base.select(col("doc_id"),
+        HashExpressions.shingles64(col("text"), 3).as("sh_a"))
+      val b = base.select(col("doc_id"),
+        HashExpressions.shingles64(
+          regexp_replace(trim(col("text")), "\\s+\\S+$", ""), 3).as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          round(inter / size(col("sh_b")).cast("double"), 6)
+            .as("containment_b_in_a"),
+          round(inter / size(col("sh_a")).cast("double"), 6)
+            .as("containment_a_in_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))) ===
+            size(col("sh_b"))).as("is_subset"))
+    }),
+
+    // §2b-56: per-source distinct-content cardinality via the custom
+    // mergeable HLL sketch aggregate (TypedImperativeAggregate; the
+    // ESTIMATE itself is oracle-checked — DuckDB replays the fnv64
+    // pre-hash, bucket/rank register build, and the exact power-of-two
+    // register sum). exact_distinct rides along as the accuracy
+    // witness; at corpus scale the sketch replaces the exact distinct's
+    // full shuffle with one 512-byte buffer per group per map task.
+    "q_hll_card" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.plans.HllExpressions.hllEstimate(
+            graft.plans.HllExpressions.hllSketch64(
+              HashExpressions.fnv64(col("text")), 9)).as("est_distinct"),
+          countDistinct(HashExpressions.fnv64(col("text")))
+            .as("exact_distinct"))),
+
+    // §2b-57: distributed BPE merge learning (Sennrich et al. 2016) —
+    // ONE corpus shuffle to the word-frequency table, then 6 merge
+    // rounds over the vocabulary (pair-count agg + 1-row argmax collect
+    // + codegen merge pass each). Oracle replays the full greedy loop
+    // in SQL via the run-parity window form.
+    "q_bpe_merges" -> ((s, dir) =>
+      Bpe.mergesDf(s, Bpe.learn(t(s, dir, "documents"), "text",
+        numMerges = 6))),
+
+    // §2b-57b: the ENCODE step — the learned merges applied to the
+    // vocabulary as 6 chained codegen merge passes in one projection
+    // (how a corpus is actually segmented once the tokenizer is
+    // learned; applying to words, not raw docs, is the standard
+    // word-cache trick — each distinct word segments once).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learn(docs, "text", numMerges = 6)
+      Bpe.wordCounts(docs, "text")
+        .select(col("w"), col("cnt"),
+          array_join(Bpe.applyMerges(Bpe.charSymbols(col("w")), merges), " ")
+            .as("segmented"))
+    }),
+
     // §2b: the APPLIED near-dup policy — the composition users actually
     // run: candidate pairs → connected components → keep each cluster's
     // canonical (minimum-id) doc. One semi-join over the corpus; the
@@ -1299,6 +1376,65 @@ object SparkEntry {
       s"list_transform(range(1, length($x)+1), " +
       s"j -> CAST(unicode(substr($x, j, 1)) AS HUGEINT))), " +
       s"(acc, ch) -> (xor(acc, ch) * CAST('1099511628211' AS HUGEINT)) % $sqlMod)"
+
+  /** CTE chain replaying `numMerges` rounds of greedy BPE merge
+    * learning (operators.Bpe) in DuckDB: `words` (corpus word counts,
+    * printable-ASCII vocabulary) → `w0` (per-char symbol arrays) →
+    * per round k: pair counts `p{k}`, argmax `b{k}` (count desc, then
+    * lexicographically smallest pair — DuckDB binary collation ==
+    * Spark UTF8String order), and the merge applied via the RUN-PARITY
+    * window form `w{k}`: for lhs != rhs adjacent matches can't
+    * overlap, so every match merges; for lhs == rhs a run of equal
+    * symbols merges at even run offsets only — exactly greedy
+    * left-to-right (BpeOps.mergePass). Caller appends the final
+    * SELECT over `b1..bK` (merge table) or `w{K}` (encoded vocab). */
+  private def sqlBpeChain(numMerges: Int): String = {
+    val head =
+      """WITH words AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS w
+        |    FROM documents) u
+        |  WHERE regexp_matches(w, '^[!-~]+$')
+        |  GROUP BY w),
+        |w0 AS (
+        |  SELECT w, cnt, list_transform(generate_series(1, length(w)),
+        |    i -> substr(w, CAST(i AS INT), 1)) AS s
+        |  FROM words)""".stripMargin
+    val rounds = (1 to numMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, sum(cnt) AS c
+         |  FROM w${k - 1}, unnest(generate_series(1, len(s)-1)) u(i)
+         |  WHERE len(s) >= 2 GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |e$k AS (SELECT w, cnt, i, s[i] AS sym
+         |        FROM w${k - 1}, unnest(generate_series(1, len(s))) u(i)),
+         |m$k AS (
+         |  SELECT e.w, e.cnt, e.i, e.sym, b.lhs, b.rhs,
+         |    (e.sym = b.lhs AND
+         |     lead(e.sym) OVER (PARTITION BY e.w ORDER BY e.i) = b.rhs) AS mt
+         |  FROM e$k e CROSS JOIN b$k b),
+         |r$k AS (
+         |  SELECT *, coalesce(max(CASE WHEN sym <> lhs THEN i END)
+         |    OVER (PARTITION BY w ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rs
+         |  FROM m$k),
+         |s$k AS (
+         |  SELECT *, CASE WHEN NOT coalesce(mt, false) THEN false
+         |                 WHEN lhs <> rhs THEN true
+         |                 ELSE (i - rs) % 2 = 0 END AS strt
+         |  FROM r$k),
+         |f$k AS (
+         |  SELECT *, coalesce(lag(strt) OVER (PARTITION BY w ORDER BY i),
+         |                     false) AS cons
+         |  FROM s$k),
+         |w$k AS (
+         |  SELECT w, any_value(cnt) AS cnt,
+         |    list(CASE WHEN strt THEN lhs || rhs ELSE sym END ORDER BY i)
+         |      FILTER (NOT cons) AS s
+         |  FROM f$k GROUP BY w)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** CTE chain applying the splitmix64 finisher to column z0`tag` of
     * g0`tag` (the +golden step must already be folded into z0), keyed
@@ -2159,6 +2295,116 @@ object SparkEntry {
         |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS contamination_frac
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // span-level variant: string-window replay of the covered-token
+    // removal (the q_substring_dedup rebuild pattern pointed at the
+    // eval set). Both sides window at exactly k=5 — no short-doc
+    // fallback shingle — so docs with <5 tokens pass through unchanged.
+    "q_decontaminate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |btoks AS (
+        |  SELECT regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS s
+        |  FROM btoks, unnest(generate_series(1, len(t)-4)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS s
+        |  FROM toks, unnest(generate_series(1, len(t)-4)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN bsh b ON w.s = b.s),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, g.tp
+        |  FROM hits, unnest(generate_series(pos, pos + 4)) AS g(tp)),
+        |tokpos AS (
+        |  SELECT doc_id, i - 1 AS tp, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.tp, k.tok FROM tokpos k
+        |  LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.tp = c.tp
+        |  WHERE c.doc_id IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text, '') AS text
+        |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id""".stripMargin,
+
+    // containment on the q_ngram_jaccard pair construction (same
+    // distinct string-shingle sets; hash sets on the engine side are
+    // count-identical)
+    "q_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 4),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh_a,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-3),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh_b
+        |  FROM base)
+        |SELECT doc_id,
+        |  round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+        |        CAST(len(sh_b) AS DOUBLE), 6) AS containment_b_in_a,
+        |  round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+        |        CAST(len(sh_a) AS DOUBLE), 6) AS containment_a_in_b,
+        |  len(list_intersect(sh_a, sh_b)) = len(sh_b) AS is_subset
+        |FROM sh""".stripMargin,
+
+    // full HLL register replay: fnv64 pre-hash (HUGEINT), bucket = top
+    // 9 bits (h // 2^55), rank = 33 - bit-length of the low-32 window
+    // (bin() is minimal-width, so no floating log2 anywhere), register
+    // max per (source, bucket), then the EXACT power-of-two register
+    // sum (absent buckets contribute 2^0 = 1 each) and the same
+    // alpha·m²/sum ± linear-counting arithmetic as functions.Hll —
+    // operation-for-operation, so the double replays bitwise.
+    "q_hll_card" ->
+      s"""WITH h AS (SELECT source, ${sqlFnvRaw("text")} AS h FROM documents),
+         |g0q AS (SELECT source, (h + $sqlGolden) % $sqlMod AS z0q FROM h),
+         |${sqlMixChain("q", "source")},
+         |reg AS (
+         |  SELECT source, CAST(z4 // 36028797018963968 AS BIGINT) AS b,
+         |         max(CASE WHEN z4 % 4294967296 = 0 THEN 33
+         |                  ELSE 33 - length(bin(CAST(z4 % 4294967296 AS BIGINT)))
+         |             END) AS rho
+         |  FROM g5q GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, sum(pow(2.0, -rho)) AS sp, count(*) AS nb
+         |  FROM reg GROUP BY 1),
+         |est AS (
+         |  SELECT source,
+         |    (0.7213 / (1 + 1.079 / 512)) * 262144.0 / (sp + (512 - nb)) AS raw,
+         |    512 - nb AS zeros
+         |  FROM agg),
+         |fin AS (
+         |  SELECT source,
+         |    CASE WHEN raw <= 1280.0 AND zeros > 0
+         |         THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+         |         ELSE raw END AS est_distinct
+         |  FROM est),
+         |ex AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+         |  FROM h GROUP BY source)
+         |SELECT e.source, e.n_docs, f.est_distinct, e.exact_distinct
+         |FROM ex e JOIN fin f ON e.source = f.source""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""${sqlBpeChain(6)}
+         |${(1 to 6).map(k =>
+             s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(c AS BIGINT) AS freq FROM b$k")
+             .mkString("\n UNION ALL ")}""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""${sqlBpeChain(6)}
+         |SELECT w, CAST(cnt AS BIGINT) AS cnt,
+         |       array_to_string(s, ' ') AS segmented
+         |FROM w6""".stripMargin,
 
     // winner choice replayed on paragraph STRINGS (row_number over
     // (para) ordered by (doc_id, idx) = Spark's min-struct); corpus

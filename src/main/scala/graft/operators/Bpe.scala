@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.plans.BpeExpression
+
+/** Distributed byte-pair-encoding merge learning (Sennrich et al.
+  * 2016, alg. 1) — the tokenizer-induction step of a training-data
+  * pipeline, run on the cluster instead of a single-node word counter.
+  *
+  * Shape: the CORPUS is touched exactly once — one explode + groupBy
+  * shuffle producing the word-frequency table (`wordCounts`). The
+  * learn loop then runs entirely over that VOCABULARY table (|V| rows;
+  * Heaps'-law sublinear in corpus size, comfortably cluster-cached at
+  * 100 TB corpus scale): per merge, one map-combined pair-count
+  * aggregation over ~|V|·avg_word_len narrow (lhs, rhs, cnt) rows, a
+  * 1-row `collect()` for the argmax pair (metadata-sized driver
+  * decision, like the IVF-centroid pattern), and one codegen
+  * projection applying the merge ([[graft.plans.BpeMerge]] — greedy
+  * left-to-right, k chained merges stay one WholeStageCodegen span).
+  * Generations are persisted and retired once the successor is
+  * materialized, so each iteration reads the previous generation, not
+  * the whole lineage.
+  *
+  * Tie-break is fully deterministic and oracle-aligned: max total
+  * frequency, then lexicographically smallest (lhs, rhs) in UTF-8
+  * BYTE order (Spark UTF8String comparison == DuckDB binary
+  * collation; the gopherRepetition code-point lesson). `asciiOnly`
+  * (default) restricts the vocabulary to printable-ASCII words so
+  * per-character splitting agrees across engines regardless of their
+  * grapheme/code-point conventions; non-ASCII corpora work (the
+  * kernel is code-point-based) but the oracle contract is ASCII.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), the pair, its frequency. */
+  case class Merge(rank: Int, lhs: String, rhs: String, freq: Long)
+
+  /** Word-frequency table from a corpus: (w, cnt). The single corpus
+    * pass; everything after runs on this table. */
+  def wordCounts(docs: DataFrame, textCol: String,
+                 asciiOnly: Boolean = true): DataFrame = {
+    val words = docs.select(
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+    val filtered = if (asciiOnly) words.filter(col("w").rlike("^[!-~]+$"))
+                   else words
+    filtered.groupBy("w").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-character initial symbol array for a word column. */
+  def charSymbols(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+
+  /** Apply an ordered merge list to a symbol-array column (the ENCODE
+    * step): k chained greedy passes in one codegen projection. */
+  def applyMerges(syms: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(syms)((s, m) =>
+      BpeExpression.bpeMerge(s, lit(m.lhs), lit(m.rhs)))
+
+  /** Learn `numMerges` merges from a (w, cnt) word-frequency table.
+    * Returns the driver-held merge list (vocabulary-derived metadata —
+    * the artifact a tokenizer ships with). Stops early if no pair
+    * remains (every word reduced to one symbol). */
+  def learnFromWords(words: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var cur = words
+      .select(col("w"), col("cnt"), charSymbols(col("w")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val best = cur.filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(s[i-1] AS lhs, s[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(desc("freq"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += Merge(k, l, r, f)
+        val next = cur.withColumn("s",
+            BpeExpression.bpeMerge(col("s"), lit(l), lit(r)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before retiring the parent generation
+        cur.unpersist()
+        cur = next
+        k += 1
+      }
+    }
+    cur.unpersist()
+    merges.toSeq
+  }
+
+  /** Learn merges straight from a corpus (wordCounts + learnFromWords). */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+            asciiOnly: Boolean = true): Seq[Merge] =
+    learnFromWords(wordCounts(docs, textCol, asciiOnly), numMerges)
+
+  /** The merge list as a DataFrame (rank, lhs, rhs, freq). */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+               merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "freq")
+  }
+}

@@ -73,4 +73,74 @@ object Decontaminate {
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Span-level decontamination: instead of DROPPING a training doc
+    * that shares a word `shingleK`-shingle with the eval set (the
+    * binary q_decontaminate policy — wasteful when one quoted sentence
+    * condemns a long document), remove exactly the tokens covered by
+    * ANY matching shingle and keep the rest (the surgical variant of
+    * the GPT-3 appendix-C policy, as applied in later decontamination
+    * pipelines).
+    *
+    * Same machinery as [[graft.operators.Dedup.substringDedup]]'s
+    * covered-token removal, with "duplicated window" replaced by
+    * "eval-matching window":
+    *
+    *  1. tokenize once (persisted — feeds window generation AND
+    *     reassembly);
+    *  2. k-token windows with positions; only their fnv64 hashes move;
+    *  3. semi-join window hashes against the (broadcast) distinct eval
+    *     shingle hashes — corpus text never shuffles;
+    *  4. matched windows explode to covered token positions
+    *     [pos, pos+k-1]; covered tokens anti-join out; the remainder
+    *     reassembles in token order.
+    *
+    * Output: (idCol, textCol) for EVERY corpus row —
+    * whitespace-normalized (the substringDedup rebuild convention),
+    * empty string when fully covered. Docs with fewer than `shingleK`
+    * tokens cannot contain a full shingle and pass through unchanged
+    * (both sides window at exactly k — the short-doc fallback shingle
+    * of `shingles64` is deliberately NOT applied here).
+    *
+    * Scale: shuffle volume is O(corpus tokens) 8-byte keys for the
+    * window pass + O(matches) for coverage; the eval side is
+    * broadcast-sized (use [[decontaminateBloom]]'s prefilter pattern
+    * upstream when it is not). */
+  def decontaminateSpans(corpus: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, evalTextCol: String,
+                         shingleK: Int = 5): DataFrame = {
+    require(shingleK >= 2, s"shingleK must be >= 2, got $shingleK")
+    val k = shingleK
+    val toks = corpus.select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = toks.filter(size(col("t")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(k)))))
+        .as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"),
+        graft.plans.HashExpressions.fnv64(col("s")).as("h"))
+    val evalSh = eval
+      .select(graft.functions.TextFunctions.tokens(col(evalTextCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(explode(
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(k))))).as("s"))
+      .select(graft.plans.HashExpressions.fnv64(col("s")).as("h"))
+      .distinct()
+    val hits = wins.join(broadcast(evalSh), Seq("h"), "left_semi")
+    val covered = hits.select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .dropDuplicates(idCol, "tp")
+    val tokPos = toks.select(col(idCol),
+      posexplode(col("t")).as(Seq("tp", "tok")))
+    val rebuilt = tokPos.join(covered, Seq(idCol, "tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("tp"), col("tok")))),
+          p => p.getField("tok")), " ").as(textCol))
+    toks.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

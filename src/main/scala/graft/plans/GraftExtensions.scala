@@ -68,7 +68,21 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    ("hll_sketch64",
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch64"),
+      (es: Seq[Expression]) => HllSketchAgg(es.head,
+        if (es.size > 1) intArg(es(1), "hll_sketch64 precision") else 9)),
+    ("hll_union",
+      new ExpressionInfo(classOf[HllUnionAgg].getName, "hll_union"),
+      (es: Seq[Expression]) => HllUnionAgg(es.head,
+        if (es.size > 1) intArg(es(1), "hll_union precision") else 9)),
+    ("hll_estimate",
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      (es: Seq[Expression]) => HllEstimate(es.head)),
+    ("bpe_merge",
+      new ExpressionInfo(classOf[BpeMerge].getName, "bpe_merge"),
+      (es: Seq[Expression]) => BpeMerge(es.head, es(1), es(2))))
 
   /** Register into a live session (local/test path). */
   def register(spark: SparkSession): Unit =

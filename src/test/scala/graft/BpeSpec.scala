@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.BpeOps
+import graft.operators.Bpe
+
+/** Distributed BPE merge learning (operators.Bpe): the greedy kernel's
+  * left-to-right semantics (the part the DuckDB oracle's run-parity
+  * form must equal), the learn loop on the classic Sennrich toy
+  * vocabulary, encode-step composition, and early exhaustion. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def merge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val arr = new GenericArrayData(
+      syms.map(s => UTF8String.fromString(s)).toArray[Any])
+    val out = BpeOps.mergePass(arr, UTF8String.fromString(a),
+      UTF8String.fromString(b))
+    (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+  }
+
+  test("mergePass is greedy left-to-right: runs of the pair symbol " +
+    "merge at even run offsets (the oracle's run-parity form)") {
+    assert(merge(Seq("a", "a", "a", "a", "a"), "a", "a") ===
+      Seq("aa", "aa", "a"))
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(merge(Seq("x", "a", "b", "a", "b", "y"), "a", "b") ===
+      Seq("x", "ab", "ab", "y"))
+    assert(merge(Seq("b", "a"), "a", "b") === Seq("b", "a"))
+    assert(merge(Seq("a"), "a", "a") === Seq("a"))
+    assert(merge(Seq.empty, "a", "b") === Seq.empty)
+  }
+
+  test("learnFromWords reproduces the hand-computed merge sequence on " +
+    "the classic toy vocabulary (incl. frequency and lex tie-breaks)") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "cnt")
+    val merges = Bpe.learnFromWords(words, 6)
+    assert(merges.map(m => (m.lhs, m.rhs, m.freq)) === Seq(
+      ("e", "s", 9L),   // ties (s,t)=9; 'e' < 's'
+      ("es", "t", 9L),
+      ("l", "o", 7L),   // ties (o,w)=7; 'l' < 'o'
+      ("lo", "w", 7L),
+      ("e", "w", 6L),   // ties (n,e), (w,est); 'e' smallest
+      ("ew", "est", 6L)))
+    assert(merges.map(_.rank) === Seq(1, 2, 3, 4, 5, 6))
+  }
+
+  test("applyMerges encodes unseen words with the learned subwords") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "cnt")
+    val merges = Bpe.learnFromWords(words, 6)
+    val seg = Seq("lowest").toDF("w")
+      .select(array_join(
+        Bpe.applyMerges(Bpe.charSymbols(col("w")), merges), " ").as("s"))
+      .as[String].head()
+    assert(seg === "low est")
+  }
+
+  test("learn stops early when no pair remains") {
+    val words = Seq(("a", 3L), ("b", 2L)).toDF("w", "cnt")
+    assert(Bpe.learnFromWords(words, 5).isEmpty)
+    val one = Seq(("ab", 1L)).toDF("w", "cnt")
+    assert(Bpe.learnFromWords(one, 5).map(m => (m.lhs, m.rhs, m.freq)) ===
+      Seq(("a", "b", 1L)))
+  }
+
+  test("wordCounts: one corpus pass, ASCII vocabulary filter") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "bb ccéx")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
+    assert(wc === Map("aa" -> 2L, "bb" -> 2L)) // ccéx dropped (non-ASCII)
+  }
+
+  test("SQL surface: bpe_merge registered through the extensions hook") {
+    val out = spark.sql(
+      "SELECT bpe_merge(array('a','b','a','b'), 'a', 'b') AS s")
+      .as[Seq[String]].head()
+    assert(out === Seq("ab", "ab"))
+  }
+}

@@ -71,6 +71,43 @@ class DecontaminateSpec extends AnyFunSuite {
       all, "text", 5, 0.01).count() == 0)
   }
 
+  test("decontaminateSpans removes exactly the covered token spans and " +
+    "keeps the rest (doc survives where the binary policy drops it)") {
+    val c = Seq(
+      // eval 5-gram planted mid-doc: tokens 2..6 (0-based) covered
+      (1L, "keep1 keep2 alpha beta gamma delta epsilon keep3 keep4"),
+      (2L, "one two three nine four five six"), // clean
+      (3L, "alpha beta gamma delta epsilon"),   // fully covered -> ""
+      (4L, "tiny doc")                          // <5 tokens: untouched
+    ).toDF("doc_id", "text")
+    val e = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val got = Decontaminate
+      .decontaminateSpans(c, "doc_id", "text", e, "text", 5)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "keep1 keep2 keep3 keep4")
+    assert(got(2L) === "one two three nine four five six")
+    assert(got(3L) === "")
+    assert(got(4L) === "tiny doc")
+    // contrast: the binary policy would have dropped docs 1 and 3
+    val binary = plainPolicy(c, e).select("doc_id").as[Long].collect().sorted
+    assert(binary.toSeq === Seq(2L, 4L))
+  }
+
+  test("decontaminateSpans: overlapping matches merge their covered " +
+    "ranges; every corpus row comes back exactly once") {
+    // eval shares a 6-token run -> two overlapping 5-windows in doc 1,
+    // covering tokens 1..6 as ONE range
+    val c = Seq(
+      (1L, "k1 alpha beta gamma delta epsilon zeta k2"),
+      (2L, "nothing shared here at all five tokens")).toDF("doc_id", "text")
+    val e = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val out = Decontaminate
+      .decontaminateSpans(c, "doc_id", "text", e, "text", 5)
+    assert(out.count() === 2)
+    val got = out.as[(Long, String)].collect().toMap
+    assert(got(1L) === "k1 k2")
+  }
+
   test("plan: the bloom probe is a codegen filter on the corpus scan " +
     "side, below the verify join") {
     val df = Decontaminate.decontaminateBloom(corpus(), "doc_id", "text",

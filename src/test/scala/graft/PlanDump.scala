@@ -14,7 +14,9 @@ object PlanDump {
       "q_classifier_score", "q_clean_lines", "q_cluster_best",
       "q_temperature_sample", "q_dsir_select", "q_semdedup",
       "q_gopher_rep", "q_dataset_card", "q_norm_dedup",
-      "q_quality_topp", "q_cdc_blocks", "q_edit_verify", "q_embed_outliers").foreach { name =>
+      "q_quality_topp", "q_cdc_blocks", "q_edit_verify", "q_embed_outliers",
+      "q_decontaminate_spans", "q_containment", "q_hll_card",
+      "q_bpe_encode").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
       out.println(df.queryExecution.explainString(
