@@ -226,16 +226,44 @@ object NearDup {
     * document length — so this is for bounded-length fields or
     * LSH-thinned candidate sets, never an all-pairs or long-document
     * pass; cap lengths upstream (e.g. verify on the first N chars)
-    * when docs are unbounded. */
+    * when docs are unbounded.
+    *
+    * CPU-bound stages partition by CPU, not bytes: candidate pairs are
+    * tiny in BYTES but huge in CPU (len² per row), so every
+    * byte-oriented placement decision — AQE coalescing the join
+    * shuffle to one partition, a broadcast join preserving a small
+    * scan's 1-2 input partitions — serializes the quadratic kernel
+    * onto a couple of cores. Two moves restore CPU balance (measured
+    * at sf0.1 local[32]: 5.5 s → ~1 s):
+    *
+    *  - the joined frame is explicitly repartitioned on the pair key
+    *    to the session's shuffle parallelism (explicit numPartitions
+    *    is exempt from AQE coalescing);
+    *  - the similarity is computed as a WINDOW aggregate over the pair
+    *    key. The window's distribution requirement is satisfied by
+    *    that repartition (no extra exchange), the kernel evaluates
+    *    exactly once per row AFTER the exchange, and — the load-
+    *    bearing part — a Filter on a window output cannot be pushed
+    *    below the window, so the threshold predicate can't migrate
+    *    below the repartition and drag the Levenshtein back onto the
+    *    join's single post-AQE partition (which is exactly what a
+    *    plain projection + filter does: the optimizer inlines the
+    *    alias into the filter and pushes it through the exchange). */
   def editVerify(pairs: DataFrame, docs: DataFrame, minSim: Double,
                  idCol: String = "doc_id", textCol: String = "text",
                  idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val shufflePartitions =
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val ta = docs.select(col(idCol).as(idACol), col(textCol).as("__ta"))
     val tb = docs.select(col(idCol).as(idBCol), col(textCol).as("__tb"))
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idACol), col(idBCol))
     pairs.join(ta, idACol).join(tb, idBCol)
-      .withColumn("edit_sim",
+      .repartition(shufflePartitions, col(idACol), col(idBCol))
+      .withColumn("edit_sim", max(
         lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
           greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+        .over(byPair))
       .filter(col("edit_sim") >= minSim)
       .select(col(idACol), col(idBCol), round(col("edit_sim"), 6).as("edit_sim"))
   }
