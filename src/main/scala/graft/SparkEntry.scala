@@ -692,6 +692,20 @@ object SparkEntry {
       Bpe.mergesDf(s, Bpe.learn(t(s, dir, "documents"), "text",
         numMerges = 6))),
 
+    // §2b-58: cross-release token-distribution drift — the
+    // distribution-level release gate next to q_overlap_card's
+    // membership diff. Release B = every doc with its last token
+    // dropped (a deterministic cleaning-change stand-in); the query
+    // names the topK most-divergent tokens with their per-side
+    // probabilities and JS contributions (ln/IEEE replay, the BM25
+    // precedent).
+    "q_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val relB = docs.select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+\\S+$", "").as("text"))
+      Profile.tokenDrift(docs, relB, "text", topK = 20)
+    }),
+
     // §2b-57b: the ENCODE step — the learned merges applied to the
     // vocabulary as 6 chained codegen merge passes in one projection
     // (how a corpus is actually segmented once the tokenizer is
@@ -2405,6 +2419,44 @@ object SparkEntry {
          |SELECT w, CAST(cnt AS BIGINT) AS cnt,
          |       array_to_string(s, ' ') AS segmented
          |FROM w6""".stripMargin,
+
+    // JS-contribution arithmetic spelled operation-for-operation like
+    // the engine (division, the shared (p+q)/2 midpoint, ln, the two
+    // 0.5· products, their sum) so the doubles replay bitwise; order
+    // ties on the double are exact for the same reason
+    "q_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT unnest(regexp_extract_all(
+        |    regexp_replace(trim(text), '\s+\S+$', ''),
+        |    '[^ \t\n\x0b\f\r]+')) AS tok
+        |  FROM documents),
+        |ca AS (SELECT tok, count(*) AS cnt_a FROM ta GROUP BY 1),
+        |cb AS (SELECT tok, count(*) AS cnt_b FROM tb GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM ta) AS na,
+        |               (SELECT count(*) FROM tb) AS nb),
+        |j AS (
+        |  SELECT coalesce(ca.tok, cb.tok) AS token,
+        |         coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |p AS (
+        |  SELECT token, cnt_a, cnt_b,
+        |         CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE) AS p_a,
+        |         CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE) AS p_b
+        |  FROM j, tot),
+        |sc AS (
+        |  SELECT token, cnt_a, cnt_b, p_a, p_b,
+        |    0.5 * (CASE WHEN p_a > 0
+        |                THEN p_a * ln(p_a / ((p_a + p_b) / 2))
+        |                ELSE 0.0 END) +
+        |    0.5 * (CASE WHEN p_b > 0
+        |                THEN p_b * ln(p_b / ((p_a + p_b) / 2))
+        |                ELSE 0.0 END) AS js_contrib
+        |  FROM p)
+        |SELECT token, cnt_a, cnt_b, p_a, p_b, js_contrib
+        |FROM sc ORDER BY js_contrib DESC, token LIMIT 20""".stripMargin,
 
     // winner choice replayed on paragraph STRINGS (row_number over
     // (para) ordered by (doc_id, idx) = Spark's min-struct); corpus

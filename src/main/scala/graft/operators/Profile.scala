@@ -128,6 +128,72 @@ object Profile {
         (col("distinct_b") - col("shared")).as("new_in_b"))
   }
 
+  /** Per-token Jensen-Shannon drift between two corpus releases'
+    * unigram distributions — the distribution-level companion to
+    * [[overlapCard]] (which sees only exact-content membership): a
+    * release can share 95% of its documents and still shift the token
+    * distribution the model trains on (new boilerplate, a source
+    * rebalance, a cleaning change). Returns the `topK` most-divergent
+    * tokens with their per-side counts, probabilities, and
+    * JS contribution `0.5·p·ln(p/m) + 0.5·q·ln(q/m)`, `m = (p+q)/2`
+    * (nats; zero-count sides contribute 0 by the 0·ln0 = 0
+    * convention). Summing `js_contrib` over ALL tokens (not just the
+    * returned top-k) gives the total JS divergence — [[tokenDriftCard]]
+    * does that.
+    *
+    * Plan: one explode + map-combined count aggregation per side, a
+    * full outer join on the token key (co-partitioned with the
+    * counts), totals as two broadcast 1-row literals, then
+    * TakeOrderedAndProject for the top-k — never a global sort; text
+    * never shuffles (tokens do, once, as aggregation keys). */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 topK: Int = 20): DataFrame =
+    driftScores(a, b, textCol)
+      .orderBy(desc("js_contrib"), asc("token"))
+      .limit(topK)
+
+  /** Every token's drift score, unsorted (the frame both public
+    * shapes derive from). */
+  private def driftScores(a: DataFrame, b: DataFrame,
+                          textCol: String): DataFrame = {
+    def counts(df: DataFrame, cntName: String) = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as(cntName))
+    val ca = counts(a, "cnt_a")
+    val cb = counts(b, "cnt_b")
+    val na = ca.agg(sum(col("cnt_a")).as("__na"))
+    val nb = cb.agg(sum(col("cnt_b")).as("__nb"))
+    val scored = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("double") / col("__na").cast("double")).as("p_a"),
+        (col("cnt_b").cast("double") / col("__nb").cast("double")).as("p_b"))
+    val m = (col("p_a") + col("p_b")) / lit(2)
+    val termA = when(col("p_a") > 0,
+      col("p_a") * log(col("p_a") / m)).otherwise(lit(0.0))
+    val termB = when(col("p_b") > 0,
+      col("p_b") * log(col("p_b") / m)).otherwise(lit(0.0))
+    scored.select(col("token"), col("cnt_a"), col("cnt_b"),
+      col("p_a"), col("p_b"),
+      (lit(0.5) * termA + lit(0.5) * termB).as("js_contrib"))
+  }
+
+  /** 1-row drift summary: total JS divergence (nats, in [0, ln 2]) +
+    * vocabulary membership counts. The scalar a release gate
+    * thresholds on; [[tokenDrift]] names the tokens responsible. */
+  def tokenDriftCard(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    driftScores(a, b, textCol)
+      .agg(sum(col("js_contrib")).as("js_divergence"),
+        count(lit(1)).as("vocab_union"),
+        sum(when(col("cnt_a") > 0 && col("cnt_b") > 0, 1L).otherwise(0L))
+          .as("vocab_shared"),
+        sum(when(col("cnt_b") === 0, 1L).otherwise(0L)).as("vocab_dropped"),
+        sum(when(col("cnt_a") === 0, 1L).otherwise(0L)).as("vocab_new"))
+
   /** The keys [[skewReport]] warns about: top-k by row count with
     * their corpus share. TakeOrderedAndProject (per-partition heap +
     * driver merge of k·partitions rows), never a global sort. */

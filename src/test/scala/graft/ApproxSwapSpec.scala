@@ -126,6 +126,47 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("new_in_b") == 1L)
   }
 
+  test("tokenDrift scores match a hand-computed JS decomposition; " +
+    "identical releases score zero everywhere") {
+    val a = Seq("x x y", "z").toDF("text") // counts: x2 y1 z1, n=4
+    val b = Seq("x y y", "z").toDF("text") // counts: x1 y2 z1, n=4
+    val rows = graft.operators.Profile.tokenDrift(a, b, "text", 10)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    def js(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      0.5 * (if (p > 0) p * math.log(p / m) else 0.0) +
+        0.5 * (if (q > 0) q * math.log(q / m) else 0.0)
+    }
+    // x and y drift symmetrically (0.5 vs 0.25 each way); z is stable.
+    // order: equal contribs tie-break on token
+    assert(rows.map(_._1) == Seq("x", "y", "z"))
+    assert(rows(0)._6 === js(0.5, 0.25))
+    assert(rows(1)._6 === js(0.25, 0.5))
+    assert(rows(2)._6 === 0.0)
+    // identical releases: every contribution exactly 0 (p == q == m)
+    val same = graft.operators.Profile.tokenDrift(a, a, "text", 10)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(same.forall(_._6 == 0.0))
+  }
+
+  test("tokenDriftCard sums to the hand-computed total and counts " +
+    "vocabulary membership") {
+    val a = Seq("x x y old").toDF("text") // x2 y1 old1, n=4
+    val b = Seq("x y y new").toDF("text") // x1 y2 new1, n=4
+    val r = graft.operators.Profile.tokenDriftCard(a, b, "text").collect()(0)
+    def js(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      0.5 * (if (p > 0) p * math.log(p / m) else 0.0) +
+        0.5 * (if (q > 0) q * math.log(q / m) else 0.0)
+    }
+    val expected = js(0.5, 0.25) + js(0.25, 0.5) + js(0.25, 0.0) + js(0.0, 0.25)
+    assert(math.abs(r.getAs[Double]("js_divergence") - expected) < 1e-12)
+    assert(r.getAs[Long]("vocab_union") == 4L)
+    assert(r.getAs[Long]("vocab_shared") == 2L)
+    assert(r.getAs[Long]("vocab_dropped") == 1L) // "old"
+    assert(r.getAs[Long]("vocab_new") == 1L)     // "new"
+  }
+
   test("heavyHitters returns top-k keys by count with exact shares, " +
     "deterministic on ties") {
     val df = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("w") ++
