@@ -71,6 +71,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size < docs.size + 1)
   }
 
+  test("per-micro-batch HLL sketches union to the batch sketch " +
+    "byte-identically (the streaming cardinality story)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.plans.{HashExpressions, HllExpressions}
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch += batch.agg(HllExpressions.hllSketch64(
+            HashExpressions.fnv64($"text"), 9).as("sk"))
+          .as[Array[Byte]].head()
+        (): Unit
+      }
+      .start()
+    // three uneven micro-batches — register merge must be order- and
+    // split-insensitive; drain between feeds so each chunk is its own
+    // micro-batch
+    docs.grouped(math.max(1, docs.size / 3)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(perBatch.size >= 2, "expected multiple micro-batches")
+
+    val merged = perBatch.toSeq.toDF("sk")
+      .agg(HllExpressions.hllUnion($"sk", 9).as("sk"))
+      .as[Array[Byte]].head()
+    val whole = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .agg(HllExpressions.hllSketch64(
+        HashExpressions.fnv64($"text"), 9).as("sk"))
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
   test("corpus-prep narrow ops (clean lines -> classifier -> hash gate) " +
     "compose in a stream with exact batch parity") {
     implicit val sqlCtx = spark.sqlContext
