@@ -683,6 +683,27 @@ object SparkEntry {
           countDistinct(HashExpressions.fnv64(col("text")))
             .as("exact_distinct"))),
 
+    // §2b-56b: count-min frequency sketch — the approximate-COUNT
+    // companion to q_hll_card's distinct sketch. One corpus pass
+    // builds the 4×2048 sketch (ObjectHashAggregate, 64 KiB buffer);
+    // the top-20 exact token counts ride along as the accuracy
+    // witness, each with its sketch estimate (always >= exact, the
+    // CMS one-sided guarantee — the oracle replays the estimates
+    // exactly through the splitmix row-hash chain).
+    "q_cms_counts" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sketch = toks.agg(
+        graft.plans.CmsExpressions.cmsSketch64(
+          HashExpressions.fnv64(col("token")), 4, 2048).as("__sk"))
+      toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("token")).limit(20)
+        .crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_cnt"),
+          graft.plans.CmsExpressions.cmsEstimate(col("__sk"),
+            HashExpressions.fnv64(col("token"))).as("est_cnt"))
+    }),
+
     // §2b-57: distributed BPE merge learning (Sennrich et al. 2016) —
     // ONE corpus shuffle to the word-frequency table, then 6 merge
     // rounds over the vocabulary (pair-count agg + 1-row argmax collect
@@ -2419,6 +2440,30 @@ object SparkEntry {
          |SELECT w, CAST(cnt AS BIGINT) AS cnt,
          |       array_to_string(s, ' ') AS segmented
          |FROM w6""".stripMargin,
+
+    // full CMS replay: per distinct token, the 4 row-bucket indices
+    // come from the same splitmix chain the MinHash oracles use
+    // (z0 = h + (i+1)·golden), bucket totals are exact integer sums
+    // over every token landing there, and the estimate is the min —
+    // integer-exact end to end
+    "q_cms_counts" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS tok
+         |  FROM documents),
+         |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |keyed AS (SELECT tok, cnt, ${sqlFnvRaw("tok")} AS h FROM counts),
+         |g0c AS (
+         |  SELECT tok, cnt, i, (h + (i + 1) * $sqlGolden) % $sqlMod AS z0c
+         |  FROM keyed, range(0, 4) r(i)),
+         |${sqlMixChain("c", "tok, cnt, i")},
+         |gb AS (SELECT tok, cnt, i, CAST(z4 % 2048 AS BIGINT) AS b FROM g5c),
+         |btot AS (SELECT i, b, sum(cnt) AS tot FROM gb GROUP BY 1, 2),
+         |est AS (
+         |  SELECT g.tok, CAST(min(t.tot) AS BIGINT) AS est_cnt
+         |  FROM gb g JOIN btot t ON g.i = t.i AND g.b = t.b GROUP BY g.tok),
+         |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 20)
+         |SELECT t.tok AS token, CAST(t.cnt AS BIGINT) AS exact_cnt, e.est_cnt
+         |FROM top t JOIN est e ON t.tok = e.tok""".stripMargin,
 
     // JS-contribution arithmetic spelled operation-for-operation like
     // the engine (division, the shared (p+q)/2 midpoint, ln, the two

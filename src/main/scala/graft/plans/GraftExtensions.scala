@@ -82,7 +82,18 @@ object GraftExtensions {
       (es: Seq[Expression]) => HllEstimate(es.head)),
     ("bpe_merge",
       new ExpressionInfo(classOf[BpeMerge].getName, "bpe_merge"),
-      (es: Seq[Expression]) => BpeMerge(es.head, es(1), es(2))))
+      (es: Seq[Expression]) => BpeMerge(es.head, es(1), es(2))),
+    ("cms_sketch64",
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch64"),
+      (es: Seq[Expression]) => CmsSketchAgg(es.head,
+        if (es.size > 1) intArg(es(1), "cms_sketch64 depth") else 4,
+        if (es.size > 2) intArg(es(2), "cms_sketch64 width") else 2048)),
+    ("cms_union",
+      new ExpressionInfo(classOf[CmsUnionAgg].getName, "cms_union"),
+      (es: Seq[Expression]) => CmsUnionAgg(es.head)),
+    ("cms_estimate",
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (es: Seq[Expression]) => CmsEstimate(es.head, es(1))))
 
   /** Register into a live session (local/test path). */
   def register(spark: SparkSession): Unit =
