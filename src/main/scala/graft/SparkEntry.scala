@@ -683,6 +683,24 @@ object SparkEntry {
           countDistinct(HashExpressions.fnv64(col("text")))
             .as("exact_distinct"))),
 
+    // §2b-56c: INCREMENTAL dataset card — the sketch columns doing
+    // their real job: two release cards (full corpus + a re-ship of
+    // the even docs) each built with ONE aggregation over its own
+    // data, merged without touching either corpus again (sums add,
+    // HLL sketches union), then finished. The oracle replays a DIRECT
+    // single pass over the union corpus — equality proves the whole
+    // partial→merge→finish path.
+    "q_card_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val relB = docs.filter(col("doc_id") % 2 === 0)
+      val keys = Seq("source", "lang")
+      Profile.finishCard(
+        Profile.mergeCards(Seq(
+          Profile.releaseCard(docs, "text", keys),
+          Profile.releaseCard(relB, "text", keys)), keys), keys)
+    }),
+
     // §2b-56b: count-min frequency sketch — the approximate-COUNT
     // companion to q_hll_card's distinct sketch. One corpus pass
     // builds the 4×2048 sketch (ObjectHashAggregate, 64 KiB buffer);
@@ -2440,6 +2458,59 @@ object SparkEntry {
          |SELECT w, CAST(cnt AS BIGINT) AS cnt,
          |       array_to_string(s, ' ') AS segmented
          |FROM w6""".stripMargin,
+
+    // direct single-pass replay over the union corpus: integer sums
+    // and HLL register maxima are order- and split-insensitive, so
+    // DuckDB's one pass must equal Spark's partial→merge→finish path
+    // exactly; mean_quality rounds at 4 (partial-sum drift far below
+    // resolution, the q_dataset_card argument)
+    "q_card_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |h AS (SELECT source, lang, ${sqlFnvRaw("text")} AS h FROM corpus),
+         |g0r AS (SELECT source, lang, (h + $sqlGolden) % $sqlMod AS z0r FROM h),
+         |${sqlMixChain("r", "source, lang")},
+         |reg AS (
+         |  SELECT source, lang, CAST(z4 // 36028797018963968 AS BIGINT) AS b,
+         |         max(CASE WHEN z4 % 4294967296 = 0 THEN 33
+         |                  ELSE 33 - length(bin(CAST(z4 % 4294967296 AS BIGINT)))
+         |             END) AS rho
+         |  FROM g5r GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT source, lang, sum(pow(2.0, -rho)) AS sp, count(*) AS nb
+         |  FROM reg GROUP BY 1, 2),
+         |est0 AS (
+         |  SELECT source, lang,
+         |    (0.7213 / (1 + 1.079 / 512)) * 262144.0 / (sp + (512 - nb)) AS raw,
+         |    512 - nb AS zeros
+         |  FROM agg),
+         |fin AS (
+         |  SELECT source, lang,
+         |    CASE WHEN raw <= 1280.0 AND zeros > 0
+         |         THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+         |         ELSE raw END AS est_distinct
+         |  FROM est0),
+         |base AS (
+         |  SELECT source, lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT)
+         |      AS total_tokens,
+         |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |    sum(__QUALITY__) AS quality_sum
+         |  FROM corpus GROUP BY 1, 2)
+         |SELECT b.source, b.lang, b.n_docs, b.total_tokens,
+         |  round(CAST(b.total_tokens AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 4)
+         |    AS avg_doc_tokens,
+         |  b.total_chars,
+         |  f.est_distinct,
+         |  round(1.0 - f.est_distinct / CAST(b.n_docs AS DOUBLE), 6)
+         |    AS est_dup_frac,
+         |  round(b.quality_sum / CAST(b.n_docs AS DOUBLE), 4) AS mean_quality
+         |FROM base b JOIN fin f ON b.source = f.source AND b.lang = f.lang"""
+        .stripMargin.replace("__QUALITY__", sqlQualityExprText),
 
     // full CMS replay: per distinct token, the 4 row-bucket indices
     // come from the same splitmix chain the MinHash oracles use

@@ -67,6 +67,63 @@ object Profile {
         .as("mean_quality"))
   }
 
+  /** Mergeable release card — the partial-aggregate (algebraic) form
+    * of [[datasetCard]], built so cards COMPOSE across releases: every
+    * column is either an integer sum, a double sum, or an HLL sketch
+    * ([[graft.plans.HllExpressions]]), all of which merge without
+    * touching the corpora again. The incremental-reporting workflow:
+    * each release ships `releaseCard` output (one aggregation over
+    * the new data only); the running card is `mergeCards` of the
+    * stored partials; [[finishCard]] renders the presentation columns
+    * ([[datasetCard]]'s shape, with the sketch estimate standing in
+    * for the exact distinct). Correctness of the whole
+    * partial→merge→finish path is oracle-gated: q_card_incremental
+    * builds two release cards, merges them, and must equal DuckDB's
+    * direct single-pass replay over the union corpus. */
+  def releaseCard(df: DataFrame, textCol: String, groupCols: Seq[String],
+                  p: Int = 9): DataFrame = {
+    val toks =
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      sum(graft.functions.TextFunctions.qualityScore(col(textCol)))
+        .as("quality_sum"),
+      graft.plans.HllExpressions.hllSketch64(
+        graft.plans.HashExpressions.fnv64(col(textCol)), p)
+        .as("content_sketch"))
+  }
+
+  /** Combine release cards: sums add, sketches union. Groups present
+    * in only some cards merge correctly (union + re-aggregate). */
+  def mergeCards(cards: Seq[DataFrame], groupCols: Seq[String],
+                 p: Int = 9): DataFrame = {
+    require(cards.nonEmpty, "mergeCards needs at least one card")
+    cards.reduce(_.unionByName(_)).groupBy(groupCols.map(col): _*).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("total_tokens")).as("total_tokens"),
+      sum(col("total_chars")).as("total_chars"),
+      sum(col("quality_sum")).as("quality_sum"),
+      graft.plans.HllExpressions.hllUnion(col("content_sketch"), p)
+        .as("content_sketch"))
+  }
+
+  /** Presentation columns from a (possibly merged) release card. */
+  def finishCard(card: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val est = graft.plans.HllExpressions.hllEstimate(col("content_sketch"))
+    card.select(groupCols.map(col) ++ Seq(
+      col("n_docs"), col("total_tokens"),
+      round(col("total_tokens").cast("double") /
+        col("n_docs").cast("double"), 4).as("avg_doc_tokens"),
+      col("total_chars"),
+      est.as("est_distinct"),
+      round(lit(1.0) - est / col("n_docs").cast("double"), 6)
+        .as("est_dup_frac"),
+      round(col("quality_sum") / col("n_docs").cast("double"), 4)
+        .as("mean_quality")): _*)
+  }
+
   /** Shuffle-skew diagnosis for a prospective groupBy/join key — the
     * pre-flight a 100 TB job runs BEFORE committing to a partitioning.
     * One row: total rows, distinct keys, max/avg/p50/p99 per-key

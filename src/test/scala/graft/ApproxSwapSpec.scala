@@ -126,6 +126,31 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("new_in_b") == 1L)
   }
 
+  test("release cards merge exactly: partial->merge->finish equals the " +
+    "one-shot card, including groups present in only one release") {
+    import graft.operators.Profile
+    val a = Seq(("s1", "good text here always nice"),
+      ("s1", "another doc entirely"), ("s2", "only in release a"))
+      .toDF("source", "text")
+    val b = Seq(("s1", "good text here always nice"), // exact re-ship
+      ("s3", "a brand new source appears")).toDF("source", "text")
+    val keys = Seq("source")
+    val merged = Profile.finishCard(
+      Profile.mergeCards(Seq(
+        Profile.releaseCard(a, "text", keys),
+        Profile.releaseCard(b, "text", keys)), keys), keys)
+    val oneShot = Profile.finishCard(
+      Profile.releaseCard(a.unionByName(b), "text", keys), keys)
+    val m = merged.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val o = oneShot.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(m === o)
+    assert(m.keySet === Set("s1", "s2", "s3"))
+    // the re-shipped s1 doc is a duplicate: est_dup_frac > 0 there
+    val s1 = merged.filter($"source" === "s1").collect()(0)
+    assert(s1.getAs[Long]("n_docs") === 3L)
+    assert(s1.getAs[Double]("est_dup_frac") > 0.2)
+  }
+
   test("tokenDrift scores match a hand-computed JS decomposition; " +
     "identical releases score zero everywhere") {
     val a = Seq("x x y", "z").toDF("text") // counts: x2 y1 z1, n=4

@@ -16,7 +16,8 @@ object PlanDump {
       "q_gopher_rep", "q_dataset_card", "q_norm_dedup",
       "q_quality_topp", "q_cdc_blocks", "q_edit_verify", "q_embed_outliers",
       "q_decontaminate_spans", "q_containment", "q_hll_card",
-      "q_bpe_encode", "q_token_drift", "q_cms_counts").foreach { name =>
+      "q_bpe_encode", "q_token_drift", "q_cms_counts",
+      "q_card_incremental").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
       out.println(df.queryExecution.explainString(
