@@ -701,6 +701,19 @@ object SparkEntry {
           Profile.releaseCard(relB, "text", keys)), keys), keys)
     }),
 
+    // §2b-52c: the overlap card at SKETCH cost — inclusion-exclusion
+    // over three HLL estimates (A, B, and the UNION OF THE SKETCHES,
+    // no corpus re-read). Release B keeps the odd docs and truncates
+    // the evens, so roughly half the content is shared.
+    "q_overlap_sketched" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            regexp_replace(trim(col("text")), "\\s+\\S+$", "").as("text")))
+      Profile.overlapCardSketched(docs, b, "text", p = 9)
+    }),
+
     // §2b-56b: count-min frequency sketch — the approximate-COUNT
     // companion to q_hll_card's distinct sketch. One corpus pass
     // builds the 4×2048 sketch (ObjectHashAggregate, 64 KiB buffer);
@@ -1429,6 +1442,33 @@ object SparkEntry {
       s"list_transform(range(1, length($x)+1), " +
       s"j -> CAST(unicode(substr($x, j, 1)) AS HUGEINT))), " +
       s"(acc, ch) -> (xor(acc, ch) * CAST('1099511628211' AS HUGEINT)) % $sqlMod)"
+
+  /** CTE chain replaying ONE global (ungrouped) HLL sketch estimate
+    * over hash CTE `src` (must expose column `h` as HUGEINT): mix
+    * chain → p=9 registers → exact power-of-two register sum → the
+    * functions.Hll estimate arithmetic. Yields 1-row `e{tag}(est)`. */
+  private def sqlHllGlobal(tag: String, src: String): String =
+    s"""g0$tag AS (SELECT 1 AS k, (h + $sqlGolden) % $sqlMod AS z0$tag FROM $src),
+       |${sqlMixChain(tag, "k")},
+       |reg$tag AS (
+       |  SELECT CAST(z4 // 36028797018963968 AS BIGINT) AS b,
+       |         max(CASE WHEN z4 % 4294967296 = 0 THEN 33
+       |                  ELSE 33 - length(bin(CAST(z4 % 4294967296 AS BIGINT)))
+       |             END) AS rho
+       |  FROM g5$tag GROUP BY 1),
+       |agg$tag AS (
+       |  SELECT coalesce(sum(pow(2.0, -rho)), 0.0) AS sp, count(*) AS nb
+       |  FROM reg$tag),
+       |e0$tag AS (
+       |  SELECT (0.7213 / (1 + 1.079 / 512)) * 262144.0 / (sp + (512 - nb))
+       |           AS raw,
+       |         512 - nb AS zeros
+       |  FROM agg$tag),
+       |e$tag AS (
+       |  SELECT CASE WHEN raw <= 1280.0 AND zeros > 0
+       |              THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+       |              ELSE raw END AS est
+       |  FROM e0$tag)""".stripMargin
 
   /** CTE chain replaying `numMerges` rounds of greedy BPE merge
     * learning (operators.Bpe) in DuckDB: `words` (corpus word counts,
@@ -2511,6 +2551,26 @@ object SparkEntry {
          |  round(b.quality_sum / CAST(b.n_docs AS DOUBLE), 4) AS mean_quality
          |FROM base b JOIN fin f ON b.source = f.source AND b.lang = f.lang"""
         .stripMargin.replace("__QUALITY__", sqlQualityExprText),
+
+    // three global HLL replays (A, B, union) + the same
+    // inclusion-exclusion arithmetic, operation-for-operation
+    "q_overlap_sketched" ->
+      s"""WITH ha AS (SELECT ${sqlFnvRaw("text")} AS h FROM documents),
+         |hb AS (SELECT ${sqlFnvRaw("text")} AS h FROM (
+         |  SELECT text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT regexp_replace(trim(text), '\\s+\\S+$$', '') AS text
+         |  FROM documents WHERE doc_id % 2 = 0)),
+         |hu AS (SELECT h FROM ha UNION ALL SELECT h FROM hb),
+         |${sqlHllGlobal("xa", "ha")},
+         |${sqlHllGlobal("xb", "hb")},
+         |${sqlHllGlobal("xu", "hu")}
+         |SELECT a.est AS est_distinct_a, b.est AS est_distinct_b,
+         |  u.est AS est_union,
+         |  a.est + b.est - u.est AS est_shared,
+         |  round((a.est + b.est - u.est) / a.est, 6) AS est_frac_a_in_b,
+         |  u.est - a.est AS est_new_in_b
+         |FROM exa a, exb b, exu u""".stripMargin,
 
     // full CMS replay: per distinct token, the 4 row-bucket indices
     // come from the same splitmix chain the MinHash oracles use

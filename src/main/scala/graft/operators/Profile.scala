@@ -67,6 +67,40 @@ object Profile {
         .as("mean_quality"))
   }
 
+  /** [[overlapCard]] at SKETCH cost: estimate the cross-release
+    * content overlap from two HLL sketches by inclusion-exclusion
+    * (`shared ≈ est(A) + est(B) − est(A∪B)`), where the union
+    * estimate comes from UNIONING THE SKETCHES — no corpus is read
+    * more than once, and when per-release sketches are already
+    * persisted (the [[releaseCard]] workflow) no corpus is read at
+    * all. The exact card shuffles every distinct content hash; this
+    * reads two 512-byte register arrays. Error: the absolute error of
+    * each term is ~1%·est (p=9), so the SHARED estimate degrades when
+    * the true overlap is much smaller than either side — use the
+    * exact [[overlapCard]] when the answer drives a hard gate, this
+    * one for the dashboard/trend view. */
+  def overlapCardSketched(a: DataFrame, b: DataFrame, textCol: String,
+                          p: Int = 9): DataFrame = {
+    import graft.plans.{HashExpressions, HllExpressions}
+    def sk(df: DataFrame, name: String) = df
+      .select(HashExpressions.fnv64(col(textCol)).as("__h"))
+      .agg(HllExpressions.hllSketch64(col("__h"), p).as(name))
+    val skA = sk(a, "__ska")
+    val skB = sk(b, "__skb")
+    val skU = skA.select(col("__ska").as("__sk"))
+      .unionByName(skB.select(col("__skb").as("__sk")))
+      .agg(HllExpressions.hllUnion(col("__sk"), p).as("__sku"))
+    val ea = HllExpressions.hllEstimate(col("__ska"))
+    val eb = HllExpressions.hllEstimate(col("__skb"))
+    val eu = HllExpressions.hllEstimate(col("__sku"))
+    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(skU))
+      .select(ea.as("est_distinct_a"), eb.as("est_distinct_b"),
+        eu.as("est_union"),
+        (ea + eb - eu).as("est_shared"),
+        round((ea + eb - eu) / ea, 6).as("est_frac_a_in_b"),
+        (eu - ea).as("est_new_in_b"))
+  }
+
   /** Mergeable release card — the partial-aggregate (algebraic) form
     * of [[datasetCard]], built so cards COMPOSE across releases: every
     * column is either an integer sum, a double sum, or an HLL sketch

@@ -126,6 +126,26 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("new_in_b") == 1L)
   }
 
+  test("overlapCardSketched tracks the exact overlapCard within sketch " +
+    "error on a constructed half-shared release pair") {
+    import graft.operators.Profile
+    val a = (1 to 400).map(i => s"document number $i with content")
+      .toDF("text")
+    val b = ((201 to 400).map(i => s"document number $i with content") ++
+      (1 to 200).map(i => s"fresh content $i entirely new")).toDF("text")
+    val exact = Profile.overlapCard(a, b, "text").collect()(0)
+    val est = Profile.overlapCardSketched(a, b, "text", p = 9).collect()(0)
+    def close(e: Double, x: Long, tolFrac: Double = 0.2) =
+      math.abs(e - x) <= math.max(tolFrac * x, 25.0)
+    assert(close(est.getAs[Double]("est_distinct_a"),
+      exact.getAs[Long]("distinct_a")))
+    assert(close(est.getAs[Double]("est_distinct_b"),
+      exact.getAs[Long]("distinct_b")))
+    assert(close(est.getAs[Double]("est_shared"), exact.getAs[Long]("shared")))
+    assert(math.abs(est.getAs[Double]("est_frac_a_in_b") -
+      exact.getAs[Double]("frac_a_in_b")) < 0.1)
+  }
+
   test("release cards merge exactly: partial->merge->finish equals the " +
     "one-shot card, including groups present in only one release") {
     import graft.operators.Profile
