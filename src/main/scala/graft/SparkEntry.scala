@@ -675,13 +675,18 @@ object SparkEntry {
     // witness; at corpus scale the sketch replaces the exact distinct's
     // full shuffle with one 512-byte buffer per group per map task.
     "q_hll_card" -> ((s, dir) =>
-      t(s, dir, "documents").groupBy(col("source"))
+      // fnv64 bound to a column below the aggregate: the sketch forces
+      // ObjectHashAggregate, whose agg children evaluate interpreted —
+      // the projection keeps the hash kernel in codegen (and computes
+      // it once, not once per referencing aggregate)
+      t(s, dir, "documents")
+        .select(col("source"), HashExpressions.fnv64(col("text")).as("__h"))
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           graft.plans.HllExpressions.hllEstimate(
-            graft.plans.HllExpressions.hllSketch64(
-              HashExpressions.fnv64(col("text")), 9)).as("est_distinct"),
-          countDistinct(HashExpressions.fnv64(col("text")))
-            .as("exact_distinct"))),
+            graft.plans.HllExpressions.hllSketch64(col("__h"), 9))
+            .as("est_distinct"),
+          countDistinct(col("__h")).as("exact_distinct"))),
 
     // §2b-56c: INCREMENTAL dataset card — the sketch columns doing
     // their real job: two release cards (full corpus + a re-ship of
@@ -724,9 +729,12 @@ object SparkEntry {
     "q_cms_counts" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-      val sketch = toks.agg(
-        graft.plans.CmsExpressions.cmsSketch64(
-          HashExpressions.fnv64(col("token")), 4, 2048).as("__sk"))
+      // hash bound below the ObjectHashAggregate (interpreted agg
+      // children — the q_hll_card/releaseCard bind rule)
+      val sketch = toks
+        .select(HashExpressions.fnv64(col("token")).as("__h"))
+        .agg(graft.plans.CmsExpressions.cmsSketch64(col("__h"), 4, 2048)
+          .as("__sk"))
       toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(desc("exact_cnt"), asc("token")).limit(20)
         .crossJoin(broadcast(sketch))

@@ -116,16 +116,26 @@ object Profile {
     * direct single-pass replay over the union corpus. */
   def releaseCard(df: DataFrame, textCol: String, groupCols: Seq[String],
                   p: Int = 9): DataFrame = {
-    val toks =
+    // The sketch is a TypedImperativeAggregate, which forces the whole
+    // aggregation into ObjectHashAggregate — and ObjectHashAggregate
+    // evaluates its aggregate CHILD expressions interpreted, outside
+    // whole-stage codegen. Bind the regex-heavy per-doc expressions to
+    // columns in a codegen Project BELOW the aggregate so the
+    // interpreted stage sums plain column refs (measured at 10×sf0.1:
+    // 8.7 s → ~1.3 s; the same bind-don't-inline rule PLANS.md records
+    // for lambda-captured regexes).
+    val prepared = df.select(groupCols.map(col) ++ Seq(
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
-    df.groupBy(groupCols.map(col): _*).agg(
+        .as("__toks"),
+      length(col(textCol)).cast("long").as("__chars"),
+      graft.functions.TextFunctions.qualityScore(col(textCol)).as("__q"),
+      graft.plans.HashExpressions.fnv64(col(textCol)).as("__h")): _*)
+    prepared.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_docs"),
-      sum(toks).as("total_tokens"),
-      sum(length(col(textCol)).cast("long")).as("total_chars"),
-      sum(graft.functions.TextFunctions.qualityScore(col(textCol)))
-        .as("quality_sum"),
-      graft.plans.HllExpressions.hllSketch64(
-        graft.plans.HashExpressions.fnv64(col(textCol)), p)
+      sum(col("__toks")).as("total_tokens"),
+      sum(col("__chars")).as("total_chars"),
+      sum(col("__q")).as("quality_sum"),
+      graft.plans.HllExpressions.hllSketch64(col("__h"), p)
         .as("content_sketch"))
   }
 
