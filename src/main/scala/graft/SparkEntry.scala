@@ -431,6 +431,27 @@ object SparkEntry {
       Dedup.paragraphDedup(structured, "doc_id", "text", byHash = false)
     }),
 
+    // §2b-18e: corpus-LEVEL boilerplate stripping — the third line
+    // retention policy: the planted header has doc-frequency n_docs,
+    // far over maxDocFreq=2, so it is stripped from EVERY doc (where
+    // q_para_dedup keeps its first copy); content chunks have doc
+    // frequency ~1 and survive. byHash=false so the oracle replays on
+    // line strings; the byHash scale path is parity-asserted in
+    // DedupSpec.
+    "q_strip_boilerplate" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+      val structured = withToks.select(col("doc_id"),
+        concat(lit("shared boilerplate header\n"),
+          array_join(
+            transform(sequence(lit(0),
+                ((size(col("__t")) - 1) / 20).cast("int")),
+              i => array_join(slice(col("__t"), i * 20 + 1, lit(20)), " ")),
+            "\n")).as("text"))
+      Dedup.stripBoilerplateLines(structured, "doc_id", "text",
+        maxDocFreq = 2, byHash = false)
+    }),
+
     // §2b-25k: C4-style boilerplate line cleaning (Raffel et al. 2020
     // §2.2): the synthetic corpus has no line structure or
     // punctuation, so lines are rebuilt deterministically from the
@@ -2641,6 +2662,38 @@ object SparkEntry {
         |  FROM p)
         |SELECT token, cnt_a, cnt_b, p_a, p_b, js_contrib
         |FROM sc ORDER BY js_contrib DESC, token LIMIT 20""".stripMargin,
+
+    // same structured-corpus rebuild as q_para_dedup; template lines
+    // by distinct-doc frequency on line STRINGS, stripped everywhere
+    "q_strip_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS cidx,
+        |         array_to_string(t[(i*20+1):(i*20+20)], ' ') AS para
+        |  FROM toks, unnest(generate_series(0, (len(t)-1)//20)) AS u(i)),
+        |structured AS (
+        |  SELECT doc_id, 'shared boilerplate header' || chr(10) ||
+        |         string_agg(para, chr(10) ORDER BY cidx) AS text
+        |  FROM chunks GROUP BY doc_id),
+        |split_docs AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS parts FROM structured),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS idx, parts[i] AS line
+        |  FROM split_docs, unnest(generate_series(1, len(parts))) AS u(i)),
+        |tmpl AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df
+        |    FROM lines WHERE trim(line) <> '' GROUP BY line)
+        |  WHERE df > 2),
+        |kept AS (
+        |  SELECT l.doc_id, l.idx, l.line FROM lines l
+        |  LEFT JOIN tmpl t ON l.line = t.line WHERE t.line IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM structured s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id""".stripMargin,
 
     // winner choice replayed on paragraph STRINGS (row_number over
     // (para) ordered by (doc_id, idx) = Spark's min-struct); corpus

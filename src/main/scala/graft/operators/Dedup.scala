@@ -355,6 +355,52 @@ object Dedup {
           p => p.getField("para")), sep).as(textCol))
   }
 
+  /** Corpus-level boilerplate-line stripping (the RefinedWeb-style
+    * template pass): drop every line whose DOCUMENT frequency exceeds
+    * `maxDocFreq` — cookie banners, nav bars, license headers that
+    * repeat across a crawl — from EVERY document carrying it. The
+    * third retention policy of the line/paragraph family: C4 cleaning
+    * (`clean_lines`) judges each line in isolation, [[paragraphDedup]]
+    * keeps the first copy of a duplicated paragraph; this one keeps NO
+    * copy once a line is frequent enough to be template, because the
+    * first crawl page that happened to carry the banner is no more
+    * content than the rest.
+    *
+    * Doc frequency (distinct docs, not occurrences — a doc repeating
+    * its own footer doesn't make the footer corpus template) is one
+    * (hash, id)-distinct + count aggregation; with `byHash` (default)
+    * everything shuffles as 8-byte fnv64 keys and line text never
+    * leaves its document's partition until reassembly. Blank lines are
+    * never counted as template (they'd trivially exceed any
+    * threshold) and survive within their documents. Every input row
+    * returns (template-only docs as empty strings). */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                            maxDocFreq: Long, sep: String = "\n",
+                            byHash: Boolean = true): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val key =
+      if (byHash) graft.plans.HashExpressions.fnv64(col("line"))
+      else col("line")
+    val template = lines
+      .filter(trim(col("line")) =!= "")
+      .select(key.as("k"), col(idCol)).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("k"))
+    val kept = lines.join(template,
+      key === template("k"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("idx"), col("line")))),
+          p => p.getField("line")), sep).as(textCol))
+    lines.select(col(idCol)).distinct().join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Corpus-wide duplicated-substring removal at token-window
     * granularity — the scalable re-expression of Lee et al. 2022's
     * ExactSubstr pass (suffix-array dedup of ≥50-token repeats),

@@ -184,6 +184,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length > 400) // docs survive, just shorn of repeats
   }
 
+  test("stripBoilerplateLines drops over-threshold lines from EVERY " +
+    "doc (no first-copy survivor), keeps content and blanks, counts " +
+    "doc frequency not occurrences; byHash parity") {
+    val docs = Seq(
+      (1L, "TEMPLATE\ncontent one\n\nfooter\nfooter"), // own repeat: df 1
+      (2L, "TEMPLATE\ncontent two"),
+      (3L, "TEMPLATE\ncontent three"),
+      (4L, "TEMPLATE")                                 // template-only doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplateLines(docs, "doc_id", "text",
+        maxDocFreq = 2, byHash = false)
+      .as[(Long, String)].collect().toMap
+    // TEMPLATE df=4 > 2 -> stripped everywhere, incl. its "first" doc;
+    // footer df=1 (distinct docs, though it occurs twice) -> kept;
+    // the blank line survives inside doc 1
+    assert(got(1L) === "content one\n\nfooter\nfooter")
+    assert(got(2L) === "content two")
+    assert(got(3L) === "content three")
+    assert(got(4L) === "")
+    val viaHash = Dedup.stripBoilerplateLines(docs, "doc_id", "text",
+        maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(viaHash === got)
+  }
+
   test("connectedComponents with a reliable checkpoint dir gives the " +
     "same labels (cluster-durable truncation path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
