@@ -727,6 +727,23 @@ object SparkEntry {
           Profile.releaseCard(relB, "text", keys)), keys), keys)
     }),
 
+    // §2b-25m: distributed TRAINING of the hashed-n-gram quality
+    // classifier (the WebText/GPT-3 pattern) — 3 rounds of full-batch
+    // logistic-regression gradient descent, each ONE job: the
+    // inference kernel computes the forward pass inside the scan,
+    // residuals ride the same projection, the gradient is a
+    // map-combined 1024-row aggregate, the driver applies w -= lr·g.
+    // Labels here are the deterministic doc_id parity (the oracle
+    // must replay the ARITHMETIC; learnability is spec-tested on
+    // crafted classes in ClassifySpec).
+    "q_train_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("text"), (col("doc_id") % 2).cast("double").as("y"))
+      val w = Classify.trainLogReg(docs, "text", "y",
+        numBuckets = 1024, iters = 3, lr = 0.01)
+      Classify.weightsDf(s, w)
+    }),
+
     // §2b-52c: the overlap card at SKETCH cost — inclusion-exclusion
     // over three HLL estimates (A, B, and the UNION OF THE SKETCHES,
     // no corpus re-read). Release B keeps the odd docs and truncates
@@ -1471,6 +1488,52 @@ object SparkEntry {
       s"list_transform(range(1, length($x)+1), " +
       s"j -> CAST(unicode(substr($x, j, 1)) AS HUGEINT))), " +
       s"(acc, ch) -> (xor(acc, ch) * CAST('1099511628211' AS HUGEINT)) % $sqlMod)"
+
+  /** CTE chain replaying `iters` rounds of full-batch logistic-
+    * regression gradient descent (Classify.trainLogReg) over the
+    * hashed unigram+bigram features: per round, the forward pass is
+    * the SAME ordered IEEE weight fold as the q_classifier_score
+    * oracle (so z replays bitwise), the residual is
+    * `1/(1+exp(-z)) − y`, the gradient is the per-bucket residual sum
+    * over feature OCCURRENCES, and the update `w − lr·g` matches the
+    * driver arithmetic. Gradient sums are the one order-sensitive
+    * step (double addition across docs); weights round at 6 with
+    * ~1e-12 drift headroom. Caller appends the final SELECT over
+    * `w{iters}`. */
+  private def sqlTrainChain(iters: Int, lr: String): String = {
+    val head =
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y,
+         |         regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, y, flatten(list_transform(range(1, len(t)+1), i ->
+         |    CASE WHEN i = 1 THEN [${sqlFnvBucket("t[i]")}]
+         |    ELSE [${sqlFnvBucket("concat(t[i-1], ' ', t[i])")},
+         |          ${sqlFnvBucket("t[i]")}] END)) AS fs
+         |  FROM toks),
+         |occ AS (SELECT doc_id, unnest(fs) AS b FROM feats),
+         |w0 AS (SELECT b, CAST(0.0 AS DOUBLE) AS w FROM range(0, 1024) rw(b))"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""wl$k AS (SELECT list(w ORDER BY b) AS ws FROM w${k - 1}),
+         |z$k AS (
+         |  SELECT f.doc_id, f.y,
+         |    CASE WHEN len(f.fs) = 0 THEN 0.0
+         |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(f.fs, x -> wl.ws[CAST(x AS INT) + 1])),
+         |      (a, v) -> a + v) END AS z
+         |  FROM feats f CROSS JOIN wl$k wl),
+         |r$k AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z$k),
+         |g$k AS (
+         |  SELECT o.b, sum(r.r) AS g
+         |  FROM occ o JOIN r$k r ON o.doc_id = r.doc_id GROUP BY o.b),
+         |w$k AS (
+         |  SELECT w.b, w.w - $lr * coalesce(g.g, 0.0) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g ON w.b = g.b)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** CTE chain replaying ONE global (ungrouped) HLL sketch estimate
     * over hash CTE `src` (must expose column `h` as HUGEINT): mix
@@ -2580,6 +2643,11 @@ object SparkEntry {
          |  round(b.quality_sum / CAST(b.n_docs AS DOUBLE), 4) AS mean_quality
          |FROM base b JOIN fin f ON b.source = f.source AND b.lang = f.lang"""
         .stripMargin.replace("__QUALITY__", sqlQualityExprText),
+
+    "q_train_classifier" ->
+      s"""${sqlTrainChain(3, "0.01")}
+         |SELECT CAST(b AS INT) AS bucket, round(w, 6) AS weight
+         |FROM w3""".stripMargin,
 
     // three global HLL replays (A, B, union) + the same
     // inclusion-exclusion arithmetic, operation-for-operation

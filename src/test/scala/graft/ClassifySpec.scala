@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Classify
+
+/** Distributed classifier TRAINING (Classify.trainLogReg): the
+  * trained model actually separates crafted classes, feeds the
+  * existing inference kernel unchanged, and behaves deterministically.
+  * The gradient-descent arithmetic is oracle-gated via
+  * q_train_classifier. */
+class ClassifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two vocabularies with zero overlap; a held-out doc per class
+  private def corpus() = {
+    val good = (1 to 40).map(i =>
+      (s"excellent prose flows clearly here sample $i", 1.0))
+    val bad = (1 to 40).map(i =>
+      (s"spam junk garbage noise filler blob $i", 0.0))
+    (good ++ bad).toDF("text", "y")
+  }
+
+  test("trainLogReg learns to separate disjoint-vocabulary classes; " +
+    "the weights feed scoreDocs unchanged") {
+    val w = Classify.trainLogReg(corpus(), "text", "y",
+      numBuckets = 1024, iters = 5, lr = 0.05)
+    val holdout = Seq(
+      (1L, "excellent prose flows clearly here sample 999"),
+      (2L, "spam junk garbage noise filler blob 999"))
+      .toDF("doc_id", "text")
+    val byId = Classify.scoreDocs(holdout, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(byId(1L)._1 > 0.5, s"positive class logit ${byId(1L)._1}")
+    assert(byId(2L)._1 < -0.5, s"negative class logit ${byId(2L)._1}")
+    assert(byId(1L)._2 && !byId(2L)._2)
+  }
+
+  test("training is deterministic: same data, same weights") {
+    val w1 = Classify.trainLogReg(corpus(), "text", "y", 512, 3, 0.05)
+    val w2 = Classify.trainLogReg(corpus(), "text", "y", 512, 3, 0.05)
+    // z is an ordered bitwise fold; gradient sums can reorder across
+    // runs, so compare to tight tolerance rather than bit equality
+    w1.zip(w2).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+  }
+
+  test("one gradient step from zero weights matches the hand formula " +
+    "on a one-doc corpus (residual 0.5 spread over its occurrences)") {
+    val docs = Seq(("alpha beta", 0.0)).toDF("text", "y")
+    val w = Classify.trainLogReg(docs, "text", "y",
+      numBuckets = 64, iters = 1, lr = 0.1)
+    // z=0 -> p=0.5 -> r=0.5; features: uni(alpha), bigram, uni(beta)
+    // -> three buckets each get w = -0.1 * 0.5 = -0.05 (unless two
+    // features collide in 64 buckets, then -0.1)
+    val nonZero = w.filter(_ != 0.0)
+    assert(nonZero.forall(v => v == -0.05 || v == -0.1))
+    assert(nonZero.map(v => math.round(v / -0.05)).sum === 3L)
+  }
+}

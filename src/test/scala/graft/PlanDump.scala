@@ -17,7 +17,8 @@ object PlanDump {
       "q_quality_topp", "q_cdc_blocks", "q_edit_verify", "q_embed_outliers",
       "q_decontaminate_spans", "q_containment", "q_hll_card",
       "q_bpe_encode", "q_token_drift", "q_cms_counts",
-      "q_card_incremental").foreach { name =>
+      "q_card_incremental", "q_train_classifier",
+      "q_strip_boilerplate").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
       out.println(df.queryExecution.explainString(

@@ -111,6 +111,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(merged, whole))
   }
 
+  test("per-micro-batch CMS sketches union to the batch sketch " +
+    "byte-identically (streaming frequency story)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.plans.{CmsExpressions, HashExpressions}
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch += batch
+          .select(explode(split($"text", "\\s+")).as("tok"))
+          .select(HashExpressions.fnv64($"tok").as("__h"))
+          .agg(CmsExpressions.cmsSketch64($"__h", 4, 2048).as("sk"))
+          .as[Array[Byte]].head()
+        (): Unit
+      }
+      .start()
+    docs.grouped(math.max(1, docs.size / 3)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(perBatch.size >= 2)
+    val merged = perBatch.toSeq.toDF("sk")
+      .agg(CmsExpressions.cmsUnion($"sk").as("sk")).as[Array[Byte]].head()
+    val whole = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(explode(split($"text", "\\s+")).as("tok"))
+      .select(HashExpressions.fnv64($"tok").as("__h"))
+      .agg(CmsExpressions.cmsSketch64($"__h", 4, 2048).as("sk"))
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
   test("corpus-prep narrow ops (clean lines -> classifier -> hash gate) " +
     "compose in a stream with exact batch parity") {
     implicit val sqlCtx = spark.sqlContext
