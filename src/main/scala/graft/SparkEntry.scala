@@ -804,6 +804,18 @@ object SparkEntry {
       Profile.tokenDrift(docs, relB, "text", topK = 20)
     }),
 
+    // §2b-57c: corpus-level encode through the word cache — distinct
+    // words segment once (57b's projection), documents join their
+    // tokens against the segmented vocabulary and reassemble. Docs
+    // whose every token is non-ASCII drop (no vocab rows) like the
+    // vocab filter dictates.
+    "q_bpe_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learn(docs, "text", numMerges = 6)
+      Bpe.encodeDocs(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", merges)
+    }),
+
     // §2b-57b: the ENCODE step — the learned merges applied to the
     // vocabulary as 6 chained codegen merge passes in one projection
     // (how a corpus is actually segmented once the tokenizer is
@@ -1235,6 +1247,19 @@ object SparkEntry {
         .select(col("doc_id"), lit("synthetic").as("source"), h.as("hb"))
         .filter(col("hb") < 300)
       web.unionByName(synth).select(col("doc_id"), col("source"))
+    }),
+
+    // §2b-36c: token-budget corpus assembly — the mixture WEIGHTS
+    // materialized as an actual per-source token quota (500 tokens
+    // per source here), docs taken in content-hash order until the
+    // budget is crossed. Exact (window) form; the zero-shuffle
+    // hash-gate form is spec-gated in SamplingSpec.
+    "q_token_budget_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sources = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0))
+      Sampling.tokenBudgetMix(docs, "doc_id", "text", "source",
+        sources.map(_ -> 500L).toMap)
     }),
 
     // §2b-36: deterministic train/val/test split by CONTENT hash —
@@ -2590,6 +2615,40 @@ object SparkEntry {
          |SELECT w, CAST(cnt AS BIGINT) AS cnt,
          |       array_to_string(s, ' ') AS segmented
          |FROM w6""".stripMargin,
+
+    // window cumsum replay; order key = fnv64 top-53 bits (h // 2048),
+    // identical unsigned order both engines; exclusive cumsum via
+    // ROWS ... 1 PRECEDING
+    "q_token_budget_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
+         |      AS n_tokens,
+         |    ${sqlFnvRaw("text")} // 2048 AS k
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY k, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens FROM w WHERE cumb < 500""".stripMargin,
+
+    "q_bpe_docs" ->
+      s"""${sqlBpeChain(6)},
+         |vocab AS (SELECT w, s FROM w6),
+         |dtoks AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+         |        FROM documents),
+         |       unnest(generate_series(1, len(t))) AS u(i)),
+         |joined AS (
+         |  SELECT d.doc_id, d.pos, v.s FROM dtoks d JOIN vocab v ON d.w = v.w)
+         |SELECT doc_id,
+         |  string_agg(array_to_string(s, ' '), ' ' ORDER BY pos) AS encoded,
+         |  CAST(sum(len(s)) AS BIGINT) AS n_subwords
+         |FROM joined GROUP BY doc_id""".stripMargin,
 
     // direct single-pass replay over the union corpus: integer sums
     // and HLL register maxima are order- and split-insensitive, so

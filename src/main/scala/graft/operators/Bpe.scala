@@ -103,6 +103,37 @@ object Bpe {
             asciiOnly: Boolean = true): Seq[Merge] =
     learnFromWords(wordCounts(docs, textCol, asciiOnly), numMerges)
 
+  /** Corpus-level ENCODE via the word cache: each DISTINCT word
+    * segments once (k chained codegen merge passes over the
+    * vocabulary — Heaps'-law small), documents then join their tokens
+    * against the segmented vocabulary on the word key and reassemble
+    * in token order. This is how production BPE encoders amortize the
+    * merge walk: the per-word result is memoized, the corpus pass is
+    * a join, not a re-segmentation — and on Spark the memo IS a
+    * DataFrame, so the cache is cluster-sized, not per-process.
+    *
+    * Returns (idCol, encoded, n_subwords): subwords space-joined in
+    * document order. Non-ASCII tokens are excluded when `asciiOnly`
+    * (must match how `merges` was learned). At scale the vocab side
+    * broadcasts (a few million words); past that it becomes a
+    * shuffle join on the word key — the same key the word-count agg
+    * already produced. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[Merge], asciiOnly: Boolean = true): DataFrame = {
+    val vocab = wordCounts(docs, textCol, asciiOnly)
+      .select(col("w"), applyMerges(charSymbols(col("w")), merges).as("__seg"))
+    val toks = docs.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("__pos", "w")))
+    toks.join(vocab, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(flatten(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__seg")))),
+            p => p.getField("__seg"))), " ").as("encoded"),
+        sum(size(col("__seg"))).as("n_subwords"))
+  }
+
   /** The merge list as a DataFrame (rank, lhs, rhs, freq). */
   def mergesDf(spark: org.apache.spark.sql.SparkSession,
                merges: Seq[Merge]): DataFrame = {

@@ -157,4 +157,70 @@ object Sampling {
         .drop("__g", "__n", "__rn")
     }
   }
+
+  /** TOKEN-budget corpus assembly — materialize "exactly N tokens of
+    * each source" (the step that turns mixture WEIGHTS into an actual
+    * training set): per source, documents are taken in
+    * content-hash order (re-shard/re-import stable, like
+    * `q_split_assign`) until the source's token budget is reached.
+    * The doc that crosses the line is included (overshoot bounded by
+    * one document); a missing budget means the source is excluded.
+    *
+    * Exact form: one window cumsum per source over (hash, id) order —
+    * a per-source sort, fine into the billions of rows per source but
+    * the wrong tool at extreme scale. There,
+    * [[tokenBudgetMixApprox]]: per-source token totals (one agg) set
+    * a keep RATE, applied as a codegen hash-gate filter with zero
+    * shuffles — expected tokens = budget, the q_corpus_mix shape
+    * sized from data instead of hand-set rates. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String,
+                     budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bdf = budgets.toSeq.toDF("__src", "__budget")
+    // top-53 bits of the content hash: non-negative, so the Long
+    // ordering here equals the oracle's unsigned HUGEINT ordering
+    // (raw fnv64 would sort differently signed vs unsigned)
+    val keyed = docs.select(col(idCol), col(sourceCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+        .as("n_tokens"),
+      shiftrightunsigned(
+        graft.plans.HashExpressions.fnv64(col(textCol)), 11).as("__k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__k"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    keyed.join(broadcast(bdf), col(sourceCol) === col("__src"))
+      .withColumn("__cumb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__cumb") < col("__budget"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
+
+  /** The zero-shuffle scale form of [[tokenBudgetMix]]: keep rate =
+    * budget / per-source token total, applied as a uniform-hash gate.
+    * Expected kept tokens per source = budget (variance ~ heavy-doc
+    * mass); deterministic and re-shard stable like the exact form. */
+  def tokenBudgetMixApprox(docs: DataFrame, idCol: String, textCol: String,
+                           sourceCol: String,
+                           budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bdf = budgets.toSeq.toDF("__src", "__budget")
+    val keyed = docs.select(col(idCol), col(sourceCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+        .as("n_tokens"),
+      ((shiftrightunsigned(
+          graft.plans.HashExpressions.fnv64(col(textCol)), 11)
+          .cast("double") + 0.5) / 9007199254740992.0).as("__u"))
+    val totals = keyed.groupBy(col(sourceCol).as("__src2"))
+      .agg(sum(col("n_tokens")).as("__total"))
+    keyed.join(broadcast(bdf), col(sourceCol) === col("__src"))
+      .join(broadcast(totals), col(sourceCol) === col("__src2"))
+      .filter(col("__u") <
+        least(lit(1.0), col("__budget").cast("double") /
+          col("__total").cast("double")))
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
 }

@@ -305,6 +305,36 @@ class ChunkingSpec extends AnyFunSuite {
     assert((got.size - (got & ap).size) <= got.size / 3, s"approx far off: $ap vs $got")
   }
 
+  test("tokenBudgetMix: per-source kept tokens reach the budget with at " +
+    "most one doc of overshoot; the approx hash-gate form lands near " +
+    "the budget with zero shuffles of the corpus") {
+    val docs = (1 to 200).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i.toLong, src, Seq.fill(5 + i % 7)(s"tok$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budgets = Map("a" -> 100L, "b" -> 150L)
+    val got = Sampling.tokenBudgetMix(docs, "doc_id", "text", "source", budgets)
+      .as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    budgets.foreach { case (s, b) =>
+      val kept = bySrc(s)
+      assert(kept >= b, s"$s: kept $kept < budget $b")
+      assert(kept < b + 12, s"$s: overshoot ${kept - b} exceeds one doc")
+    }
+    // deterministic
+    val again = Sampling.tokenBudgetMix(docs, "doc_id", "text", "source",
+      budgets).as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // approx: expected kept tokens ~= budget (generous tolerance at
+    // this corpus size); sources without a budget are excluded
+    val approx = Sampling.tokenBudgetMixApprox(docs, "doc_id", "text",
+        "source", Map("a" -> 300L))
+      .as[(Long, String, Long)].collect()
+    assert(approx.forall(_._2 == "a"))
+    val keptA = approx.map(_._3).sum
+    assert(keptA > 150 && keptA < 450, s"approx kept $keptA for budget 300")
+  }
+
   test("normalizedDedup collapses casing/punctuation/whitespace variants " +
     "that byte-exact dedup keeps apart") {
     import graft.operators.Dedup

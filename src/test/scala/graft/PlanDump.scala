@@ -18,7 +18,8 @@ object PlanDump {
       "q_decontaminate_spans", "q_containment", "q_hll_card",
       "q_bpe_encode", "q_token_drift", "q_cms_counts",
       "q_card_incremental", "q_train_classifier",
-      "q_strip_boilerplate").foreach { name =>
+      "q_strip_boilerplate", "q_token_budget_mix",
+      "q_bpe_docs").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       out.println(s"===== $name =====")
       out.println(df.queryExecution.explainString(
