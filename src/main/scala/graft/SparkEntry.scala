@@ -1188,6 +1188,46 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"))
     }),
 
+    // §2b-52d: the curation FUNNEL report — four stages applied in
+    // order (exact dedup → normalized dedup → quality cutoff →
+    // decontamination), with per-stage attrition counts: the release
+    // artifact that says where the corpus went.
+    "q_dedup_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val benchSh = docs.filter(col("doc_id") % 20 === 0)
+        .select(explode(HashExpressions.shingles64(col("text"), 5)).as("sh"))
+        .distinct()
+      def keepMinPer(key: Column)(df: DataFrame): DataFrame = {
+        val winners = df.groupBy(key.as("__k"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        df.join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      }
+      Profile.attritionReport(docs, Seq(
+        "exact_dedup" -> keepMinPer(sha2(col("text"), 256)) _,
+        "norm_dedup" -> keepMinPer(sha2(Normalize.dedupKey(col("text")), 256)) _,
+        "quality_filter" -> ((df: DataFrame) =>
+          df.filter(TextFunctions.qualityScore(col("text")) >= 0.5)),
+        "decontaminate" -> ((df: DataFrame) => {
+          val contaminated = df.select(col("doc_id"),
+              explode(HashExpressions.shingles64(col("text"), 5)).as("sh"))
+            .join(broadcast(benchSh), Seq("sh"), "left_semi")
+            .select(col("doc_id")).distinct()
+          df.join(contaminated, Seq("doc_id"), "left_anti")
+        })))
+    }),
+
+    // §2b-54b: per-source score calibration — the quality score
+    // replaced by its within-source percentile, so a global cutoff
+    // means the same thing in every source before mixing
+    "q_score_calibrate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      Sampling.calibrateScores(docs, col("source"), col("quality"),
+          col("doc_id"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          round(col("score_pct"), 6).as("score_pct"))
+    }),
+
     // §2b-52: dataset card — the per-(source, lang) release summary
     // (docs / tokens / duplication / quality) in ONE hash aggregation.
     // Re-shipped even-id copies planted so dup_doc_frac measurably
@@ -2619,6 +2659,72 @@ object SparkEntry {
     // window cumsum replay; order key = fnv64 top-53 bits (h // 2048),
     // identical unsigned order both engines; exclusive cumsum via
     // ROWS ... 1 PRECEDING
+    // each stage's survivor set replayed on strings (sha groups ==
+    // string groups; the q_decontaminate CASE fallback for short
+    // docs), counts stitched by scalar subqueries
+    "q_dedup_funnel" ->
+      s"""WITH s0 AS (SELECT doc_id, text FROM documents),
+         |w1 AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY sha256(text)),
+         |e1 AS (SELECT s.doc_id, s.text FROM s0 s JOIN w1 ON s.doc_id = w1.doc_id),
+         |w2 AS (SELECT min(doc_id) AS doc_id FROM e1
+         |  GROUP BY trim(regexp_replace(regexp_replace(
+         |    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+         |              'abcdefghijklmnopqrstuvwxyz'),
+         |    '[^a-z0-9 \\t\\n\\x0b\\f\\r]', ' ', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))),
+         |e2 AS (SELECT e.doc_id, e.text FROM e1 e JOIN w2 ON e.doc_id = w2.doc_id),
+         |e3 AS (SELECT doc_id, text FROM e2 WHERE __QUALITY__ >= 0.5),
+         |btoks AS (
+         |  SELECT regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM s0 WHERE doc_id % 20 = 0),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(
+         |    CASE WHEN len(t) >= 5 THEN
+         |      list_transform(generate_series(1, len(t)-4),
+         |        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+         |    ELSE [array_to_string(t, ' ')] END) AS s
+         |  FROM btoks),
+         |toks3 AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM e3),
+         |dsh AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(t) >= 5 THEN
+         |      list_transform(generate_series(1, len(t)-4),
+         |        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+         |    ELSE [array_to_string(t, ' ')] END) AS s
+         |  FROM toks3),
+         |bad AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh ON dsh.s = bsh.s),
+         |e4 AS (SELECT e3.doc_id FROM e3 LEFT JOIN bad ON e3.doc_id = bad.doc_id
+         |       WHERE bad.doc_id IS NULL),
+         |funnel AS (
+         |  SELECT CAST(1 AS INT) AS stage_idx, 'exact_dedup' AS stage,
+         |    (SELECT count(*) FROM s0) AS docs_in,
+         |    (SELECT count(*) FROM e1) AS docs_out
+         |  UNION ALL SELECT 2, 'norm_dedup',
+         |    (SELECT count(*) FROM e1), (SELECT count(*) FROM e2)
+         |  UNION ALL SELECT 3, 'quality_filter',
+         |    (SELECT count(*) FROM e2), (SELECT count(*) FROM e3)
+         |  UNION ALL SELECT 4, 'decontaminate',
+         |    (SELECT count(*) FROM e3), (SELECT count(*) FROM e4))
+         |SELECT stage_idx, stage, CAST(docs_in AS BIGINT) AS docs_in,
+         |  CAST(docs_out AS BIGINT) AS docs_out,
+         |  CAST(docs_in - docs_out AS BIGINT) AS removed,
+         |  round(CAST(docs_in - docs_out AS DOUBLE) /
+         |        CAST(docs_in AS DOUBLE), 6) AS frac_removed
+         |FROM funnel""".stripMargin
+        .replace("__QUALITY__", sqlQualityExprText),
+
+    // percent_rank has the identical (rank-1)/(n-1) definition in both
+    // engines; order (quality asc, doc_id) is total, so ranks replay
+    "q_score_calibrate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, __QUALITY__ AS quality FROM documents)
+         |SELECT doc_id, source, quality,
+         |  round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY quality, doc_id), 6) AS score_pct
+         |FROM scored""".stripMargin
+        .replace("__QUALITY__", sqlQualityExprText),
+
     "q_token_budget_mix" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

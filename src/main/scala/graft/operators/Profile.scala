@@ -67,6 +67,41 @@ object Profile {
         .as("mean_quality"))
   }
 
+  /** Stage-by-stage attrition report for a curation pipeline — the
+    * funnel table every corpus release ships ("started with N docs,
+    * exact dedup removed X%, quality filter Y%, ..."): apply the
+    * named stages in order, counting survivors between them. Each
+    * inter-stage frame persists until its successor is counted
+    * (generation discipline), so stage k runs on stage k-1's
+    * materialized survivors, not the re-executed lineage; counts are
+    * k+1 aggregate jobs, the report itself is metadata-sized. */
+  def attritionReport(input: DataFrame,
+                      stages: Seq[(String, DataFrame => DataFrame)])
+      : DataFrame = {
+    require(stages.nonEmpty, "attritionReport needs at least one stage")
+    val spark = input.sparkSession
+    import spark.implicits._
+    var cur = input
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var inCount = cur.count()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    stages.zipWithIndex.foreach { case ((name, f), i) =>
+      val next = f(cur)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val outCount = next.count()
+      rows += ((i + 1, name, inCount, outCount))
+      cur.unpersist()
+      cur = next
+      inCount = outCount
+    }
+    cur.unpersist()
+    rows.toSeq.toDF("stage_idx", "stage", "docs_in", "docs_out")
+      .select(col("stage_idx"), col("stage"), col("docs_in"), col("docs_out"),
+        (col("docs_in") - col("docs_out")).as("removed"),
+        round((col("docs_in") - col("docs_out")).cast("double") /
+          col("docs_in").cast("double"), 6).as("frac_removed"))
+  }
+
   /** [[overlapCard]] at SKETCH cost: estimate the cross-release
     * content overlap from two HLL sketches by inclusion-exclusion
     * (`shared ≈ est(A) + est(B) − est(A∪B)`), where the union

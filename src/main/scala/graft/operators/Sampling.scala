@@ -158,6 +158,25 @@ object Sampling {
     }
   }
 
+  /** Per-group score CALIBRATION: replace a raw quality score with its
+    * within-group percentile (`percent_rank`), so scores COMPARE
+    * across sources before a global threshold or mixture policy is
+    * applied — a classifier trained mostly on web text systematically
+    * under-scores code or forum text, and a single global cutoff then
+    * silently skews the mix; per-source percentiles make "keep the
+    * best 30%" mean the same thing in every source. `tieCol` must
+    * total-order within a group or the boundary ranks are
+    * nondeterministic. One window (hash shuffle on the group key);
+    * the 100 TB swap is `topFractionPerGroup`'s approx-percentile
+    * threshold when only a CUT is needed, this when the calibrated
+    * SCORE itself is the product. */
+  def calibrateScores(df: DataFrame, groupCol: Column, scoreCol: Column,
+                      tieCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(scoreCol.asc, tieCol.asc)
+    df.withColumn("score_pct", percent_rank().over(w))
+  }
+
   /** TOKEN-budget corpus assembly — materialize "exactly N tokens of
     * each source" (the step that turns mixture WEIGHTS into an actual
     * training set): per source, documents are taken in

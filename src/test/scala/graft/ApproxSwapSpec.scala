@@ -126,6 +126,36 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("new_in_b") == 1L)
   }
 
+  test("attritionReport counts stage-by-stage survivors on a crafted " +
+    "funnel; frac arithmetic matches hand computation") {
+    import graft.operators.Profile
+    val docs = (1 to 10).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val report = Profile.attritionReport(docs, Seq(
+      "keep_even" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.filter($"id" % 2 === 0)),
+      "keep_gt_4" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.filter($"id" > 4))))
+      .as[(Int, String, Long, Long, Long, Double)].collect().toSeq
+    assert(report == Seq(
+      (1, "keep_even", 10L, 5L, 5L, 0.5),
+      (2, "keep_gt_4", 5L, 3L, 2L, 0.4)))
+  }
+
+  test("calibrateScores: within-group percentiles span [0,1] and make " +
+    "scores comparable across differently-scaled groups") {
+    import graft.operators.Sampling
+    val df = (Seq(("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.3),
+      ("b", 4L, 10.0), ("b", 5L, 20.0), ("b", 6L, 30.0)))
+      .toDF("g", "id", "score")
+    val got = Sampling.calibrateScores(df, $"g", $"score", $"id")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    // same percentile for the same in-group rank despite 100× scales
+    assert(got(1L) === 0.0 && got(4L) === 0.0)
+    assert(got(2L) === 0.5 && got(5L) === 0.5)
+    assert(got(3L) === 1.0 && got(6L) === 1.0)
+  }
+
   test("overlapCardSketched tracks the exact overlapCard within sketch " +
     "error on a constructed half-shared release pair") {
     import graft.operators.Profile
