@@ -418,9 +418,12 @@ object SparkEntry {
     "q_para_dedup" -> ((s, dir) => {
       // bind the token array to a column FIRST (codegen discipline:
       // a regexp_extract_all referenced inside transform re-inlines
-      // the regex scan per element and blows up janino)
+      // the regex scan per element and blows up janino); size filter
+      // aligns the zero-token edge with the oracle's floor division
+      // (see q_strip_boilerplate)
       val withToks = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) > 0)
       val structured = withToks.select(col("doc_id"),
         concat(lit("shared boilerplate header\n"),
           array_join(
@@ -439,8 +442,12 @@ object SparkEntry {
     // line strings; the byHash scale path is parity-asserted in
     // DedupSpec.
     "q_strip_boilerplate" -> ((s, dir) => {
+      // size filter: a zero-token doc would get one EMPTY chunk here
+      // ((size-1)/20 truncates -1 toward 0) while the oracle's floor
+      // division drops it — exclude such docs on both sides
       val withToks = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) > 0)
       val structured = withToks.select(col("doc_id"),
         concat(lit("shared boilerplate header\n"),
           array_join(
@@ -1659,10 +1666,14 @@ object SparkEntry {
          |e$k AS (SELECT w, cnt, i, s[i] AS sym
          |        FROM w${k - 1}, unnest(generate_series(1, len(s))) u(i)),
          |m$k AS (
+         |  -- LEFT JOIN ON true, not CROSS: when the corpus exhausts
+         |  -- before round $k (b$k empty) the vocabulary must pass
+         |  -- through unchanged (mt NULL -> no merges), matching the
+         |  -- engine's early stop — a cross join would annihilate it
          |  SELECT e.w, e.cnt, e.i, e.sym, b.lhs, b.rhs,
          |    (e.sym = b.lhs AND
          |     lead(e.sym) OVER (PARTITION BY e.w ORDER BY e.i) = b.rhs) AS mt
-         |  FROM e$k e CROSS JOIN b$k b),
+         |  FROM e$k e LEFT JOIN b$k b ON true),
          |r$k AS (
          |  SELECT *, coalesce(max(CASE WHEN sym <> lhs THEN i END)
          |    OVER (PARTITION BY w ORDER BY i

@@ -77,14 +77,22 @@ object Cms {
     (d, w, counters)
   }
 
-  /** Point estimate for a pre-hashed key: min over rows. */
+  /** Point estimate for a pre-hashed key: min over rows. Reads ONLY
+    * the header and the `d` addressed counters straight from the byte
+    * array — `cms_estimate` is a per-row scalar, and deserializing
+    * all d·w counters (64 KiB at defaults) per probed row would
+    * dominate the 4 actual reads. */
   def estimate(sketch: Array[Byte], h: Long): Long = {
-    val (d, w, counters) = fromBytes(sketch)
+    val bb = java.nio.ByteBuffer.wrap(sketch)
+    val d = bb.getInt(0)
+    val w = bb.getInt(4)
+    require(sketch.length == 8 + d * w * 8,
+      s"cms sketch: ${sketch.length} bytes does not match header d=$d w=$w")
     var best = Long.MaxValue
     var i = 0
     while (i < d) {
       val g = TextHash.mix64(h + i * Golden)
-      val c = counters(i * w + (g & (w - 1)).toInt)
+      val c = bb.getLong(8 + (i * w + (g & (w - 1)).toInt) * 8)
       if (c < best) best = c
       i += 1
     }

@@ -81,8 +81,17 @@ object Profile {
     require(stages.nonEmpty, "attritionReport needs at least one stage")
     val spark = input.sparkSession
     import spark.implicits._
-    var cur = input
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only persist (and later unpersist) frames THIS method created:
+    // blindly persisting the caller's frame would be a no-op on an
+    // already-cached input and the later unpersist would evict the
+    // CALLER's cache
+    val inputOwned = input.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    var cur =
+      if (inputOwned)
+        input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else input
+    var curOwned = inputOwned
     var inCount = cur.count()
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     stages.zipWithIndex.foreach { case ((name, f), i) =>
@@ -90,11 +99,12 @@ object Profile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val outCount = next.count()
       rows += ((i + 1, name, inCount, outCount))
-      cur.unpersist()
+      if (curOwned) cur.unpersist()
       cur = next
+      curOwned = true
       inCount = outCount
     }
-    cur.unpersist()
+    if (curOwned) cur.unpersist()
     rows.toSeq.toDF("stage_idx", "stage", "docs_in", "docs_out")
       .select(col("stage_idx"), col("stage"), col("docs_in"), col("docs_out"),
         (col("docs_in") - col("docs_out")).as("removed"),

@@ -82,13 +82,23 @@ case class HllSketchAgg(
 /** Union (bytewise register max) of already-built sketches — the
   * cross-release merge: estimate the distinct count of several corpus
   * releases from their persisted sketch columns without touching the
-  * corpora. Null sketches (empty groups) are skipped. */
+  * corpora. Null sketches (empty groups) are skipped.
+  *
+  * The GEOMETRY is read from the sketches themselves (register-array
+  * length = 2^p), so `hll_union(sk)` works on sketches of any stored
+  * precision without the caller tracking p out-of-band — the CMS
+  * self-description contract. `p` is only the fallback geometry when
+  * the input is EMPTY (eval then returns the all-zero sketch of 2^p
+  * registers, whose estimate is 0); mismatched sketch widths fail
+  * with the register-width message rather than merging misaligned
+  * registers. */
 case class HllUnionAgg(
     child: Expression,
     p: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Option[Array[Byte]]]
+  with UnaryLike[Expression] {
 
   Hll.requireP(p)
 
@@ -100,23 +110,34 @@ case class HllUnionAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"hll_union expects a sketch (binary) column, got ${child.dataType}")
 
-  override def createAggregationBuffer(): Array[Byte] =
-    new Array[Byte](Hll.numRegisters(p))
+  override def createAggregationBuffer(): Option[Array[Byte]] = None
 
-  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+  private def mergeInto(buf: Option[Array[Byte]],
+                        sk: Array[Byte]): Option[Array[Byte]] = buf match {
+    case None => Some(sk.clone())
+    case Some(regs) => Hll.merge(regs, sk); buf
+  }
+
+  override def update(buffer: Option[Array[Byte]],
+                      input: InternalRow): Option[Array[Byte]] = {
     val v = child.eval(input)
-    if (v != null) Hll.merge(buffer, v.asInstanceOf[Array[Byte]])
-    buffer
+    if (v == null) buffer
+    else mergeInto(buffer, v.asInstanceOf[Array[Byte]])
   }
 
-  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
-    Hll.merge(buffer, other)
-    buffer
-  }
+  override def merge(buffer: Option[Array[Byte]],
+                     other: Option[Array[Byte]]): Option[Array[Byte]] =
+    other match {
+      case None => buffer
+      case Some(sk) => mergeInto(buffer, sk)
+    }
 
-  override def eval(buffer: Array[Byte]): Any = buffer
-  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
-  override def deserialize(storageFormat: Array[Byte]): Array[Byte] = storageFormat
+  override def eval(buffer: Option[Array[Byte]]): Any =
+    buffer.getOrElse(new Array[Byte](Hll.numRegisters(p)))
+  override def serialize(buffer: Option[Array[Byte]]): Array[Byte] =
+    buffer.getOrElse(Array.emptyByteArray)
+  override def deserialize(storageFormat: Array[Byte]): Option[Array[Byte]] =
+    if (storageFormat.isEmpty) None else Some(storageFormat)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllUnionAgg =
     copy(mutableAggBufferOffset = newOffset)

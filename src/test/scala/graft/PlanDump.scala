@@ -17,7 +17,10 @@ object PlanDump {
       "q_quality_topp", "q_cdc_blocks", "q_edit_verify", "q_embed_outliers",
       "q_decontaminate_spans", "q_containment", "q_hll_card",
       "q_bpe_encode", "q_token_drift", "q_cms_counts",
-      "q_card_incremental", "q_train_classifier",
+      // q_train_classifier deliberately absent: its result plan is a
+      // driver-local weights table (LocalTableScan) — dumping it runs
+      // 3 full GD iterations to audit nothing
+      "q_card_incremental",
       "q_strip_boilerplate", "q_token_budget_mix",
       "q_bpe_docs").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
