@@ -1256,6 +1256,13 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // §2b-29b: ingest-rate anomaly card — per-(type, hour) counts
+    // z-scored against the type's own rate distribution; z=2 here so
+    // the synthetic stream's natural extremes actually flag
+    "q_rate_anomalies" -> ((s, dir) =>
+      Profile.rateAnomalies(t(s, dir, "events"), "event_type", "ts",
+        zThreshold = 2.0)),
+
     // §2b-40: z-order (Morton) layout key — interleaves customer and
     // order-day bits so one sort order keeps parquet row-group min/max
     // tight on BOTH dimensions (multi-dimensional scan pruning at
@@ -3681,6 +3688,36 @@ object SparkEntry {
         |FROM pts p JOIN wins w
         |  ON p.user_id = w.user_id
         | AND p.ts_ms BETWEEN w.start_ms AND w.end_ms""".stripMargin,
+
+    // z from integer power sums (n, Σc, Σc²) — spelled with the same
+    // division/multiply/sqrt order as the engine so the doubles and
+    // the unrounded |z| >= 2 flag replay exactly
+    "q_rate_anomalies" ->
+      """WITH b AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |         event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type AS t, count(*) AS nb, sum(n_events) AS s,
+        |         sum(n_events * n_events) AS ss
+        |  FROM b GROUP BY 1),
+        |sc AS (
+        |  SELECT b.event_type, b.hour_epoch, b.n_events,
+        |    CAST(st.s AS DOUBLE) / CAST(st.nb AS DOUBLE) AS mean,
+        |    CAST(st.ss AS DOUBLE) / CAST(st.nb AS DOUBLE) -
+        |      (CAST(st.s AS DOUBLE) / CAST(st.nb AS DOUBLE)) *
+        |      (CAST(st.s AS DOUBLE) / CAST(st.nb AS DOUBLE)) AS var
+        |  FROM b JOIN st ON b.event_type = st.t),
+        |z AS (
+        |  SELECT event_type, hour_epoch, n_events, mean,
+        |    CASE WHEN var > 0
+        |         THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(var)
+        |         ELSE 0.0 END AS zs
+        |  FROM sc)
+        |SELECT event_type, hour_epoch, CAST(n_events AS BIGINT) AS n_events,
+        |  round(mean, 4) AS expected_rate, round(zs, 4) AS z_score,
+        |  abs(zs) >= 2.0 AS is_anomaly
+        |FROM z""".stripMargin,
 
     "q_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -67,6 +67,45 @@ object Profile {
         .as("mean_quality"))
   }
 
+  /** Ingest-rate anomaly card — the monitoring view over an event /
+    * ingestion stream: bucket counts per (type, hour), each scored
+    * against its type's own rate distribution as a z-score. A stuck
+    * upstream (rate collapse) or a replay/loop (rate spike) shows up
+    * as |z| over the threshold; the card is the page the on-call
+    * looks at, the flag the alert fires on.
+    *
+    * Variance is computed EXPLICITLY from the integer power sums
+    * (n, Σc, Σc²) rather than `stddev` — Welford vs naive stddev
+    * implementations differ across engines in the last bits, while
+    * integer sums are exact and the derived doubles replay
+    * operation-for-operation in the oracle. Two aggregations (bucket
+    * counts; per-type power sums — metadata-sized, broadcast back),
+    * zero corpus shuffles beyond the bucket count. */
+  def rateAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                    zThreshold: Double = 3.0): DataFrame = {
+    val buckets = events.groupBy(
+        unix_timestamp(date_trunc("hour", col(tsCol))).as("hour_epoch"),
+        col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = buckets.groupBy(col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("n_events")).as("__s"),
+        sum(col("n_events") * col("n_events")).as("__ss"))
+    val mean = col("__s").cast("double") / col("__nb").cast("double")
+    val variance = col("__ss").cast("double") / col("__nb").cast("double") -
+      (col("__s").cast("double") / col("__nb").cast("double")) *
+      (col("__s").cast("double") / col("__nb").cast("double"))
+    val z = when(variance > 0,
+      (col("n_events").cast("double") -
+        col("__s").cast("double") / col("__nb").cast("double")) /
+        sqrt(variance)).otherwise(lit(0.0))
+    buckets.join(broadcast(stats), col(typeCol) === col("__t"))
+      .select(col(typeCol), col("hour_epoch"), col("n_events"),
+        round(mean, 4).as("expected_rate"),
+        round(z, 4).as("z_score"),
+        (abs(z) >= zThreshold).as("is_anomaly"))
+  }
+
   /** Stage-by-stage attrition report for a curation pipeline — the
     * funnel table every corpus release ships ("started with N docs,
     * exact dedup removed X%, quality filter Y%, ..."): apply the

@@ -126,6 +126,25 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("new_in_b") == 1L)
   }
 
+  test("rateAnomalies flags a planted spike hour and only that hour") {
+    import graft.operators.Profile
+    import java.sql.Timestamp
+    // 20 steady hours of 10 events + one 200-event spike hour
+    val rows = (0 until 20).flatMap { h =>
+      val n = if (h == 7) 200 else 10
+      (0 until n).map(i =>
+        ("push", Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    }.toDF("event_type", "ts")
+    val got = Profile.rateAnomalies(rows, "event_type", "ts", zThreshold = 3.0)
+      .as[(String, Long, Long, Double, Double, Boolean)].collect()
+    assert(got.length === 20)
+    val anomalies = got.filter(_._6)
+    assert(anomalies.map(_._3).toSeq === Seq(200L))
+    assert(anomalies.head._5 > 3.0)
+    // steady hours sit below the mean with |z| < 3
+    assert(got.filterNot(_._6).forall(r => math.abs(r._5) < 3.0))
+  }
+
   test("attritionReport counts stage-by-stage survivors on a crafted " +
     "funnel; frac arithmetic matches hand computation") {
     import graft.operators.Profile
