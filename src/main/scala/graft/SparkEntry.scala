@@ -1605,7 +1605,8 @@ object SparkEntry {
          |  FROM feats f CROSS JOIN wl$k wl),
          |r$k AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z$k),
          |g$k AS (
-         |  SELECT o.b, sum(r.r) AS g
+         |  -- DECIMAL sum = exact and order-insensitive, like the engine
+         |  SELECT o.b, CAST(sum(CAST(r.r AS DECIMAL(38,18))) AS DOUBLE) AS g
          |  FROM occ o JOIN r$k r ON o.doc_id = r.doc_id GROUP BY o.b),
          |w$k AS (
          |  SELECT w.b, w.w - $lr * coalesce(g.g, 0.0) AS w
@@ -2829,7 +2830,8 @@ object SparkEntry {
 
     "q_train_classifier" ->
       s"""${sqlTrainChain(3, "0.01")}
-         |SELECT CAST(b AS INT) AS bucket, round(w, 6) AS weight
+         |SELECT CAST(b AS INT) AS bucket,
+         |  round(w, 6) + 0.0 AS weight
          |FROM w3""".stripMargin,
 
     // three global HLL replays (A, B, union) + the same

@@ -80,11 +80,18 @@ object Classify {
           (lit(1.0) / (lit(1.0) +
             exp(-HashExpressions.hashGramLogit(col("__text"), w.clone())))) -
             col("__y")
+        // residuals sum as fixed-scale DECIMAL: decimal addition is
+        // exact and associative, so the gradient is independent of
+        // partial-aggregation order — a plain double sum drifts with
+        // partition order (and made the oracle flaky under DuckDB's
+        // threaded aggregation). One rounding at the 1e-18 grid per
+        // row, one double conversion per bucket.
         val grad = base
           .select(residual.as("__r"),
             explode(HashExpressions.hashGramBuckets(col("__text"), numBuckets))
               .as("__b"))
-          .groupBy(col("__b")).agg(sum(col("__r")).as("__g"))
+          .groupBy(col("__b"))
+          .agg(sum(col("__r").cast("decimal(38,18)")).cast("double").as("__g"))
           .collect()
         grad.foreach { row =>
           val b = row.getLong(0).toInt
@@ -100,8 +107,11 @@ object Classify {
   def weightsDf(spark: org.apache.spark.sql.SparkSession,
                 w: Array[Double]): DataFrame = {
     import spark.implicits._
+    // + 0.0 normalizes IEEE negative zero: a tiny negative weight
+    // rounds to -0.0 in engines that keep the sign through round()
+    // and to +0.0 in those that don't — the sum maps both to +0.0
     w.toSeq.zipWithIndex.toDF("__w", "bucket")
-      .select(col("bucket"), round(col("__w"), 6).as("weight"))
+      .select(col("bucket"), (round(col("__w"), 6) + lit(0.0)).as("weight"))
   }
 
   /** Score documents with a hashed unigram+bigram linear model:
