@@ -603,6 +603,39 @@ object SparkEntry {
       LmScore.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "join", "window", "hash", "vector"), k = 10)),
 
+    // §2b-38b: hybrid retrieval by reciprocal-rank fusion — two
+    // genuinely different rankers over the same query (multi-term BM25
+    // summed per doc; query-set Jaccard over distinct tokens), each
+    // cut to its top-20 list, fused by 1/(60+rank). Per-doc BM25 sums
+    // go through DECIMAL so the ranking is partial-order-insensitive.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("spark", "join", "window", "hash", "vector")
+      // top-20 cut via orderBy+limit FIRST (TakeOrderedAndProject —
+      // per-partition heap, no global sort); the unpartitioned rank
+      // window then runs over 20 rows, not the matched corpus
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__s").desc, col("doc_id"))
+      val lex = LmScore.bm25TopK(docs, "doc_id", "text", terms, k = 100000)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score").cast("decimal(18,6)")).cast("double").as("__s"))
+        .orderBy(col("__s").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(wAll))
+      val qArr = array(terms.map(lit): _*)
+      val toksD = array_distinct(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+      val wOv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__j").desc, col("doc_id"))
+      val overlap = docs
+        .select(col("doc_id"),
+          (size(array_intersect(toksD, qArr)).cast("double") /
+            size(array_union(toksD, qArr)).cast("double")).as("__j"))
+        .filter(col("__j") > 0)
+        .orderBy(col("__j").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(wOv))
+      LmScore.rrfFuse(lex, overlap, "doc_id", kRrf = 60, k = 10)
+    }),
+
     // §2b: benchmark decontamination (the GPT-3/PaLM appendix policy,
     // Lee et al. 2022 §6): drop every training doc sharing ANY word
     // 5-shingle with the eval set. Shingle sets are the codegen
@@ -2515,6 +2548,57 @@ object SparkEntry {
         |  FROM scored)
         |SELECT term, doc_id, CAST(rank AS INT) AS rank, score
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // the q_bm25 replay feeding per-doc DECIMAL-summed scores, a
+    // Jaccard second ranker, both top-20, and the 1/(60+rank) fusion
+    "q_rrf_fusion" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM base),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT b.doc_id, t.term AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM base b, UNNEST(b.ts) AS t(term)
+        |  WHERE t.term IN ('spark', 'join', 'window', 'hash', 'vector')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    round((ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+        |      AS score
+        |  FROM tf
+        |  JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s),
+        |lex AS (
+        |  SELECT doc_id, CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS s
+        |  FROM scored GROUP BY doc_id),
+        |lexk AS (
+        |  SELECT doc_id, rank_a FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_a
+        |    FROM lex) WHERE rank_a <= 20),
+        |ov AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(list_distinct(ts),
+        |      ['spark', 'join', 'window', 'hash', 'vector'])) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(list_distinct(ts),
+        |      ['spark', 'join', 'window', 'hash', 'vector']))) AS DOUBLE) AS j
+        |  FROM base),
+        |ovk AS (
+        |  SELECT doc_id, rank_b FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY j DESC, doc_id) AS rank_b
+        |    FROM ov WHERE j > 0) WHERE rank_b <= 20),
+        |f AS (
+        |  SELECT coalesce(l.doc_id, o.doc_id) AS doc_id, l.rank_a, o.rank_b,
+        |    coalesce(1.0 / (60 + l.rank_a), 0.0) +
+        |    coalesce(1.0 / (60 + o.rank_b), 0.0) AS rrf
+        |  FROM lexk l FULL OUTER JOIN ovk o ON l.doc_id = o.doc_id)
+        |SELECT doc_id, CAST(rank_a AS INT) AS rank_a,
+        |  CAST(rank_b AS INT) AS rank_b, round(rrf, 6) AS rrf_score
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // string shingles instead of the engine's 64-bit FNV shingle
     // hashes: identical intersection behavior (a cross-doc hash

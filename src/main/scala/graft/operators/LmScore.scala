@@ -159,6 +159,34 @@ object LmScore {
       .select(col("term"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two top-k
+    * rankings — the standard hybrid-retrieval combiner (lexical +
+    * semantic, or any ranker pair): each list contributes
+    * `1/(kRrf + rank)` for the documents it ranked, absent documents
+    * contribute nothing (the deployed top-k-lists variant — full-
+    * corpus ranks are never materialized, so there is no global sort
+    * over the corpus, only over the two k-sized lists).
+    *
+    * Inputs are (idCol, rank) frames (rank 1-based). Output: top `k`
+    * by fused score with both source ranks (null where a list missed
+    * the doc). The fused double is replayable: integer+int division
+    * and one fixed-order sum. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+              kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val ra = a.select(col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col(idCol), col("rank").as("rank_b"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)))
+          .as("__rrf"))
+      .orderBy(col("__rrf").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        round(col("__rrf"), 6).as("rrf_score"))
+  }
+
   /** Bucketed catalog write shared by [[buildBm25Index]] (overwrite)
     * and [[appendToBm25Index]] (append; the catalog validates the
     * bucket spec against the existing table). */

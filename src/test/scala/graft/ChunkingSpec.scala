@@ -305,6 +305,23 @@ class ChunkingSpec extends AnyFunSuite {
     assert((got.size - (got & ap).size) <= got.size / 3, s"approx far off: $ap vs $got")
   }
 
+  test("rrfFuse matches the hand-computed reciprocal-rank fusion, " +
+    "including docs present in only one list") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = LmScore.rrfFuse(a, b, "doc_id", kRrf = 60, k = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toSeq
+    def rr(r: Int) = 1.0 / (60 + r)
+    // doc 3: both lists (rank 3 + rank 1) -> highest fused score
+    assert(got.head._1 === 3L)
+    assert(math.abs(got.head._4 - math.rint((rr(3) + rr(1)) * 1e6) / 1e6) < 1e-9)
+    assert(got.map(_._1) === Seq(3L, 1L, 2L, 4L))
+    // one-sided docs carry a null rank for the missing list
+    assert(got.find(_._1 == 1L).get._3.isEmpty)
+    assert(got.find(_._1 == 4L).get._2.isEmpty)
+  }
+
   test("tokenBudgetMix: per-source kept tokens reach the budget with at " +
     "most one doc of overshoot; the approx hash-gate form lands near " +
     "the budget with zero shuffles of the corpus") {
