@@ -1289,6 +1289,18 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // §2b-30d: batch twin of the stream-stream interval join
+    // (click↔purchase attribution within ±5 min per user); the
+    // watermark-bounded streaming form is StreamingSpec-pinned equal
+    "q_correlate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      EventsStreaming.correlateBatch(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), withinMinutes = 5)
+        .select(col("user_id"), col("l_id"), col("r_id"), col("lag_seconds"))
+    }),
+
     // §2b-29b: ingest-rate anomaly card — per-(type, hour) counts
     // z-scored against the type's own rate distribution; z=2 here so
     // the synthetic stream's natural extremes actually flag
@@ -3774,6 +3786,20 @@ object SparkEntry {
         |FROM pts p JOIN wins w
         |  ON p.user_id = w.user_id
         | AND p.ts_ms BETWEEN w.start_ms AND w.end_ms""".stripMargin,
+
+    // lag floors EACH side to whole seconds (Spark's unix_timestamp
+    // semantics) before differencing — epoch() keeps sub-second
+    // fractions and differencing first shifts some lags by 1
+    "q_correlate" ->
+      """SELECT c.user_id, c.event_id AS l_id, p.event_id AS r_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) -
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts - INTERVAL 5 MINUTES
+        | AND p.ts <= c.ts + INTERVAL 5 MINUTES
+        | AND c.event_id <> p.event_id""".stripMargin,
 
     // z from integer power sums (n, Σc, Σc²) — spelled with the same
     // division/multiply/sqrt order as the engine so the doubles and

@@ -230,6 +230,61 @@ object EventsStreaming {
   /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
     * identical grouping expressed with date_trunc so DuckDB can evaluate
     * the same SQL. */
+  /** STREAM-STREAM interval join — the remaining Structured Streaming
+    * join shape (the others here are stream-static/as-of): correlate
+    * two live event streams per user within a ±`withinMinutes` window
+    * (click↔view attribution, request↔error correlation). Watermarks
+    * on BOTH sides plus the two-sided time-range predicate are what
+    * make unbounded stream-stream join feasible: each side's state
+    * store evicts rows once the other side's watermark passes
+    * `ts ± within`, so state is bounded by (rate × window), not the
+    * stream's history. Inner join — a match emits as soon as both
+    * sides have arrived.
+    *
+    * Inputs need (user_id, ts, event_id, event_type); output one row
+    * per qualifying (left, right) pair with the signed lag. Batch
+    * twin: [[correlateBatch]] (same predicate as a plain join) —
+    * StreamingSpec pins stream == batch. */
+  def correlateStreams(left: DataFrame, right: DataFrame,
+                       withinMinutes: Int = 5,
+                       watermark: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("l_id") =!= col("r_id"))
+      .select(col("user_id"), col("l_id"), col("l_type"), col("l_ts"),
+        col("r_id"), col("r_type"), col("r_ts"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_seconds"))
+  }
+
+  /** Batch twin of [[correlateStreams]]: the identical join predicate
+    * over at-rest frames (a range join — at scale use
+    * [[graft.operators.Temporal.rangeJoin]]'s bucketed form). */
+  def correlateBatch(left: DataFrame, right: DataFrame,
+                     withinMinutes: Int = 5): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+      col("event_id").as("l_id"), col("event_type").as("l_type"))
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"), col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("l_id") =!= col("r_id"))
+      .select(col("user_id"), col("l_id"), col("l_type"), col("l_ts"),
+        col("r_id"), col("r_type"), col("r_ts"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_seconds"))
+  }
+
   def hourlyAggBatch(events: DataFrame): DataFrame =
     events.groupBy(
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),

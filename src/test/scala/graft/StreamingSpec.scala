@@ -71,6 +71,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size < docs.size + 1)
   }
 
+  test("stream-stream interval join (watermarked both sides) matches " +
+    "the batch twin on a crafted correlation corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: click at :00, views at :03 and :04 (both within 5 min),
+    // view at :20 (outside); user 2: view with no click nearby
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click"),
+      (2L, ts("2024-01-01 10:00:00"), 101L, "click"))
+    val views = Seq(
+      (1L, ts("2024-01-01 10:03:00"), 200L, "view"),
+      (1L, ts("2024-01-01 10:04:30"), 201L, "view"),
+      (1L, ts("2024-01-01 10:20:00"), 202L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 203L, "view"))
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    val batch = EventsStreaming.correlateBatch(
+        clicks.toDF(cols: _*), views.toDF(cols: _*), withinMinutes = 5)
+      .select($"l_id", $"r_id", $"lag_seconds")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch === Set((100L, 200L, 180L), (100L, 201L, 270L)))
+
+    val sc = MemoryStream[(Long, Timestamp, Long, String)]
+    val sv = MemoryStream[(Long, Timestamp, Long, String)]
+    sc.addData(clicks)
+    sv.addData(views)
+    val q = EventsStreaming.correlateStreams(
+        sc.toDF().toDF(cols: _*), sv.toDF().toDF(cols: _*), withinMinutes = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corr_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("corr_test")
+      .select($"l_id", $"r_id", $"lag_seconds")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("per-micro-batch HLL sketches union to the batch sketch " +
     "byte-identically (the streaming cardinality story)") {
     implicit val sqlCtx = spark.sqlContext
