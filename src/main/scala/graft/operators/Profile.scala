@@ -106,6 +106,29 @@ object Profile {
         (abs(z) >= zThreshold).as("is_anomaly"))
   }
 
+  /** The per-type rate statistics [[rateAnomalies]] scores against,
+    * as a standalone frame (event_type, mean, variance) — freeze
+    * these from history and hand them to the STREAMING twin
+    * ([[graft.streaming.EventsStreaming.rateAnomalyStream]]), which
+    * scores each finalized live hour against them statelessly. */
+  def rateStats(events: DataFrame, typeCol: String,
+                tsCol: String): DataFrame = {
+    val buckets = events.groupBy(
+        unix_timestamp(date_trunc("hour", col(tsCol))).as("hour_epoch"),
+        col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+    buckets.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("n_events")).as("__s"),
+        sum(col("n_events") * col("n_events")).as("__ss"))
+      .select(col(typeCol),
+        (col("__s").cast("double") / col("__nb").cast("double")).as("mean"),
+        (col("__ss").cast("double") / col("__nb").cast("double") -
+          (col("__s").cast("double") / col("__nb").cast("double")) *
+          (col("__s").cast("double") / col("__nb").cast("double")))
+          .as("variance"))
+  }
+
   /** Stage-by-stage attrition report for a curation pipeline — the
     * funnel table every corpus release ships ("started with N docs,
     * exact dedup removed X%, quality filter Y%, ..."): apply the

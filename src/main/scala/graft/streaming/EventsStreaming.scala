@@ -230,6 +230,34 @@ object EventsStreaming {
   /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
     * identical grouping expressed with date_trunc so DuckDB can evaluate
     * the same SQL. */
+  /** Streaming twin of [[graft.operators.Profile.rateAnomalies]]: the
+    * live alert. Hourly per-type counts aggregate under a watermark
+    * (append mode — each hour emits once finalized), then join the
+    * FROZEN historical statistics
+    * ([[graft.operators.Profile.rateStats]], broadcast — stream-static,
+    * no extra state) and score the same z formula. Statistics are
+    * deliberately not updated from the stream: an ongoing incident
+    * must not teach the detector that the anomaly is the new normal —
+    * refresh them from vetted history on a schedule (the near-dup
+    * index rebuild policy). */
+  def rateAnomalyStream(events: DataFrame, stats: DataFrame,
+                        zThreshold: Double = 3.0,
+                        watermark: String = "2 hours"): DataFrame = {
+    val buckets = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"))
+    val z = when(col("variance") > 0,
+      (col("n_events").cast("double") - col("mean")) /
+        sqrt(col("variance"))).otherwise(lit(0.0))
+    buckets.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_epoch"), col("n_events"),
+        round(col("mean"), 4).as("expected_rate"),
+        round(z, 4).as("z_score"),
+        (abs(z) >= zThreshold).as("is_anomaly"))
+  }
+
   /** STREAM-STREAM interval join — the remaining Structured Streaming
     * join shape (the others here are stream-static/as-of): correlate
     * two live event streams per user within a ±`withinMinutes` window

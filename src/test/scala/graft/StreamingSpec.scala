@@ -71,6 +71,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size < docs.size + 1)
   }
 
+  test("streaming rate anomalies: live hours scored against frozen " +
+    "stats match the batch card on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    // history: 20 steady hours of 10 + one spike (hour 7, 200)
+    val hist = (0 until 20).flatMap { h =>
+      val n = if (h == 7) 200 else 10
+      (0 until n).map(i => ("push",
+        ts(f"2024-01-01 $h%02d:00:${i % 60}%02d"), i.toLong, 0.0))
+    }
+    val histDf = hist.toDF("event_type", "ts", "event_id", "value")
+      .select($"event_type", $"ts")
+    val stats = graft.operators.Profile.rateStats(histDf, "event_type", "ts")
+    val batch = graft.operators.Profile
+      .rateAnomalies(histDf, "event_type", "ts", zThreshold = 3.0)
+      .select($"hour_epoch", $"n_events", $"z_score", $"is_anomaly")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+
+    val stream = MemoryStream[(String, Timestamp)]
+    stream.addData(hist.map(e => (e._1, e._2)))
+    val q = EventsStreaming
+      .rateAnomalyStream(stream.toDF().toDF("event_type", "ts"), stats, 3.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("anom_test")
+      .select($"hour_epoch", $"n_events", $"z_score", $"is_anomaly")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    // append mode: all but the not-yet-finalized final watermark tail
+    // emit; everything emitted must equal the batch card's rows
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    assert(streamed.exists(_._4), "the spike hour must flag in-stream")
+  }
+
   test("stream-stream interval join (watermarked both sides) matches " +
     "the batch twin on a crafted correlation corpus") {
     implicit val sqlCtx = spark.sqlContext
