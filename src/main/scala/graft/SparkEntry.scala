@@ -611,19 +611,22 @@ object SparkEntry {
     "q_rrf_fusion" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val terms = Seq("spark", "join", "window", "hash", "vector")
-      // top-20 cut via orderBy+limit FIRST (TakeOrderedAndProject —
-      // per-partition heap, no global sort); the unpartitioned rank
+      // rank-free bm25Scores (NOT a per-term top-k cut, which would
+      // silently truncate per-doc sums once a term matches more docs
+      // than the cut); top-20 via orderBy+limit (TakeOrderedAndProject
+      // — per-partition heap, no global sort); the unpartitioned rank
       // window then runs over 20 rows, not the matched corpus
       val wAll = org.apache.spark.sql.expressions.Window
         .orderBy(col("__s").desc, col("doc_id"))
-      val lex = LmScore.bm25TopK(docs, "doc_id", "text", terms, k = 100000)
+      val lex = LmScore.bm25Scores(docs, "doc_id", "text", terms)
         .groupBy(col("doc_id"))
         .agg(sum(col("score").cast("decimal(18,6)")).cast("double").as("__s"))
         .orderBy(col("__s").desc, col("doc_id")).limit(20)
         .withColumn("rank", row_number().over(wAll))
       val qArr = array(terms.map(lit): _*)
-      val toksD = array_distinct(
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+      // the ONE shared tokenizer — both fused rankers must tokenize
+      // identically or a tokenizer change silently skews the fusion
+      val toksD = array_distinct(LmScore.bm25Tokens(col("text")))
       val wOv = org.apache.spark.sql.expressions.Window
         .orderBy(col("__j").desc, col("doc_id"))
       val overlap = docs
@@ -1295,9 +1298,12 @@ object SparkEntry {
     "q_correlate" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // excludeSelfPairs: both sides are slices of the SAME events
+      // stream (one shared event-id space)
       EventsStreaming.correlateBatch(
           ev.filter(col("event_type") === "click"),
-          ev.filter(col("event_type") === "purchase"), withinMinutes = 5)
+          ev.filter(col("event_type") === "purchase"), withinMinutes = 5,
+          excludeSelfPairs = true)
         .select(col("user_id"), col("l_id"), col("r_id"), col("lag_seconds"))
     }),
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -110,7 +110,18 @@ object LmScore {
     * decimals; ties rank by doc id, so the output is deterministic. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankCut(bm25Scores(docs, idCol, textCol, terms, k1, b), k)
+
+  /** Per-(term, doc) BM25 scores over EVERY matching document — the
+    * rank-free form [[bm25TopK]] cuts from, and the correct input
+    * when a downstream consumer aggregates or re-ranks (the RRF
+    * fusion query): cutting per-term at an arbitrary k before a
+    * per-doc sum silently truncates contributions once a term
+    * matches more than k docs. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val base = tokenizedBase(docs, idCol, textCol)
     val stats = base
@@ -124,17 +135,20 @@ object LmScore {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
-    scoreBm25(tf, n, avgdl, k, k1, b)
+    scoreBm25(tf, n, avgdl, k1, b)
   }
 
   /** The ONE tokenizer every BM25 path shares (inline, index build,
-    * index append) — change it here or the persisted postings and the
-    * query-time scorer silently diverge on term boundaries. */
+    * index append, AND any ranker fused with BM25 — the RRF query's
+    * Jaccard side uses this too) — change it here or the persisted
+    * postings and the query-time scorer silently diverge on term
+    * boundaries. */
+  def bm25Tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
   private def tokenizedBase(docs: DataFrame, idCol: String,
                             textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
-        .as("__ts"))
+    docs.select(col(idCol).as("doc_id"), bm25Tokens(col(textCol)).as("__ts"))
 
   /** Scoring tail shared by [[bm25TopK]] and [[bm25TopKIndexed]]:
     * takes the (doc_id, term, tf, dl) rows already restricted to the
@@ -142,9 +156,8 @@ object LmScore {
     * The expression trees mirror the oracle SQL token for token: every
     * intermediate is IEEE-deterministic (ln parity with libm is
     * pinned by the Box-Muller golden vectors in SimilaritySpec). */
-  private def scoreBm25(tf: DataFrame, n: Long, avgdl: Double, k: Int,
+  private def scoreBm25(tf: DataFrame, n: Long, avgdl: Double,
                         k1: Double, b: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -152,11 +165,8 @@ object LmScore {
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
     tf.join(broadcast(dfreq), "term")
       .withColumn("score", round(score, 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("term"))
-          .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
-      .select(col("term"), col("doc_id"), col("rank"), col("score"))
+      .select(col("term"), col("doc_id"), col("score"),
+        col("tf"), col("dl"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two top-k
@@ -277,6 +287,17 @@ object LmScore {
     val tf = spark.table(table)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    scoreBm25(tf, n, avgdl, k, k1, b)
+    rankCut(scoreBm25(tf, n, avgdl, k1, b), k)
+  }
+
+  /** The top-k cut shared by the inline and indexed scorers. */
+  private def rankCut(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("rank"), col("score"))
   }
 }

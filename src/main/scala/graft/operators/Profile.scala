@@ -83,40 +83,41 @@ object Profile {
     * zero corpus shuffles beyond the bucket count. */
   def rateAnomalies(events: DataFrame, typeCol: String, tsCol: String,
                     zThreshold: Double = 3.0): DataFrame = {
-    val buckets = events.groupBy(
-        unix_timestamp(date_trunc("hour", col(tsCol))).as("hour_epoch"),
-        col(typeCol))
-      .agg(count(lit(1)).as("n_events"))
-    val stats = buckets.groupBy(col(typeCol).as("__t"))
-      .agg(count(lit(1)).as("__nb"),
-        sum(col("n_events")).as("__s"),
-        sum(col("n_events") * col("n_events")).as("__ss"))
-    val mean = col("__s").cast("double") / col("__nb").cast("double")
-    val variance = col("__ss").cast("double") / col("__nb").cast("double") -
-      (col("__s").cast("double") / col("__nb").cast("double")) *
-      (col("__s").cast("double") / col("__nb").cast("double"))
-    val z = when(variance > 0,
-      (col("n_events").cast("double") -
-        col("__s").cast("double") / col("__nb").cast("double")) /
-        sqrt(variance)).otherwise(lit(0.0))
+    val buckets = rateBuckets(events, typeCol, tsCol)
+    // score against the ONE shared stats definition (rateStats) —
+    // batch card, frozen-stats streaming twin, and the DuckDB oracle
+    // must all compute mean/variance operation-for-operation alike
+    val stats = statsOfBuckets(buckets, typeCol)
+      .withColumnRenamed(typeCol, "__t")
+    val z = when(col("variance") > 0,
+      (col("n_events").cast("double") - col("mean")) /
+        sqrt(col("variance"))).otherwise(lit(0.0))
     buckets.join(broadcast(stats), col(typeCol) === col("__t"))
       .select(col(typeCol), col("hour_epoch"), col("n_events"),
-        round(mean, 4).as("expected_rate"),
+        round(col("mean"), 4).as("expected_rate"),
         round(z, 4).as("z_score"),
         (abs(z) >= zThreshold).as("is_anomaly"))
   }
 
   /** The per-type rate statistics [[rateAnomalies]] scores against,
-    * as a standalone frame (event_type, mean, variance) — freeze
-    * these from history and hand them to the STREAMING twin
+    * as a standalone frame (typeCol, mean, variance) — freeze these
+    * from history and hand them to the STREAMING twin
     * ([[graft.streaming.EventsStreaming.rateAnomalyStream]]), which
     * scores each finalized live hour against them statelessly. */
   def rateStats(events: DataFrame, typeCol: String,
-                tsCol: String): DataFrame = {
-    val buckets = events.groupBy(
+                tsCol: String): DataFrame =
+    statsOfBuckets(rateBuckets(events, typeCol, tsCol), typeCol)
+
+  private def rateBuckets(events: DataFrame, typeCol: String,
+                          tsCol: String): DataFrame =
+    events.groupBy(
         unix_timestamp(date_trunc("hour", col(tsCol))).as("hour_epoch"),
         col(typeCol))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Variance from integer power sums — see [[rateAnomalies]]. */
+  private def statsOfBuckets(buckets: DataFrame,
+                             typeCol: String): DataFrame =
     buckets.groupBy(col(typeCol))
       .agg(count(lit(1)).as("__nb"),
         sum(col("n_events")).as("__s"),
@@ -127,7 +128,6 @@ object Profile {
           (col("__s").cast("double") / col("__nb").cast("double")) *
           (col("__s").cast("double") / col("__nb").cast("double")))
           .as("variance"))
-  }
 
   /** Stage-by-stage attrition report for a curation pipeline — the
     * funnel table every corpus release ships ("started with N docs,

@@ -227,35 +227,43 @@ object EventsStreaming {
     writer.start()
   }
 
-  /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
-    * identical grouping expressed with date_trunc so DuckDB can evaluate
-    * the same SQL. */
   /** Streaming twin of [[graft.operators.Profile.rateAnomalies]]: the
     * live alert. Hourly per-type counts aggregate under a watermark
-    * (append mode — each hour emits once finalized), then join the
-    * FROZEN historical statistics
+    * (append mode — each hour emits once finalized), then LEFT-join
+    * the FROZEN historical statistics
     * ([[graft.operators.Profile.rateStats]], broadcast — stream-static,
-    * no extra state) and score the same z formula. Statistics are
-    * deliberately not updated from the stream: an ongoing incident
-    * must not teach the detector that the anomaly is the new normal —
-    * refresh them from vetted history on a schedule (the near-dup
-    * index rebuild policy). */
+    * no extra state) and score the same z formula. A type ABSENT from
+    * history — the classic misconfigured-upstream flood — has no
+    * stats row: it emits with null expected_rate/z_score and
+    * `is_anomaly = true` (an unknown type at any volume IS the
+    * alert; an inner join would silently swallow exactly that
+    * incident). Statistics are deliberately not updated from the
+    * stream: an ongoing incident must not teach the detector that the
+    * anomaly is the new normal — refresh them from vetted history on
+    * a schedule (the near-dup index rebuild policy). Column names
+    * parameterized like the batch twins; `stats` must carry
+    * (typeCol, mean, variance) as [[graft.operators.Profile.rateStats]]
+    * emits them. */
   def rateAnomalyStream(events: DataFrame, stats: DataFrame,
                         zThreshold: Double = 3.0,
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts",
                         watermark: String = "2 hours"): DataFrame = {
-    val buckets = events.withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+    val buckets = events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(count(lit(1)).as("n_events"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
-        col("event_type"), col("n_events"))
+        col(typeCol), col("n_events"))
     val z = when(col("variance") > 0,
       (col("n_events").cast("double") - col("mean")) /
         sqrt(col("variance"))).otherwise(lit(0.0))
-    buckets.join(broadcast(stats), "event_type")
-      .select(col("event_type"), col("hour_epoch"), col("n_events"),
+    buckets.join(broadcast(stats), Seq(typeCol), "left")
+      .select(col(typeCol), col("hour_epoch"), col("n_events"),
         round(col("mean"), 4).as("expected_rate"),
-        round(z, 4).as("z_score"),
-        (abs(z) >= zThreshold).as("is_anomaly"))
+        when(col("mean").isNull, lit(null).cast("double"))
+          .otherwise(round(z, 4)).as("z_score"),
+        when(col("mean").isNull, lit(true))
+          .otherwise(abs(z) >= zThreshold).as("is_anomaly"))
   }
 
   /** STREAM-STREAM interval join — the remaining Structured Streaming
@@ -275,44 +283,56 @@ object EventsStreaming {
     * StreamingSpec pins stream == batch. */
   def correlateStreams(left: DataFrame, right: DataFrame,
                        withinMinutes: Int = 5,
-                       watermark: String = "30 minutes"): DataFrame = {
-    val l = left.select(col("user_id"), col("ts").as("l_ts"),
-        col("event_id").as("l_id"), col("event_type").as("l_type"))
-      .withWatermark("l_ts", watermark)
-    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
-        col("event_id").as("r_id"), col("event_type").as("r_type"))
-      .withWatermark("r_ts", watermark)
-    l.join(r,
-      col("user_id") === col("r_user") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
-        col("l_id") =!= col("r_id"))
-      .select(col("user_id"), col("l_id"), col("l_type"), col("l_ts"),
-        col("r_id"), col("r_type"), col("r_ts"),
-        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
-          .as("lag_seconds"))
-  }
+                       excludeSelfPairs: Boolean = false,
+                       watermark: String = "30 minutes"): DataFrame =
+    correlateJoin(
+      correlateSide(left, "l").withWatermark("l_ts", watermark),
+      correlateSide(right, "r").withWatermark("r_ts", watermark),
+      withinMinutes, excludeSelfPairs)
 
-  /** Batch twin of [[correlateStreams]]: the identical join predicate
-    * over at-rest frames (a range join — at scale use
-    * [[graft.operators.Temporal.rangeJoin]]'s bucketed form). */
+  /** Batch twin of [[correlateStreams]]: the identical projections and
+    * join predicate (one shared builder — the stream form only adds
+    * the two watermarks) over at-rest frames. A plain range join here;
+    * at scale use [[graft.operators.Temporal.rangeJoin]]'s bucketed
+    * form. */
   def correlateBatch(left: DataFrame, right: DataFrame,
-                     withinMinutes: Int = 5): DataFrame = {
-    val l = left.select(col("user_id"), col("ts").as("l_ts"),
-      col("event_id").as("l_id"), col("event_type").as("l_type"))
-    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
-      col("event_id").as("r_id"), col("event_type").as("r_type"))
-    l.join(r,
-      col("user_id") === col("r_user") &&
+                     withinMinutes: Int = 5,
+                     excludeSelfPairs: Boolean = false): DataFrame =
+    correlateJoin(correlateSide(left, "l"), correlateSide(right, "r"),
+      withinMinutes, excludeSelfPairs)
+
+  private def correlateSide(df: DataFrame, tag: String): DataFrame =
+    df.select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"),
+      col("event_id").as(s"${tag}_id"), col("event_type").as(s"${tag}_type"))
+
+  /** Shared projections + predicate of the two correlate forms.
+    * `excludeSelfPairs` guards `l_id =!= r_id` and is ONLY for the
+    * case where both sides are slices of the SAME stream (one shared
+    * event-id space — q_correlate's shape); with independent streams
+    * leave it off, or colliding ids from the two id spaces (and null
+    * ids, which make the predicate null) silently drop legitimate
+    * pairs. */
+  private def correlateJoin(l: DataFrame, r: DataFrame,
+                            withinMinutes: Int,
+                            excludeSelfPairs: Boolean): DataFrame = {
+    val timeBand =
+      col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
-        col("l_id") =!= col("r_id"))
-      .select(col("user_id"), col("l_id"), col("l_type"), col("l_ts"),
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES")
+    val cond =
+      if (excludeSelfPairs) timeBand && col("l_id") =!= col("r_id")
+      else timeBand
+    l.join(r, cond)
+      .select(col("l_user").as("user_id"),
+        col("l_id"), col("l_type"), col("l_ts"),
         col("r_id"), col("r_type"), col("r_ts"),
         (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
           .as("lag_seconds"))
   }
 
+  /** Batch twin of [[windowedAgg]] used by the oracle-checked query:
+    * identical grouping expressed with date_trunc so DuckDB can
+    * evaluate the same SQL. */
   def hourlyAggBatch(events: DataFrame): DataFrame =
     events.groupBy(
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),

@@ -103,6 +103,28 @@ class StreamingSpec extends AnyFunSuite {
     // emit; everything emitted must equal the batch card's rows
     assert(streamed.nonEmpty && streamed.subsetOf(batch))
     assert(streamed.exists(_._4), "the spike hour must flag in-stream")
+
+    // a type ABSENT from frozen history (misconfigured upstream) must
+    // ALERT, not vanish in the stats join
+    val s2 = MemoryStream[(String, Timestamp)]
+    s2.addData((0 until 50).map(i =>
+      ("brand_new_type", ts(f"2024-01-02 00:00:${i % 60}%02d"))) ++
+      // a later known-type hour advances the watermark past the hour
+      (0 until 3).map(i => ("push", ts(f"2024-01-02 09:00:0$i"))))
+    val q2 = EventsStreaming
+      .rateAnomalyStream(s2.toDF().toDF("event_type", "ts"), stats, 3.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_unknown")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val unknown = spark.table("anom_unknown")
+      .filter($"event_type" === "brand_new_type")
+      .select($"n_events", $"z_score", $"is_anomaly")
+      .collect()
+    assert(unknown.length === 1)
+    assert(unknown.head.getLong(0) === 50L)
+    assert(unknown.head.isNullAt(1))
+    assert(unknown.head.getBoolean(2), "unknown type must flag as anomaly")
   }
 
   test("stream-stream interval join (watermarked both sides) matches " +
