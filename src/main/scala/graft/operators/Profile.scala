@@ -67,6 +67,45 @@ object Profile {
         .as("mean_quality"))
   }
 
+  /** Schema drift between two releases/frames — the METADATA release
+    * gate next to [[overlapCard]] (content) and [[tokenDrift]]
+    * (distribution): column-by-column presence, type, and nullability
+    * diff, one row per column that exists in either schema with a
+    * change verdict ('added' / 'removed' / 'type_changed' /
+    * 'nullability_changed' / 'unchanged'). Driver-side metadata only —
+    * no job runs; the frame it returns is a local relation sized by
+    * column count. The check a 100 TB pipeline runs BEFORE reading
+    * anything: a silently re-typed or dropped column fails here, not
+    * three hours into the job. */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val fa = a.schema.fields.map(f => f.name -> f).toMap
+    val fb = b.schema.fields.map(f => f.name -> f).toMap
+    val names = (a.schema.fields.map(_.name) ++
+      b.schema.fields.map(_.name).filterNot(fa.contains)).toSeq
+    def bool(b: Boolean): java.lang.Boolean = java.lang.Boolean.valueOf(b)
+    names.map { n =>
+      (fa.get(n), fb.get(n)) match {
+        case (Some(x), None) =>
+          (n, x.dataType.simpleString, null: String,
+            bool(x.nullable), null: java.lang.Boolean, "removed")
+        case (None, Some(y)) =>
+          (n, null: String, y.dataType.simpleString,
+            null: java.lang.Boolean, bool(y.nullable), "added")
+        case (Some(x), Some(y)) =>
+          val verdict =
+            if (x.dataType != y.dataType) "type_changed"
+            else if (x.nullable != y.nullable) "nullability_changed"
+            else "unchanged"
+          (n, x.dataType.simpleString, y.dataType.simpleString,
+            bool(x.nullable), bool(y.nullable), verdict)
+        case (None, None) => throw new IllegalStateException(n)
+      }
+    }.toDF("column", "type_a", "type_b", "nullable_a", "nullable_b",
+      "change")
+  }
+
   /** Ingest-rate anomaly card — the monitoring view over an event /
     * ingestion stream: bucket counts per (type, hour), each scored
     * against its type's own rate distribution as a z-score. A stuck

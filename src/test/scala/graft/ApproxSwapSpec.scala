@@ -126,6 +126,19 @@ class ApproxSwapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("new_in_b") == 1L)
   }
 
+  test("schemaDiff reports added/removed/retyped columns and nothing " +
+    "else; identical schemas diff clean") {
+    import graft.operators.Profile
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val b = Seq((1L, 1, true)).toDF("id", "name", "fresh")
+    val got = Profile.schemaDiff(a, b).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(got === Map("id" -> "unchanged", "name" -> "type_changed",
+      "score" -> "removed", "fresh" -> "added"))
+    val clean = Profile.schemaDiff(a, a).collect().map(_.getString(5))
+    assert(clean.forall(_ == "unchanged"))
+  }
+
   test("rateAnomalies flags a planted spike hour and only that hour") {
     import graft.operators.Profile
     import java.sql.Timestamp
