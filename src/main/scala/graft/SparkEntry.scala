@@ -961,6 +961,29 @@ object SparkEntry {
         threshold = 0.9, dim = 64, bits = 7, numTables = 8)
     }),
 
+    // the SCALE-SAFE headline form of the same operator: LSH depth is
+    // derived from the corpus size (bits = ceil(log2(n/targetBucket)),
+    // Similarity.cosineNearDupPairsAuto) so expected bucket occupancy —
+    // and with it candidate-pair volume, the operator's dominant cost —
+    // stays constant per row as the corpus grows. The fixed-depth
+    // q_embed_neardup above is kept for oracle continuity at one pinned
+    // layout; THIS is the entry point a 100 TB corpus should run
+    // (measured: fixed bits=7 went 30-41× on 10× data, auto ~2×). At
+    // sf0.1 (n=4000, target 32) auto lands on the same bits=7, so the
+    // two queries' sf0.1 bench rows are directly comparable.
+    "q_embed_neardup_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = emb.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairsAuto(emb.unionByName(perturbed),
+        threshold = 0.9, dim = 64, targetBucket = 32, minBits = 4,
+        numTables = 8)
+    }),
+
     // §2b-23b: IVF(-flat) ANN — coarse-quantizer cells + nprobe
     // multi-probe, the FAISS-style scale path next to hyperplane LSH
     "q_ann_ivf" -> ((s, dir) => {
@@ -1784,6 +1807,30 @@ object SparkEntry {
        |  FROM up GROUP BY t, b, d),
        |planes AS (SELECT t, b, list(wt ORDER BY d) AS pl FROM gauss GROUP BY t, b)""".stripMargin
 
+  /** Plane grid with DATA-DERIVED depth: requires a 1-row `bc(bits)`
+    * CTE in scope (the corpus-size → ceil(log2(n/target)) computation),
+    * enumerates a generous fixed maximum depth and filters to
+    * b < bc.bits. The per-plane hash input `2*(b*dim+d)+w+1` does not
+    * depend on the TOTAL number of planes, so the filtered grid yields
+    * byte-identical planes to [[sqlPlanesCte]] at the same depth — this
+    * is how the oracle replays [[graft.operators.Similarity.cosineNearDupPairsAuto]]
+    * at whatever n the harness scale factor produces. */
+  private def sqlPlanesCteDyn(tables: Int, maxBits: Int, dim: Int, seed: Int): String =
+    s"""g0p AS (
+       |  SELECT t, b, d, w,
+       |    (CAST($seed + t AS HUGEINT) + (2*(b*$dim+d) + w + 1) * $sqlGolden) % $sqlMod AS z0p
+       |  FROM range(0,$tables) rt(t), range(0,$maxBits) rb(b), range(0,$dim) rd(d), range(0,2) rw(w), bc
+       |  WHERE b < bc.bits),
+       |${sqlMixChain("p", "t, b, d, w")},
+       |up AS (SELECT t, b, d, w,
+       |  (CAST(z4 // CAST(2048 AS HUGEINT) AS DOUBLE) + 0.5) / 9007199254740992.0 AS u FROM g5p),
+       |gauss AS (
+       |  SELECT t, b, d,
+       |    sqrt(-2 * ln(max(CASE WHEN w=0 THEN u END))) *
+       |      cos(2 * pi() * max(CASE WHEN w=1 THEN u END)) AS wt
+       |  FROM up GROUP BY t, b, d),
+       |planes AS (SELECT t, b, list(wt ORDER BY d) AS pl FROM gauss GROUP BY t, b)""".stripMargin
+
   /** The full LSH top-k oracle at a given (tables, bits) layout —
     * parameterized so a second configuration replays the identical SQL
     * with only the plane grid changed. */
@@ -2099,6 +2146,39 @@ object SparkEntry {
          |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.05 ORDER BY d) AS v
          |  FROM base, range(0,64) r(d) GROUP BY vec_id),
          |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+         |sigs AS (
+         |  SELECT e.vec_id, p.t,
+         |    sum(CASE WHEN list_inner_product(e.v, p.pl) > 0 THEN 1 << p.b ELSE 0 END) AS bucket
+         |  FROM corpus e, planes p GROUP BY e.vec_id, p.t),
+         |bsz AS (SELECT t, bucket, count(*) AS c FROM sigs GROUP BY t, bucket),
+         |okb AS (SELECT t, bucket FROM bsz WHERE c BETWEEN 2 AND 10000),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN okb o ON o.t = a.t AND o.bucket = a.bucket)
+         |SELECT cd.id_a, cd.id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+         |FROM cand cd JOIN corpus va ON cd.id_a = va.vec_id
+         |JOIN corpus vb ON cd.id_b = vb.vec_id
+         |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9""".stripMargin,
+
+    // The scale-safe auto-depth form: the oracle COMPUTES the LSH depth
+    // from the corpus size with the exact same arithmetic as
+    // cosineNearDupPairsAuto (ceil of an ln ratio — ln, not a native
+    // log2, so the IEEE value matches the JVM's bitwise), then replays
+    // the plane grid at that depth via the bc-filtered dynamic CTE.
+    // Everything downstream (signatures, bucket-size gate, candidate
+    // distinct, exact cosine) is the q_embed_neardup chain verbatim.
+    "q_embed_neardup_auto" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pert AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.05 ORDER BY d) AS v
+         |  FROM base, range(0,64) r(d) GROUP BY vec_id),
+         |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+         |bc AS (SELECT greatest(4, CAST(ceil(
+         |    ln(greatest(1.0, count(*) / 32.0)) / ln(2.0)) AS INT)) AS bits
+         |  FROM corpus),
+         |${sqlPlanesCteDyn(8, 24, 64, 42)},
          |sigs AS (
          |  SELECT e.vec_id, p.t,
          |    sum(CASE WHEN list_inner_product(e.v, p.pl) > 0 THEN 1 << p.b ELSE 0 END) AS bucket
