@@ -50,6 +50,19 @@ object Bench {
     // the number. These are the honest per-query figures; each includes
     // Spark's fixed ~0.3 s job-submission overhead.
     var maxLoad = loadBefore
+    // the CC trio (q_cluster_best / q_dedup_clusters / q_neardup_prune)
+    // shares one materialized cluster-labels frame across the pass, as
+    // runAll already does for the grouped pass: the labeling is paid
+    // ONCE, timed explicitly below ("cc_labels_sec", counted into
+    // seq_total), and each trio query's own timing is its retention
+    // policy over the shared frame. Attributing the labeling to its own
+    // line instead of a trio member keeps min-of-samples honest — the
+    // cost can neither vanish (cached re-samples) nor be triple-counted.
+    var ccLabelsSec = 0.0
+    SparkEntry.withClusterLabelSharing(spark, sfDir) {
+    val ccT0 = System.nanoTime()
+    SparkEntry.primeClusterLabels(spark, sfDir)
+    ccLabelsSec = (System.nanoTime() - ccT0) / 1e9
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         // ambient host load (driver runs tests/judge JVMs concurrently)
@@ -78,6 +91,7 @@ object Bench {
       // cached blocks don't build heap pressure that taxes later queries
       spark.catalog.clearCache()
     }
+    }
     // PASS 2 — grouped shared-session execution via SparkEntry.runAll
     // (the library entry point; the bench only picks LPT order and
     // times the makespan): the whole (warm) query set submitted
@@ -99,7 +113,7 @@ object Bench {
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val seqTotal = timings.values.filter(_ >= 0).sum
+    val seqTotal = timings.values.filter(_ >= 0).sum + ccLabelsSec
     val coldTotal = cold.values.sum
     // "value" is the SEQUENTIAL per-query total (sum of pass-1 warm
     // minimums) — the apples-to-apples headline against BASELINE.md and
@@ -115,7 +129,7 @@ object Bench {
     // not decay between queries), so it is contamination EVIDENCE for
     // a reader, not a usable ambient-load signal.
     val loadWarning = loadBefore > 2.0
-    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"cc_labels_sec":$ccLabelsSec,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,8 +61,53 @@ object SparkEntry {
   }
 
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val cached = clusterLabelCache.get((s, dir))
-    if (cached != null) cached else computeClusterLabels(s, dir)
+    val key = (s, dir)
+    val cached = clusterLabelCache.get(key)
+    if (cached != null) cached
+    else if (labelSharingEnabled.contains(key)) {
+      // SEQUENTIAL sharing path ([[withClusterLabelSharing]]): the first
+      // trio query pays the iterative CC compute and materializes the
+      // (doc_id, label) frame — to scratch PARQUET, not .persist(),
+      // because callers that isolate queries (the bench) clearCache()
+      // between them, which would silently drop a persisted frame and
+      // turn "shared" back into 3× recompute. The frame is metadata-
+      // sized (two longs per doc), so the write+read-back is cheap.
+      val path = s"/root/repo/target/scratch/cc_labels_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      computeClusterLabels(s, dir).write.mode("overwrite").parquet(path)
+      val labels = s.read.parquet(path)
+      val prev = clusterLabelCache.putIfAbsent(key, labels)
+      if (prev != null) prev else labels
+    } else computeClusterLabels(s, dir)
+  }
+
+  private val labelSharingEnabled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Share the CC trio's common cluster-labels frame across SEQUENTIAL
+    * query executions within `body` — the one-session counterpart of
+    * [[runAll]]'s grouped amortization. The first trio query computes
+    * the labels once (and carries the full cost); the other two read
+    * the materialized frame back. Results are identical to standalone
+    * execution (the labeling is deterministic; RunAllSpec pins parity),
+    * so this is purely a 3×→1× cost change for workloads that run the
+    * whole query set back to back, e.g. the bench's pass 1. */
+  /** Force the shared cluster-labels materialization NOW, so a caller
+    * can time it as its own explicit step instead of having it land
+    * inside whichever trio query happens to run first (a min-of-samples
+    * timer would otherwise report only the cheap cached re-read and the
+    * CC cost would vanish from the accounting). No-op unless sharing is
+    * enabled for (spark, dir). */
+  def primeClusterLabels(spark: SparkSession, dir: String): Unit =
+    if (labelSharingEnabled.contains((spark, dir))) { clusterLabels(spark, dir); () }
+
+  def withClusterLabelSharing[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val key = (spark, dir)
+    val added = labelSharingEnabled.add(key)
+    try body
+    finally if (added) {
+      labelSharingEnabled.remove(key)
+      clusterLabelCache.remove(key)
+    }
   }
 
   /** orders staged like tmp_gh_repositories, replaying each row as two

@@ -31,6 +31,25 @@ class RunAllSpec extends AnyFunSuite {
     }
   }
 
+  test("withClusterLabelSharing leaves every CC-trio result identical " +
+    "to standalone execution, and cleans up its cache") {
+    val dir = TestSpark.sf0001
+    val trio = Seq("q_dedup_clusters", "q_neardup_prune", "q_cluster_best")
+    val standalone = trio.map(n => n -> canon(SparkEntry.queries(n)(spark, dir))).toMap
+    SparkEntry.withClusterLabelSharing(spark, dir) {
+      SparkEntry.primeClusterLabels(spark, dir)
+      trio.foreach { n =>
+        assert(canon(SparkEntry.queries(n)(spark, dir)) == standalone(n),
+          s"$n diverged under sequential label sharing")
+        spark.catalog.clearCache() // the bench isolates queries this way
+      }
+    }
+    // after the scope ends, queries are standalone again (no stale frame)
+    trio.foreach { n =>
+      assert(canon(SparkEntry.queries(n)(spark, dir)) == standalone(n))
+    }
+  }
+
   test("runAll rejects unknown query names and propagates a sink " +
     "failure with the query's name") {
     val dir = TestSpark.sf0001
