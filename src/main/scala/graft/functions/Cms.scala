@@ -69,6 +69,11 @@ object Cms {
   def fromBytes(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val d = bb.getInt(); val w = bb.getInt()
+    // validate the header itself, not just the length: a corrupt d=0
+    // header passes `8 + 0 == 8`, and a non-power-of-two w mis-masks
+    // every bucket via `g & (w-1)` — sketches arrive as arbitrary SQL
+    // binary, so fail loudly instead of returning plausible garbage
+    requireGeometry(d, w)
     require(bytes.length == 8 + d * w * 8,
       s"cms sketch: ${bytes.length} bytes does not match header d=$d w=$w")
     val counters = new Array[Long](d * w)
@@ -86,6 +91,9 @@ object Cms {
     val bb = java.nio.ByteBuffer.wrap(sketch)
     val d = bb.getInt(0)
     val w = bb.getInt(4)
+    // same header validation as fromBytes: d=0 would "pass" the length
+    // check and return Long.MaxValue as a count
+    requireGeometry(d, w)
     require(sketch.length == 8 + d * w * 8,
       s"cms sketch: ${sketch.length} bytes does not match header d=$d w=$w")
     var best = Long.MaxValue

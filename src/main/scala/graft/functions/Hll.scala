@@ -38,8 +38,15 @@ object Hll {
 
   def numRegisters(p: Int): Int = 1 << p
 
+  /** Minimum 7: [[estimate]] uses the asymptotic bias correction
+    * alpha(m) = 0.7213/(1+1.079/m), which the HLL paper only endorses
+    * for m >= 128; m = 16/32/64 need the special constants
+    * 0.673/0.697/0.709, and allowing those precisions here would bake
+    * avoidable bias into the estimate (and into the SQL oracle replay
+    * that mirrors this formula term-for-term). Below m = 128 a 128-byte
+    * sketch costs nothing anyway — there is no reason to go smaller. */
   def requireP(p: Int): Unit =
-    require(p >= 4 && p <= 18, s"hll precision p must be in [4, 18], got $p")
+    require(p >= 7 && p <= 18, s"hll precision p must be in [7, 18], got $p")
 
   /** Fold one pre-hashed value into the register array (mutates).
     * The input hash goes through the splitmix64 finisher first: fnv64

@@ -49,9 +49,15 @@ object Bpe {
     filtered.groupBy("w").agg(count(lit(1)).as("cnt"))
   }
 
-  /** Per-character initial symbol array for a word column. */
+  /** Per-character initial symbol array for a word column. The empty
+    * string needs its own branch: `sequence(1, 0)` generates the
+    * DESCENDING [1, 0] (Spark's sequence walks toward the stop value),
+    * which would yield two empty symbols instead of an empty array —
+    * unreachable via [[wordCounts]] (tokens are \S+ matches) but wrong
+    * for direct callers of the public API. */
   def charSymbols(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+    when(length(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1))))
 
   /** Apply an ordered merge list to a symbol-array column (the ENCODE
     * step): k chained greedy passes in one codegen projection. */

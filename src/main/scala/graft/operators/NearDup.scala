@@ -258,7 +258,14 @@ object NearDup {
     val tb = docs.select(col(idCol).as(idBCol), col(textCol).as("__tb"))
     val byPair = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idACol), col(idBCol))
-    pairs.join(ta, idACol).join(tb, idBCol)
+    // candidate generators can emit the same pair through several
+    // bands/tables; dedup the NARROW id frame before any text joins so
+    // (a) no pair is scored twice and (b) a duplicated input row can't
+    // ride the window max into a duplicated output row. Precondition:
+    // `docs` carries one row per id — with conflicting texts for one id
+    // the window max would silently pick the most-similar variant.
+    pairs.dropDuplicates(idACol, idBCol)
+      .join(ta, idACol).join(tb, idBCol)
       .repartition(shufflePartitions, col(idACol), col(idBCol))
       .withColumn("edit_sim", max(
         lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /

@@ -62,6 +62,14 @@ class BpeSpec extends AnyFunSuite {
     assert(seg === "low est")
   }
 
+  test("charSymbols: empty string segments to an EMPTY array, not two " +
+    "empty symbols (sequence(1,0) walks descending); null stays null") {
+    val out = Seq(Some("ab"), Some(""), None).toDF("w")
+      .select(Bpe.charSymbols(col("w")).as("s"))
+      .as[Option[Seq[String]]].collect().toSeq
+    assert(out === Seq(Some(Seq("a", "b")), Some(Seq.empty), None))
+  }
+
   test("learn stops early when no pair remains") {
     val words = Seq(("a", 3L), ("b", 2L)).toDF("w", "cnt")
     assert(Bpe.learnFromWords(words, 5).isEmpty)

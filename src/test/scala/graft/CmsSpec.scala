@@ -94,4 +94,20 @@ class CmsSpec extends AnyFunSuite {
       .agg(CmsExpressions.cmsUnion($"sk").as("sk")).collect()(0)
     assert(empty.isNullAt(0))
   }
+
+  test("corrupt sketch headers fail loudly instead of returning " +
+    "plausible counts: d=0 passes the length check, non-power-of-two " +
+    "w mis-masks buckets") {
+    import graft.functions.Cms
+    // d=0, w=0: 8 bytes total, length check alone would accept it and
+    // estimate would return Long.MaxValue as a "count"
+    val d0 = java.nio.ByteBuffer.allocate(8).putInt(0).putInt(0).array()
+    intercept[IllegalArgumentException](Cms.estimate(d0, 123L))
+    intercept[IllegalArgumentException](Cms.fromBytes(d0))
+    // w=48 (not a power of two) with a length-consistent body
+    val w48 = java.nio.ByteBuffer.allocate(8 + 2 * 48 * 8)
+      .putInt(2).putInt(48).array()
+    intercept[IllegalArgumentException](Cms.estimate(w48, 123L))
+    intercept[IllegalArgumentException](Cms.fromBytes(w48))
+  }
 }

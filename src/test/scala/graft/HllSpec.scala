@@ -58,6 +58,14 @@ class HllSpec extends AnyFunSuite {
     assert(Hll.estimate(whole) === Hll.estimate(merged))
   }
 
+  test("precisions below 7 are rejected: the asymptotic alpha constant " +
+    "is biased for m < 128 and small sketches buy nothing") {
+    import graft.functions.Hll
+    intercept[IllegalArgumentException](Hll.requireP(6))
+    intercept[IllegalArgumentException](Hll.requireP(4))
+    Hll.requireP(7) // boundary accepted
+  }
+
   test("null inputs are skipped, not registered") {
     val withNulls = Seq(Some("x"), None, Some("y"), None).toDF("s")
     val noNulls = Seq("x", "y").toDF("s")

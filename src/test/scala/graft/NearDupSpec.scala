@@ -131,6 +131,14 @@ class NearDupSpec extends AnyFunSuite {
     assert(got((3L, 4L)) == 1.0)
   }
 
+  test("editVerify deduplicates candidate pairs before scoring: a pair " +
+    "emitted by several bands yields ONE output row") {
+    val docs = Seq((1L, "kitten"), (2L, "sitting")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val got = NearDup.editVerify(pairs, docs, minSim = 0.4).collect()
+    assert(got.length == 1)
+  }
+
   implicit private class TupleMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, s) => (a, b) -> s }.toMap
