@@ -23,6 +23,21 @@ class EntryContractSpec extends AnyFunSuite {
     assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
   }
 
+  test("SURVEY.md §2 cites every registered query — the coverage table " +
+    "cannot silently drift from the query set again") {
+    // round 9 lost a §2 row (paragraph dedup) and six green queries went
+    // uncited; the contract is now mechanical: every SparkEntry.queries
+    // key must appear somewhere in the §2 operator-inventory section
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(
+      survey.indexOf("## §2 Operator inventory"),
+      survey.indexOf("## §3"))
+    val cited = "q_[a-z0-9_]+".r.findAllIn(s2).toSet
+    val uncited = SparkEntry.queries.keySet -- cited
+    assert(uncited.isEmpty, s"queries missing from SURVEY §2: $uncited")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.sf0001).count()
