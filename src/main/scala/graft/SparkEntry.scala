@@ -1128,6 +1128,21 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
 
+    // §2b-24b: language ID v2 — one-vs-rest hashed n-gram classifiers
+    // (the fastText-style upgrade of the stopword heuristic above,
+    // which remains the cheap pre-filter): per-language linear models
+    // through the SAME codegen kernel as q_classifier_score, argmax in
+    // one projection. Seeded stand-in weights (seed 11+i over the
+    // lex-sorted language list) keep the full pipeline SQL-replayable;
+    // ClassifySpec proves TRAINED one-vs-rest models classify planted
+    // multilingual text correctly through this exact entry point.
+    "q_lang_id2" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val models = langs.zipWithIndex.map { case (l, i) =>
+        l -> Classify.seededWeights(1024, seed = 11L + i) }
+      Classify.langIdArgmax(t(s, dir, "documents"), "doc_id", "text", models)
+    }),
+
     // §2b-25: quality scoring + doc stats
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -3279,6 +3294,48 @@ object SparkEntry {
          |  FROM feats f CROSS JOIN wl)
          |SELECT doc_id, round(logit, 6) AS logit, logit > 0.0 AS keep
          |FROM scored""".stripMargin,
+
+    // Language ID v2: the q_classifier_score replay run once per
+    // language (seed 11+i over the lex-sorted list — the weight grid
+    // carries lang as a key through the same mix chain), then argmax
+    // by row_number over (logit DESC, lang ASC) — lang ASC equals the
+    // Spark side's earliest-model-wins strict-greater fold because the
+    // models are registered in ascending language order.
+    "q_lang_id2" ->
+      s"""WITH langs(lang, seed) AS (VALUES
+         |    ('de', 11), ('en', 12), ('es', 13), ('fr', 14), ('zh', 15)),
+         |g0w AS (
+         |  SELECT l.lang, b, (CAST(l.seed + b AS HUGEINT) + $sqlGolden) % $sqlMod AS z0w
+         |  FROM range(0, 1024) rb(b), langs l),
+         |${sqlMixChain("w", "lang, b")},
+         |wt AS (SELECT lang, b,
+         |  2.0 * ((CAST(z4 // CAST(2048 AS HUGEINT) AS DOUBLE) + 0.5)
+         |         / 9007199254740992.0) - 1.0 AS w
+         |  FROM g5w),
+         |wl AS (SELECT lang, list(w ORDER BY b) AS ws FROM wt GROUP BY lang),
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, flatten(list_transform(range(1, len(t)+1), i ->
+         |    CASE WHEN i = 1 THEN [${sqlFnvBucket("t[i]")}]
+         |    ELSE [${sqlFnvBucket("concat(t[i-1], ' ', t[i])")},
+         |          ${sqlFnvBucket("t[i]")}] END)) AS fs
+         |  FROM toks),
+         |scored AS (
+         |  SELECT f.doc_id, wl.lang,
+         |    CASE WHEN len(f.fs) = 0 THEN 0.0
+         |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(f.fs, x -> wl.ws[CAST(x AS INT) + 1])),
+         |      (a, v) -> a + v) END AS logit
+         |  FROM feats f CROSS JOIN wl),
+         |ranked AS (
+         |  SELECT doc_id, lang, logit,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY logit DESC, lang) AS rn
+         |  FROM scored)
+         |SELECT doc_id, lang AS lang_pred, round(logit, 6) AS logit
+         |FROM ranked WHERE rn = 1""".stripMargin,
 
     // DSIR: the q_classifier_score feature replay feeds two bucket
     // counts (target = lang 'en', raw = all); λ(b) is the add-1

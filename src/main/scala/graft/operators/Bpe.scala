@@ -91,10 +91,16 @@ object Bpe {
         val row = best.head
         val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(k, l, r, f)
+        // localCheckpoint, not persist: persist caches blocks but keeps
+        // the LINEAGE, so generation R's logical plan would carry all R
+        // preceding merge projections — plan size (and AQE's plan-string
+        // rendering) grows quadratically over a real multi-k-merge learn
+        // and OOMs the driver long before the data does. Checkpointing
+        // materializes AND truncates; the retired generation's blocks
+        // are dropped by the context cleaner once unreferenced.
         val next = cur.withColumn("s",
             BpeExpression.bpeMerge(col("s"), lit(l), lit(r)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before retiring the parent generation
+          .localCheckpoint(true)
         cur.unpersist()
         cur = next
         k += 1
@@ -104,10 +110,106 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Learn merges straight from a corpus (wordCounts + learnFromWords). */
+  /** Batched merge learning — the scale path for real (32k-merge)
+    * vocabularies, where [[learnFromWords]]' one aggregation job + one
+    * 1-row collect PER MERGE makes the driver round-trip the serial
+    * axis. Each round computes pair counts once, pulls the top
+    * `batchK` pairs to the driver (metadata-sized), and accepts a
+    * SPECULATIVE BATCH of merges that is provably identical to running
+    * that many sequential greedy rounds:
+    *
+    *  - walk the (freq DESC, lhs, rhs) order; accept pairs while each
+    *    is fully independent of every earlier accepted pair — symbol
+    *    sets {lhs, rhs, lhs+rhs} pairwise disjoint. Independence means
+    *    no accepted merge can create, destroy, or re-count another
+    *    accepted pair's occurrences, so their counts — and their
+    *    relative greedy order — are invariant across the batch.
+    *  - stop at the FIRST interacting pair, and trim the accepted list
+    *    to counts STRICTLY ABOVE everything unaccepted (t = the count
+    *    of the first rejected pair, or of the K-th row when the whole
+    *    page was accepted, since row K+1 is unseen). Any pair a batch
+    *    merge CAN touch — decremented neighbors (x,a)/(b,y), or new
+    *    pairs (x,ab)/(ab,y), whose counts are bounded by those old
+    *    neighbors — interacts with an accepted pair, therefore sits at
+    *    or below t, therefore can never outrank a remaining accepted
+    *    merge mid-batch. The strict > also removes tie-break races
+    *    (a new pair like (ab,y) can sort lexicographically BEFORE an
+    *    equal-count accepted pair).
+    *  - if trimming leaves nothing, fall back to the plain greedy step
+    *    (accept p1 alone — p1 is the argmax by definition).
+    *
+    * Result: exactly [[learnFromWords]]' merge sequence (spec-pinned;
+    * the q_bpe_merges oracle replays the sequential chain against this
+    * learner's output every run), at ~batch-size fewer jobs — the
+    * 1k-merge measurement is in PLANS.md. */
+  def learnFromWordsBatched(words: DataFrame, numMerges: Int,
+                            batchK: Int = 256): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    var cur = words
+      .select(col("w"), col("cnt"), charSymbols(col("w")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val top = cur.filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(s[i-1] AS lhs, s[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(desc("freq"), asc("lhs"), asc("rhs"))
+        .limit(batchK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // greedy prefix acceptance with pairwise independence
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var stopped = false
+        var cutoff = Long.MinValue // freq of the first unaccepted pair
+        for (p @ (l, r, f) <- top if !stopped) {
+          val syms = Seq(l, r, l + r)
+          if (syms.exists(used)) {
+            stopped = true; cutoff = f
+          } else {
+            accepted += p; used ++= syms
+          }
+        }
+        if (!stopped) cutoff = top.last._3 // row batchK+1 unseen: bound by row K
+        val safe0 = accepted.takeWhile(_._3 > cutoff)
+        // empty only via ties at the very top; a single greedy step is
+        // always sound (p1 IS the argmax under the full tie-break)
+        val safe = if (safe0.nonEmpty) safe0 else accepted.take(1)
+        val batch = safe.take(numMerges - merges.length)
+        batch.foreach { case (l, r, f) =>
+          merges += Merge(merges.length + 1, l, r, f)
+        }
+        // localCheckpoint truncates lineage per round (see the note in
+        // [[learnFromWords]]): without it the plan accumulates every
+        // prior round's chained merge expressions and driver memory —
+        // not the cluster — becomes the learn loop's limit
+        val next = cur.withColumn("s",
+            batch.foldLeft(col("s")) { case (s, (l, r, _)) =>
+              BpeExpression.bpeMerge(s, lit(l), lit(r))
+            })
+          .localCheckpoint(true)
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.toSeq
+  }
+
+  /** Learn merges straight from a corpus. Runs the BATCHED learner —
+    * the production path; [[learnFromWords]] stays as the one-merge-
+    * per-round reference implementation (BpeSpec pins sequence
+    * equality, and each q_bpe_* oracle replays the sequential greedy
+    * chain against this learner's output every run). */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
             asciiOnly: Boolean = true): Seq[Merge] =
-    learnFromWords(wordCounts(docs, textCol, asciiOnly), numMerges)
+    learnFromWordsBatched(wordCounts(docs, textCol, asciiOnly), numMerges)
 
   /** Corpus-level ENCODE via the word cache: each DISTINCT word
     * segments once (k chained codegen merge passes over the

@@ -114,6 +114,37 @@ object Classify {
       .select(col("bucket"), (round(col("__w"), 6) + lit(0.0)).as("weight"))
   }
 
+  /** One-vs-rest LANGUAGE ID over the same hashed n-gram kernel —
+    * the classifier upgrade of the stopword-regex heuristic
+    * ([[graft.functions.TextFunctions.langId]], which stays useful as
+    * the cheap pre-filter): one linear model per language, prediction
+    * = argmax logit. All L kernels run inside ONE scan projection (no
+    * explode, no shuffle, no UDF — L more codegen folds per row, still
+    * embarrassingly parallel at 100 TB), and the argmax is a chained
+    * strict-greater conditional, so ties deterministically keep the
+    * EARLIEST model in `models` order. Each weight vector broadcasts
+    * as an expression reference object exactly like [[scoreDocs]]'.
+    *
+    * `models` come from [[trainLogReg]] one-vs-rest runs (label =
+    * "is this language") or any upstream trainer; [[seededWeights]]
+    * gives the replayable stand-in the `q_lang_id2` oracle rebuilds.
+    * Returns (id, lang_pred, logit rounded to 6). */
+  def langIdArgmax(docs: DataFrame, idCol: String, textCol: String,
+                   models: Seq[(String, Array[Double])]): DataFrame = {
+    require(models.nonEmpty, "langIdArgmax needs at least one model")
+    val first = struct(
+      HashExpressions.hashGramLogit(col(textCol), models.head._2).as("logit"),
+      lit(models.head._1).as("lang"))
+    val best = models.tail.foldLeft(first) { case (acc, (lang, w)) =>
+      val l = HashExpressions.hashGramLogit(col(textCol), w)
+      when(l > acc.getField("logit"),
+        struct(l.as("logit"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    docs.select(col(idCol), best.as("__best"))
+      .select(col(idCol), col("__best.lang").as("lang_pred"),
+        round(col("__best.logit"), 6).as("logit"))
+  }
+
   /** Score documents with a hashed unigram+bigram linear model:
     * (id, logit rounded to 6, keep = raw logit > `threshold`). The
     * keep decision compares the UNROUNDED logit, which is

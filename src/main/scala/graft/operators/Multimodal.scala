@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * real decoder would amortize its init (model load, codec context) per
   * partition, not per row.
   *
-  * The actual byte decode is STUBBED (this container ships no
-  * image/audio codecs): [[StubDecoder]] produces deterministic features
-  * from the raw bytes. Everything around it — schema, batching,
-  * partitioning, the typed Dataset boundary — is real and tested.
+  * Two decoders ship behind one [[Decoder]] contract: [[StubDecoder]]
+  * (deterministic features from raw bytes + declared metadata — the
+  * DuckDB-oracle-replayable path `q_multimodal_meta` pins) and
+  * [[ImageIoDecoder]] (REAL image decode via the JDK's javax.imageio,
+  * thumbnail dims from decoded pixels, permissive fallback on
+  * non-image/corrupt payloads). Audio/video codecs are not in the JDK,
+  * so those media types remain stubbed; the schema, batching,
+  * partitioning, and per-partition-init contract are identical either
+  * way.
   */
 object Multimodal {
 
@@ -25,21 +30,66 @@ object Multimodal {
                            checksum: Long, thumb_w: Int, thumb_h: Int,
                            frame_samples: Int)
 
-  /** STUB decoder — deterministic stand-in for image/audio decode.
-    * A production build replaces `decode` with a codec call; the
-    * signature (bytes in, features out, called once per record inside a
-    * per-partition batch loop) is the real contract. */
-  object StubDecoder {
+  /** The decode contract: bytes in, features out, called once per
+    * record inside a per-partition batch loop (so an implementation
+    * amortizes codec/model init per PARTITION via [[init]], never per
+    * row). Implementations must be Serializable — the decoder object
+    * ships to executors inside the mapPartitions closure. */
+  trait Decoder extends Serializable {
+    /** Called once per partition before the first record. */
+    def init(): Unit = ()
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** 64px-box thumbnail dims for source dims (w, h), ratio kept. */
+  private[operators] def thumbDims(w: Int, h: Int): (Int, Int) = {
+    val scale = math.min(1.0, 64.0 / math.max(1, math.max(w, h)))
+    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  }
+
+  /** STUB decoder — deterministic stand-in for image/audio decode
+    * (features derive from the raw bytes + declared metadata, so the
+    * DuckDB oracle can replay them; `q_multimodal_meta` pins this
+    * path). A production pipeline swaps in [[ImageIoDecoder]] (or a
+    * codec-backed equivalent) through the same contract. */
+  object StubDecoder extends Decoder {
     def decode(r: MediaRecord): MediaFeatures = {
       val sum = graft.functions.TextHash.fnv64(r.payload, 0, r.payload.length)
       // "resize": clamp declared dims to a 64px thumbnail box, keeping ratio
-      val scale = math.min(1.0, 64.0 / math.max(1, math.max(r.declared_w, r.declared_h)))
-      MediaFeatures(r.doc_id, r.media_type, r.payload.length, sum,
-        math.max(1, (r.declared_w * scale).toInt),
-        math.max(1, (r.declared_h * scale).toInt),
+      val (tw, th) = thumbDims(r.declared_w, r.declared_h)
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length, sum, tw, th,
         // "frame-sample": one sample per 4KiB of payload, at least 1
         math.max(1, r.payload.length / 4096))
     }
+  }
+
+  /** REAL image decode via `javax.imageio` (JDK-bundled — no library
+    * dependency, works headless): image payloads are parsed and the
+    * thumbnail box is computed from the DECODED width/height, which is
+    * the point of decoding — declared metadata lies in real crawls.
+    * Non-image records and unparseable payloads fall back to the stub
+    * features (declared dims), so one pass handles a mixed-media table
+    * without poisoning the job on a corrupt file — the standard
+    * permissive-decode posture of a crawl pipeline. The checksum stays
+    * the raw-payload FNV in both paths (provenance, not pixels). */
+  object ImageIoDecoder extends Decoder {
+    override def init(): Unit =
+      // per-partition init: no temp-file cache for the stream decode
+      javax.imageio.ImageIO.setUseCache(false)
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.media_type != "image") StubDecoder.decode(r)
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) StubDecoder.decode(r) // not a decodable image
+        else {
+          val sum = graft.functions.TextHash.fnv64(r.payload, 0, r.payload.length)
+          val (tw, th) = thumbDims(img.getWidth, img.getHeight)
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length, sum, tw, th,
+            math.max(1, r.payload.length / 4096))
+        }
+      }
   }
 
   /** Build a media table from the documents table: payload = utf-8 bytes
@@ -54,12 +104,14 @@ object Multimodal {
       (col("doc_id") % 1920 + 16).cast("int").as("declared_w"),
       (col("doc_id") % 1080 + 16).cast("int").as("declared_h"))
 
-  /** Decode/feature-extract via per-partition batches. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** Decode/feature-extract via per-partition batches with the given
+    * decoder (default: the oracle-replayable stub). */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition init would live here (codec/model handles)
-      it.map(StubDecoder.decode)
+      decoder.init() // once per partition (codec/model handles)
+      it.map(decoder.decode)
     }
   }
 

@@ -51,6 +51,38 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.map(_.rank) === Seq(1, 2, 3, 4, 5, 6))
   }
 
+  test("batched learner returns the EXACT sequential merge sequence — " +
+    "toy vocab, sf0.001 corpus, adversarial interaction/tie cases, " +
+    "and every batch page size down to 1") {
+    val toy = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "cnt")
+    val seqToy = Bpe.learnFromWords(toy, 6)
+    for (k <- Seq(1, 2, 3, 256)) {
+      assert(Bpe.learnFromWordsBatched(toy, 6, batchK = k) === seqToy,
+        s"batchK=$k diverged on the toy vocabulary")
+    }
+    // interaction stressors: chained pairs (a,b)+(b,c) sharing a
+    // symbol, a concat colliding with an existing symbol ("ab" the
+    // 1-char-sequence vs a literal "ab"-containing word), and exact
+    // frequency ties across interacting pairs
+    val adversarial = Seq(
+      ("abc", 10L), ("abcabc", 7L), ("bca", 10L),
+      ("xy", 9L), ("xyz", 9L), ("zz", 9L), ("zzz", 3L)
+    ).toDF("w", "cnt")
+    val seqAdv = Bpe.learnFromWords(adversarial, 8)
+    for (k <- Seq(1, 2, 4, 256)) {
+      assert(Bpe.learnFromWordsBatched(adversarial, 8, batchK = k) === seqAdv,
+        s"batchK=$k diverged on the adversarial vocabulary")
+    }
+    // real corpus at sf0.001 — the q_bpe_merges input
+    val wc = Bpe.wordCounts(
+      Tables.load(spark, TestSpark.sf0001, "documents"), "text")
+      .persist()
+    wc.count()
+    assert(Bpe.learnFromWordsBatched(wc, 6) === Bpe.learnFromWords(wc, 6))
+    wc.unpersist()
+  }
+
   test("applyMerges encodes unseen words with the learned subwords") {
     val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
       ("widest", 3L)).toDF("w", "cnt")

@@ -39,6 +39,36 @@ class ClassifySpec extends AnyFunSuite {
     assert(byId(1L)._2 && !byId(2L)._2)
   }
 
+  test("one-vs-rest langIdArgmax with TRAINED models identifies " +
+    "planted multilingual text; ties keep the earliest model") {
+    // three fake "languages" with disjoint vocabularies
+    val vocab = Map(
+      "aa" -> "alpha apple anchor arrow atlas amber",
+      "bb" -> "birch bottle barrel bridge bronze basket",
+      "cc" -> "cedar copper circle candle canyon cactus")
+    val train = vocab.toSeq.flatMap { case (lang, words) =>
+      (1 to 30).map(i => (s"$words token$i", lang))
+    }.toDF("text", "lang")
+    val models = vocab.keys.toSeq.sorted.map { lang =>
+      lang -> Classify.trainLogReg(
+        train.select(col("text"), (col("lang") === lang).cast("double").as("y")),
+        "text", "y", numBuckets = 1024, iters = 5, lr = 0.05)
+    }
+    val holdout = Seq(
+      (1L, "anchor atlas alpha unseen"),      // aa vocabulary
+      (2L, "bronze bridge basket unseen"),    // bb
+      (3L, "candle canyon copper unseen")     // cc
+    ).toDF("doc_id", "text")
+    val got = Classify.langIdArgmax(holdout, "doc_id", "text", models)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "aa", 2L -> "bb", 3L -> "cc"))
+    // tie-break: identical models => every logit ties => first wins
+    val w0 = Classify.seededWeights(64, seed = 3L)
+    val tied = Classify.langIdArgmax(holdout, "doc_id", "text",
+      Seq("zz" -> w0, "aa" -> w0)).collect()
+    assert(tied.forall(_.getString(1) == "zz"))
+  }
+
   test("training is deterministic: same data, same weights") {
     val w1 = Classify.trainLogReg(corpus(), "text", "y", 512, 3, 0.05)
     val w2 = Classify.trainLogReg(corpus(), "text", "y", 512, 3, 0.05)

@@ -39,6 +39,39 @@ class MultimodalSpec extends AnyFunSuite {
     })
   }
 
+  test("ImageIoDecoder decodes a REAL PNG: thumbnail dims come from the " +
+    "decoded pixels (not the lying declared metadata), checksum stays " +
+    "the raw-payload FNV; non-image and corrupt payloads fall back to " +
+    "the stub") {
+    // build a real 200x50 PNG in-process (BufferedImage is headless-safe)
+    val img = new java.awt.image.BufferedImage(
+      200, 50, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 50).foreach(y => (0 until 200).foreach(x =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    val media = Seq(
+      // declared dims LIE (10x10); the decoder must report 200x50's box
+      Multimodal.MediaRecord(1L, "image", png, 10, 10),
+      // an "image" that isn't decodable: stub fallback on declared dims
+      Multimodal.MediaRecord(2L, "image", "not a png".getBytes("UTF-8"), 128, 32),
+      // audio stays stubbed (no JDK codec)
+      Multimodal.MediaRecord(3L, "audio", png, 640, 480)
+    ).toDF()
+    val got = Multimodal.extractFeatures(spark, media, Multimodal.ImageIoDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    // 200x50 -> 64px box = 64x16
+    assert(got(1L).thumb_w == 64 && got(1L).thumb_h == 16)
+    assert(got(1L).checksum ==
+      graft.functions.TextHash.fnv64(png, 0, png.length))
+    assert(got(1L).n_bytes == png.length)
+    // corrupt image: stub features from declared 128x32 -> 64x16
+    assert(got(2L).thumb_w == 64 && got(2L).thumb_h == 16)
+    // audio: stub path ignores that the payload happens to be a PNG
+    assert(got(3L).thumb_w == 64 && got(3L).thumb_h == 48)
+  }
+
   test("feature extraction is deterministic, batch-wise, and keeps ids") {
     val media = Multimodal.mediaTable(Tables.documents(spark, TestSpark.sf0001))
     val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
