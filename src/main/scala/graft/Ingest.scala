@@ -767,8 +767,9 @@ object Ingest {
     * a stream to batch merge logic. Exactly-once per file via the
     * checkpointed source offset + idempotent merge keys. */
   def runUsersStream(spark: SparkSession, folder: String, warehouseDir: String,
-                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    entityStream(spark, folder, userSchema, checkpoint) { batch =>
+                     checkpoint: String, maxFilesPerTrigger: Option[Int] = None):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    entityStream(spark, folder, userSchema, checkpoint, maxFilesPerTrigger) { batch =>
       val (users, ghUsers, ghOrgs) = importUsers(batch)
       mergeParquetAll(spark, Seq(
         (users, s"$warehouseDir/users", Seq("github_id")),
@@ -817,10 +818,16 @@ object Ingest {
     * streaming dump source → decode → `foreachBatch(sink)`, checkpointed,
     * AvailableNow. The sink owns the batch→warehouse merge logic. */
   private def entityStream(spark: SparkSession, folder: String,
-      schema: StructType, checkpoint: String)(sink: DataFrame => Unit):
-      org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("graft.sources.DumpDataSource")
-      .load(folder)
+      schema: StructType, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None)(sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.format("graft.sources.DumpDataSource")
+    // bounded catch-up: cap each micro-batch at N daily shards so a
+    // backlog drains in bounded-memory steps with bounded per-batch
+    // warehouse merges (the source freezes the listing under
+    // AvailableNow, so the drain has a fixed endpoint either way)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(folder)
       .select(decodeDoc(col("doc"), schema).as("e"))
       .select(col("e.*"))
       .writeStream
@@ -828,6 +835,7 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Continuous commits ingestion: each daily shard micro-batch runs
     * [[importCommits]] (within-batch first-wins per sha) and merges

@@ -107,7 +107,7 @@ object IngestBench {
     DumpSource.writeDump(path, docs, indexEvery)
   }
 
-  private def writeFile(path: String, fileIdx: Int, n: Int, indexEvery: Int): Unit = {
+  private[graft] def writeFile(path: String, fileIdx: Int, n: Int, indexEvery: Int): Unit = {
     val docs = (0 until n).iterator.map { i =>
       val reship = i % 20 == 0 && fileIdx > 0
       val id = if (reship) (fileIdx - 1).toLong * n + i else fileIdx.toLong * n + i

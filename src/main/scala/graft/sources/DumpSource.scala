@@ -227,7 +227,8 @@ class DumpTable(paths: Seq[String]) extends Table with SupportsRead {
       override def createReaderFactory(): PartitionReaderFactory =
         new DumpReaderFactory(conf)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new DumpMicroBatchStream(paths, conf)
+        new DumpMicroBatchStream(paths, conf,
+          Option(options.get("maxfilespertrigger")).map(_.toInt))
     }
   }
 }
@@ -240,10 +241,21 @@ class DumpTable(paths: Seq[String]) extends Table with SupportsRead {
   * is the newly-arrived files — one partition per file, exactly-once
   * via the checkpointed offset. Load with a DIRECTORY path:
   * `spark.readStream.format("graft.sources.DumpDataSource").load(dir)`.
+  *
+  * Admission control: `maxFilesPerTrigger` caps each micro-batch (a
+  * catch-up over months of daily shards proceeds in bounded steps —
+  * bounded executor memory and bounded per-batch warehouse merges —
+  * instead of one giant batch), and Trigger.AvailableNow is properly
+  * supported: the file listing is FROZEN at query start, the engine
+  * drains exactly that set in maxFilesPerTrigger-sized batches and
+  * stops, shards landing mid-drain wait for the next run.
   */
 class DumpMicroBatchStream(paths: Seq[String],
-    conf: org.apache.spark.util.SerializableConfiguration)
-  extends MicroBatchStream {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   /** paths = a single directory (the streaming layout) or an explicit
     * file list (then the "stream" is that fixed list, oldest-first). */
@@ -256,11 +268,50 @@ class DumpMicroBatchStream(paths: Seq[String],
     case _ => paths
   }
 
+  /** AvailableNow freezes the listing at query start so the drain has
+    * a fixed endpoint (files landing mid-drain belong to the NEXT
+    * run); @volatile because the engine may call prepare/latestOffset
+    * from different threads. */
+  @volatile private var frozenFiles: Option[Seq[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenFiles = Some(currentFiles())
+
+  private def filesNow(): Seq[String] = frozenFiles.getOrElse(currentFiles())
+
   override def initialOffset(): Offset = DumpOffset(0, None)
-  override def latestOffset(): Offset = {
-    val files = currentFiles()
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  /** Admission-controlled batch endpoint: at most `maxFiles` NEW files
+    * past the committed start. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val files = filesNow()
+    val s = start.asInstanceOf[DumpOffset].fileCount
+    val cap = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(files.length, s + mf.maxFiles())
+      case _ => files.length
+    }
+    DumpOffset(cap, if (cap > 0) Some(baseName(files(cap - 1))) else None)
+  }
+
+  /** The true end of available data (progress reporting — how far
+    * behind the capped batches are). */
+  override def reportLatestOffset(): Offset = {
+    val files = filesNow()
     DumpOffset(files.length, files.lastOption.map(baseName))
   }
+
+  // the engine uses the admission-control variant when the source
+  // implements SupportsAdmissionControl; keep the plain form as the
+  // uncapped endpoint for any legacy caller
+  override def latestOffset(): Offset = reportLatestOffset()
   override def deserializeOffset(json: String): Offset = DumpOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -271,7 +322,7 @@ class DumpMicroBatchStream(paths: Seq[String],
     val so = start.asInstanceOf[DumpOffset]
     val s = so.fileCount
     val e = end.asInstanceOf[DumpOffset].fileCount
-    val files = currentFiles()
+    val files = filesNow()
     // enforce the append-only assumption the offset encoding relies on:
     // if a shard with an OLDER date lands after files past it were
     // committed, the count-based offset would silently skip it — fail

@@ -134,6 +134,35 @@ class DumpSourceSpec extends AnyFunSuite {
     assert(second.count(_._1.endsWith("2014-01-02.bson")) == 1)
   }
 
+  test("streaming admission control: maxFilesPerTrigger drains a " +
+    "backlog in bounded micro-batches under AvailableNow, exactly once") {
+    val root = tmpDir()
+    val dir = s"$root/dumps"
+    Files.createDirectories(Paths.get(dir))
+    (1 to 5).foreach { d =>
+      DumpSource.writeDump(s"$dir/2014-01-0$d.bson",
+        Iterator(s"""{"a":$d}""".getBytes(UTF_8)))
+    }
+    val q = spark.readStream.format("graft.sources.DumpDataSource")
+      .option("maxFilesPerTrigger", 2)
+      .load(dir)
+      .select($"path", $"doc".cast("string").as("doc"))
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/_ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    val out = spark.read.parquet(s"$root/out").as[(String, String)].collect()
+    assert(out.length == 5) // every doc, exactly once
+    assert(out.map(_._1).distinct.length == 5)
+    // 5 files at 2 per trigger = 3 non-empty batches, not one big one
+    assert(batches.length == 3,
+      s"expected 3 bounded micro-batches, got ${batches.length}")
+  }
+
   test("listDateOrdered filters to date-named files, newest first " +
     "(ght2dm.go:985-1058)") {
     val dir = tmpDir()
