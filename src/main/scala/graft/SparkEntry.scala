@@ -1599,8 +1599,109 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_date"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+    }),
+
+    // §2b-60: HTML → text extraction (the WARC→WET step): the corpus
+    // wrapped in deterministic HTML — script/style containers with
+    // tag-like content, a comment, attributes, and all five core
+    // entities planted — and recovered by the chained-regex
+    // extraction; the oracle synthesizes the identical page
+    "q_html_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        operators.WebClean.extractHtmlText(htmlPage).as("clean_text"))),
+
+    // §2b-61: blocklist word filter (C4 §2.2 "bad words" policy) —
+    // whole-word case-insensitive hits + keep verdict; "the" rides in
+    // the list so the synthetic corpus demonstrably produces hits
+    "q_word_filter" -> ((s, dir) =>
+      operators.WebClean.blocklistSignals(t(s, dir, "documents"),
+        "doc_id", "text", blocklistWords)),
+
+    // §2b-62: URL parse (host + registrable-site heuristic) — the key
+    // extraction every domain-level policy (caps, blocklists,
+    // stratification) joins on; URLs synthesized with www/userinfo/
+    // port/path/query variants so each stripping rule is exercised
+    "q_url_parse" -> ((s, dir) =>
+      operators.WebClean.parseUrls(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "doc_id", "url")),
+
+    // §2b-25g2: interpolated-bigram LM scoring — one order up from
+    // q_lm_score's unigram CCNet proxy; bigrams via slice+zip (narrow,
+    // no (doc,pos) self-join), counts broadcast back
+    "q_lm_score2" -> ((s, dir) =>
+      LmScore.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
+    // §2b-63: deterministic epoch shuffle — the global training order
+    // as a pure function of (content hash, epoch); two epochs show
+    // independent permutations, positions via range-sharded rank (no
+    // single-partition sort)
+    "q_epoch_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.epochShuffle(docs, "doc_id", col("text"), 1L)
+        .unionByName(Sampling.epochShuffle(docs, "doc_id", col("text"), 2L))
+    }),
+
+    // §2b-64: Johnson-Lindenstrauss random projection (64d → 16d) —
+    // the pre-reduction in front of the ANN/near-dup family at 100 TB;
+    // the Gaussian matrix is the LSH paths' splitmix64/Box-Muller
+    // construction, so the oracle regenerates it exactly
+    "q_rp_reduce" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("rp")))
+        .select(col("vec_id"), col("pos").as("d"),
+          round(col("col"), 6).as("val"))),
+
+    // §2b-65: symmetric int8 embedding quantization — 4× smaller
+    // vector storage/shuffle volume with rank-preserving cosine; scale
+    // and every quantized component replay exactly (floor(x/scale+0.5))
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeI8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"), posexplode(col("qv")))
+        .select(col("vec_id"), col("scale"), col("pos").as("d"),
+          col("col").as("q"))),
+
+    // §2b-66: product quantization + ADC top-k (Jégou et al. 2011) —
+    // the vector MEMORY scale path (m small codes per vector instead
+    // of 8·dim bytes); codebooks train from the mix64-ordered sample +
+    // one Lloyd round, scoring is m LUT adds per pair
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.pqTopK(emb, queries, k = 3, m = 4, ksub = 8, iters = 1)
     })
   )
+
+  /** The blocklist the q_word_filter query and its oracle share. */
+  private val blocklistWords = Seq("spam", "casino", "lottery", "the")
+
+  /** Deterministic HTML page wrapping each document — shared shape
+    * between q_html_extract's Spark side and its DuckDB oracle. */
+  private def htmlPage: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style type=\"text/css\">p { color: red; }</style>"),
+    lit("<script>if (1 < 2) { var x = \"&amp;\"; }</script></head>"),
+    lit("<body><!-- strip me --><h1>Title</h1><p class=\"main\">"),
+    col("text"),
+    lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+
+  /** Deterministic synthetic URL per document — shared shape between
+    * q_url_parse's Spark side and its DuckDB oracle: scheme, optional
+    * userinfo, optional www, multi-label hosts across plain and
+    * two-label public suffixes, optional port, path, query, fragment. */
+  private def syntheticUrl: Column = concat(
+    lit("https://"),
+    when(pmod(col("doc_id"), lit(11)) === 0, lit("user:pw@")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(4)) === 0, lit("www.")).otherwise(lit("")),
+    lit("u"), pmod(col("doc_id"), lit(7)).cast("string"),
+    lit(".host"), pmod(col("doc_id"), lit(13)).cast("string"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit(".co.uk"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org"))
+      .otherwise(lit(".com")),
+    when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+    lit("/p/"), col("doc_id").cast("string"), lit("?ref=rss#top"))
 
   // ---- splitmix64 / Box-Muller replay helpers for the ANN oracles ----
   // DuckDB has no wrapping 64-bit integer arithmetic, so the splitmix64
@@ -4073,7 +4174,181 @@ object SparkEntry {
         |r AS (SELECT doc_id, source,
         |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
         |      FROM s)
-        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
+
+    // the identical page synthesis + the identical regex/replace chain
+    // (RE2-safe patterns, inline (?is) flags, 'g' for replace-all);
+    // &amp; decodes LAST so literal "&amp;lt;" renders as "&lt;"
+    "q_html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style type="text/css">p { color: red; }</style>' ||
+        |    '<script>if (1 < 2) { var x = "&amp;"; }</script></head>' ||
+        |    '<body><!-- strip me --><h1>Title</h1><p class="main">' || text ||
+        |    '</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>' AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |        '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |        '(?s)<!--.*?-->', '', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\n\x0b\f\r]+', ' ', 'g')) AS clean_text
+        |FROM page""".stripMargin,
+
+    "q_word_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(?i)\b(spam|casino|lottery|the)\b')) AS INT) AS hits,
+        |  len(regexp_extract_all(text, '(?i)\b(spam|casino|lottery|the)\b')) = 0 AS kept
+        |FROM documents""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+        |    'u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+        |         WHEN doc_id % 3 = 1 THEN '.org' ELSE '.com' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |    '/p/' || doc_id || '?ref=rss#top' AS url
+        |  FROM documents),
+        |hh AS (
+        |  SELECT doc_id, regexp_replace(
+        |    regexp_extract(lower(url),
+        |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([a-z0-9.-]+)', 1),
+        |    '^www\.', '') AS host
+        |  FROM u)
+        |SELECT doc_id, host,
+        |  CASE WHEN regexp_matches(host, '\.(co|ac|gov|com|org|net)\.(uk|au|nz|jp|br|in)$')
+        |    THEN regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+\.[a-z0-9-]+)$', 1)
+        |    ELSE regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) END AS site
+        |FROM hh""".stripMargin,
+
+    // interpolated-bigram NLL: identical count tables, identical
+    // lambda arithmetic (0.75 / 0.25 are exact dyadic rationals),
+    // identical -ln fold; docs with <2 tokens drop on both sides
+    "q_lm_score2" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM tk) u GROUP BY w),
+        |tot AS (SELECT sum(c) AS n FROM uni),
+        |bi AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM tk, unnest(generate_series(1, len(ts)-1)) u(i)
+        |  WHERE len(ts) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    -ln(CAST(0.75 AS DOUBLE) * (CAST(bc.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)) +
+        |        CAST(0.25 AS DOUBLE) * (CAST(u2.c AS DOUBLE) / CAST(t.n AS DOUBLE))) AS nll
+        |  FROM bi b
+        |  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |  JOIN uni u1 ON b.w1 = u1.w
+        |  JOIN uni u2 ON b.w2 = u2.w, tot t)
+        |SELECT doc_id, round(avg(nll), 4) AS nll2 FROM sc GROUP BY doc_id""".stripMargin,
+
+    // splitmix64(fnv64(text) + epoch·golden) replayed in HUGEINT,
+    // signed-long conversion so the rank order equals Spark's BIGINT
+    // sort, doc_id breaks (never-observed) collision ties
+    "q_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, ${sqlFnvRaw("text")} AS h FROM documents),
+         |es AS (SELECT CAST(1 AS BIGINT) AS epoch UNION ALL SELECT 2),
+         |g0e AS (
+         |  SELECT e.epoch, h.doc_id,
+         |    (xor(h.h, (CAST(e.epoch AS HUGEINT) * $sqlGolden) % $sqlMod) + $sqlGolden)
+         |      % $sqlMod AS z0e
+         |  FROM h, es e),
+         |${sqlMixChain("e", "epoch, doc_id")},
+         |kk AS (
+         |  SELECT epoch, doc_id,
+         |    CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
+         |      THEN $sqlMod ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS k
+         |  FROM g5e)
+         |SELECT epoch, doc_id,
+         |  row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+         |FROM kk""".stripMargin,
+
+    // the q_ann_lsh plane grid at (1 table, 16 bits) = the JL matrix;
+    // projection = inner product / sqrt(k), rounded at 6 like the
+    // cosine oracles
+    "q_rp_reduce" ->
+      s"""WITH ${sqlPlanesCte(1, 16, 64, 42)},
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT e.vec_id, CAST(p.b AS INT) AS d,
+         |  round(list_inner_product(e.v, p.pl) / sqrt(CAST(16 AS DOUBLE)), 6) AS val
+         |FROM ev e, planes p""".stripMargin,
+
+    // full PQ replay: the mix64-ordered init sample sliced into 4
+    // subspaces of 16 dims, one Lloyd round (L2 argmin via the same
+    // sequential (u-c)² fold as the kernel, rank-tie on j; empty cells
+    // keep init), re-encode under the updated codebooks, per-query
+    // LUT inner products, ADC score as the s-ORDERED list_sum fold
+    "q_pq_topk" ->
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |g0m AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $sqlGolden) % $sqlMod AS z0m FROM ev),
+         |${sqlMixChain("m", "vec_id")},
+         |hv AS (SELECT vec_id, CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN $sqlMod ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h FROM g5m),
+         |ordered AS (
+         |  SELECT e.vec_id, e.v, row_number() OVER (ORDER BY h.h, e.vec_id) - 1 AS cell
+         |  FROM ev e JOIN hv h ON e.vec_id = h.vec_id),
+         |init AS (SELECT cell AS j, v FROM ordered WHERE cell < 8),
+         |grid AS (SELECT CAST(s AS INT) AS s FROM range(0,4) r(s)),
+         |b0 AS (SELECT g.s, i.j, list_transform(range(1,17), d -> i.v[g.s*16 + d]) AS cv
+         |       FROM init i, grid g),
+         |sub AS (SELECT e.vec_id, g.s, list_transform(range(1,17), d -> e.v[g.s*16 + d]) AS sv
+         |        FROM ev e, grid g),
+         |d0 AS (SELECT u.vec_id, u.s, b.j,
+         |    list_sum(list_transform(range(1,17), i -> (u.sv[i]-b.cv[i])*(u.sv[i]-b.cv[i]))) AS dist
+         |  FROM sub u JOIN b0 b ON u.s = b.s),
+         |a0 AS (SELECT vec_id, s, j,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d0),
+         |asg0 AS (SELECT vec_id, s, j FROM a0 WHERE rn = 1),
+         |m0 AS (SELECT a.s, a.j, r.d, avg(u.sv[r.d]) AS mval
+         |  FROM asg0 a JOIN sub u ON a.vec_id = u.vec_id AND a.s = u.s, range(1,17) r(d)
+         |  GROUP BY a.s, a.j, r.d),
+         |b1 AS (SELECT b.s, b.j, list(coalesce(m.mval, b.cv[r.d]) ORDER BY r.d) AS cv
+         |  FROM b0 b CROSS JOIN range(1,17) r(d)
+         |  LEFT JOIN m0 m ON m.s = b.s AND m.j = b.j AND m.d = r.d
+         |  GROUP BY b.s, b.j),
+         |d1 AS (SELECT u.vec_id, u.s, b.j,
+         |    list_sum(list_transform(range(1,17), i -> (u.sv[i]-b.cv[i])*(u.sv[i]-b.cv[i]))) AS dist
+         |  FROM sub u JOIN b1 b ON u.s = b.s),
+         |a1 AS (SELECT vec_id, s, j,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d1),
+         |codes AS (SELECT vec_id, s, j FROM a1 WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, b.s, b.j, list_inner_product(q.sv, b.cv) AS ip
+         |  FROM sub q JOIN b1 b ON q.s = b.s WHERE q.vec_id < 5),
+         |sc AS (SELECT l.query_id, c.vec_id, list_sum(list(l.ip ORDER BY l.s)) AS score
+         |  FROM codes c JOIN lut l ON c.s = l.s AND c.j = l.j AND c.vec_id <> l.query_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |ranked AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // scale = max|x|/127 (exact double ops), q = floor(x/scale + 0.5)
+    // — round-half-up replays as SQL floor; zero vectors quantize to 0
+    "q_embed_quantize" ->
+      """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale
+        |  FROM ev)
+        |SELECT vec_id, scale, CAST(i - 1 AS INT) AS d,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |            ELSE floor(v[i] / scale + 0.5) END AS INT) AS q
+        |FROM sc, unnest(generate_series(1, len(v))) u(i)""".stripMargin
   )
 
   // The Bloom-prefiltered path is exact by construction (no false

@@ -39,6 +39,51 @@ object LmScore {
         carry.map(c => min(col(c)).as(c)): _*)
   }
 
+  /** Per-doc mean negative log-likelihood under an INTERPOLATED BIGRAM
+    * model — one order up from [[unigramNll]] on the road to the
+    * 5-gram KenLM CCNet actually ships: for each adjacent token pair,
+    * p(w2|w1) = lambda·c(w1,w2)/c(w1) + (1−lambda)·c(w2)/N, averaged as
+    * −ln p over the doc's bigram positions. The unigram interpolation
+    * floor means unseen continuations never hit −ln 0.
+    *
+    * Plan shape: bigrams come from the tokens array via slice +
+    * arrays_zip + explode — a NARROW per-row expansion, not a
+    * (doc, pos) self-join — so the corpus is scanned once for counts
+    * and once for scoring. Three count aggregations (unigram, bigram,
+    * 1-row total) broadcast back onto the exploded pairs; the final
+    * per-doc mean is one map-combined aggregation. At 100 TB the
+    * bigram table gets the same minimum-count UNK floor as the
+    * unigram vocab (rare pairs → backoff-only), keeping the broadcast
+    * bounded; past broadcast size the joins degrade gracefully to
+    * shuffle joins on the token keys.
+    *
+    * lambda defaults to 0.75 — an exact dyadic rational, so the
+    * interpolation arithmetic replays bitwise in the SQL oracle.
+    * Docs with fewer than 2 tokens have no bigram and drop out. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val pairs = toks.filter(size(col("__ts")) >= 2)
+      .withColumn("a", slice(col("__ts"), lit(1), size(col("__ts")) - 1))
+      .withColumn("b", slice(col("__ts"), lit(2), size(col("__ts")) - 1))
+      .select(col(idCol), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col(idCol), col("p.a").as("w1"), col("p.b").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val p = lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+      lit(1.0 - lambda) * (col("c2").cast("double") / col("n").cast("double"))
+    pairs
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(p)), 4).as("nll2"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): rank
     * every document by its LM score within its language and cut the
     * corpus into head / middle / tail terciles — head (lowest

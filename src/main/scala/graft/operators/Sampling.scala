@@ -216,6 +216,35 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("n_tokens"))
   }
 
+  /** Deterministic epoch shuffle: the global training order for one
+    * epoch as a pure function of the data — pos = rank of
+    * mix64(fnv64(key) XOR epoch·GOLDEN) (splitmix64 over the content
+    * hash; the epoch folds in by XOR, which cannot overflow under
+    * ANSI arithmetic and replays as HUGEINT xor), so every epoch is
+    * an independent-looking permutation, re-runs reproduce it exactly,
+    * and re-sharding the input cannot change it. This is the order a
+    * trainer consumes shards in; feed it to
+    * [[graft.operators.Shards.writeTrainingShards]] to lay files out
+    * in training order.
+    *
+    * Plan shape: one codegen hash projection, then
+    * [[Surrogate.rangeDenseIds]] for the contiguous global positions —
+    * range-partition on the shuffle key + per-partition rank +
+    * driver-side offsets (numPartitions METADATA rows), NO
+    * single-partition global sort. Ties (hash collisions) break on
+    * `idCol`, keeping the order total and the oracle replay exact. */
+  def epochShuffle(df: DataFrame, idCol: String, keyCol: Column,
+                   epoch: Long, numPartitions: Int = 32): DataFrame = {
+    val GOLDEN = 0x9e3779b97f4a7c15L
+    val keyed = df.select(col(idCol),
+      HashExpressions.mix64(
+        HashExpressions.fnv64(keyCol).bitwiseXOR(lit(epoch * GOLDEN)))
+        .as("__shuf"))
+    Surrogate.rangeDenseIds(keyed, Seq(col("__shuf"), col(idCol)), "pos",
+        numPartitions)
+      .select(lit(epoch).as("epoch"), col(idCol), col("pos"))
+  }
+
   /** The zero-shuffle scale form of [[tokenBudgetMix]]: keep rate =
     * budget / per-source token total, applied as a uniform-hash gate.
     * Expected kept tokens per source = budget (variance ~ heavy-doc

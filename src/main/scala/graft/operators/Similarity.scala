@@ -468,6 +468,158 @@ object Similarity {
       .select(col(idCol), col("cell"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Johnson-Lindenstrauss random projection: reduce the embedding
+    * column to `outDim` dimensions through the SAME deterministic
+    * Gaussian plane machinery the LSH paths use ([[hyperplanes]] —
+    * Box-Muller over splitmix64 uniforms, so a SQL oracle regenerates
+    * the exact matrix), scaled by 1/sqrt(outDim) so expected pairwise
+    * distances are preserved (the JL estimator).
+    *
+    * Scale shape: ONE codegen projection
+    * ([[graft.plans.RandomProject]] — the k×dim matrix rides as a
+    * referenced object, broadcast once per executor), zero exchanges,
+    * embarrassingly parallel. This is the standard pre-reduction in
+    * front of ANN / near-dup / SemDedup at 100 TB: a 1536-d corpus
+    * reduced to 64-d cuts every downstream dot product — and the
+    * (id, vec) shuffle volume of the cell/bucket paths — by 24×,
+    * while [[cosineNearDupPairs]]-style recall degrades by the JL
+    * epsilon bound, not structurally. */
+  def randomProject(corpus: DataFrame, outDim: Int, dim: Int,
+                    seed: Long = 42L, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, outDim, seed)
+    corpus.select(col(idCol),
+      graft.plans.VecExpressions.randomProject(
+        col(vecCol).cast("array<double>"), planes).as("rp"))
+  }
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_j = floor(x_j/scale + 0.5) (round-half-up — the one rule that
+    * replays as SQL floor(x+0.5); |q| ≤ 127 without clamping). The
+    * storage-scale move for embedding columns: 4-byte floats become
+    * 1-byte codes + one double per vector (≈4× smaller corpus, ≈4×
+    * less (id, vec) shuffle volume in every downstream cell/bucket
+    * path), with cosine ranking preserved to ~1e-3 — the same
+    * trade-off FAISS's SQ8 codec ships. Dequantize as q_j · scale.
+    *
+    * Plan: ONE codegen projection (two kernel passes per row —
+    * [[graft.plans.VecMaxAbs]] then [[graft.plans.QuantizeI8]]), zero
+    * exchanges. */
+  def quantizeI8(corpus: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VecExpressions.{quantizeI8 => qi8, vecMaxAbs}
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale", vecMaxAbs(col("v")) / lit(127.0))
+      .select(col(idCol), col("scale"), qi8(col("v"), col("scale")).as("qv"))
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011): the
+    * vector space splits into `m` subspaces of dim/m components; each
+    * subspace gets its own `ksub`-centroid L2 quantizer. Init is the
+    * SAME deterministic mix64-ordered sample as [[trainQuantizer]]
+    * (one row set, sliced per subspace — so the SQL oracle replays the
+    * init from the identical ordered CTE), refined with `iters` Lloyd
+    * iterations where assignment is the [[graft.plans.PqEncode]]
+    * kernel and the re-center is ONE DataFrame aggregation over all
+    * subspaces at once (cells that lose every vector keep their init,
+    * as in [[trainQuantizer]]). Only the m×ksub×(dim/m) codebook — the
+    * FAISS ProductQuantizer header — ever reaches the driver. */
+  def trainPq(corpus: DataFrame, m: Int = 4, ksub: Int = 8, iters: Int = 1,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    import graft.plans.VecExpressions.pqEncode
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val initRows = c.orderBy(graft.plans.HashExpressions.mix64(
+        col(idCol).cast("long")), col(idCol)).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub, s"corpus smaller than ksub=$ksub")
+    val dim = initRows.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    var books = Array.tabulate(m)(s =>
+      initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+    (0 until iters).foreach { _ =>
+      val sCol = (col("dim") / lit(dsub)).cast("int")
+      val means = c
+        .select(pqEncode(col("v"), books).as("codes"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(sCol.as("s"),
+          element_at(col("codes"), sCol + 1).as("j"),
+          col("dim"), col("x"))
+        .groupBy(col("s"), col("j"), col("dim"))
+        .agg(avg(col("x")).as("mval"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val s = r.getInt(0); val j = r.getInt(1)
+        next(s)(j)(r.getInt(2) - s * dsub) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** PQ-encode the corpus: (id, codes array<int>) — the 100 TB vector
+    * MEMORY path: m bytes-ish per vector instead of 8·dim (64× at
+    * m=8, dim=64), which is what lets a trillion-vector index hold
+    * codes hot. One codegen projection, zero exchanges. Store the
+    * codes column alongside the cell partition of [[buildIvfIndex]]
+    * for the standard IVFPQ layout (probe prunes cells, ADC scores
+    * codes). */
+  def pqEncodeCorpus(corpus: DataFrame, books: Array[Array[Array[Double]]],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+      graft.plans.VecExpressions.pqEncode(
+        col(vecCol).cast("array<double>").as("v"), books).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query the
+    * m×ksub inner-product lookup table is precomputed DRIVER-side
+    * (queries are a small broadcast set; the LUT stack is the
+    * per-batch query state, like the IVF probe list), and each
+    * (vector, query) pair costs m lookups + adds via the
+    * [[graft.plans.PqLutScore]] codegen kernel — instead of `dim`
+    * multiplies. The estimator approximates dot(q, x) ≈
+    * Σ_s dot(q_s, centroid_s(code_s)); ranking quality is the PQ
+    * reconstruction trade-off, spec-pinned against exact brute force.
+    * Ties rank by vector id for determinism. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+             m: Int = 4, ksub: Int = 8, iters: Int = 1,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = trainPq(corpus, m, ksub, iters, idCol, vecCol)
+    val dsub = books(0)(0).length
+    val codes = pqEncodeCorpus(corpus, books, idCol, vecCol)
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val luts: Array[Array[Array[Double]]] = qRows.map { case (_, qv) =>
+      Array.tabulate(m) { s =>
+        books(s).map { cb =>
+          var ip = 0.0; var d = 0
+          while (d < dsub) { ip += qv(s * dsub + d) * cb(d); d += 1 }
+          ip
+        }
+      }
+    }
+    val qIdx = qRows.map(_._1).zipWithIndex.toSeq.toDF(qidCol, "__qi")
+    codes.join(broadcast(qIdx), col(idCol) =!= col(qidCol))
+      .withColumn("score", graft.plans.VecExpressions.pqLutScore(
+        col("codes"), col("__qi"), luts))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0.
     * Kernel expression — see [[graft.plans.VecOps.hyperplaneSig]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =

@@ -80,6 +80,99 @@ object VecOps {
     }
     best
   }
+  /** Johnson-Lindenstrauss random projection: out(b) = dot(v, planes(b))
+    * / sqrt(k) — one pass per plane, division (not reciprocal multiply)
+    * so the DuckDB replay `list_inner_product(v, pl) / sqrt(k)` is the
+    * byte-identical IEEE operation sequence. */
+  def randomProject(v: ArrayData, planes: Array[Array[Double]]): Array[Double] = {
+    val k = planes.length
+    val rt = math.sqrt(k.toDouble)
+    val out = new Array[Double](k)
+    var b = 0
+    while (b < k) {
+      val p = planes(b)
+      var dot = 0.0; var j = 0
+      while (j < p.length) { dot += v.getDouble(j) * p(j); j += 1 }
+      out(b) = dot / rt
+      b += 1
+    }
+    out
+  }
+
+  /** Largest |component| (the symmetric int8 quantization range). */
+  def maxAbs(v: ArrayData): Double = {
+    var m = 0.0; var j = 0
+    val n = v.numElements()
+    while (j < n) {
+      val a = math.abs(v.getDouble(j))
+      if (a > m) m = a
+      j += 1
+    }
+    m
+  }
+
+  /** Symmetric int8 quantization at a given scale: q_j =
+    * floor(v_j / scale + 0.5) — round-half-up in BOTH directions, the
+    * one rounding rule that replays as SQL `floor(x + 0.5)` (Math.rint
+    * is half-even, SQL round() is half-away; neither matches the other
+    * engine). scale = maxAbs/127 bounds |q| at 127 without clamping
+    * (fl(x / fl(x/127)) < 127.5 for all finite x). A zero vector
+    * (scale = 0) quantizes to zeros. */
+  def quantizeI8(v: ArrayData, scale: Double): Array[Int] = {
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    if (scale != 0.0) {
+      var j = 0
+      while (j < n) {
+        out(j) = math.floor(v.getDouble(j) / scale + 0.5).toInt
+        j += 1
+      }
+    }
+    out
+  }
+
+  /** Product-quantization encode: for each of the m subspaces, the
+    * index of the L2-nearest sub-codebook centroid (strict <, so the
+    * first minimum wins — replayable as a (dist, j) rank). books is
+    * m × ksub × dsub. */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = books(s)
+      val dsub = cb(0).length
+      val off = s * dsub
+      var best = 0; var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var dist = 0.0; var d = 0
+        while (d < dsub) {
+          val diff = v.getDouble(off + d) - c(d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { best = j; bestD = dist }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance (ADC) score from PQ codes: Σ_s lut(q)(s)(code_s)
+    * — m table lookups + adds per pair instead of `dim` multiplies.
+    * luts is queries × m × ksub (per-query inner products of the query
+    * sub-vector with every sub-centroid, precomputed driver-side). */
+  def pqLutScore(codes: ArrayData, qIdx: Int, luts: Array[Array[Array[Double]]]): Double = {
+    val lut = luts(qIdx)
+    var s = 0; var acc = 0.0
+    while (s < lut.length) { acc += lut(s)(codes.getInt(s)); s += 1 }
+    acc
+  }
+
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, planes(i)) > 0.
     * One pass over the vector per plane, no per-plane Column lambdas —
     * the Column-expression formulation inlined planes.length × dim
@@ -180,6 +273,101 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], nprobe: 
   override def prettyName: String = "nearest_cells"
 }
 
+/** JL random projection to `planes.length` dimensions as a codegen
+  * expression — the (k × dim) Gaussian matrix rides along as a
+  * referenced object exactly like [[HyperplaneSig]]'s planes. */
+case class RandomProject(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecOps.randomProject(v.asInstanceOf[ArrayData], planes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.VecOps.randomProject($c, $ref))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+  override def prettyName: String = "random_project"
+}
+
+/** Largest |component| of an array<double> column (the symmetric
+  * quantization range), as a codegen kernel. */
+case class VecMaxAbs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.maxAbs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecOps.maxAbs($c)")
+  override protected def withNewChildInternal(newChild: Expression): VecMaxAbs =
+    copy(child = newChild)
+  override def prettyName: String = "vec_max_abs"
+}
+
+/** Symmetric int8 quantization q_j = floor(v_j / scale + 0.5) as a
+  * codegen kernel over (array<double>, double). */
+case class QuantizeI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecOps.quantizeI8(v.asInstanceOf[ArrayData], s.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.VecOps.quantizeI8($v, $s))")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizeI8 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "quantize_i8"
+}
+
+/** PQ encode as a codegen expression — the m×ksub×dsub codebook rides
+  * as a referenced object like [[NearestCell]]'s centroids. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecOps.pqEncode(v.asInstanceOf[ArrayData], books))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.VecOps.pqEncode($c, $ref))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC lookup score over (codes array<int>, query index int); the
+  * per-query LUT stack rides as a referenced object. */
+case class PqLutScore(left: Expression, right: Expression,
+                      luts: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, qi: Any): Any =
+    VecOps.pqLutScore(codes.asInstanceOf[ArrayData],
+      qi.asInstanceOf[Int], luts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luts", luts, "double[][][]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.plans.VecOps.pqLutScore($c, $q, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqLutScore =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_lut_score"
+}
+
 object VecExpressions {
   def hyperplaneSig(c: Column, planes: Array[Array[Double]]): Column =
     GraftSqlShim.column(HyperplaneSig(GraftSqlShim.expression(c), planes))
@@ -195,4 +383,21 @@ object VecExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     GraftSqlShim.column(DotProduct(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  def randomProject(c: Column, planes: Array[Array[Double]]): Column =
+    GraftSqlShim.column(RandomProject(GraftSqlShim.expression(c), planes))
+
+  def vecMaxAbs(c: Column): Column =
+    GraftSqlShim.column(VecMaxAbs(GraftSqlShim.expression(c)))
+
+  def quantizeI8(v: Column, scale: Column): Column =
+    GraftSqlShim.column(QuantizeI8(GraftSqlShim.expression(v), GraftSqlShim.expression(scale)))
+
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftSqlShim.column(PqEncode(GraftSqlShim.expression(v), books))
+
+  def pqLutScore(codes: Column, qIdx: Column,
+                 luts: Array[Array[Array[Double]]]): Column =
+    GraftSqlShim.column(PqLutScore(GraftSqlShim.expression(codes),
+      GraftSqlShim.expression(qIdx), luts))
 }

@@ -380,4 +380,43 @@ class ChunkingSpec extends AnyFunSuite {
       l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(partial == 1, s"expected a Partial pre-prune stage:\n$plan")
   }
+
+  test("epochShuffle is a contiguous permutation, re-shard stable, and " +
+    "epochs permute independently") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val e1 = Sampling.epochShuffle(docs, "doc_id", col("text"), 1L)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // contiguous 1..n permutation
+    assert(e1.size == n && e1.values.toSeq.sorted == (1L to n).toSeq)
+    // pure function of the data: partitioning cannot change the order
+    val e1b = Sampling.epochShuffle(docs.repartition(13), "doc_id",
+      col("text"), 1L).select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(e1 == e1b)
+    // another epoch is a different (still contiguous) permutation
+    val e2 = Sampling.epochShuffle(docs, "doc_id", col("text"), 2L)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(e2.values.toSeq.sorted == (1L to n).toSeq)
+    val moved = e1.count { case (id, p) => e2(id) != p }
+    assert(moved > n * 0.9, s"epoch 2 should reshuffle nearly all positions ($moved/$n moved)")
+  }
+
+  test("bigramNll matches a hand-computed interpolated bigram model") {
+    // corpus: "a b a b" (doc 1), "a c" (doc 2)
+    // unigrams: a=3, b=2, c=1, N=6; bigrams: (a,b)=2, (b,a)=1, (a,c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = LmScore.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val lam = 0.75
+    def p(c12: Double, c1: Double, c2: Double) =
+      lam * (c12 / c1) + (1 - lam) * (c2 / 6.0)
+    val d1 = -(math.log(p(2, 3, 2)) + math.log(p(1, 2, 3)) + math.log(p(2, 3, 2))) / 3.0
+    val d2 = -math.log(p(1, 3, 1))
+    assert(math.abs(got(1L) - (math.rint(d1 * 1e4) / 1e4)) < 1e-9, got.toString)
+    assert(math.abs(got(2L) - (math.rint(d2 * 1e4) / 1e4)) < 1e-9, got.toString)
+    // a 1-token doc has no bigram and drops out
+    val one = LmScore.bigramNll(Seq((9L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").count()
+    assert(one == 0)
+  }
 }

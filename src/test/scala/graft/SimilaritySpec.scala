@@ -378,4 +378,100 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(observed - analytic) < 0.07,
       f"observed recall $observed%.3f vs analytic $analytic%.3f")
   }
+
+  test("randomProject preserves pairwise cosine within the JL epsilon " +
+    "band and is a deterministic pure function of (data, seed)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val rows = (0L until 40L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val rp = Similarity.randomProject(corpus, outDim = 16, dim = dim)
+      .as[(Long, Seq[Double])].collect().toMap
+    // determinism: a second run (and a re-partitioned input) agrees exactly
+    val rp2 = Similarity.randomProject(corpus.repartition(7), 16, dim)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rp == rp2)
+    // JL: random-pair cosines move, but not structurally (coarse band —
+    // k=16 is small; the point is "correlated", not "tight")
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val origs = rows.toMap
+    val errs = for (a <- 0L until 10L; b <- (a + 1) until 10L) yield
+      math.abs(cos(origs(a), origs(b)) - cos(rp(a), rp(b)))
+    assert(errs.max < 0.5 && errs.sum / errs.size < 0.2,
+      s"JL distortion too large: mean=${errs.sum / errs.size}, max=${errs.max}")
+  }
+
+  test("PQ: codes are in range, deterministic, and ADC top-k recalls " +
+    "most exact neighbors on clustered data") {
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    // 8 well-separated cluster centers, 25 points each
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 4))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val books = Similarity.trainPq(corpus, m = 4, ksub = 8, iters = 1)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == 16)))
+    val codes = Similarity.pqEncodeCorpus(corpus, books)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 200)
+    assert(codes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    // same input -> same codebooks bitwise; a REPARTITIONED input may
+    // drift by summation-order ulps in the Lloyd means (same contract
+    // as trainQuantizer), so that comparison is approximate
+    val booksSame = Similarity.trainPq(corpus, m = 4, ksub = 8, iters = 1)
+    assert(books.flatten.flatten.toSeq == booksSame.flatten.flatten.toSeq)
+    val books2 = Similarity.trainPq(corpus.repartition(7), m = 4, ksub = 8, iters = 1)
+    val flatA = books.flatMap(_.flatMap(_.toSeq)).toSeq
+    val flatB = books2.flatMap(_.flatMap(_.toSeq)).toSeq
+    flatA.zip(flatB).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"codebook drift beyond ulps: $a vs $b") }
+    // ADC top-k preserves COARSE geometry: every same-cluster member
+    // quantizes to (nearly) the same codes, so within-cluster rank is
+    // intentionally lost — the correct PQ assertion is that the top-k
+    // neighbors come from the query's own cluster, not that they match
+    // the exact within-cluster ordering
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = Similarity.pqTopK(corpus, queries, k = 5, m = 4, ksub = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.length == 8 * 5)
+    val sameCluster = got.count { case (q, n) => n % 8 == q % 8 }
+    val frac = sameCluster.toDouble / got.length
+    assert(frac >= 0.9, s"PQ ADC cluster recall too low: $frac")
+  }
+
+  test("quantizeI8: |q| <= 127, round-trip error <= scale/2 per " +
+    "component, cosine preserved to ~1e-2, zero vector -> zeros") {
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian() * (i + 1)))) :+ (99L, Seq.fill(dim)(0.0))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val gotPairs = Similarity.quantizeI8(corpus)
+      .as[(Long, Double, Seq[Int])].collect()
+    val origs = rows.toMap
+    gotPairs.foreach { case (id, scale, q) =>
+      val v = origs(id)
+      assert(q.forall(x => math.abs(x) <= 127), s"$id out of int8 range")
+      if (v.exists(_ != 0.0)) {
+        assert(scale > 0)
+        v.zip(q).foreach { case (x, qx) =>
+          assert(math.abs(x - qx * scale) <= scale / 2 + 1e-12,
+            s"$id component error above scale/2") }
+        val dq = q.map(_ * scale)
+        val num = v.zip(dq).map { case (a, b) => a * b }.sum
+        val den = math.sqrt(v.map(x => x * x).sum * dq.map(x => x * x).sum)
+        assert(num / den > 0.99, s"$id cosine(v, dequant) too low")
+      } else {
+        assert(scale == 0.0 && q.forall(_ == 0))
+      }
+    }
+  }
 }
