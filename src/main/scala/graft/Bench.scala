@@ -105,11 +105,20 @@ object Bench {
       .filter(n => !failed.contains(n))
       .sortBy(n => -timings.getOrElse(n, 0.0))
     val parallelism = math.min(12, math.max(1, okNames.size))
-    val gStart = System.nanoTime()
-    SparkEntry.runAll(spark, sfDir, parallelism, okNames)((_, df) =>
-      df.write.mode("overwrite").format("noop").save())
-    val groupedTotal = (System.nanoTime() - gStart) / 1e9
-    spark.catalog.clearCache()
+    // min of two makespans: a 12-way one-shot makespan is exposed to
+    // ambient-host noise the way single pass-1 runs were (measured
+    // 40-180 s for identical work under a noisy neighbor — the same
+    // failure mode the adaptive pass-1 sampling fixed in round 8), so
+    // the grouped figure gets the same min-of-samples treatment.
+    val groupedRuns = (1 to 2).map { _ =>
+      val gStart = System.nanoTime()
+      SparkEntry.runAll(spark, sfDir, parallelism, okNames)((_, df) =>
+        df.write.mode("overwrite").format("noop").save())
+      val t = (System.nanoTime() - gStart) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    val groupedTotal = groupedRuns.min
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -129,7 +138,7 @@ object Bench {
     // not decay between queries), so it is contamination EVIDENCE for
     // a reader, not a usable ambient-load signal.
     val loadWarning = loadBefore > 2.0
-    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"cc_labels_sec":$ccLabelsSec,"grouped_total":$groupedTotal,"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"failed":$fs,"seq_total":$seqTotal,"cc_labels_sec":$ccLabelsSec,"grouped_total":$groupedTotal,"grouped_runs":${groupedRuns.mkString("[", ",", "]")},"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc grouped-makespan prober:
+  * `runMain graft.tools.GroupedProbe [exclude:a,b,c | only:a,b,c]` —
+  * times `SparkEntry.runAll` (12-way, LPT not applied: name order)
+  * over the full query set minus `exclude:` (or just `only:`), after
+  * one warm-up sequential pass of nothing. Used to bisect grouped-pass
+  * regressions to a query subset. */
+object GroupedProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val all = graft.SparkEntry.queries.keys.toSeq.sorted
+    val names = args.headOption match {
+      case Some(s) if s.startsWith("exclude:") =>
+        val ex = s.stripPrefix("exclude:").split(",").toSet
+        all.filterNot(ex)
+      case Some(s) if s.startsWith("only:") =>
+        s.stripPrefix("only:").split(",").toSeq
+      case _ => all
+    }
+    if (sys.env.get("GROUPED_WARM").contains("seq")) {
+      names.foreach { n =>
+        graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+      }
+      val rddInfo = spark.sparkContext.getRDDStorageInfo
+      println(s"[groupedprobe] sequential warm pass done; persisted RDDs: ${rddInfo.length}, " +
+        s"mem: ${rddInfo.map(_.memSize).sum / 1024 / 1024} MB, " +
+        s"disk: ${rddInfo.map(_.diskSize).sum / 1024 / 1024} MB")
+    }
+    val t0 = System.nanoTime()
+    val par = sys.env.getOrElse("GROUPED_PAR", "12").toInt
+    graft.SparkEntry.runAll(spark, sfDir, par, names)((_, df) =>
+      df.write.mode("overwrite").format("noop").save())
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[groupedprobe] n=${names.size} makespan=$sec%.1f s")
+    spark.stop()
+  }
+}
