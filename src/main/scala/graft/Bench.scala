@@ -24,6 +24,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // 114 queries x ~10 codegen units thrash the default 100-entry
+      // generated-class cache: measured 1708 janino compiles (vs 1225
+      // distinct units) and ~260 s extra aggregate JIT work across one
+      // grouped pass. Size the cache to hold the whole workload.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
