@@ -1671,7 +1671,23 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_vec"))
       Similarity.pqTopK(emb, queries, k = 3, m = 4, ksub = 8, iters = 1)
-    })
+    }),
+
+    // §2b-67: weighted sampling without replacement (Efraimidis-
+    // Spirakis exponential clocks) — 25 docs per source with inclusion
+    // probability ∝ n_chars, deterministic via the content-hash
+    // uniform; row_number ≤ k lowers to WindowGroupLimit so at most k
+    // rows per group per partition reach the shuffle
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSamplePerGroup(t(s, dir, "documents"),
+          col("source"), col("text"), col("n_chars"), col("doc_id"), k = 25)
+        .select(col("source"), col("doc_id"), col("n_chars"))),
+
+    // §2b-68: fill-in-the-middle transform — (a, b) character cuts
+    // are a pure function of the content hash (uniform on [0,n] then
+    // [a,n]); PSM rendering; one codegen projection, zero shuffles
+    "q_fim_transform" -> ((s, dir) =>
+      Chunking.fimSplit(t(s, dir, "documents"), Seq("doc_id"), col("text")))
   )
 
   /** The blocklist the q_word_filter query and its oracle share. */
@@ -4348,7 +4364,43 @@ object SparkEntry {
         |SELECT vec_id, scale, CAST(i - 1 AS INT) AS d,
         |  CAST(CASE WHEN scale = 0 THEN 0
         |            ELSE floor(v[i] / scale + 0.5) END AS INT) AS q
-        |FROM sc, unnest(generate_series(1, len(v))) u(i)""".stripMargin
+        |FROM sc, unnest(generate_series(1, len(v))) u(i)""".stripMargin,
+
+    // exponential clock -ln(u)/w replayed from the fnv64 top-53-bit
+    // uniform; k smallest per source win, doc_id breaks clock ties
+    "q_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, source, n_chars, ${sqlFnvRaw("text")} AS h FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, n_chars,
+         |    -ln((CAST(h // CAST(2048 AS HUGEINT) AS DOUBLE) + 0.5)
+         |        / 9007199254740992.0) / CAST(n_chars AS DOUBLE) AS clk
+         |  FROM h WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY clk, doc_id) AS rn
+         |  FROM p)
+         |SELECT source, doc_id, n_chars FROM r WHERE rn <= 25""".stripMargin,
+
+    // cut a = (fnv64 >> 11) % (n+1), b = a + (mix64(fnv64) >> 11) %
+    // (n-a+1) — all-integer HUGEINT arithmetic, then three substrs and
+    // the PSM concat; empty prefixes/middles/suffixes are legitimate
+    "q_fim_transform" ->
+      s"""WITH h AS (SELECT doc_id, text, CAST(length(text) AS HUGEINT) AS n,
+         |    ${sqlFnvRaw("text")} AS h FROM documents),
+         |g0f AS (SELECT doc_id, (h + $sqlGolden) % $sqlMod AS z0f FROM h),
+         |${sqlMixChain("f", "doc_id")},
+         |ab0 AS (
+         |  SELECT h.doc_id, h.text, h.n,
+         |    (h.h // CAST(2048 AS HUGEINT)) % (h.n + 1) AS a,
+         |    g.z4 // CAST(2048 AS HUGEINT) AS h2
+         |  FROM h JOIN g5f g ON h.doc_id = g.doc_id),
+         |ab AS (SELECT doc_id, text, n, a, a + h2 % (n - a + 1) AS b FROM ab0),
+         |parts AS (SELECT doc_id,
+         |    substr(text, 1, CAST(a AS INT)) AS fim_prefix,
+         |    substr(text, CAST(a AS INT) + 1, CAST(b - a AS INT)) AS fim_middle,
+         |    substr(text, CAST(b AS INT) + 1, CAST(n - b AS INT)) AS fim_suffix
+         |  FROM ab)
+         |SELECT doc_id, fim_prefix, fim_middle, fim_suffix,
+         |  '<PRE>' || fim_prefix || '<SUF>' || fim_suffix || '<MID>' || fim_middle AS fim_text
+         |FROM parts""".stripMargin
   )
 
   // The Bloom-prefiltered path is exact by construction (no false

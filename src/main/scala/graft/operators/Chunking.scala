@@ -48,4 +48,51 @@ object Chunking {
         (least(col("chunk_idx") * step + chunkSize, col("__n"))
           - col("chunk_idx") * step).as("n_tokens")): _*)
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022; the
+    * SantaCoder/StarCoder data prep): split each document's text at
+    * two DETERMINISTIC character positions `0 <= a <= b <= n` into
+    * (prefix, middle, suffix) and emit the PSM-rendered training
+    * string `<PRE>prefix<SUF>suffix<MID>middle` — the model learns
+    * infilling because the middle moves to the end. SPM mode renders
+    * `<PRE><SUF>suffix<MID>prefix·middle`-style joint order; both
+    * sentinel sets are caller-supplied so real tokenizer specials can
+    * replace the readable defaults.
+    *
+    * Cut points are a pure function of the content — `a` uniform on
+    * [0, n] from the top-53 bits of `fnv64(text)`, `b` uniform on
+    * [a, n] from the same hash through one splitmix64 round — so
+    * re-runs, re-shards, and epoch regeneration reproduce the exact
+    * split (change the text, get a fresh split; the [[graft.operators.Sampling]]
+    * determinism argument). Zero-length middle/prefix/suffix are
+    * legitimate outcomes (probability ~1/n each), matching the
+    * paper's uniform character-level splitting.
+    *
+    * Plan shape: ONE whole-stage-codegen projection — no shuffle, no
+    * explode; at 100 TB this fuses into the ingest scan like
+    * [[chunkTokens]]. */
+  def fimSplit(df: DataFrame, idCols: Seq[String], textCol: Column,
+               preTok: String = "<PRE>", sufTok: String = "<SUF>",
+               midTok: String = "<MID>", spm: Boolean = false): DataFrame = {
+    import graft.plans.HashExpressions
+    val ids = idCols.map(col)
+    val base = df.select(ids ++ Seq(textCol.as("__t"),
+      length(textCol).cast("long").as("__n"),
+      shiftrightunsigned(HashExpressions.fnv64(textCol), 11).as("__h1"),
+      shiftrightunsigned(HashExpressions.mix64(HashExpressions.fnv64(textCol)), 11)
+        .as("__h2")): _*)
+    val a = col("__h1") % (col("__n") + 1L)
+    val withCuts = base
+      .withColumn("__a", a)
+      .withColumn("__b", col("__a") + col("__h2") % (col("__n") - col("__a") + 1L))
+    val prefix = substring(col("__t"), lit(1), col("__a").cast("int"))
+    val middle = expr("substring(__t, cast(__a as int) + 1, cast(__b - __a as int))")
+    val suffix = expr("substring(__t, cast(__b as int) + 1, cast(__n - __b as int))")
+    val rendered =
+      if (spm) concat(lit(preTok), lit(sufTok), suffix, lit(midTok), prefix, middle)
+      else concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle)
+    withCuts.select(ids ++ Seq(
+      prefix.as("fim_prefix"), middle.as("fim_middle"), suffix.as("fim_suffix"),
+      rendered.as("fim_text")): _*)
+  }
 }

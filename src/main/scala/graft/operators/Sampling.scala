@@ -245,6 +245,48 @@ object Sampling {
       .select(lit(epoch).as("epoch"), col(idCol), col("pos"))
   }
 
+  /** WEIGHTED sampling without replacement, `k` rows per group
+    * (Efraimidis & Spirakis 2006): row i survives iff its priority
+    * `-ln(u_i) / w_i` is among the group's `k` smallest, where `u_i`
+    * is the content-hash uniform (top-53 bits of `fnv64(keyCol)`,
+    * the [[tokenBudgetMixApprox]] construction) and `w_i > 0` is the
+    * row's weight. This is exactly a sample drawn without replacement
+    * with inclusion probability proportional to weight — the
+    * exponential-clocks argument: `-ln(u)/w` is an Exp(w) variate,
+    * and the k smallest of independent exponential clocks are the
+    * first k arrivals. Deterministic: re-runs, re-shards, and
+    * incremental appends reproduce the same choices (a new row
+    * competes under its own clock; it cannot reshuffle others).
+    *
+    * The standard uses: "pick 100k docs per language, favoring long
+    * ones" (w = token count), "sample training docs by quality
+    * weight", "downsample a mega-source in proportion to score".
+    * Uniform sampling is the w≡1 special case of this; `capPerGroup`
+    * with a hash order key is exactly that.
+    *
+    * Plan shape: one codegen projection for the clock, then
+    * `row_number() <= k` per group, which lowers to WindowGroupLimit
+    * Partial → Exchange(group) → Final — at most `k` rows per group
+    * per input partition reach the shuffle, the [[capPerGroup]]
+    * bound. Rows with `w <= 0` or null are excluded (zero weight =
+    * zero inclusion probability; the limit of the formula). `tieCol`
+    * breaks (never-observed) equal-clock ties to keep the order
+    * total. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+                             weightCol: Column, tieCol: Column,
+                             k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (shiftrightunsigned(HashExpressions.fnv64(keyCol), 11)
+      .cast("double") + 0.5) / 9007199254740992.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__clock").asc, tieCol.asc)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__clock", -log(u) / weightCol.cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__clock", "__rn")
+  }
+
   /** The zero-shuffle scale form of [[tokenBudgetMix]]: keep rate =
     * budget / per-source token total, applied as a uniform-hash gate.
     * Expected kept tokens per source = budget (variance ~ heavy-doc

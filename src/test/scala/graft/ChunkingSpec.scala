@@ -419,4 +419,120 @@ class ChunkingSpec extends AnyFunSuite {
       "doc_id", "text").count()
     assert(one == 0)
   }
+
+  test("weightedSamplePerGroup matches the naive k-smallest-clock replay, " +
+    "excludes nonpositive/null weights, and is re-shard stable") {
+    import graft.plans.HashExpressions
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"source", $"text", $"n_chars")
+    val k = 7
+    // independent replay: same clock formula, but selection via a plain
+    // collect-and-sort per group instead of the WindowGroupLimit plan
+    val clocks = docs
+      .filter($"n_chars".isNotNull && $"n_chars" > 0)
+      .withColumn("u",
+        (shiftrightunsigned(HashExpressions.fnv64($"text"), 11)
+          .cast("double") + 0.5) / 9007199254740992.0)
+      .withColumn("clk", -log($"u") / $"n_chars".cast("double"))
+      .select($"source", $"doc_id", $"clk")
+      .as[(String, Long, Double)].collect()
+    val want = clocks.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (r._3, r._2)).take(k).map(_._2).toSet).toMap
+    val got = Sampling.weightedSamplePerGroup(docs, $"source", $"text",
+        $"n_chars", $"doc_id", k)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == want)
+    got.values.foreach(s => assert(s.size <= k))
+    // pure function of content: re-sharding cannot move the sample
+    val resharded = Sampling.weightedSamplePerGroup(docs.repartition(13),
+        $"source", $"text", $"n_chars", $"doc_id", k)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(resharded == got)
+    // zero/negative/null weights have zero inclusion probability
+    val weighted = Seq((1L, "g", "a", 10L), (2L, "g", "b", 0L),
+      (3L, "g", "c", -5L)).toDF("id", "g", "t", "w")
+      .union(Seq((4L, "g", "d")).toDF("id", "g", "t")
+        .withColumn("w", lit(null: java.lang.Long)))
+    val kept = Sampling.weightedSamplePerGroup(weighted, $"g", $"t", $"w",
+      $"id", 10).select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("weightedSamplePerGroup favors heavy rows and appends compete " +
+    "without reshuffling prior picks") {
+    // 50 unit-weight rows + 3 rows at weight 10^7: the heavy rows'
+    // Exp(1e7) clocks are ~1e-7-scale, below any realistic Exp(1) draw,
+    // so all three must be selected at k=10 (deterministic given the
+    // fixed content hashes; a failure here means the weight inverted)
+    val rows = (1L to 50L).map(i => (i, "g", s"light row $i", 1L)) ++
+      Seq((101L, "g", "heavy A", 10000000L), (102L, "g", "heavy B", 10000000L),
+        (103L, "g", "heavy C", 10000000L))
+    val df = rows.toDF("id", "g", "t", "w")
+    val sel = Sampling.weightedSamplePerGroup(df, $"g", $"t", $"w", $"id", 10)
+      .select($"id").as[Long].collect().toSet
+    assert(Set(101L, 102L, 103L).subsetOf(sel), s"heavy rows lost: $sel")
+    assert(sel.size == 10)
+    // exponential-clocks monotonicity: adding one row can only displace
+    // one prior pick — sample(S ∪ {x}) ⊆ sample(S) ∪ {x}
+    val plus = df.union(Seq((200L, "g", "late arrival", 500L)).toDF(
+      "id", "g", "t", "w"))
+    val sel2 = Sampling.weightedSamplePerGroup(plus, $"g", $"t", $"w",
+      $"id", 10).select($"id").as[Long].collect().toSet
+    assert((sel2 - 200L).subsetOf(sel), s"append reshuffled picks: $sel2 vs $sel")
+  }
+
+  test("weightedSamplePerGroup plans as WindowGroupLimit partial+final " +
+    "(per-partition k-prune before the one exchange)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val plan = Sampling.weightedSamplePerGroup(docs, col("source"),
+        col("text"), col("n_chars"), col("doc_id"), 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")) == 1,
+      s"expected a Partial pre-prune stage:\n$plan")
+  }
+
+  test("fimSplit reassembles to the original text, renders PSM/SPM with " +
+    "caller sentinels, varies cuts across docs, and is a zero-shuffle plan") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val out = Chunking.fimSplit(docs, Seq("doc_id"), $"text")
+      .join(docs, "doc_id")
+      .select($"doc_id", $"fim_prefix", $"fim_middle", $"fim_suffix",
+        $"fim_text", $"text")
+      .as[(Long, String, String, String, String, String)].collect()
+    assert(out.length == docs.count())
+    out.foreach { case (id, p, m, s, r, t) =>
+      assert(p + m + s == t, s"doc $id: parts do not reassemble")
+      assert(r == s"<PRE>$p<SUF>$s<MID>$m", s"doc $id: PSM render drifted")
+    }
+    // cuts are content-driven: not all docs split at the same offset
+    assert(out.map(_._2.length).distinct.length > 10,
+      "prefix lengths suspiciously uniform — cut hash degenerate?")
+    // ~uniform a over [0, n]: mean prefix fraction should be near 1/2
+    val fracs = out.collect { case (_, p, _, _, _, t) if t.nonEmpty =>
+      p.length.toDouble / t.length }
+    val mean = fracs.sum / fracs.length
+    assert(mean > 0.4 && mean < 0.6, s"mean prefix fraction $mean not ~0.5")
+    // SPM mode + custom sentinels
+    val spm = Chunking.fimSplit(docs, Seq("doc_id"), $"text",
+        preTok = "[P]", sufTok = "[S]", midTok = "[M]", spm = true)
+      .select($"doc_id", $"fim_prefix", $"fim_middle", $"fim_suffix", $"fim_text")
+      .as[(Long, String, String, String, String)].collect()
+    spm.foreach { case (id, p, m, s, r) =>
+      assert(r == "[P][S]" + s + "[M]" + p + m, s"doc $id: SPM render drifted")
+    }
+    // empty text: all-empty parts, sentinels survive
+    val empty = Chunking.fimSplit(Seq((9L, "")).toDF("doc_id", "text"),
+        Seq("doc_id"), $"text")
+      .select($"fim_text").as[String].head()
+    assert(empty == "<PRE><SUF><MID>")
+    // one codegen projection — no exchange anywhere in the plan
+    val plan = Chunking.fimSplit(docs, Seq("doc_id"), $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fimSplit should not shuffle:\n$plan")
+  }
 }
