@@ -852,6 +852,26 @@ object SparkEntry {
     // witness, each with its sketch estimate (always >= exact, the
     // CMS one-sided guarantee — the oracle replays the estimates
     // exactly through the splitmix row-hash chain).
+    // §2b-56d: mergeable histogram quantile sketch — per-source length
+    // distribution, plus a __ALL__ row built by UNIONING THE SKETCHES
+    // (never re-reading rows): equality with the oracle's direct
+    // all-rows computation proves the merge algebra, the
+    // q_card_incremental argument
+    "q_hist_quantiles" -> ((s, dir) => {
+      import graft.plans.HistExpressions._
+      val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      val per = docs.groupBy(col("source"))
+        .agg(histSketch(col("n_chars").cast("long")).as("__sk"))
+      def render(df: DataFrame) = df.select(col("source"),
+        histCount(col("__sk")).as("n"),
+        histQuantile(col("__sk"), lit(5000)).as("p50"),
+        histQuantile(col("__sk"), lit(9000)).as("p90"),
+        histQuantile(col("__sk"), lit(9900)).as("p99"))
+      render(per).unionByName(render(
+        per.agg(histUnion(col("__sk")).as("__sk"))
+          .select(lit("__ALL__").as("source"), col("__sk"))))
+    }),
+
     "q_cms_counts" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -1571,6 +1591,22 @@ object SparkEntry {
         merge = Seq(sum(col("n_rows")).as("n_rows"),
           sum(col("rev")).cast("double").as("revenue")))
         .select(col("l_returnflag"), col("n_rows"), col("revenue"))),
+
+    // §2b-31b: salted skew-safe JOIN — the auto pre-flight measures the
+    // fact key distribution (every event_type clears the 1% share bar,
+    // so ALL traffic takes the salted branch: hot fact rows spread over
+    // 8 salts, dim rows replicated per salt); result is row-exact vs
+    // the plain join, so the plain join IS the oracle
+    "q_skew_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val dim = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"))
+      Skew.saltedJoinAuto(events, dim, "event_type", salts = 8)
+        .groupBy(col("event_type"), col("type_n"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("total_value"))
+    }),
 
     // headline TPC-H-style aggregates anchoring the bench
     "q_pricing_summary" -> ((s, dir) =>
@@ -3218,6 +3254,50 @@ object SparkEntry {
     // (z0 = h + (i+1)·golden), bucket totals are exact integer sums
     // over every token landing there, and the estimate is the min —
     // integer-exact end to end
+    // bucket map and rank replayed in pure integer arithmetic: floor
+    // log2 via max-set-bit join, HDR bucket (e-5)*32 + (v >> (e-5)),
+    // rank (N-1)*bp // 10000, answer = bucket lower bound
+    "q_hist_quantiles" ->
+      """WITH v AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |u AS (SELECT source, v FROM v
+        |      UNION ALL SELECT '__ALL__' AS source, v FROM v),
+        |c AS (SELECT source, v, count(*) AS n FROM u GROUP BY 1, 2),
+        |loge AS (
+        |  SELECT c.source, c.v, max(r.i) AS e
+        |  FROM c JOIN range(5, 63) r(i)
+        |    ON c.v >= (CAST(1 AS BIGINT) << CAST(r.i AS INT))
+        |  GROUP BY c.source, c.v),
+        |b AS (
+        |  SELECT c.source, c.n,
+        |    CASE WHEN c.v < 32 THEN c.v
+        |         ELSE (l.e - 5) * 32 + (c.v >> CAST(l.e - 5 AS INT)) END AS bucket
+        |  FROM c LEFT JOIN loge l ON c.source = l.source AND c.v = l.v),
+        |bc AS (SELECT source, bucket, CAST(sum(n) AS BIGINT) AS n
+        |       FROM b GROUP BY 1, 2),
+        |cum AS (SELECT source, bucket, n,
+        |          sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |          sum(n) OVER (PARTITION BY source) AS total
+        |        FROM bc),
+        |pick AS (
+        |  SELECT source, bp.bp, min(total) AS total,
+        |    min(CASE WHEN cum > (total - 1) * bp.bp // 10000
+        |             THEN bucket END) AS qb
+        |  FROM cum, (VALUES (5000), (9000), (9900)) bp(bp)
+        |  GROUP BY source, bp.bp),
+        |lb AS (
+        |  SELECT source, bp, total,
+        |    CASE WHEN qb < 32 THEN qb
+        |         ELSE (qb - ((qb >> 5) - 1) * 32)
+        |              << CAST((qb >> 5) - 1 AS INT) END AS qv
+        |  FROM pick)
+        |SELECT source, CAST(max(total) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN bp = 5000 THEN qv END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN bp = 9000 THEN qv END) AS BIGINT) AS p90,
+        |  CAST(max(CASE WHEN bp = 9900 THEN qv END) AS BIGINT) AS p99
+        |FROM lb GROUP BY source""".stripMargin,
+
     "q_cms_counts" ->
       s"""WITH toks AS (
          |  SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS tok
@@ -4152,6 +4232,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the salted join is row-exact vs the plain join by construction,
+    // so the oracle is the unsalted join + the same aggregate
+    "q_skew_join" ->
+      """WITH d AS (
+        |  SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)
+        |SELECT e.event_type, d.type_n, count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.type_n""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

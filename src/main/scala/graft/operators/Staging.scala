@@ -60,6 +60,68 @@ object Skew {
       partial = Seq(count(lit(1)).as(countName)),
       merge = Seq(sum(col(countName)).as(countName)))
 
+  /** Skew-safe shuffle JOIN: the classic hot-key salting pattern. A
+    * shuffled join hash-partitions both sides on the key, so one
+    * pathological key (one spammed repo, one boilerplate document, one
+    * mega-domain) lands its entire row set on ONE reducer and pins the
+    * stage at 100 TB. Salting spreads each hot key over `salts`
+    * reducers: hot fact rows get a deterministic row-hash salt, the
+    * matching dim rows are replicated once per salt value (explode of a
+    * `salts`-element sequence — dim-side cost = |hot dim rows| × salts,
+    * bounded because hot keys are few by construction), and the join
+    * key becomes (key, salt). Cold keys flow through an untouched plain
+    * join; the two branches union. Row-for-row equal to the plain join
+    * by the bijection (fact row, dim row) ↔ (salted fact row, the one
+    * dim replica carrying that row's salt).
+    *
+    * AQE's skew-split covers sort-merge joins at runtime; this explicit
+    * form is the tool when the skew is KNOWN ahead of plan time — it
+    * also works under shuffled-hash joins, composes with bucketed
+    * layouts, and keeps the plan deterministic for replay. The salt is
+    * a row hash, not `rand()`, for the [[saltedAgg]] reason: identical
+    * input must salt identically regardless of partition layout.
+    *
+    * `joinType` may be "inner" or "left" (the enrichment shapes a fact
+    * pipeline runs); null fact keys route to the cold branch, where the
+    * plain join gives them standard semantics (dropped / null-extended).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 hotKeys: Seq[Any], joinType: String = "inner"): DataFrame = {
+    require(salts > 1, s"salting needs >1 salts, got $salts")
+    require(Seq("inner", "left").contains(joinType),
+      s"saltedJoin supports inner/left, got $joinType")
+    if (hotKeys.isEmpty) fact.join(dim, Seq(key), joinType)
+    else {
+      val isHot = coalesce(col(key).isin(hotKeys: _*), lit(false))
+      val factHot = fact.filter(isHot).withColumn("__salt",
+        pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts))
+          .cast("int"))
+      val dimHot = dim.filter(coalesce(col(key).isin(hotKeys: _*), lit(false)))
+        .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      val hot = factHot.join(dimHot, Seq(key, "__salt"), joinType).drop("__salt")
+      val cold = fact.filter(!isHot).join(
+        dim.filter(!coalesce(col(key).isin(hotKeys: _*), lit(false))),
+        Seq(key), joinType)
+      cold.unionByName(hot)
+    }
+  }
+
+  /** [[saltedJoin]] with the hot-key list measured rather than given:
+    * one [[Profile.heavyHitters]] pass over the fact keys (top-`maxHot`
+    * by count via TakeOrderedAndProject), keep those above `minShare`
+    * of all rows, collect that ≤ maxHot-row list driver-side
+    * (metadata-sized by construction), and salt exactly those. The
+    * pre-flight costs one map-combined count aggregation — noise next
+    * to the join it protects. */
+  def saltedJoinAuto(fact: DataFrame, dim: DataFrame, key: String,
+                     salts: Int, maxHot: Int = 64, minShare: Double = 0.01,
+                     joinType: String = "inner"): DataFrame = {
+    val hot = Profile.heavyHitters(fact.select(col(key)), Seq(key), maxHot)
+      .filter(col("share") >= minShare)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    saltedJoin(fact, dim, key, salts, hot, joinType)
+  }
+
   /** General two-phase salted aggregation for ALGEBRAIC aggregates
     * (anything whose merge is itself an aggregate: count→sum, sum→sum,
     * min→min, max→max, or (sum,count) pairs for averages). `partial`

@@ -93,7 +93,19 @@ object GraftExtensions {
       (es: Seq[Expression]) => CmsUnionAgg(es.head)),
     ("cms_estimate",
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (es: Seq[Expression]) => CmsEstimate(es.head, es(1))))
+      (es: Seq[Expression]) => CmsEstimate(es.head, es(1))),
+    ("hist_sketch",
+      new ExpressionInfo(classOf[HistSketchAgg].getName, "hist_sketch"),
+      (es: Seq[Expression]) => HistSketchAgg(es.head)),
+    ("hist_union",
+      new ExpressionInfo(classOf[HistUnionAgg].getName, "hist_union"),
+      (es: Seq[Expression]) => HistUnionAgg(es.head)),
+    ("hist_quantile",
+      new ExpressionInfo(classOf[HistQuantile].getName, "hist_quantile"),
+      (es: Seq[Expression]) => HistQuantile(es.head, es(1))),
+    ("hist_count",
+      new ExpressionInfo(classOf[HistCount].getName, "hist_count"),
+      (es: Seq[Expression]) => HistCount(es.head)))
 
   /** Register into a live session (local/test path). */
   def register(spark: SparkSession): Unit =

@@ -93,6 +93,44 @@ class StagingSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin equals the plain join row-for-row: inner and left, " +
+    "duplicate keys both sides, unmatched and null fact keys") {
+    // fact: dupes on key 1 and 2, a no-match key 9, a null key
+    val fact = Seq((Some(1L), "f1"), (Some(1L), "f2"), (Some(2L), "f3"),
+      (Some(2L), "f4"), (Some(3L), "f5"), (Some(9L), "f6"),
+      (None: Option[Long], "f7")).toDF("k", "fv")
+    // dim: two rows for key 1 (join multiplies), one each for 2 and 3
+    val dim = Seq((1L, "d1a"), (1L, "d1b"), (2L, "d2"), (3L, "d3"))
+      .toDF("k", "dv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"fv", $"dv")
+        .as[(Option[Long], String, Option[String])].collect().sorted.toSeq
+    for (jt <- Seq("inner", "left"); hot <- Seq(Seq[Any](1L, 9L), Seq[Any]())) {
+      val got = canon(Skew.saltedJoin(fact, dim, "k", salts = 4, hot, jt))
+      val want = canon(fact.join(dim, Seq("k"), jt))
+      assert(got == want, s"joinType=$jt hot=$hot: $got vs $want")
+    }
+  }
+
+  test("saltedJoinAuto matches the plain join on the events fact and " +
+    "replicates hot dim rows salts-fold in the hot branch") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val dim = events.groupBy($"event_type").agg(count(lit(1)).as("type_n"))
+    val got = Skew.saltedJoinAuto(events, dim, "event_type", salts = 8)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = events.join(dim, Seq("event_type"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    // all five types clear the 1% share bar → the hot branch carries
+    // every dim row, exploded once per salt value
+    val hotDim = dim.filter(coalesce($"event_type".isin(
+        got.keys.toSeq: _*), lit(false)))
+      .withColumn("__salt", explode(sequence(lit(0), lit(7))))
+    assert(hotDim.count() == dim.count() * 8)
+  }
+
   test("bucketed staging joins without an exchange on either side") {
     val orders = Tables.orders(spark, TestSpark.sf0001)
       .select($"o_orderkey", $"o_custkey")
