@@ -1068,6 +1068,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb, queries, k = 3, nlist = 16, nprobe = 2, iters = 1)
     }),
 
+    // §2b: corpus k-NN graph — every vector's top-3 approximate
+    // neighbors through the IVF cells, corpus on BOTH join sides
+    // (shuffle on cell, no broadcast): the edge list that semantic
+    // clustering / density pruning builds on
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"),
+        k = 3, nlist = 16, nprobe = 4, iters = 1)),
+
     // §2b: cluster-balanced diversity sampling (SemDeDup-family
     // policy): IVF cells as semantic clusters, keep the 8 most
     // central vectors per cell — per-cluster budgets cap semantic
@@ -2433,6 +2441,33 @@ object SparkEntry {
     // Full IVF replay: the shared centroid CTEs, then nprobe probe
     // cells per query, single-cell index assignment, exact cosine top-k.
     "q_ann_ivf" -> sqlAnnIvf(nprobe = 6),
+
+    // corpus k-NN graph: the IVF replay with the probe side being the
+    // WHOLE corpus (every vector probes its 4 nearest cells); cells
+    // partition the corpus so (src, dst) candidates are already unique
+    "q_knn_graph" ->
+      s"""WITH $sqlIvfCentroidsCte,
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+         |probes AS (SELECT vec_id AS src_id, cell FROM a1 WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.src_id, i.vec_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  WHERE i.vec_id <> p.src_id),
+         |scored AS (
+         |  SELECT cd.src_id, cd.vec_id AS neighbor_id,
+         |    list_cosine_similarity(cv.v, qv.v) AS sim
+         |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
+         |  JOIN ev qv ON cd.src_id = qv.vec_id),
+         |ranked AS (
+         |  SELECT src_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT src_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // a tighter probe budget over the SAME index: pins that nprobe
     // actually narrows the candidate set (recall knob behavior)

@@ -331,6 +331,46 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Corpus k-NN graph: every vector's `k` approximate nearest
+    * neighbors, as an edge list (src_id, neighbor_id, rank, sim) —
+    * the substrate for graph-based curation (semantic-duplicate
+    * clustering over cosine edges, density estimation for
+    * SSL-prototype pruning, diffusion-style diversity selection).
+    *
+    * [[ivfTopK]] with the corpus on BOTH sides: vectors are assigned
+    * to their single nearest IVF cell (cells PARTITION the corpus, so
+    * a (src, dst) candidate pair arises at most once — dst's unique
+    * cell is or isn't among src's probes; no distinct needed), every
+    * vector probes its `nprobe` nearest cells, and candidates meet in
+    * an equi-join ON `cell`. Unlike the query path the probe side is
+    * corpus-sized, so it is NOT broadcast — the join is a hash
+    * shuffle on `cell`, candidate volume ≈ nprobe × Σ|cell|²/n per
+    * n. At 100 TB: both sides shuffle once on the cell key; keep
+    * cells bounded with [[trainQuantizer]]'s nlist ∝ n (the
+    * [[semDedupAuto]] sizing rule applies verbatim) so the per-cell
+    * quadratic term stays constant as the corpus grows. Recall knob
+    * is `nprobe`, identical semantics to the FAISS IVF self-query
+    * idiom. Deterministic (splitmix64-seeded quantizer), so the
+    * DuckDB oracle replays it exactly. */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16,
+               nprobe: Int = 4, iters: Int = 1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VecExpressions.{nearestCell, nearestCells}
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val indexed = c.withColumn("cell", nearestCell(col("v"), cents))
+    val probes = c.select(col(idCol).as("src_id"), col("v").as("sv"))
+      .withColumn("cell", explode(nearestCells(col("sv"), cents, nprobe)))
+    val scored = indexed.join(probes, Seq("cell"))
+      .filter(col(idCol) =!= col("src_id"))
+      .withColumn("sim", cosine(col("v"), col("sv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Cluster-balanced diversity sampling (the SemDeDup-family policy,
     * Abbas et al. 2023: semantic clusters → per-cluster selection):
     * assign every vector to its IVF cell and keep the `perCell` most

@@ -71,6 +71,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("knnGraph with nprobe = nlist equals brute force with the corpus " +
+    "as its own query set") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val asQueries = emb.select($"vec_id".as("query_id"),
+      $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(emb, asQueries, k = 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Similarity.knnGraph(emb, k = 3, nlist = 8, nprobe = 8)
+      .select($"src_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("knnGraph candidates are unique (cells partition the corpus) and " +
+    "recall at nprobe=4 is high") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val g = Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 4)
+    val edges = g.select($"src_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(edges.size == edges.toSet.size, "duplicate (src, dst) edge")
+    val asQueries = emb.select($"vec_id".as("query_id"),
+      $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(emb, asQueries, k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val approx = g.filter($"rank" === 1)
+      .select($"src_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val n = exact.size
+    val agree = exact.keysIterator.count(q => approx.get(q).contains(exact(q)))
+    assert(agree >= (n * 0.5).toInt,
+      s"kNN-graph NN recall too low: $agree/$n")
+  }
+
   test("persisted LSH index: same answers as inline LSH, no corpus-side " +
     "exchange on the probe join") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)

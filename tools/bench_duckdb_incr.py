@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Incremental variant of bench_duckdb.py: same method (threads=1,
+warm-up run then timed second run, watchdog timeout), but each query's
+timing is appended to the state JSON as soon as it finishes, and
+already-recorded queries are skipped on restart — so a long sf1 sweep
+survives being run in bounded chunks.
+
+Usage: python3 tools/bench_duckdb_incr.py <sfDir> <oracle_sql.json> \
+         <state.json> [skip,list]
+"""
+import sys, json, os, threading, time
+import duckdb
+
+sf_dir, oracle_path, state_path = sys.argv[1], sys.argv[2], sys.argv[3]
+skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
+timeout = float(os.environ.get("DUCKDB_BENCH_TIMEOUT", "150"))
+
+state = {"sf": sf_dir, "threads": 1, "timeout_sec": timeout,
+         "timings": {}, "skipped": sorted(skip), "timed_out": []}
+if os.path.exists(state_path):
+    state = json.load(open(state_path))
+
+con = duckdb.connect()
+con.execute("SET threads TO 1")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+oracle = json.load(open(oracle_path))
+
+
+def flush():
+    state["total_sec"] = round(
+        sum(v for v in state["timings"].values() if v >= 0), 2)
+    tmp = state_path + ".tmp"
+    json.dump(state, open(tmp, "w"), indent=1, sort_keys=True)
+    os.replace(tmp, state_path)
+
+
+for name, sql in sorted(oracle.items()):
+    if name in skip or name in state["timings"]:
+        continue
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout):
+            con.interrupt()
+
+    ok = True
+    for attempt in range(2):  # warm-up, then the timed run
+        w = threading.Thread(target=watchdog, daemon=True)
+        done.clear()
+        w.start()
+        t0 = time.monotonic()
+        try:
+            con.execute(sql).fetchall()
+            sec = time.monotonic() - t0
+        except duckdb.InterruptException:
+            state["timings"][name] = -1.0
+            state["timed_out"].append(name)
+            ok = False
+        except Exception as e:
+            print(f"ERR {name}: {e}", file=sys.stderr)
+            state["timings"][name] = -2.0
+            ok = False
+        finally:
+            done.set()
+            w.join()
+        if not ok:
+            break
+        state["timings"][name] = round(sec, 3)
+    flush()
+    if ok:
+        print(f"ok   {name}: {state['timings'][name]:.3f} s",
+              file=sys.stderr, flush=True)
+
+flush()
+print(json.dumps(state))
