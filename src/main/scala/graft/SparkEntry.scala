@@ -1076,6 +1076,22 @@ object SparkEntry {
       Similarity.knnGraph(t(s, dir, "embeddings"),
         k = 3, nlist = 16, nprobe = 4, iters = 1)),
 
+    // §2b: semantic-duplicate clusters ACROSS quantizer cells — CC
+    // over tau-thresholded kNN-graph edges on the planted-copy corpus;
+    // catches the Voronoi-split pairs semDedup's within-cell compare
+    // misses, and stitches duplicate chains into one cluster
+    "q_semantic_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = emb.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.01)
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.semanticClusters(emb.unionByName(perturbed),
+        tau = 0.9, k = 4, nlist = 16, nprobe = 4, iters = 1)
+    }),
+
     // §2b: cluster-balanced diversity sampling (SemDeDup-family
     // policy): IVF cells as semantic clusters, keep the 8 most
     // central vectors per cell — per-cluster budgets cap semantic
@@ -2414,6 +2430,48 @@ object SparkEntry {
          |FROM cand cd JOIN corpus va ON cd.id_a = va.vec_id
          |JOIN corpus vb ON cd.id_b = vb.vec_id
          |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9""".stripMargin,
+
+    // semantic clusters: the perturbed-union corpus through the kNN
+    // replay (probes over ALL vectors, k=4), edges cut at the ROUNDED
+    // sim >= 0.9, symmetrized, then the same reachability fixpoint as
+    // q_dedup_clusters — min reached id = component canonical
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pert AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.01 ORDER BY d) AS v
+         |  FROM base, range(0,64) r(d) GROUP BY vec_id),
+         |ev AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+         |$sqlCentroidsBody,
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+         |probes AS (SELECT vec_id AS src_id, cell FROM a1 WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.src_id, i.vec_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  WHERE i.vec_id <> p.src_id),
+         |scored AS (
+         |  SELECT cd.src_id, cd.vec_id AS neighbor_id,
+         |    list_cosine_similarity(cv.v, qv.v) AS sim
+         |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
+         |  JOIN ev qv ON cd.src_id = qv.vec_id),
+         |ranked AS (
+         |  SELECT src_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |topk AS (SELECT src_id, neighbor_id FROM ranked
+         |         WHERE rank <= 4 AND round(sim, 6) >= 0.9),
+         |edges AS (
+         |  SELECT src_id AS x, neighbor_id AS y FROM topk
+         |  UNION ALL SELECT neighbor_id, src_id FROM topk),
+         |cc(id, comp) AS (
+         |  SELECT vec_id, vec_id FROM ev
+         |  UNION
+         |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x)
+         |SELECT id AS vec_id, min(comp) AS canonical_id FROM cc GROUP BY id""".stripMargin,
 
     // SemDedup: the q_embed_neardup perturbed-union corpus feeds the
     // shared quantizer-replay CTE chain (sqlCentroidsBody), vectors

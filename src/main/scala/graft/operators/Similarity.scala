@@ -371,6 +371,33 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Semantic-duplicate clusters ACROSS cells: connected components
+    * over the [[knnGraph]] edges with cosine ≥ `tau`. [[semDedup]]
+    * compares pairs only WITHIN a quantizer cell, so a duplicate pair
+    * split by a Voronoi boundary is invisible to it; the kNN graph
+    * probes `nprobe` cells per vector, so the same pair still meets as
+    * an edge, and label propagation stitches chains of near-dups into
+    * one cluster (A≈B≈C groups even when cos(A,C) < tau). Returns
+    * (idCol, canonical_id), canonical = component minimum — every
+    * vector labeled, singletons map to themselves.
+    *
+    * Scale shape: the edge list is top-k-bounded (≤ k·n rows of three
+    * fixed-width columns, text/vectors never enter the loop) and CC is
+    * the same ~log-round label propagation the surface-form dedup
+    * family runs ([[graft.operators.Dedup.connectedComponents]]).
+    * The threshold compares the ROUNDED (6 dp) edge sim so the DuckDB
+    * oracle replays the cut exactly. */
+  def semanticClusters(corpus: DataFrame, tau: Double, k: Int = 4,
+                       nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val edges = knnGraph(corpus, k, nlist, nprobe, iters, idCol, vecCol)
+      .filter(col("sim") >= tau)
+      .select(col("src_id"), col("neighbor_id"))
+    graft.operators.Dedup.connectedComponents(
+      corpus.select(col(idCol)), edges, idCol, "src_id", "neighbor_id")
+  }
+
   /** Cluster-balanced diversity sampling (the SemDeDup-family policy,
     * Abbas et al. 2023: semantic clusters → per-cluster selection):
     * assign every vector to its IVF cell and keep the `perCell` most

@@ -104,6 +104,29 @@ class SimilaritySpec extends AnyFunSuite {
       s"kNN-graph NN recall too low: $agree/$n")
   }
 
+  test("semanticClusters groups planted copies with their originals and " +
+    "leaves unrelated vectors as singletons") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val perturbed = emb.select($"vec_id",
+        transform($"embedding", (x, i) =>
+          x + sin(i.cast("double") + $"vec_id".cast("double")) * 0.01)
+          .as("embedding"))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val labels = Similarity.semanticClusters(emb.unionByName(perturbed),
+      tau = 0.9, k = 4, nlist = 16, nprobe = 4)
+      .as[(Long, Long)].collect().toMap
+    val n = emb.count()
+    // every vector is labeled, copies join their original's component
+    assert(labels.size == 2 * n)
+    val paired = (0L until n).count(id => labels(id + 100000L) == labels(id))
+    assert(paired >= (n * 0.9).toInt,
+      s"planted copies not clustered with originals: $paired/$n")
+    // components containing a planted pair are canonicalized to the
+    // ORIGINAL id (component minimum < 100000)
+    assert((0L until n).forall(id => labels(id + 100000L) < 100000L + n))
+  }
+
   test("persisted LSH index: same answers as inline LSH, no corpus-side " +
     "exchange on the probe join") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
