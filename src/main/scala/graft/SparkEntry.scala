@@ -1071,10 +1071,12 @@ object SparkEntry {
     // §2b: corpus k-NN graph — every vector's top-3 approximate
     // neighbors through the IVF cells, corpus on BOTH join sides
     // (shuffle on cell, no broadcast): the edge list that semantic
-    // clustering / density pruning builds on
+    // clustering / density pruning builds on. AUTO-sized from the
+    // start (nlist = ceil(n/64)): the benched path is the one whose
+    // candidate volume stays linear as the corpus grows
     "q_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(t(s, dir, "embeddings"),
-        k = 3, nlist = 16, nprobe = 4, iters = 1)),
+      Similarity.knnGraphAuto(t(s, dir, "embeddings"),
+        k = 3, targetCell = 64, nprobe = 4, iters = 1)),
 
     // §2b: semantic-duplicate clusters ACROSS quantizer cells — CC
     // over tau-thresholded kNN-graph edges on the planted-copy corpus;
@@ -1088,8 +1090,8 @@ object SparkEntry {
             x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.01)
             .as("embedding"))
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Similarity.semanticClusters(emb.unionByName(perturbed),
-        tau = 0.9, k = 4, nlist = 16, nprobe = 4, iters = 1)
+      Similarity.semanticClustersAuto(emb.unionByName(perturbed),
+        tau = 0.9, k = 4, targetCell = 64, nprobe = 4, iters = 1)
     }),
 
     // §2b: cluster-balanced diversity sampling (SemDeDup-family
@@ -2138,7 +2140,12 @@ object SparkEntry {
     * the perturbed union for `q_semdedup`), yields centroids in `c1`.
     * Factored so oracles over DIFFERENT corpora replay the identical
     * mix64-sample → normalize → one-Lloyd-iteration chain. */
-  private def sqlCentroidsBody: String =
+  private def sqlCentroidsBody: String = sqlCentroidsBodyWith("16")
+
+  /** [[sqlCentroidsBody]] with the init-sample cutoff (= nlist) as a
+    * SQL snippet, so auto-sized oracles can derive it from count(*)
+    * in a `prm` CTE — `sqlCentroidsBodyWith("(SELECT nl FROM prm)")`. */
+  private def sqlCentroidsBodyWith(nlistSql: String): String =
     s"""g0m AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + $sqlGolden) % $sqlMod AS z0m FROM ev),
        |${sqlMixChain("m", "vec_id")},
        |hv AS (SELECT vec_id, CAST(z4 - CASE WHEN z4 >= CAST('9223372036854775808' AS HUGEINT)
@@ -2146,7 +2153,7 @@ object SparkEntry {
        |ordered AS (
        |  SELECT e.vec_id, e.v, row_number() OVER (ORDER BY h.h, e.vec_id) - 1 AS cell
        |  FROM ev e JOIN hv h ON e.vec_id = h.vec_id),
-       |init AS (SELECT cell, v FROM ordered WHERE cell < 16),
+       |init AS (SELECT cell, v FROM ordered WHERE cell < $nlistSql),
        |c0n AS (SELECT cell, v, sqrt(list_inner_product(v, v)) AS n FROM init),
        |c0 AS (SELECT cell, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS cv FROM c0n),
        |a0 AS (
@@ -2442,13 +2449,17 @@ object SparkEntry {
          |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.01 ORDER BY d) AS v
          |  FROM base, range(0,64) r(d) GROUP BY vec_id),
          |ev AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
-         |$sqlCentroidsBody,
+         |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS INT)) AS nl,
+         |               least(4, greatest(1, CAST(ceil(count(*) / 64.0) AS INT))) AS np
+         |        FROM ev),
+         |${sqlCentroidsBodyWith("(SELECT nl FROM prm)")},
          |a1 AS (
          |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
          |  FROM ev e CROSS JOIN c1 c),
          |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
-         |probes AS (SELECT vec_id AS src_id, cell FROM a1 WHERE rn <= 4),
+         |probes AS (SELECT vec_id AS src_id, cell FROM a1
+         |           WHERE rn <= (SELECT np FROM prm)),
          |cand AS (
          |  SELECT p.src_id, i.vec_id
          |  FROM probes p JOIN idx i ON p.cell = i.cell
@@ -2502,15 +2513,22 @@ object SparkEntry {
 
     // corpus k-NN graph: the IVF replay with the probe side being the
     // WHOLE corpus (every vector probes its 4 nearest cells); cells
-    // partition the corpus so (src, dst) candidates are already unique
+    // partition the corpus so (src, dst) candidates are already unique.
+    // nlist is computed FROM count(*) (ceil(n/64), nprobe clamped) —
+    // the oracle replays the auto sizing, not one pinned depth
     "q_knn_graph" ->
-      s"""WITH $sqlIvfCentroidsCte,
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS INT)) AS nl,
+         |               least(4, greatest(1, CAST(ceil(count(*) / 64.0) AS INT))) AS np
+         |        FROM ev),
+         |${sqlCentroidsBodyWith("(SELECT nl FROM prm)")},
          |a1 AS (
          |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
          |  FROM ev e CROSS JOIN c1 c),
          |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
-         |probes AS (SELECT vec_id AS src_id, cell FROM a1 WHERE rn <= 4),
+         |probes AS (SELECT vec_id AS src_id, cell FROM a1
+         |           WHERE rn <= (SELECT np FROM prm)),
          |cand AS (
          |  SELECT p.src_id, i.vec_id
          |  FROM probes p JOIN idx i ON p.cell = i.cell

@@ -371,6 +371,24 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** [[knnGraph]] with nlist derived from the corpus size — the same
+    * nlist ∝ n discipline as [[semDedupAuto]], and for the same
+    * reason: with cells PARTITIONING the corpus the candidate volume
+    * is nprobe·Σ|cell|²/n ≈ nprobe·n²/nlist, so a FIXED nlist makes
+    * the self-join quadratic at 10× data (the exact failure mode the
+    * fixed-depth LSH near-dup measured at 41× for 10×); nlist =
+    * ceil(n/targetCell) pins expected cell size and keeps it
+    * nprobe·n·targetCell — linear. nprobe is clamped to nlist (a tiny
+    * corpus degrades to one cell = exact brute force). */
+  def knnGraphAuto(corpus: DataFrame, k: Int, targetCell: Int = 64,
+                   nprobe: Int = 4, iters: Int = 1, minNlist: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
+    val nlist = math.max(minNlist, ((n + targetCell - 1) / targetCell).toInt)
+    knnGraph(corpus, k, nlist, math.min(nprobe, nlist), iters, idCol, vecCol)
+  }
+
   /** Semantic-duplicate clusters ACROSS cells: connected components
     * over the [[knnGraph]] edges with cosine ≥ `tau`. [[semDedup]]
     * compares pairs only WITHIN a quantizer cell, so a duplicate pair
@@ -392,6 +410,22 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val edges = knnGraph(corpus, k, nlist, nprobe, iters, idCol, vecCol)
+      .filter(col("sim") >= tau)
+      .select(col("src_id"), col("neighbor_id"))
+    graft.operators.Dedup.connectedComponents(
+      corpus.select(col(idCol)), edges, idCol, "src_id", "neighbor_id")
+  }
+
+  /** [[semanticClusters]] over the [[knnGraphAuto]] edge list —
+    * nlist ∝ n so the clustering input stays linear in the corpus. */
+  def semanticClustersAuto(corpus: DataFrame, tau: Double, k: Int = 4,
+                           targetCell: Int = 64, nprobe: Int = 4,
+                           iters: Int = 1, minNlist: Int = 1,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           knownCount: Option[Long] = None): DataFrame = {
+    val edges = knnGraphAuto(corpus, k, targetCell, nprobe, iters,
+        minNlist, idCol, vecCol, knownCount)
       .filter(col("sim") >= tau)
       .select(col("src_id"), col("neighbor_id"))
     graft.operators.Dedup.connectedComponents(

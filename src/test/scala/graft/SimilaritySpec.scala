@@ -104,6 +104,18 @@ class SimilaritySpec extends AnyFunSuite {
       s"kNN-graph NN recall too low: $agree/$n")
   }
 
+  test("knnGraphAuto equals knnGraph at the derived nlist (and clamps " +
+    "nprobe)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val n = emb.count()
+    val nlist = math.max(1, ((n + 63) / 64).toInt)
+    val auto = Similarity.knnGraphAuto(emb, k = 3, targetCell = 64, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val fixed = Similarity.knnGraph(emb, k = 3, nlist, math.min(4, nlist))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(auto == fixed)
+  }
+
   test("semanticClusters groups planted copies with their originals and " +
     "leaves unrelated vectors as singletons") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
