@@ -54,9 +54,14 @@ object StreamBench {
     clean(folder); clean(s"$dir/wh"); clean(s"$dir/ckpt")
     val perFile = nDocs / nFiles
     (0 until nFiles).foreach { f =>
+      // month spreads beyond 28 shards — f%28 alone silently overwrites
+      // earlier files and corrupts the docs/sec accounting
+      val month = f / 28 + 1
       val day = f % 28 + 1
+      require(month <= 12, s"nFiles > 336 exceeds the date namespace: $nFiles")
       IngestBench.writeFile(
-        s"$folder/2014-01-${"%02d".format(day)}.bson", f, perFile, 4096)
+        s"$folder/2014-${"%02d".format(month)}-${"%02d".format(day)}.bson",
+        f, perFile, 4096)
     }
     val t0 = System.nanoTime()
     // 2 shards per micro-batch: the bounded-catch-up shape (10 batches

@@ -120,10 +120,15 @@ object Classify {
     * the cheap pre-filter): one linear model per language, prediction
     * = argmax logit. All L kernels run inside ONE scan projection (no
     * explode, no shuffle, no UDF — L more codegen folds per row, still
-    * embarrassingly parallel at 100 TB), and the argmax is a chained
-    * strict-greater conditional, so ties deterministically keep the
-    * EARLIEST model in `models` order. Each weight vector broadcasts
-    * as an expression reference object exactly like [[scoreDocs]]'.
+    * embarrassingly parallel at 100 TB), and the argmax is ONE
+    * `greatest()` over (logit, -model_index, lang) structs — linear in
+    * L (a chained when/otherwise that repeats the accumulator in both
+    * branches doubles the expression tree per model: O(2^L) Catalyst
+    * nodes, which hangs analysis at a realistic 50-170-language set).
+    * Struct ordering is lexicographic, so equal logits fall through to
+    * the LARGER -index = the EARLIEST model in `models` order. Each
+    * weight vector broadcasts as an expression reference object
+    * exactly like [[scoreDocs]]'.
     *
     * `models` come from [[trainLogReg]] one-vs-rest runs (label =
     * "is this language") or any upstream trainer; [[seededWeights]]
@@ -132,14 +137,11 @@ object Classify {
   def langIdArgmax(docs: DataFrame, idCol: String, textCol: String,
                    models: Seq[(String, Array[Double])]): DataFrame = {
     require(models.nonEmpty, "langIdArgmax needs at least one model")
-    val first = struct(
-      HashExpressions.hashGramLogit(col(textCol), models.head._2).as("logit"),
-      lit(models.head._1).as("lang"))
-    val best = models.tail.foldLeft(first) { case (acc, (lang, w)) =>
-      val l = HashExpressions.hashGramLogit(col(textCol), w)
-      when(l > acc.getField("logit"),
-        struct(l.as("logit"), lit(lang).as("lang"))).otherwise(acc)
+    val cands = models.zipWithIndex.map { case ((lang, w), i) =>
+      struct(HashExpressions.hashGramLogit(col(textCol), w).as("logit"),
+        lit(-i).as("__ord"), lit(lang).as("lang"))
     }
+    val best = if (cands.sizeIs == 1) cands.head else greatest(cands: _*)
     docs.select(col(idCol), best.as("__best"))
       .select(col(idCol), col("__best.lang").as("lang_pred"),
         round(col("__best.logit"), 6).as("logit"))

@@ -81,7 +81,11 @@ object Multimodal {
       else {
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: java.io.IOException => null }
+          // NonFatal, not just IOException: ImageIO readers throw
+          // ArrayIndexOutOfBounds/NegativeArraySize/IllegalArgument/CMM
+          // RuntimeExceptions on truncated or fuzzed crawl payloads, and
+          // the permissive-decode contract must hold for those too
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) StubDecoder.decode(r) // not a decodable image
         else {
           val sum = graft.functions.TextHash.fnv64(r.payload, 0, r.payload.length)

@@ -271,7 +271,10 @@ object Sampling {
     * bound. Rows with `w <= 0` or null are excluded (zero weight =
     * zero inclusion probability; the limit of the formula). `tieCol`
     * breaks (never-observed) equal-clock ties to keep the order
-    * total. */
+    * total. Null sampling keys are excluded with the nonpositive
+    * weights: a null key gives a NULL clock, which an ascending sort
+    * would rank FIRST — an always-selected row instead of a
+    * proportional one. */
   def weightedSamplePerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
                              weightCol: Column, tieCol: Column,
                              k: Int): DataFrame = {
@@ -280,7 +283,7 @@ object Sampling {
       .cast("double") + 0.5) / 9007199254740992.0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("__clock").asc, tieCol.asc)
-    df.filter(weightCol.isNotNull && weightCol > 0)
+    df.filter(weightCol.isNotNull && weightCol > 0 && keyCol.isNotNull)
       .withColumn("__clock", -log(u) / weightCol.cast("double"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

@@ -142,8 +142,12 @@ case class HistQuantile(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (sk, bp) => {
-      s"""long q = graft.functions.Hist.quantile($sk, $bp);
-         |if (q < 0L) { ${ev.isNull} = true; } else { ${ev.value} = q; }
+      // freshName: with non-nullable children the block inlines unbraced
+      // into the shared method scope, so a fixed name collides when a
+      // projection evaluates hist_quantile more than once
+      val q = ctx.freshName("q")
+      s"""long $q = graft.functions.Hist.quantile($sk, $bp);
+         |if ($q < 0L) { ${ev.isNull} = true; } else { ${ev.value} = $q; }
          |""".stripMargin
     })
 

@@ -458,6 +458,15 @@ class ChunkingSpec extends AnyFunSuite {
     val kept = Sampling.weightedSamplePerGroup(weighted, $"g", $"t", $"w",
       $"id", 10).select($"id").as[Long].collect().toSet
     assert(kept == Set(1L))
+    // a null KEY gives a NULL clock, which an ascending sort would rank
+    // first — it must be excluded, not always-selected
+    val nullKey = Seq((1L, "g", "a", 10L), (2L, "g", "b", 10L),
+      (3L, "g", "c", 10L)).toDF("id", "g", "t", "w")
+      .union(Seq((4L, "g", 10L)).toDF("id", "g", "w")
+        .withColumn("t", lit(null: String)).select($"id", $"g", $"t", $"w"))
+    val keptNk = Sampling.weightedSamplePerGroup(nullKey, $"g", $"t", $"w",
+      $"id", 2).select($"id").as[Long].collect().toSet
+    assert(!keptNk.contains(4L) && keptNk.size == 2)
   }
 
   test("weightedSamplePerGroup favors heavy rows and appends compete " +
