@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """DuckDB proxy-baseline timings for the oracle query set.
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [skip,list]
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> \
+         [skip,list] [state.json]
 
 Times each oracle SQL over <sfDir>'s parquet tables with `SET threads
 TO 1` (the single-node single-thread proxy BASELINE.md documents):
@@ -11,15 +12,26 @@ records it as timed out — the CC trio's recursive-CTE fixpoints are
 known >900 s at sf0.1 and are normally passed in the skip list
 instead of burning the budget.
 
+With a state.json path, each query's timing is flushed to it as soon
+as it finishes and already-recorded queries are skipped on restart —
+so a long sf1 sweep survives being run in bounded chunks. Without
+one, state is in-memory only (the original one-shot mode).
+
 Prints one JSON object: {"sf": dir, "timings": {q: sec | -1}, ...}.
 """
-import sys, json, os, glob, threading, time
+import sys, json, os, threading, time
 import duckdb
 
 sf_dir = sys.argv[1]
 oracle_path = sys.argv[2]
-skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else set()
+state_path = sys.argv[4] if len(sys.argv) > 4 else None
 timeout = float(os.environ.get("DUCKDB_BENCH_TIMEOUT", "120"))
+
+state = {"sf": sf_dir, "threads": 1, "timeout_sec": timeout,
+         "timings": {}, "skipped": sorted(skip), "timed_out": []}
+if state_path and os.path.exists(state_path):
+    state = json.load(open(state_path))
 
 con = duckdb.connect()
 con.execute("SET threads TO 1")
@@ -30,10 +42,19 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(oracle_path))
-timings, skipped, timedout = {}, [], []
+
+
+def flush():
+    state["total_sec"] = round(
+        sum(v for v in state["timings"].values() if v >= 0), 2)
+    if state_path:
+        tmp = state_path + ".tmp"
+        json.dump(state, open(tmp, "w"), indent=1, sort_keys=True)
+        os.replace(tmp, state_path)
+
+
 for name, sql in sorted(oracle.items()):
-    if name in skip:
-        skipped.append(name)
+    if name in skip or name in state["timings"]:
         continue
     done = threading.Event()
 
@@ -51,23 +72,23 @@ for name, sql in sorted(oracle.items()):
             con.execute(sql).fetchall()
             sec = time.monotonic() - t0
         except duckdb.InterruptException:
-            timings[name] = -1.0
-            timedout.append(name)
+            state["timings"][name] = -1.0
+            state["timed_out"].append(name)
             ok = False
         except Exception as e:
             print(f"ERR {name}: {e}", file=sys.stderr)
-            timings[name] = -2.0
+            state["timings"][name] = -2.0
             ok = False
         finally:
             done.set()
             w.join()
         if not ok:
             break
-        timings[name] = round(sec, 3)
+        state["timings"][name] = round(sec, 3)
+    flush()
     if ok:
-        print(f"ok   {name}: {timings[name]:.3f} s", file=sys.stderr)
+        print(f"ok   {name}: {state['timings'][name]:.3f} s",
+              file=sys.stderr, flush=True)
 
-total = sum(v for v in timings.values() if v >= 0)
-print(json.dumps({"sf": sf_dir, "threads": 1, "timeout_sec": timeout,
-                  "total_sec": round(total, 2), "timings": timings,
-                  "skipped": skipped, "timed_out": timedout}))
+flush()
+print(json.dumps(state))
