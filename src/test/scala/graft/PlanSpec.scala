@@ -117,6 +117,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("kNN graph self-join is a SHUFFLE join on cell (corpus-sized " +
+    "probe side must not broadcast) with no cartesian product") {
+    // at sf0.001 the stats-based planner may legitimately broadcast
+    // the tiny probe side; the scale property is that NOTHING in the
+    // operator FORCES a broadcast — with auto-broadcast off (the
+    // cluster reality for a corpus-sized side) the join must shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = physical(
+        SparkEntry.queries("q_knn_graph")(spark, TestSpark.sf0001))
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"operator must not force a broadcast of the corpus-sized side:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cell join should shuffle with broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("kNN-density fraction cut is a bounded per-cell window, never a " +
+    "global (empty-partition) sort") {
+    val plan = physical(
+      SparkEntry.queries("q_knn_density")(spark, TestSpark.sf0001))
+    // every Window in the plan must partition by something (a global
+    // density cut would plan Window with an empty partition spec =
+    // all rows to one task)
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, plan)
+    windows.foreach(w =>
+      assert(!w.contains("windowspecdefinition()"),
+        s"unpartitioned window in density plan:\n$w"))
+  }
+
   test("surrogate id assignment range-partitions the data side " +
     "(no single-partition data sort)") {
     val plan = physical(
