@@ -1094,6 +1094,12 @@ object SparkEntry {
         tau = 0.9, k = 4, targetCell = 64, nprobe = 4, iters = 1)
     }),
 
+    // §2b: semantic coverage card — per-cell member count, mean
+    // cosine-to-centroid (exact micro-units) and min-id exemplar; the
+    // embedding-space release card next to the token/source cards
+    "q_semantic_card" -> ((s, dir) =>
+      Similarity.semanticCard(t(s, dir, "embeddings"), targetCell = 64)),
+
     // §2b: kNN-density pruning (SSL-prototypes / D4 family) — drop
     // the 25% densest vectors of each cell, density = mean cosine to
     // the 4 approximate NNs; run on the planted-copy corpus so dense
@@ -2491,6 +2497,30 @@ object SparkEntry {
          |FROM cand cd JOIN corpus va ON cd.id_a = va.vec_id
          |JOIN corpus vb ON cd.id_b = vb.vec_id
          |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9""".stripMargin,
+
+    // semantic card: plain-embeddings auto-nlist quantizer replay,
+    // assignment (argmax dot), per-cell count + exact micro-unit mean
+    // cosine-to-centroid (long sum + floor(x+0.5) half-up) + min id
+    "q_semantic_card" ->
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS INT)) AS nl FROM ev),
+         |${sqlCentroidsBodyWith("(SELECT nl FROM prm)")},
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |asg AS (
+         |  SELECT a.vec_id, a.cell,
+         |    CAST(round(round(list_cosine_similarity(e.v, c.cv), 6) * 1000000)
+         |         AS BIGINT) AS micro
+         |  FROM a1 a JOIN ev e ON a.vec_id = e.vec_id
+         |  JOIN c1 c ON a.cell = c.cell
+         |  WHERE a.rn = 1)
+         |SELECT CAST(cell AS INT) AS cell, count(*) AS n_vecs,
+         |  CAST(floor(sum(micro) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+         |    AS mean_centroid_sim_micro,
+         |  min(vec_id) AS exemplar_id
+         |FROM asg GROUP BY cell""".stripMargin,
 
     // kNN-density prune: the shared perturbed kNN replay, density =
     // round(avg sim of the <=4 ranked neighbors), then the per-cell

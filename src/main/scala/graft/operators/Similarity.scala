@@ -501,6 +501,42 @@ object Similarity {
       corpus.select(col(idCol)), edges, idCol, "src_id", "neighbor_id")
   }
 
+  /** Semantic coverage card: one row per quantizer cell with member
+    * count, mean cosine-to-centroid (integer micro-units, the
+    * [[knnDensityPrune]] determinism discipline), and the minimum-id
+    * exemplar — the release-card view of EMBEDDING-space composition,
+    * next to the token/source cards in [[Profile]]: a release whose
+    * mass shifts between semantic cells shows up here before any
+    * downstream eval does. Auto-sized (nlist = ceil(n/targetCell)).
+    *
+    * Scale shape: ONE scan (assignment + centroid cosine in the same
+    * codegen projection) + ONE hash aggregation on cell; output is
+    * nlist rows — metadata-sized, mergeable across releases by
+    * re-aggregating counts and micro-sums. */
+  def semanticCard(corpus: DataFrame, targetCell: Int = 64,
+                   iters: Int = 1, minNlist: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   knownCount: Option[Long] = None): DataFrame = {
+    import graft.plans.VecExpressions.nearestCell
+    val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
+    val nlist = math.max(minNlist, ((n + targetCell - 1) / targetCell).toInt)
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+      .withColumn("__sim_micro",
+        round(round(cosine(col("v"), element_at(centLit, col("cell") + 1)), 6)
+          * 1e6).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__sim_micro")).as("__micro"),
+        min(col(idCol)).as("exemplar_id"))
+      .select(col("cell"), col("n_vecs"),
+        floor(col("__micro") / col("n_vecs").cast("double") + 0.5)
+          .cast("long").as("mean_centroid_sim_micro"),
+        col("exemplar_id"))
+  }
+
   /** Cluster-balanced diversity sampling (the SemDeDup-family policy,
     * Abbas et al. 2023: semantic clusters → per-cluster selection):
     * assign every vector to its IVF cell and keep the `perCell` most
