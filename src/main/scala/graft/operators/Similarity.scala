@@ -380,6 +380,33 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** [[knnGraph]] over a PERSISTED IVF index ([[buildIvfIndex]]'s
+    * cell-partitioned parquet + frozen quantizer): the corpus is read
+    * already assigned — no re-train, no re-assignment scan — and both
+    * join sides come from the same layout, so recomputing the graph
+    * after an [[appendToIvfIndex]] delta or for a different (k,
+    * nprobe) budget costs only the probe/scoring stages. This is the
+    * batch-reuse path the inline graph's scaladoc promises at 100 TB:
+    * write the assignment once, rebuild graphs many times. */
+  def knnGraphIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      cents: Array[Array[Double]], k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id"): DataFrame = {
+    import graft.plans.VecExpressions.nearestCells
+    val indexed = spark.read.parquet(path)
+    val probes = indexed
+      .select(col(idCol).as("src_id"), col("v").as("sv"))
+      .withColumn("cell", explode(nearestCells(col("sv"), cents,
+        math.min(nprobe, cents.length))))
+    val scored = indexed.join(probes, Seq("cell"))
+      .filter(col(idCol) =!= col("src_id"))
+      .withColumn("sim", cosine(col("v"), col("sv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** [[knnGraph]] with nlist derived from the corpus size — the same
     * nlist ∝ n discipline as [[semDedupAuto]], and for the same
     * reason: with cells PARTITIONING the corpus the candidate volume

@@ -116,6 +116,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(auto == fixed)
   }
 
+  test("knnGraphIndexed over the persisted IVF layout equals the inline " +
+    "graph at the same depth, including after a delta append") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    val path = s"/root/repo/target/scratch/knn_idx_${System.nanoTime()}"
+    val cents = Similarity.buildIvfIndex(base, path, nlist = 8)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select($"src_id", $"neighbor_id", $"rank", $"sim")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val inlineBase = Similarity.knnGraph(base, k = 3, nlist = 8, nprobe = 4)
+    // the indexed graph must match an inline graph built under the SAME
+    // frozen quantizer (auto-retraining would shift cells)
+    val inline0 = edges(Similarity.knnGraphWithCents(base, cents, 3, 4,
+      "vec_id", "embedding"))
+    assert(edges(Similarity.knnGraphIndexed(spark, path, cents, k = 3,
+      nprobe = 4)) == inline0)
+    assert(inline0 == edges(inlineBase)) // same cents -> same graph
+    Similarity.appendToIvfIndex(delta, path, cents)
+    val full = edges(Similarity.knnGraphIndexed(spark, path, cents, k = 3,
+      nprobe = 4))
+    assert(full == edges(Similarity.knnGraphWithCents(emb, cents, 3, 4,
+      "vec_id", "embedding")))
+  }
+
   test("semanticClusters groups planted copies with their originals and " +
     "leaves unrelated vectors as singletons") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
