@@ -53,6 +53,24 @@ object SparkEntry {
 
   private val ccTrio = Set("q_dedup_clusters", "q_neardup_prune", "q_cluster_best")
 
+  /** Planted-copy corpus for the embedding near-dup family: the
+    * embeddings table UNIONed with a deterministically perturbed copy
+    * of each vector (component d gets sin(d + id)·scale, ids shifted
+    * +100000) — perturb FIRST, rename after: with both in one select
+    * list the lambda's col("vec_id") would resolve against the
+    * select's own lateral alias. The SQL twin is the base/pert CTE
+    * pair with the matching amplitude. */
+  private def perturbedUnion(emb0: DataFrame, scale: Double): DataFrame = {
+    val emb = emb0.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val perturbed = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + sin(i.cast("double") + col("vec_id").cast("double")) * scale)
+          .as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    emb.unionByName(perturbed)
+  }
+
   private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val corpus = neardupCorpus(s, dir)
     val pairs = NearDup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
@@ -1007,22 +1025,13 @@ object SparkEntry {
     // augmented with deterministically perturbed copies (vec_id+100000)
     // so planted near-dups are demonstrably found
     "q_embed_neardup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      // perturb FIRST, rename after: with both in one select list the
-      // lambda's col("vec_id") resolves against the select's own
-      // lateral alias (vec_id+100000), not the child column
-      val perturbed = emb.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
-            .as("embedding"))
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val corpus = perturbedUnion(t(s, dir, "embeddings"), scale = 0.05)
       // bits=7 (vs 4 for the recall-oriented ANN queries): near-dups sit
       // at sim>=0.9 (per-bit agreement p>=0.856, planted pairs much
       // higher), so 8 tables keep recall >0.96 while every extra bit
       // halves bucket sizes and thus candidate-pair volume — the
       // dominant cost of this query
-      Similarity.cosineNearDupPairs(emb.unionByName(perturbed),
+      Similarity.cosineNearDupPairs(corpus,
         threshold = 0.9, dim = 64, bits = 7, numTables = 8)
     }),
 
@@ -1037,14 +1046,8 @@ object SparkEntry {
     // sf0.1 (n=4000, target 32) auto lands on the same bits=7, so the
     // two queries' sf0.1 bench rows are directly comparable.
     "q_embed_neardup_auto" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val perturbed = emb.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.05)
-            .as("embedding"))
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Similarity.cosineNearDupPairsAuto(emb.unionByName(perturbed),
+      val corpus = perturbedUnion(t(s, dir, "embeddings"), scale = 0.05)
+      Similarity.cosineNearDupPairsAuto(corpus,
         threshold = 0.9, dim = 64, targetBucket = 32, minBits = 4,
         numTables = 8)
     }),
@@ -1083,14 +1086,8 @@ object SparkEntry {
     // catches the Voronoi-split pairs semDedup's within-cell compare
     // misses, and stitches duplicate chains into one cluster
     "q_semantic_clusters" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val perturbed = emb.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.01)
-            .as("embedding"))
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Similarity.semanticClustersAuto(emb.unionByName(perturbed),
+      val corpus = perturbedUnion(t(s, dir, "embeddings"), scale = 0.01)
+      Similarity.semanticClustersAuto(corpus,
         tau = 0.9, k = 4, targetCell = 64, nprobe = 4, iters = 1)
     }),
 
@@ -1105,14 +1102,8 @@ object SparkEntry {
     // the 4 approximate NNs; run on the planted-copy corpus so dense
     // neighborhoods exist to thin
     "q_knn_density" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val perturbed = emb.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.01)
-            .as("embedding"))
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Similarity.knnDensityPrune(emb.unionByName(perturbed),
+      val corpus = perturbedUnion(t(s, dir, "embeddings"), scale = 0.01)
+      Similarity.knnDensityPrune(corpus,
         dropFrac = 0.25, k = 4, targetCell = 64, nprobe = 4, iters = 1)
     }),
 
@@ -1133,14 +1124,8 @@ object SparkEntry {
     // time — exactly the cross-cell recall loss the scaladoc
     // documents); tau 0.95 stays above natural-pair similarity
     "q_semdedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val perturbed = emb.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.01)
-            .as("embedding"))
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Similarity.semDedup(emb.unionByName(perturbed),
+      val corpus = perturbedUnion(t(s, dir, "embeddings"), scale = 0.01)
+      Similarity.semDedup(corpus,
         nlist = 16, tau = 0.95, iters = 1)
     }),
 
@@ -2517,16 +2502,18 @@ object SparkEntry {
          |  JOIN c1 c ON a.cell = c.cell
          |  WHERE a.rn = 1)
          |SELECT CAST(cell AS INT) AS cell, count(*) AS n_vecs,
+         |  CAST(sum(micro) AS BIGINT) AS sim_micro_sum,
          |  CAST(floor(sum(micro) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
          |    AS mean_centroid_sim_micro,
          |  min(vec_id) AS exemplar_id
          |FROM asg GROUP BY cell""".stripMargin,
 
     // kNN-density prune: the shared perturbed kNN replay, density =
-    // round(avg sim of the <=4 ranked neighbors), then the per-cell
-    // fraction cut — keep rows ranked BELOW the ceil(0.25*cell) densest
-    // (density DESC NULLS LAST, id tie-break; no-neighbor rows are
-    // least dense and always kept)
+    // half-up integer mean of the <=4 ranked neighbor sims in
+    // micro-units, then the per-cell fraction cut — drop the
+    // floor(0.25*cell) densest (density DESC NULLS LAST, id
+    // tie-break); null-density (no-neighbor) rows are never
+    // drop-eligible, so a cell is never emptied
     "q_knn_density" ->
       s"""WITH $sqlPerturbedKnnChain,
          |dens AS (
@@ -2544,7 +2531,7 @@ object SparkEntry {
          |    count(*) OVER (PARTITION BY cell) AS cn
          |  FROM lab)
          |SELECT vec_id, CAST(cell AS INT) AS cell, density_micro
-         |FROM rk WHERE rn > ceil(cn * 0.25)""".stripMargin,
+         |FROM rk WHERE density_micro IS NULL OR rn > floor(cn * 0.25)""".stripMargin,
 
     // semantic clusters: the perturbed-union corpus through the kNN
     // replay (probes over ALL vectors, k=4), edges cut at the ROUNDED

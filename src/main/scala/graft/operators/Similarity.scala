@@ -431,12 +431,14 @@ object Similarity {
     * a vector's density is the mean cosine to its k approximate
     * nearest neighbors from the [[knnGraph]], carried in exact integer
     * MICRO-units (1e-6 cosine — see the determinism note in the
-    * body); the `dropFrac` DENSEST vectors of each cell are dropped —
-    * dense neighborhoods are semantically redundant, so the kept
-    * corpus preserves coverage while shedding the crowded cores that
-    * near-dup thresholds are too blunt to thin. Returns kept rows
-    * (idCol, cell, density_micro); vectors with NO candidate
-    * neighbors have null density = least dense, always kept.
+    * body); the floor(dropFrac·|cell|) DENSEST vectors of each cell
+    * are dropped — dense neighborhoods are semantically redundant, so
+    * the kept corpus preserves coverage while shedding the crowded
+    * cores that near-dup thresholds are too blunt to thin. Returns
+    * kept rows (idCol, cell, density_micro); vectors with NO
+    * candidate neighbors have null density and are NEVER dropped,
+    * whatever the budget — they are the unique-coverage outliers the
+    * policy exists to keep (so a cell is also never emptied).
     *
     * Scale shape: the density aggregate is one hash shuffle on the
     * k-bounded edge list; the per-CELL fraction cut is a bounded
@@ -481,7 +483,13 @@ object Similarity {
       .withColumn("__rn", row_number().over(
         byCell.orderBy(col("density_micro").desc_nulls_last, col(idCol))))
       .withColumn("__cn", count(lit(1)).over(byCell))
-    ranked.filter(col("__rn") > ceil(col("__cn") * dropFrac))
+    // floor, not ceil: ceil over-drops small cells (a 1-member cell
+    // would be EMPTIED at any dropFrac > 0 — and that lone vector is
+    // exactly the unique-coverage outlier the policy keeps); and a
+    // null-density (no-neighbor) row is never drop-eligible even when
+    // the budget reaches past the scored rows
+    ranked.filter(col("density_micro").isNull
+        || col("__rn") > floor(col("__cn") * dropFrac))
       .select(col(idCol), col("cell"), col("density_micro"))
   }
 
@@ -556,10 +564,10 @@ object Similarity {
           * 1e6).cast("long"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("__sim_micro")).as("__micro"),
+        sum(col("__sim_micro")).as("sim_micro_sum"),
         min(col(idCol)).as("exemplar_id"))
-      .select(col("cell"), col("n_vecs"),
-        floor(col("__micro") / col("n_vecs").cast("double") + 0.5)
+      .select(col("cell"), col("n_vecs"), col("sim_micro_sum"),
+        floor(col("sim_micro_sum") / col("n_vecs").cast("double") + 0.5)
           .cast("long").as("mean_centroid_sim_micro"),
         col("exemplar_id"))
   }

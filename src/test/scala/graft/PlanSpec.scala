@@ -141,14 +141,19 @@ class PlanSpec extends AnyFunSuite {
     "global (empty-partition) sort") {
     val plan = physical(
       SparkEntry.queries("q_knn_density")(spark, TestSpark.sf0001))
-    // every Window in the plan must partition by something (a global
-    // density cut would plan Window with an empty partition spec =
-    // all rows to one task)
-    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windows.nonEmpty, plan)
-    windows.foreach(w =>
-      assert(!w.contains("windowspecdefinition()"),
-        s"unpartitioned window in density plan:\n$w"))
+    // every Window OPERATOR must carry a non-empty partition spec (a
+    // global density cut would put all rows in one task). The physical
+    // Window line renders the partition list as its own bracket —
+    // `Window [exprs], [cell#N], [ordering]` — so an unpartitioned
+    // window shows as `], [], [` (windowspecdefinition always renders
+    // ordering+frame inside the parens, so matching on IT is vacuous).
+    val winOps = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winOps.nonEmpty, plan)
+    winOps.foreach(w =>
+      assert(!w.contains("], [], ["),
+        s"unpartitioned (single-task) window in density plan:\n$w"))
+    assert(winOps.exists(_.matches(""".*\], \[cell#\d+[^\]]*\], \[.*""")),
+      s"no per-cell fraction-cut window found:\n$plan")
   }
 
   test("surrogate id assignment range-partitions the data side " +

@@ -121,7 +121,8 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val base = emb.filter($"vec_id" % 5 =!= 0)
     val delta = emb.filter($"vec_id" % 5 === 0)
-    val path = s"/root/repo/target/scratch/knn_idx_${System.nanoTime()}"
+    val path = java.nio.file.Files
+      .createTempDirectory("knn_idx").resolve("idx").toString
     val cents = Similarity.buildIvfIndex(base, path, nlist = 8)
     def edges(df: org.apache.spark.sql.DataFrame) =
       df.select($"src_id", $"neighbor_id", $"rank", $"sim")
@@ -164,8 +165,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0L until n).forall(id => labels(id + 100000L) < 100000L + n))
   }
 
-  test("knnDensityPrune drops exactly ceil(dropFrac*cell) per cell, " +
-    "prefers planted-dense vectors, and dropFrac=0 keeps all") {
+  test("knnDensityPrune: per-cell drop arithmetic is exact, dropped rows " +
+    "dominate kept rows by density, null-density rows survive, " +
+    "dropFrac=0 keeps all") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
     val perturbed = emb.select($"vec_id",
@@ -175,27 +177,36 @@ class SimilaritySpec extends AnyFunSuite {
       .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
     val corpus = emb.unionByName(perturbed)
     val n = corpus.count()
+    // dropFrac = 0 keeps the whole corpus and yields every row's
+    // density: the reference frame for the 0.25 run
+    val full = Similarity.knnDensityPrune(corpus, dropFrac = 0.0,
+      k = 4, targetCell = 64, nprobe = 4)
+      .as[(Long, Int, Option[Long])].collect()
+    assert(full.length == n)
     val kept = Similarity.knnDensityPrune(corpus, dropFrac = 0.25,
       k = 4, targetCell = 64, nprobe = 4)
-    // per-cell arithmetic: kept = cn - ceil(0.25 * cn) for every cell
-    val perCell = kept.groupBy($"cell").count()
-      .as[(Int, Long)].collect().toMap
-    val totalKept = perCell.values.sum
-    assert(totalKept < n && totalKept >= n / 2)
-    // dense spots are the planted pairs: a dropped vector's partner
-    // (id +- 100000) should usually also be in a pair-dense region, so
-    // dropped ids should over-represent pair members vs random. Here
-    // EVERY vector has a planted twin, so instead assert the kept set
-    // never contains BOTH members of more than half the twin pairs
-    // (the denser twin of each pair competes for the drop slots)
-    val keptIds = kept.select($"vec_id").as[Long].collect().toSet
-    val bothKept = (0L until n / 2).count(id =>
-      keptIds.contains(id) && keptIds.contains(id + 100000L))
-    assert(bothKept <= n / 2, s"bothKept=$bothKept of ${n / 2} pairs")
-    // dropFrac = 0 keeps the whole corpus
-    val all = Similarity.knnDensityPrune(corpus, dropFrac = 0.0,
-      k = 4, targetCell = 64, nprobe = 4)
-    assert(all.count() == n)
+      .as[(Long, Int, Option[Long])].collect()
+    val keptIds = kept.map(_._1).toSet
+    val byCell = full.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      val cn = rows.length
+      val scoredDrops = rows.count(r => r._3.isDefined && !keptIds(r._1))
+      val budget = math.floor(cn * 0.25).toLong
+      // exactly floor(0.25*cn) scored rows drop, capped by how many
+      // rows are drop-eligible (null-density rows never are)
+      val eligible = rows.count(_._3.isDefined)
+      assert(scoredDrops == math.min(budget, eligible.toLong),
+        s"cell $cell: dropped $scoredDrops of $cn (eligible $eligible)")
+      // no null-density (no-neighbor) row is ever dropped
+      rows.filter(_._3.isEmpty).foreach(r =>
+        assert(keptIds(r._1), s"null-density ${r._1} was dropped"))
+      // every dropped row is at least as dense as every kept scored row
+      val droppedD = rows.filter(r => !keptIds(r._1)).flatMap(_._3)
+      val keptD = rows.filter(r => keptIds(r._1)).flatMap(_._3)
+      if (droppedD.nonEmpty && keptD.nonEmpty)
+        assert(droppedD.min >= keptD.max - 0,
+          s"cell $cell: dropped min ${droppedD.min} < kept max ${keptD.max}")
+    }
   }
 
   test("semanticCard partitions the corpus: counts sum to n, exemplar " +
@@ -203,9 +214,12 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val n = emb.count()
     val card = Similarity.semanticCard(emb, targetCell = 16)
-      .as[(Int, Long, Long, Long)].collect()
+      .as[(Int, Long, Long, Long, Long)].collect()
     assert(card.map(_._2).sum == n)
-    assert(card.forall(r => r._3 >= -1000000L && r._3 <= 1000000L))
+    assert(card.forall(r => r._4 >= -1000000L && r._4 <= 1000000L))
+    // the mean re-derives from the mergeable accumulator (sum, count)
+    card.foreach { case (_, cnt, sum, mean, _) =>
+      assert(mean == math.floor(sum.toDouble / cnt + 0.5).toLong) }
     // exemplar must be a member of the cell with the smallest id: check
     // via a direct re-assignment at the same auto depth
     val nlist = math.max(1, ((n + 15) / 16).toInt)
@@ -216,7 +230,7 @@ class SimilaritySpec extends AnyFunSuite {
       .withColumn("cell", nearestCell($"v", cents))
       .groupBy($"cell").agg(min($"vec_id").as("m"))
       .as[(Int, Long)].collect().toMap
-    card.foreach { case (cell, _, _, ex) => assert(asg(cell) == ex) }
+    card.foreach { case (cell, _, _, _, ex) => assert(asg(cell) == ex) }
   }
 
   test("persisted LSH index: same answers as inline LSH, no corpus-side " +

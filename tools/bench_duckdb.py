@@ -31,7 +31,18 @@ timeout = float(os.environ.get("DUCKDB_BENCH_TIMEOUT", "120"))
 state = {"sf": sf_dir, "threads": 1, "timeout_sec": timeout,
          "timings": {}, "skipped": sorted(skip), "timed_out": []}
 if state_path and os.path.exists(state_path):
-    state = json.load(open(state_path))
+    prior = json.load(open(state_path))
+    if prior.get("sf") not in (None, sf_dir):
+        sys.exit(f"state {state_path} is for sf={prior.get('sf')}, "
+                 f"refusing to mix with {sf_dir}")
+    # merge: keep prior successful/timed-out timings, but let the
+    # CURRENT invocation's skip list, timeout and sf stand in the
+    # record, and retry transient errors (-2.0) instead of skipping
+    # them forever
+    state["timings"] = {k: v for k, v in prior.get("timings", {}).items()
+                        if v != -2.0}
+    state["timed_out"] = [q for q in prior.get("timed_out", [])
+                          if q in state["timings"]]
 
 con = duckdb.connect()
 con.execute("SET threads TO 1")
