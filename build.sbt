@@ -12,6 +12,22 @@ libraryDependencies ++= Seq(
 Test / fork := true
 // all suites share one SparkSession (graft.TestSpark) — run serially
 Test / parallelExecution := false
+// LocalClusterSpec owns its JVM's SparkContext lifecycle (it starts a
+// local[4] session, stops it, then starts a local-cluster[2,2,2048]
+// one with separate executor processes), so it runs in its own forked
+// test JVM; everything else shares the TestSpark session in one JVM.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (cluster, rest) = tests.partition(_.name == "graft.LocalClusterSpec")
+  Seq(
+    Tests.Group("graft", rest, Tests.SubProcess(opts)),
+    Tests.Group("local-cluster", cluster, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}
+// the two groups must not run concurrently (CPU contention skews the
+// suites' plan-shape timing assertions; and both fork big JVMs)
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

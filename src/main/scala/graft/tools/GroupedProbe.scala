@@ -46,7 +46,12 @@ object GroupedProbe {
         val ex = s.stripPrefix("exclude:").split(",").toSet
         all.filterNot(ex)
       case Some(s) if s.startsWith("only:") =>
-        s.stripPrefix("only:").split(",").toSeq
+        val names = s.stripPrefix("only:").split(",").toSeq
+        val unknown = names.filterNot(graft.SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown query names in only: ${unknown.mkString(", ")} " +
+            "(see graft.SparkEntry.queries.keySet)")
+        names
       case _ => all
     }
     if (sys.env.get("GROUPED_WARM").contains("seq")) {

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-JVM serialization parity: every custom-kernel family runs
+  * under `local-cluster[2,2,2048]` — real standalone executor
+  * PROCESSES, so expression reference objects (classifier weight
+  * vectors, IVF centroid matrices, PQ codebooks/LUTs, Bloom filters,
+  * BPE merge vocabularies, hyperplane matrices) and the three
+  * TypedImperativeAggregate families (HLL / count-min / histogram
+  * sketches) must survive java serialization of the task binary and
+  * deserialize in a fresh JVM — and must produce results identical to
+  * the in-process `local[*]` run every other spec (and the DuckDB
+  * oracle gate) exercises.
+  *
+  * `local[*]` never crosses a JVM boundary: a non-serializable capture
+  * in a kernel, a codegen reference-object bug, or an aggregate buffer
+  * that only merges in-heap would pass every other test and then kill
+  * the operator on a real cluster. This spec is the evidence that the
+  * 1000-executor deployment posture is real.
+  *
+  * This suite OWNS the JVM's SparkContext (two sequential sessions
+  * with different masters), so build.sbt runs it in its own forked
+  * test group — it must never share a JVM with TestSpark suites.
+  */
+class LocalClusterSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** One representative query per custom-kernel family (see the
+    * scaladoc above; names are SparkEntry.queries keys):
+    *  - hashgram weights ref-obj + codegen     → q_classifier_score
+    *  - multi-model argmax (L weight arrays)   → q_lang_id2
+    *  - IVF centroid matrix + cell join        → q_ann_ivf
+    *  - PQ codebooks + per-query ADC LUTs      → q_pq_topk
+    *  - driver-built Bloom filter ref-obj      → q_decontaminate_bloom
+    *  - HLL TypedImperativeAggregate           → q_hll_card
+    *  - count-min TypedImperativeAggregate     → q_cms_counts
+    *  - histogram TypedImperativeAggregate     → q_hist_quantiles
+    *  - BPE merge-chain kernel + learn loop    → q_bpe_encode
+    *  - shingle/minhash codegen kernels        → q_minhash_pairs
+    *  - hyperplane-LSH matrix (auto depth)     → q_embed_neardup_auto
+    *  - splitmix cut kernel (FIM)              → q_fim_transform
+    */
+  private val names = Seq(
+    "q_classifier_score", "q_lang_id2", "q_ann_ivf", "q_pq_topk",
+    "q_decontaminate_bloom", "q_hll_card", "q_cms_counts",
+    "q_hist_quantiles", "q_bpe_encode", "q_minhash_pairs",
+    "q_embed_neardup_auto", "q_fim_transform")
+
+  private def builder(master: String) = SparkSession.builder()
+    .master(master)
+    .appName(s"graft-parity-$master")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+
+  /** Collect each query's full result as an order-insensitive list of
+    * row renderings (every oracle-gated query is deterministic up to
+    * row order by construction). */
+  private def runAll(spark: SparkSession): Map[String, Seq[String]] = {
+    spark.sparkContext.setLogLevel("WARN")
+    try names.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
+    }.toMap
+    finally spark.stop()
+  }
+
+  test("custom kernels/aggregates serialize across JVMs: local-cluster == local") {
+    val local = runAll(builder("local[4]").getOrCreate())
+
+    // Worker-side executor command builder needs the distribution home
+    // (spark.test.home is its test-path hook) and the Scala version it
+    // would normally get from load-spark-env.sh
+    System.setProperty("spark.test.home", "/opt/spark")
+    val clusterSession = builder("local-cluster[2,2,2048]")
+      // executors are FRESH JVMs: give them this build's classes and
+      // the JDK-17 module opens spark-submit normally injects
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", ClusterProbe.jdk17AddOpens)
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.executor.memory", "1024m")
+      .getOrCreate()
+    // prove the topology is what the test claims: 2 executor processes
+    // + the driver (a silent fallback to local mode would make the
+    // parity check vacuous). Executor JVMs register asynchronously —
+    // poll up to 90 s before failing.
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    def execCount = clusterSession.sparkContext.statusTracker.getExecutorInfos.length
+    while (execCount < 3 && System.nanoTime() < deadline) Thread.sleep(500)
+    assert(execCount == 3,
+      s"expected 2 remote executors + driver, got $execCount")
+    val cluster = runAll(clusterSession)
+
+    names.foreach { n =>
+      assert(cluster(n).nonEmpty, s"$n returned no rows under local-cluster")
+      assert(cluster(n) == local(n),
+        s"$n diverged between local and local-cluster execution")
+    }
+  }
+}

@@ -38,9 +38,14 @@ if state_path and os.path.exists(state_path):
     # merge: keep prior successful/timed-out timings, but let the
     # CURRENT invocation's skip list, timeout and sf stand in the
     # record, and retry transient errors (-2.0) instead of skipping
-    # them forever
+    # them forever. Timed-out entries (-1.0) are also retried when the
+    # current timeout EXCEEDS the one they were recorded under —
+    # otherwise rerunning with a higher DUCKDB_BENCH_TIMEOUT could
+    # never rescue them.
+    prior_timeout = float(prior.get("timeout_sec", timeout))
+    retry_timeouts = timeout > prior_timeout
     state["timings"] = {k: v for k, v in prior.get("timings", {}).items()
-                        if v != -2.0}
+                        if v != -2.0 and not (v == -1.0 and retry_timeouts)}
     state["timed_out"] = [q for q in prior.get("timed_out", [])
                           if q in state["timings"]]
 
