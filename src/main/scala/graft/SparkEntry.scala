@@ -1742,6 +1742,21 @@ object SparkEntry {
       Similarity.pqTopK(emb, queries, k = 3, m = 4, ksub = 8, iters = 1)
     }),
 
+    // §2b-66 composed: IVFPQ — the IVF cells prune the probe to
+    // nprobe cells, ADC scores the m-byte PQ codes within them (the
+    // FAISS serving layout; raw-vector encoding, see the scaladoc).
+    // Both quantizer chains share the one mix64-ordered sample, so
+    // the oracle replays centroid AND codebook training from a single
+    // ordered CTE.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.ivfPqTopK(emb, queries, k = 3, nlist = 16, nprobe = 6,
+        m = 4, ksub = 8, iters = 1)
+    }),
+
     // §2b-67: weighted sampling without replacement (Efraimidis-
     // Spirakis exponential clocks) — 25 docs per source with inclusion
     // probability ∝ n_chars, deterministic via the content-hash
@@ -4614,6 +4629,64 @@ object SparkEntry {
          |sc AS (SELECT l.query_id, c.vec_id, list_sum(list(l.ip ORDER BY l.s)) AS score
          |  FROM codes c JOIN lut l ON c.s = l.s AND c.j = l.j AND c.vec_id <> l.query_id
          |  GROUP BY l.query_id, c.vec_id),
+         |ranked AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // IVFPQ = the q_ann_ivf probe chain (centroids c1, assignment,
+    // nprobe probes) + the q_pq_topk codebook chain (pb0→pb1, codes,
+    // LUT) composed over the SHARED mix64-ordered sample (`ordered`):
+    // candidates come from the probed cells, scores from the s-ordered
+    // ADC LUT sum — both replayed bitwise
+    "q_ann_ivfpq" ->
+      s"""WITH $sqlIvfCentroidsCte,
+         |pr AS (
+         |  SELECT e.vec_id AS query_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, cell FROM pr WHERE rn <= 6),
+         |av AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM av WHERE rn = 1),
+         |pinit AS (SELECT cell AS j, v FROM ordered WHERE cell < 8),
+         |grid AS (SELECT CAST(s AS INT) AS s FROM range(0,4) r(s)),
+         |pb0 AS (SELECT g.s, i.j, list_transform(range(1,17), d -> i.v[g.s*16 + d]) AS cv
+         |       FROM pinit i, grid g),
+         |sub AS (SELECT e.vec_id, g.s, list_transform(range(1,17), d -> e.v[g.s*16 + d]) AS sv
+         |        FROM ev e, grid g),
+         |pd0 AS (SELECT u.vec_id, u.s, b.j,
+         |    list_sum(list_transform(range(1,17), i -> (u.sv[i]-b.cv[i])*(u.sv[i]-b.cv[i]))) AS dist
+         |  FROM sub u JOIN pb0 b ON u.s = b.s),
+         |pa0 AS (SELECT vec_id, s, j,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM pd0),
+         |pasg0 AS (SELECT vec_id, s, j FROM pa0 WHERE rn = 1),
+         |pm0 AS (SELECT a.s, a.j, r.d, avg(u.sv[r.d]) AS mval
+         |  FROM pasg0 a JOIN sub u ON a.vec_id = u.vec_id AND a.s = u.s, range(1,17) r(d)
+         |  GROUP BY a.s, a.j, r.d),
+         |pb1 AS (SELECT b.s, b.j, list(coalesce(m.mval, b.cv[r.d]) ORDER BY r.d) AS cv
+         |  FROM pb0 b CROSS JOIN range(1,17) r(d)
+         |  LEFT JOIN pm0 m ON m.s = b.s AND m.j = b.j AND m.d = r.d
+         |  GROUP BY b.s, b.j),
+         |pd1 AS (SELECT u.vec_id, u.s, b.j,
+         |    list_sum(list_transform(range(1,17), i -> (u.sv[i]-b.cv[i])*(u.sv[i]-b.cv[i]))) AS dist
+         |  FROM sub u JOIN pb1 b ON u.s = b.s),
+         |pa1 AS (SELECT vec_id, s, j,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM pd1),
+         |pcodes AS (SELECT vec_id, s, j FROM pa1 WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, b.s, b.j, list_inner_product(q.sv, b.cv) AS ip
+         |  FROM sub q JOIN pb1 b ON q.s = b.s WHERE q.vec_id < 5),
+         |cand AS (
+         |  SELECT p.query_id, i.vec_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  WHERE i.vec_id <> p.query_id),
+         |sc AS (SELECT cd.query_id, cd.vec_id, list_sum(list(l.ip ORDER BY l.s)) AS score
+         |  FROM cand cd JOIN pcodes c ON cd.vec_id = c.vec_id
+         |  JOIN lut l ON c.s = l.s AND c.j = l.j AND l.query_id = cd.query_id
+         |  GROUP BY cd.query_id, cd.vec_id),
          |ranked AS (SELECT query_id, vec_id AS neighbor_id, score,
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
          |  FROM sc)

@@ -861,6 +861,131 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** IVFPQ top-k (Jégou et al. 2011 §IV): the composed layout FAISS
+    * calls IVFPQ — the IVF coarse quantizer prunes the search to
+    * `nprobe` cells, and within them ADC scores m-byte PQ codes
+    * instead of full vectors. This is THE trillion-vector serving
+    * shape: at 100 TB the cell partition bounds what a probe READS
+    * (only probed cells' files) and the PQ codes bound what it HOLDS
+    * (m small codes per vector, 64× less than raw at m=8/dim=64).
+    *
+    * Vectors are PQ-encoded RAW (not as residuals from their coarse
+    * centroid, FAISS's default): raw encoding keeps the codebook
+    * independent of the cell assignment, so [[appendToIvfIndex]]-style
+    * deltas reuse the frozen codebook unchanged and the SQL oracle
+    * replays one codebook chain instead of nlist of them. Residual
+    * encoding is the documented accuracy upgrade when cells are tight.
+    *
+    * Plan shape: both quantizers train driver-side (metadata-sized
+    * headers — the IVF-header pattern), the corpus takes ONE codegen
+    * projection (cell assignment + PQ encode), probes broadcast, and
+    * scoring is the [[graft.plans.PqLutScore]] m-lookup kernel; the
+    * only wide exchange is the top-k rank window on the candidate
+    * set. Deterministic end to end (both samples are the shared
+    * mix64 order), so DuckDB replays it exactly. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 8,
+                iters: Int = 1, idCol: String = "vec_id",
+                vecCol: String = "embedding", qidCol: String = "query_id",
+                qvecCol: String = "query_vec"): DataFrame = {
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val books = trainPq(corpus, m, ksub, iters, idCol, vecCol)
+    val indexed = ivfPqEncode(corpus, cents, books, idCol, vecCol)
+    ivfPqProbe(indexed, cents, books, queries, k, nprobe, idCol, qidCol, qvecCol)
+  }
+
+  /** Persist the IVFPQ index: (id, codes, cell) partitioned by cell —
+    * [[buildIvfIndex]]'s layout with the PQ codes column in place of
+    * the raw vectors (probes read only probed cells, and what they
+    * read is m-byte codes). Returns both quantizer headers; store them
+    * with the index — the same (centroids, codebooks) pair must be
+    * used to probe and to append. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                      m: Int = 4, ksub: Int = 8, iters: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val books = trainPq(corpus, m, ksub, iters, idCol, vecCol)
+    ivfPqEncode(corpus, cents, books, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (cents, books)
+  }
+
+  /** Probe a persisted IVFPQ index: the probed cell ids are known on
+    * the driver, so they push down as a static partition filter —
+    * the scan reads ONLY the probed cells' code files. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, cents: Array[Array[Double]],
+                       books: Array[Array[Array[Double]]], queries: DataFrame,
+                       k: Int = 3, nprobe: Int = 4, idCol: String = "vec_id",
+                       qidCol: String = "query_id",
+                       qvecCol: String = "query_vec"): DataFrame = {
+    import graft.plans.VecExpressions.nearestCells
+    val probedCells = queries
+      .select(explode(nearestCells(col(qvecCol).cast("array<double>"),
+        cents, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val indexed = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*)) // partition pruning
+    ivfPqProbe(indexed, cents, books, queries, k, nprobe, idCol, qidCol, qvecCol)
+  }
+
+  /** One codegen projection: cell assignment + PQ encode. */
+  private def ivfPqEncode(corpus: DataFrame, cents: Array[Array[Double]],
+                          books: Array[Array[Array[Double]]],
+                          idCol: String, vecCol: String): DataFrame = {
+    import graft.plans.VecExpressions.{nearestCell, pqEncode}
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol), pqEncode(col("v"), books).as("codes"),
+        nearestCell(col("v"), cents).as("cell"))
+  }
+
+  /** Shared probe half of the inline and indexed IVFPQ paths: LUTs
+    * precompute driver-side per query ([[pqTopK]]'s batch state),
+    * probes broadcast onto the cell key, ADC scores the codes, one
+    * rank window cuts top-k. Cells PARTITION the corpus, so a
+    * (query, vector) candidate appears at most once — no dedup. */
+  private def ivfPqProbe(indexed: DataFrame, cents: Array[Array[Double]],
+                         books: Array[Array[Array[Double]]],
+                         queries: DataFrame, k: Int, nprobe: Int,
+                         idCol: String, qidCol: String,
+                         qvecCol: String): DataFrame = {
+    import graft.plans.VecExpressions.nearestCells
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val dsub = books(0)(0).length
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val luts: Array[Array[Array[Double]]] = qRows.map { case (_, qv) =>
+      Array.tabulate(m) { s =>
+        books(s).map { cb =>
+          var ip = 0.0; var d = 0
+          while (d < dsub) { ip += qv(s * dsub + d) * cb(d); d += 1 }
+          ip
+        }
+      }
+    }
+    val qIdx = qRows.map(_._1).zipWithIndex.toSeq.toDF(qidCol, "__qi")
+    val probes = queries
+      .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
+      .join(qIdx, qidCol)
+      .select(col(qidCol), col("__qi"), col("cell"))
+    indexed.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("score", graft.plans.VecExpressions.pqLutScore(
+        col("codes"), col("__qi"), luts))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Sign-of-dot-product signature: bit i = 1 iff dot(v, plane_i) > 0.
     * Kernel expression — see [[graft.plans.VecOps.hyperplaneSig]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =

@@ -609,6 +609,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(frac >= 0.9, s"PQ ADC cluster recall too low: $frac")
   }
 
+  test("IVFPQ: probing all cells == pure PQ ADC, indexed == inline with " +
+    "partition-pruned probes, and coarse pruning keeps cluster recall") {
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 4))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // nprobe = nlist covers every cell, so the candidate set is all
+    // pairs and IVFPQ must EQUAL the pure ADC ranking — the coarse
+    // quantizer's only effect is pruning, never scoring
+    val allCells = Similarity.ivfPqTopK(corpus, queries, k = 5,
+        nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val pureAdc = Similarity.pqTopK(corpus, queries, k = 5, m = 4, ksub = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(allCells == pureAdc,
+      "IVFPQ at nprobe=nlist diverged from pure PQ ADC")
+    // persisted layout: same answers as inline, and the probe scan
+    // carries the cell partition filter (reads only probed cells)
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivfpq").toString + "/idx"
+    val (cents, books) = Similarity.buildIvfPqIndex(corpus, path,
+      nlist = 8, m = 4, ksub = 8)
+    val indexed = Similarity.ivfPqTopKIndexed(spark, path, cents, books,
+      queries, k = 5, nprobe = 3)
+    val inline = Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nlist = 8, nprobe = 3, m = 4, ksub = 8)
+    assert(indexed.as[(Long, Long, Int, Double)].collect().toSet ==
+      inline.as[(Long, Long, Int, Double)].collect().toSet)
+    val scan = indexed.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("cell"), s"no partition filter on the scan:\n$scan")
+    // recall-vs-exact: with a tight probe budget the neighbors must
+    // still come from the query's own planted cluster
+    val got = Similarity.ivfPqTopK(corpus, queries, k = 5,
+        nlist = 8, nprobe = 2, m = 4, ksub = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    val frac = got.count { case (q, n) => n % 8 == q % 8 }.toDouble / got.length
+    assert(frac >= 0.9, s"IVFPQ cluster recall too low: $frac")
+  }
+
   test("quantizeI8: |q| <= 127, round-trip error <= scale/2 per " +
     "component, cosine preserved to ~1e-2, zero vector -> zeros") {
     val rnd = new scala.util.Random(11)
