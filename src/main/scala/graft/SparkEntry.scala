@@ -1695,6 +1695,18 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("url", syntheticUrl),
         "doc_id", "url")),
 
+    // §2b-62 PSL: the same parse keyed by REAL Public Suffix List
+    // rules (bundled subset, standard file format) — URLs synthesized
+    // over the PSL-hard cases the heuristic mis-keys: *.co.uk /
+    // *.com.au multi-label suffixes, the *.kawasaki.jp wildcard, the
+    // !city.kawasaki.jp and !www.ck exception rules, a private-section
+    // entry (github.io), an unknown TLD (default rule), and a host
+    // that IS a public suffix (site NULL)
+    "q_url_parse2" -> ((s, dir) =>
+      operators.WebClean.parseUrlsPsl(
+        t(s, dir, "documents").withColumn("url", pslUrl),
+        "doc_id", "url", graft.functions.Psl.subset)),
+
     // §2b-25g2: interpolated-bigram LM scoring — one order up from
     // q_lm_score's unigram CCNet proxy; bigrams via slice+zip (narrow,
     // no (doc,pos) self-join), counts broadcast back
@@ -1777,6 +1789,17 @@ object SparkEntry {
   /** The blocklist the q_word_filter query and its oracle share. */
   private val blocklistWords = Seq("spam", "casino", "lottery", "the")
 
+  /** The bundled PSL subset rendered as the q_url_parse2 oracle's rule
+    * relations — generated from the SAME parsed file the Spark side
+    * loads, so the two engines provably key on one rule set. */
+  private def sqlPslRules: String = {
+    val p = graft.functions.Psl.subset
+    def vals(rs: Seq[String]) = rs.map(r => s"('$r')").mkString(", ")
+    s"""norms(r) AS (SELECT * FROM (VALUES ${vals(p.normal.toSeq.sorted)}) t(r)),
+       |wilds(r) AS (SELECT * FROM (VALUES ${vals(p.wildcardBases.toSeq.sorted)}) t(r)),
+       |excs(r) AS (SELECT * FROM (VALUES ${vals(p.exceptions.toSeq.sorted)}) t(r))""".stripMargin
+  }
+
   /** Deterministic HTML page wrapping each document — shared shape
     * between q_html_extract's Spark side and its DuckDB oracle. */
   private def htmlPage: Column = concat(
@@ -1800,6 +1823,29 @@ object SparkEntry {
     when(pmod(col("doc_id"), lit(3)) === 0, lit(".co.uk"))
       .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org"))
       .otherwise(lit(".com")),
+    when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+    lit("/p/"), col("doc_id").cast("string"), lit("?ref=rss#top"))
+
+  /** Deterministic PSL-hard synthetic URL per document — shared shape
+    * between q_url_parse2's Spark side and its DuckDB oracle. The
+    * doc_id%9 == 4 branch omits the `u<k>.` prefix so the host IS a
+    * public suffix under the `*.ck` wildcard (site must be NULL). */
+  private def pslUrl: Column = concat(
+    lit("https://"),
+    when(pmod(col("doc_id"), lit(11)) === 0, lit("user:pw@")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(4)) === 0, lit("www.")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(9)) === 4, lit(""))
+      .otherwise(concat(lit("u"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("."))),
+    when(pmod(col("doc_id"), lit(9)) === 0, lit("example.co.uk"))
+      .when(pmod(col("doc_id"), lit(9)) === 1, lit("example.com.au"))
+      .when(pmod(col("doc_id"), lit(9)) === 2, lit("city.kawasaki.jp"))
+      .when(pmod(col("doc_id"), lit(9)) === 3, lit("sub.kawasaki.jp"))
+      .when(pmod(col("doc_id"), lit(9)) === 4, lit("example.ck"))
+      .when(pmod(col("doc_id"), lit(9)) === 5, lit("www.ck"))
+      .when(pmod(col("doc_id"), lit(9)) === 6, lit("pages.github.io"))
+      .when(pmod(col("doc_id"), lit(9)) === 7, lit("example.unknown"))
+      .otherwise(lit("example.org")),
     when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
     lit("/p/"), col("doc_id").cast("string"), lit("?ref=rss#top"))
 
@@ -4528,6 +4574,64 @@ object SparkEntry {
         |    THEN regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+\.[a-z0-9-]+)$', 1)
         |    ELSE regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) END AS site
         |FROM hh""".stripMargin,
+
+    // PSL parse: the same host chain, then the published
+    // public-suffix algorithm replayed relationally — candidate
+    // suffixes explode per label, the embedded rule set (normal /
+    // wildcard / exception, rendered from the SAME bundled subset the
+    // Spark side loads) joins in, the prevailing rule is
+    // (exception first, then most labels), and site/suffix rebuild
+    // from the winning label count
+    "q_url_parse2" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' ||
+         |    CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 4 THEN '' ELSE 'u' || (doc_id % 7) || '.' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN 'example.co.uk'
+         |         WHEN doc_id % 9 = 1 THEN 'example.com.au'
+         |         WHEN doc_id % 9 = 2 THEN 'city.kawasaki.jp'
+         |         WHEN doc_id % 9 = 3 THEN 'sub.kawasaki.jp'
+         |         WHEN doc_id % 9 = 4 THEN 'example.ck'
+         |         WHEN doc_id % 9 = 5 THEN 'www.ck'
+         |         WHEN doc_id % 9 = 6 THEN 'pages.github.io'
+         |         WHEN doc_id % 9 = 7 THEN 'example.unknown'
+         |         ELSE 'example.org' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+         |    '/p/' || doc_id || '?ref=rss#top' AS url
+         |  FROM documents),
+         |hh AS (
+         |  SELECT doc_id, regexp_replace(
+         |    regexp_extract(lower(url),
+         |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([a-z0-9.-]+)', 1),
+         |    '^www\\.', '') AS host
+         |  FROM u),
+         |$sqlPslRules,
+         |labs AS (SELECT doc_id, host, string_split(host, '.') AS L FROM hh),
+         |cands AS (
+         |  SELECT doc_id, i, len(L) AS n, len(L) - i + 1 AS nl,
+         |    array_to_string(L[i:], '.') AS suffix,
+         |    array_to_string(L[i+1:], '.') AS rest
+         |  FROM labs, unnest(generate_series(1, len(L))) g(i)),
+         |m AS (
+         |  SELECT doc_id, 1 AS is_exc, nl FROM cands JOIN excs ON suffix = r
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS is_exc, nl FROM cands JOIN norms ON suffix = r
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS is_exc, nl FROM cands JOIN wilds ON rest = r AND i < n),
+         |best AS (
+         |  SELECT doc_id, is_exc, nl,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY is_exc DESC, nl DESC) AS rn
+         |  FROM m),
+         |ps AS (
+         |  SELECT l.doc_id, l.host, l.L, len(l.L) AS n,
+         |    coalesce(CASE WHEN b.is_exc = 1 THEN b.nl - 1 ELSE b.nl END, 1) AS k
+         |  FROM labs l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id))
+         |SELECT doc_id, host,
+         |  CASE WHEN n > k THEN array_to_string(L[n-k:], '.') END AS site,
+         |  array_to_string(L[n-k+1:], '.') AS suffix
+         |FROM ps""".stripMargin,
 
     // interpolated-bigram NLL: identical count tables, identical
     // lambda arithmetic (0.75 / 0.25 are exact dyadic rationals),

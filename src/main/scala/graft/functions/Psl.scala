@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Public Suffix List matcher (publicsuffix.org/list/ semantics) —
+  * the data-driven replacement for the two-vs-three-label heuristic in
+  * [[graft.operators.WebClean.urlSite]]. Every domain-level corpus
+  * policy (per-domain caps, domain blocklists, domain-stratified
+  * sampling) keys on the REGISTRABLE domain, and the heuristic
+  * mis-keys anything outside its hardcoded ccSLD pattern
+  * (`foo.github.io`, `*.kawasaki.jp` wildcards, the `!city.…`/`!www.ck`
+  * exception rules).
+  *
+  * Algorithm (the published spec):
+  *  - a rule matches when its labels are a suffix of the host's
+  *    labels, `*` consuming exactly one label;
+  *  - the prevailing rule is the matching EXCEPTION rule if any, else
+  *    the matching rule with the most labels, else the implicit
+  *    default rule `*` (public suffix = the last label);
+  *  - the public suffix is the matched labels (an exception rule's
+  *    labels minus its leading one); the registrable domain is the
+  *    public suffix plus one more label.
+  *
+  * The instance is an expression reference object (the classifier-
+  * weights pattern): it serializes with the task binary once per
+  * executor and matching is ≤ label-count hash probes per host —
+  * in-scan, zero shuffles, no join. A full PSL is ~10k rules / a few
+  * hundred KB, well inside reference-object budget.
+  */
+final class Psl(val normal: Set[String], val wildcardBases: Set[String],
+                val exceptions: Set[String]) extends Serializable {
+
+  /** Number of labels in `host`'s public suffix under these rules
+    * (>= 1 for any non-empty host — the default rule; 0 for ""). */
+  def suffixLabelCount(host: String): Int = {
+    if (host.isEmpty) return 0
+    val labels = host.split('.')
+    val n = labels.length
+    var best = 1 // the implicit default rule `*`
+    var i = 0
+    while (i < n) {
+      // suffixes visit longest-first, so the first exception hit is
+      // the prevailing one and ties in `best` keep the longer rule
+      val suffix = labels.slice(i, n).mkString(".")
+      if (exceptions.contains(suffix)) return n - i - 1
+      if (normal.contains(suffix) && n - i > best) best = n - i
+      if (i + 1 < n &&
+          wildcardBases.contains(labels.slice(i + 1, n).mkString(".")) &&
+          n - i > best) best = n - i
+      i += 1
+    }
+    best
+  }
+
+  /** Kernel entry point (UTF8String in, int out — see
+    * [[graft.plans.PslSuffixLabels]]). */
+  def suffixLabels(host: UTF8String): Int = suffixLabelCount(host.toString)
+
+  /** The rules flattened back to PSL lines (deterministic order) —
+    * what the DuckDB oracle embeds so both engines provably match on
+    * the same rule set. */
+  def ruleLines: Seq[String] =
+    normal.toSeq.sorted.map(identity) ++
+      wildcardBases.toSeq.sorted.map("*." + _) ++
+      exceptions.toSeq.sorted.map("!" + _)
+}
+
+object Psl {
+
+  /** Parse the standard PSL file format: `//` comments and blank
+    * lines skipped, one rule per line (token before any whitespace),
+    * `*.base` wildcard rules, `!rule` exception rules; ICANN and
+    * PRIVATE sections both load (section markers are comments). */
+  def parse(lines: Iterator[String]): Psl = {
+    val normal = Set.newBuilder[String]
+    val wild = Set.newBuilder[String]
+    val exc = Set.newBuilder[String]
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT))
+      .foreach { rule =>
+        if (rule.startsWith("!")) exc += rule.substring(1)
+        else if (rule.startsWith("*.")) wild += rule.substring(2)
+        else if (rule == "*") () // the implicit default rule
+        else normal += rule
+      }
+    new Psl(normal.result(), wild.result(), exc.result())
+  }
+
+  /** Load a PSL file from disk (point this at the full published
+    * list in production). */
+  def load(path: String): Psl = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+
+  /** The bundled SUBSET (src/main/resources/graft/psl_subset.dat):
+    * the same file format with a hand-maintained slice of the public
+    * list — enough to exercise every rule kind (multi-label suffixes,
+    * wildcards, exceptions, private-section entries) in tests and
+    * oracles without shipping the full list. */
+  lazy val subset: Psl = {
+    val in = getClass.getResourceAsStream("/graft/psl_subset.dat")
+    require(in != null, "bundled PSL subset resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+}

@@ -90,9 +90,44 @@ object WebClean {
   /** Per-row URL parse: (host, site) for domain-level policy joins —
     * per-domain caps ([[Sampling.capPerGroup]]), domain blocklists
     * (broadcast anti-join on `site`), domain-stratified sampling. One
-    * projection, zero shuffles. */
+    * projection, zero shuffles. [[urlSite]]'s two-vs-three-label
+    * HEURISTIC keys the site — the no-dependency fallback; the
+    * production path is [[parseUrlsPsl]] with a real Public Suffix
+    * List. */
   def parseUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val host = urlHost(col(urlCol))
     df.select(col(idCol), host.as("host"), urlSite(host).as("site"))
+  }
+
+  /** [[parseUrls]] with REAL Public Suffix List semantics
+    * (publicsuffix.org rules: multi-label suffixes, `*.` wildcards,
+    * `!` exceptions, private-section entries) — the upgrade every
+    * domain-level policy inherits, since the heuristic mis-keys any
+    * registrable domain outside its hardcoded ccSLD pattern.
+    *
+    * Plan shape is unchanged: still ONE zero-shuffle projection. The
+    * rule set rides as a codegen reference object inside
+    * [[graft.plans.PslSuffixLabels]] (≤ label-count hash probes per
+    * row — cheaper than a broadcast join, and nothing to co-partition)
+    * and the suffix/site strings derive from the label COUNT with
+    * built-in slice/array_join, so the whole parse replays in the SQL
+    * oracle. Returns (id, host, site, suffix); `site` is NULL when the
+    * host is itself a public suffix (nothing registrable to key on),
+    * and both are NULL when nothing URL-shaped matched. */
+  def parseUrlsPsl(df: DataFrame, idCol: String, urlCol: String,
+                   psl: graft.functions.Psl): DataFrame = {
+    val host = urlHost(col(urlCol))
+    df.select(col(idCol), host.as("host"))
+      .withColumn("__labs", split(col("host"), "\\."))
+      .withColumn("__n", size(col("__labs")))
+      .withColumn("__ps",
+        graft.plans.PslExpressions.pslSuffixLabels(col("host"), psl))
+      .select(col(idCol), col("host"),
+        when(col("__ps") > 0 && col("__n") > col("__ps"),
+          array_join(slice(col("__labs"), -(col("__ps") + lit(1)),
+            col("__ps") + lit(1)), ".")).as("site"),
+        when(col("__ps") > 0,
+          array_join(slice(col("__labs"), -col("__ps"), col("__ps")), "."))
+          .as("suffix"))
   }
 }

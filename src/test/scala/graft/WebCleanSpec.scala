@@ -96,4 +96,68 @@ class WebCleanSpec extends AnyFunSuite {
     assert(row.getString(1) == "shop.example.co.uk")
     assert(row.getString(2) == "example.co.uk")
   }
+
+  test("Psl.parse reads the standard format: comments, sections, " +
+    "wildcards, exceptions; bundled subset loads") {
+    val psl = graft.functions.Psl.parse(Iterator(
+      "// a comment", "", "com", "  co.uk  ", "*.ck", "!www.ck",
+      "// ===BEGIN PRIVATE DOMAINS===", "github.io", "*"))
+    assert(psl.normal == Set("com", "co.uk", "github.io"))
+    assert(psl.wildcardBases == Set("ck"))
+    assert(psl.exceptions == Set("www.ck"))
+    val subset = graft.functions.Psl.subset
+    assert(subset.normal.contains("co.uk") && subset.normal.contains("github.io"))
+    assert(subset.wildcardBases.contains("kawasaki.jp"))
+    assert(subset.exceptions.contains("city.kawasaki.jp"))
+  }
+
+  test("Psl.suffixLabelCount implements the published algorithm: " +
+    "longest rule, wildcard = one label, exception prevails, default *") {
+    val psl = graft.functions.Psl.subset
+    val cases = Seq(
+      // (host, expected public-suffix label count)
+      ("example.com", 1),               // normal 1-label rule
+      ("shop.example.co.uk", 2),        // multi-label rule beats 'uk'
+      ("example.jp", 1),
+      ("foo.sub.kawasaki.jp", 3),       // *.kawasaki.jp consumes 'sub'
+      ("sub.kawasaki.jp", 3),           // host IS the wildcard suffix
+      ("city.kawasaki.jp", 2),          // !exception: rule minus lead label
+      ("u.city.kawasaki.jp", 2),
+      ("example.ck", 2),                // *.ck: whole host is the suffix
+      ("u.example.ck", 2),
+      ("www.ck", 1),                    // !www.ck
+      ("u.www.ck", 1),
+      ("pages.github.io", 2),           // private-section rule
+      ("example.unknown", 1),           // default rule *
+      ("", 0))
+    cases.foreach { case (h, want) =>
+      assert(psl.suffixLabelCount(h) == want, s"host=$h") }
+  }
+
+  test("parseUrlsPsl keys the registrable site from PSL rules, NULL " +
+    "when the host is itself a public suffix or nothing URL-shaped") {
+    val psl = graft.functions.Psl.subset
+    val df = Seq(
+      (1L, "https://www.shop.example.co.uk/cart"),
+      (2L, "https://a.city.kawasaki.jp/"),
+      (3L, "https://example.ck/x"),       // host == public suffix
+      (4L, "https://me.pages.github.io"), // private-section suffix
+      (5L, "not a url")).toDF("doc_id", "url")
+    val got = WebClean.parseUrlsPsl(df, "doc_id", "url", psl)
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "shop.example.co.uk" &&
+      got(0).getString(2) == "example.co.uk" && got(0).getString(3) == "co.uk")
+    assert(got(1).getString(2) == "city.kawasaki.jp" &&
+      got(1).getString(3) == "kawasaki.jp")
+    assert(got(2).getString(1) == "example.ck" && got(2).isNullAt(2) &&
+      got(2).getString(3) == "example.ck")
+    assert(got(3).getString(2) == "pages.github.io" &&
+      got(3).getString(3) == "github.io")
+    assert(got(4).isNullAt(2) && got(4).isNullAt(3))
+    // still a zero-shuffle projection: the rule set is a codegen
+    // reference object, not a join
+    val plan = WebClean.parseUrlsPsl(df, "doc_id", "url", psl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PSL parse shuffled:\n$plan")
+  }
 }
