@@ -956,6 +956,30 @@ object SparkEntry {
             .as("segmented"))
     }),
 
+    // §2b-57 BYTE-LEVEL: the GPT-2 contract — merges learned over
+    // UTF-8 byte (hex-pair) symbols on a corpus with planted CJK and
+    // accents, NO ascii filter; proves vocabulary induction on
+    // non-ASCII corpora (the code-point path's documented gap)
+    "q_bpe_merges_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" " + bpeNonAsciiSuffix)))
+      Bpe.mergesDf(s, Bpe.learn(docs, "text", numMerges = 6,
+        asciiOnly = false, byteLevel = true))
+    }),
+
+    // §2b-57b BYTE-LEVEL encode: the same 6-merge chain applied to the
+    // unfiltered vocabulary's byte symbols
+    "q_bpe_encode_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" " + bpeNonAsciiSuffix)))
+      val merges = Bpe.learn(docs, "text", numMerges = 6,
+        asciiOnly = false, byteLevel = true)
+      Bpe.wordCounts(docs, "text", asciiOnly = false)
+        .select(col("w"), col("cnt"),
+          array_join(Bpe.applyMerges(Bpe.byteSymbols(col("w")), merges), " ")
+            .as("segmented"))
+    }),
+
     // §2b: the APPLIED near-dup policy — the composition users actually
     // run: candidate pairs → connected components → keep each cluster's
     // canonical (minimum-id) doc. One semi-join over the corpus; the
@@ -1789,6 +1813,11 @@ object SparkEntry {
   /** The blocklist the q_word_filter query and its oracle share. */
   private val blocklistWords = Seq("spam", "casino", "lottery", "the")
 
+  /** Non-ASCII words planted into the byte-level BPE queries' corpus
+    * (CJK + accents; repeated so multi-byte pairs reliably reach the
+    * merge table) — shared between the Spark side and the oracle. */
+  private val bpeNonAsciiSuffix = "日本語 日本語 café naïve"
+
   /** The bundled PSL subset rendered as the q_url_parse2 oracle's rule
     * relations — generated from the SAME parsed file the Spark side
     * loads, so the two engines provably key on one rule set. */
@@ -2034,8 +2063,24 @@ object SparkEntry {
     * symbols merges at even run offsets only — exactly greedy
     * left-to-right (BpeOps.mergePass). Caller appends the final
     * SELECT over `b1..bK` (merge table) or `w{K}` (encoded vocab). */
-  private def sqlBpeChain(numMerges: Int): String = {
-    val head =
+  private def sqlBpeChain(numMerges: Int, byteLevel: Boolean = false): String = {
+    val head = if (byteLevel)
+      // byte-level contract: the planted-CJK/accents corpus, NO ascii
+      // filter, and one symbol per UTF-8 BYTE as its 2-hex-digit
+      // string (hex() is uppercase in both engines; hex-pair order is
+      // monotone in byte value, so the tie-break replays)
+      s"""WITH bsrc AS (
+         |  SELECT text || ' $bpeNonAsciiSuffix' AS text FROM documents),
+         |words AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS w
+         |    FROM bsrc) u
+         |  GROUP BY w),
+         |w0 AS (
+         |  SELECT w, cnt, list_transform(generate_series(1, length(hex(encode(w)))//2),
+         |    i -> substr(hex(encode(w)), CAST(2*i-1 AS INT), 2)) AS s
+         |  FROM words)""".stripMargin
+    else
       """WITH words AS (
         |  SELECT w, count(*) AS cnt FROM (
         |    SELECT unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS w
@@ -3304,6 +3349,18 @@ object SparkEntry {
 
     "q_bpe_encode" ->
       s"""${sqlBpeChain(6)}
+         |SELECT w, CAST(cnt AS BIGINT) AS cnt,
+         |       array_to_string(s, ' ') AS segmented
+         |FROM w6""".stripMargin,
+
+    "q_bpe_merges_bytes" ->
+      s"""${sqlBpeChain(6, byteLevel = true)}
+         |${(1 to 6).map(k =>
+             s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(c AS BIGINT) AS freq FROM b$k")
+             .mkString("\n UNION ALL ")}""".stripMargin,
+
+    "q_bpe_encode_bytes" ->
+      s"""${sqlBpeChain(6, byteLevel = true)}
          |SELECT w, CAST(cnt AS BIGINT) AS cnt,
          |       array_to_string(s, ' ') AS segmented
          |FROM w6""".stripMargin,

@@ -59,6 +59,31 @@ object Bpe {
     when(length(w) === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1))))
 
+  /** BYTE-LEVEL initial symbol array (the GPT-2 contract): one symbol
+    * per UTF-8 BYTE, rendered as its 2-hex-digit string — the same
+    * move as GPT-2's bytes→printable table, with hex as the printable
+    * alphabet because BOTH engines produce it natively (`hex()` is
+    * uppercase in Spark and DuckDB) and hex-pair lexicographic order
+    * is monotone in byte value, so the tie-break agrees byte-for-byte.
+    * Merged symbols concatenate to even-length hex runs; decode with
+    * [[graft.functions.BpeOps]]-side unhex when rendering. No ascii
+    * filter is needed upstream: every UTF-8 string — CJK, accents,
+    * emoji — splits into the same 256-symbol alphabet, which is the
+    * point of byte-level BPE. */
+  def byteSymbols(w: Column): Column = {
+    val h = hex(w)
+    when(length(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), (length(h) / lit(2)).cast("int")),
+        i => h.substr(i * lit(2) - lit(1), lit(2))))
+  }
+
+  /** Initial-alphabet selector shared by the learners and encoders:
+    * code-point symbols (the ASCII oracle contract) or byte-level hex
+    * symbols (the non-ASCII / GPT-2 contract). */
+  private def symbols(w: Column, byteLevel: Boolean): Column =
+    if (byteLevel) byteSymbols(w) else charSymbols(w)
+
   /** Apply an ordered merge list to a symbol-array column (the ENCODE
     * step): k chained greedy passes in one codegen projection. */
   def applyMerges(syms: Column, merges: Seq[Merge]): Column =
@@ -69,10 +94,11 @@ object Bpe {
     * Returns the driver-held merge list (vocabulary-derived metadata —
     * the artifact a tokenizer ships with). Stops early if no pair
     * remains (every word reduced to one symbol). */
-  def learnFromWords(words: DataFrame, numMerges: Int): Seq[Merge] = {
+  def learnFromWords(words: DataFrame, numMerges: Int,
+                     byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var cur = words
-      .select(col("w"), col("cnt"), charSymbols(col("w")).as("s"))
+      .select(col("w"), col("cnt"), symbols(col("w"), byteLevel).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 1
@@ -143,11 +169,12 @@ object Bpe {
     * learner's output every run), at ~batch-size fewer jobs — the
     * 1k-merge measurement is in PLANS.md. */
   def learnFromWordsBatched(words: DataFrame, numMerges: Int,
-                            batchK: Int = 256): Seq[Merge] = {
+                            batchK: Int = 256,
+                            byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     var cur = words
-      .select(col("w"), col("cnt"), charSymbols(col("w")).as("s"))
+      .select(col("w"), col("cnt"), symbols(col("w"), byteLevel).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
@@ -208,8 +235,9 @@ object Bpe {
     * equality, and each q_bpe_* oracle replays the sequential greedy
     * chain against this learner's output every run). */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
-            asciiOnly: Boolean = true): Seq[Merge] =
-    learnFromWordsBatched(wordCounts(docs, textCol, asciiOnly), numMerges)
+            asciiOnly: Boolean = true, byteLevel: Boolean = false): Seq[Merge] =
+    learnFromWordsBatched(wordCounts(docs, textCol, asciiOnly), numMerges,
+      byteLevel = byteLevel)
 
   /** Corpus-level ENCODE via the word cache: each DISTINCT word
     * segments once (k chained codegen merge passes over the
@@ -227,9 +255,11 @@ object Bpe {
     * shuffle join on the word key — the same key the word-count agg
     * already produced. */
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
-                 merges: Seq[Merge], asciiOnly: Boolean = true): DataFrame = {
+                 merges: Seq[Merge], asciiOnly: Boolean = true,
+                 byteLevel: Boolean = false): DataFrame = {
     val vocab = wordCounts(docs, textCol, asciiOnly)
-      .select(col("w"), applyMerges(charSymbols(col("w")), merges).as("__seg"))
+      .select(col("w"),
+        applyMerges(symbols(col("w"), byteLevel), merges).as("__seg"))
     val toks = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as(Seq("__pos", "w")))

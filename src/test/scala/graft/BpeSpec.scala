@@ -122,4 +122,55 @@ class BpeSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(out === Seq("ab", "ab"))
   }
+
+  test("byteSymbols: one hex-pair symbol per UTF-8 byte — ASCII, " +
+    "accents, CJK; empty string -> empty array") {
+    val got = Seq("hi", "café", "日本", "")
+      .toDF("w").select(Bpe.byteSymbols($"w").as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("68", "69"))
+    assert(got(1) == Seq("63", "61", "66", "C3", "A9"))
+    assert(got(2) == Seq("E6", "97", "A5", "E6", "9C", "AC"))
+    assert(got(3) == Seq.empty)
+  }
+
+  test("byte-level == code-point parity on a pure-ASCII corpus: the " +
+    "merge sequences correspond under the hex bijection") {
+    // for ASCII text the byte alphabet IS the char alphabet, mapped
+    // through 2-hex-digit symbols; hex is monotone in byte value, so
+    // pair counts AND the (freq desc, lhs, rhs) tie-break correspond —
+    // the byte path must learn exactly the hex image of the char
+    // path's merges (the DedupSpec byHash-parity pattern)
+    val docs = Seq((1L, "low lower lowest low"), (2L, "new newer newest new"))
+      .toDF("doc_id", "text")
+    val charMerges = Bpe.learn(docs, "text", numMerges = 5)
+    val byteMerges = Bpe.learn(docs, "text", numMerges = 5,
+      asciiOnly = false, byteLevel = true)
+    def hexOf(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    assert(byteMerges.map(m => (m.rank, m.lhs, m.rhs, m.freq)) ==
+      charMerges.map(m => (m.rank, hexOf(m.lhs), hexOf(m.rhs), m.freq)))
+  }
+
+  test("byte-level learn/encode on a non-ASCII corpus: merges carry " +
+    "multi-byte pairs and segmentation reassembles every word's bytes") {
+    val docs = Seq((1L, "café café café naïve"), (2L, "日本 日本語"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", numMerges = 4,
+      asciiOnly = false, byteLevel = true)
+    assert(merges.nonEmpty)
+    // at least one learned symbol spans a multi-byte code point's
+    // bytes (the ascii path cannot represent these at all)
+    assert(merges.exists(m => (m.lhs + m.rhs).matches(".*(C3A9|E697|E69C|E8AA).*")),
+      s"no multi-byte merge in $merges")
+    // segmentation is a partition of the word's byte string: joined
+    // symbols == full hex image, for every vocab word
+    val seg = Bpe.wordCounts(docs, "text", asciiOnly = false)
+      .select($"w", array_join(
+        Bpe.applyMerges(Bpe.byteSymbols($"w"), merges), "").as("joined"))
+      .as[(String, String)].collect()
+    def hexOf(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    seg.foreach { case (w, j) => assert(j == hexOf(w), s"word $w") }
+  }
 }
