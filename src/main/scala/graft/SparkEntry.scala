@@ -1489,7 +1489,15 @@ object SparkEntry {
     // change; the warehouse answer to "what did this dimension look
     // like when the dataset was built"
     "q_scd2_versions" -> ((s, dir) => {
+      // subset-partitioned shape (round-11 adjudication of the 5.2×
+      // row): repartition on the WINDOW key before the (key, date)
+      // aggregation — HashPartitioning on a subset of the grouping
+      // keys satisfies the agg's ClusteredDistribution, so BOTH the
+      // agg and the lead() window reuse the one exchange (plan went
+      // 2 exchanges → 1; measured 0.73 s → 0.45 s at sf0.1)
       val changes = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .repartition(col("o_custkey"))
         .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
         .agg(max(col("o_totalprice")).as("price"))
       Scd2.versionize(changes, Seq("o_custkey"), "d")

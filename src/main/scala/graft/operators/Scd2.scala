@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * [[Dedup.latestWins]]; no self-join. Point-in-time reads compose
   * with [[Temporal.asOfJoinBackward]] (per-event resolution) or
   * [[snapshotAt]] (one fixed time).
+  *
+  * When the change log is built by an upstream aggregation keyed on
+  * (keys..., tsCol), repartition the INPUT on `keys` first:
+  * HashPartitioning on a subset of the grouping keys satisfies the
+  * aggregation's ClusteredDistribution, so the agg AND this window
+  * share one exchange instead of shuffling twice (measured 1.6× on
+  * the q_scd2_versions shape; the exchange moves from partially-
+  * aggregated rows to pruned raw rows, which at 100 TB is the right
+  * trade exactly when the agg's reduction factor is modest — dedupe
+  * first if it is not).
   */
 object Scd2 {
 

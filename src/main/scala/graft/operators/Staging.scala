@@ -126,7 +126,20 @@ object Skew {
     * (anything whose merge is itself an aggregate: count→sum, sum→sum,
     * min→min, max→max, or (sum,count) pairs for averages). `partial`
     * runs per (keys, salt); `merge` combines the partials per key —
-    * column names must line up between the two lists. */
+    * column names must line up between the two lists.
+    *
+    * WHEN THE SALT PAYS (measured, `graft.tools.SkewAggProbe` +
+    * BASELINE.md round-11 adjudication): for NARROW algebraic state
+    * (count/sum/min/max) it never does — Spark's map-side combine is
+    * already a per-input-partition salt, collapsing a hot key to one
+    * 8-byte partial per map task, so the second exchange is pure
+    * premium at any skew. It pays for DISTINCT-STATE / overlap-heavy
+    * merge state (exact distinct via collect_set, set unions): the
+    * deterministic ROW-HASH salt sends duplicate (key, value) rows to
+    * the same salt, so phase 1 dedupes `salts` disjoint slices in
+    * parallel instead of one reducer re-deduping every map task's
+    * overlapping partial set, and phase 2 only concatenates (measured
+    * 1.3-1.6× on a 90%-hot key, growing with hot-reducer state). */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     // Layout-independent salt: hash the whole row rather than rand(),
