@@ -147,6 +147,36 @@ object Classify {
         round(col("__best.logit"), 6).as("logit"))
   }
 
+  /** LANGUAGE-ID TRAINING RECIPE: one-vs-rest [[trainLogReg]] runs
+    * over a (text, lang) corpus — one logistic model per language,
+    * ready for [[langIdArgmax]]. The language set is read from the
+    * data (one distinct on the label column — metadata-sized), models
+    * train in deterministic sorted-language order, and the labeled
+    * corpus is persisted once across all L runs (each run re-scans
+    * the cached projection, not the source).
+    *
+    * At 100 TB this is the realistic fastText-style recipe: training
+    * data is a LABELED SLICE (Wikipedia/Tatoeba-style per-language
+    * corpora), so L × iters jobs over the slice — not the corpus —
+    * then inference over the full corpus is the one [[langIdArgmax]]
+    * scan. Weights are DATA, not code: persist them with the release
+    * (`weightsDf`) and replay inference bit-identically.
+    * ClassifySpec's 24-language case is the accuracy evidence. */
+  def trainLangId(docs: DataFrame, textCol: String, langCol: String,
+                  numBuckets: Int = 4096, iters: Int = 3,
+                  lr: Double = 0.1): Seq[(String, Array[Double])] = {
+    val langs = docs.select(col(langCol).cast("string").as("__l"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(langs.nonEmpty, "trainLangId needs at least one labeled row")
+    val base = docs.select(col(textCol), col(langCol).cast("string").as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try langs.map { lang =>
+      lang -> trainLogReg(
+        base.select(col(textCol), (col("__l") === lang).cast("double").as("__y")),
+        textCol, "__y", numBuckets, iters, lr)
+    } finally { base.unpersist(); () }
+  }
+
   /** Score documents with a hashed unigram+bigram linear model:
     * (id, logit rounded to 6, keep = raw logit > `threshold`). The
     * keep decision compares the UNROUNDED logit, which is
