@@ -51,14 +51,18 @@ object LmScore {
     * (doc, pos) self-join — so the corpus is scanned once for counts
     * and once for scoring. Three count aggregations (unigram, bigram,
     * 1-row total) broadcast back onto the exploded pairs; the final
-    * per-doc mean is one map-combined aggregation. The count-table
-    * joins carry NO broadcast hint (a hint is honored regardless of
-    * size, so on an unbounded bigram table it would OOM the driver
-    * rather than degrade): AQE broadcasts them while they fit and
-    * falls back to shuffle joins on the token keys past that. At
-    * 100 TB the bigram table additionally gets the same minimum-count
-    * UNK floor as the unigram vocab (rare pairs → backoff-only). Only
-    * the 1-row corpus total keeps an explicit broadcast.
+    * per-doc mean is one map-combined aggregation. The count joins
+    * DECORATE the vocab-sized bigram table first (bi ⋈ uni ⋈ uni —
+    * joins among count tables, bounded by |bigram vocab|), and the
+    * corpus-sized pair stream then joins ONCE on (w1, w2) — not three
+    * times as a naive formulation would. None of the joins carries a
+    * broadcast hint (a hint is honored regardless of size, so on an
+    * unbounded bigram table it would OOM the driver rather than
+    * degrade): AQE broadcasts them while they fit and falls back to
+    * shuffle joins on the token keys past that. At 100 TB the bigram
+    * table additionally gets the same minimum-count UNK floor as the
+    * unigram vocab (rare pairs → backoff-only). Only the 1-row corpus
+    * total keeps an explicit broadcast.
     *
     * lambda defaults to 0.75 — an exact dyadic rational, so the
     * interpolation arithmetic replays bitwise in the SQL oracle.
@@ -76,13 +80,14 @@ object LmScore {
       .select(col(idCol), explode(arrays_zip(col("a"), col("b"))).as("p"))
       .select(col(idCol), col("p.a").as("w1"), col("p.b").as("w2"))
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val p = lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
-      lit(1.0 - lambda) * (col("c2").cast("double") / col("n").cast("double"))
-    pairs
-      .join(bi, Seq("w1", "w2"))
+    val decorated = bi
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(total))
+    val p = lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+      lit(1.0 - lambda) * (col("c2").cast("double") / col("n").cast("double"))
+    pairs
+      .join(decorated, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(round(avg(-log(p)), 4).as("nll2"))
   }
