@@ -1739,6 +1739,15 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("url", pslUrl),
         "doc_id", "url", graft.functions.Psl.subset)),
 
+    // §2b-62b: URL canonicalization — the URL-dedup key: fragment
+    // and tracking params dropped, scheme/authority lowercased,
+    // default ports stripped, remaining params sorted, trailing
+    // slashes removed; URLs synthesized so every rule fires
+    "q_url_canon" -> ((s, dir) =>
+      t(s, dir, "documents").withColumn("url", messyUrl)
+        .select(col("doc_id"), col("url"),
+          operators.WebClean.canonicalizeUrl(col("url")).as("canon"))),
+
     // §2b-25g2: interpolated-bigram LM scoring — one order up from
     // q_lm_score's unigram CCNet proxy; bigrams via slice+zip (narrow,
     // no (doc,pos) self-join), counts broadcast back
@@ -1862,6 +1871,25 @@ object SparkEntry {
       .otherwise(lit(".com")),
     when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
     lit("/p/"), col("doc_id").cast("string"), lit("?ref=rss#top"))
+
+  /** Deterministic MESSY synthetic URL per document — shared shape
+    * between q_url_canon's Spark side and its oracle: mixed-case
+    * scheme/host, default and non-default ports on both schemes,
+    * unsorted + tracking query params, trailing slash, fragment. */
+  private def messyUrl: Column = concat(
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://"))
+      .otherwise(lit("http://")),
+    lit("WWW.Example"), pmod(col("doc_id"), lit(5)).cast("string"),
+    lit(".COM"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit(":443"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit(":80"))
+      .otherwise(lit("")),
+    lit("/Path/To/Item"),
+    when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+    lit("?b=2&utm_source=feed&a=1"),
+    when(pmod(col("doc_id"), lit(7)) === 0, lit("&ref=home&z=9"))
+      .otherwise(lit("")),
+    lit("#frag"), col("doc_id").cast("string"))
 
   /** Deterministic PSL-hard synthetic URL per document — shared shape
     * between q_url_parse2's Spark side and its DuckDB oracle. The
@@ -4639,6 +4667,52 @@ object SparkEntry {
         |    THEN regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+\.[a-z0-9-]+)$', 1)
         |    ELSE regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) END AS site
         |FROM hh""".stripMargin,
+
+    // URL canonicalization: identical regex/array chain — fragment
+    // strip, scheme/authority lowercase, default-port strip, tracking
+    // params filtered via the same pattern, list_sort == array_sort
+    // (binary collation both engines), trailing-slash strip
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+        |    'WWW.Example' || (doc_id % 5) || '.COM' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ':443'
+        |         WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END ||
+        |    '/Path/To/Item' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |    '?b=2&utm_source=feed&a=1' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '&ref=home&z=9' ELSE '' END ||
+        |    '#frag' || doc_id AS url
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM u),
+        |s2 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(nofrag, '\?.*$', '') AS base,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS q
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, url, base, q,
+        |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(lower(pre),
+        |      '^(http://[^/?#:]*):80$', '\1'),
+        |      '^(https://[^/?#:]*):443$', '\1') AS pre_lc,
+        |    regexp_replace(substr(base, length(pre) + 1), '/+$', '') AS rest,
+        |    list_sort(list_filter(string_split(q, '&'), p ->
+        |      NOT regexp_matches(p, '^(utm_[a-z0-9]*|gclid|fbclid|msclkid|ref)=')
+        |      AND p <> '')) AS params
+        |  FROM s3)
+        |SELECT doc_id, url,
+        |  pre_lc || rest ||
+        |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+        |       ELSE '' END AS canon
+        |FROM s4""".stripMargin,
 
     // PSL parse: the same host chain, then the published
     // public-suffix algorithm replayed relationally — candidate

@@ -99,6 +99,42 @@ object WebClean {
     df.select(col(idCol), host.as("host"), urlSite(host).as("site"))
   }
 
+  /** URL canonicalization — the URL-DEDUP KEY step of a crawl
+    * pipeline (Common-Crawl-style corpora carry the same page under
+    * fragment/tracking-param/case/port variants; URL-level dedup
+    * before fetch or before content dedup keys on this form):
+    *
+    *  1. fragment dropped (`#…` never reaches the server);
+    *  2. scheme + authority lowercased (path case is preserved —
+    *     paths are case-sensitive);
+    *  3. default ports stripped (`http://…:80`, `https://…:443`);
+    *  4. tracking parameters dropped (utm_*, gclid, fbclid, msclkid,
+    *     ref) and the REMAINING query params sorted — param order is
+    *     not semantic, so `?a=1&b=2` and `?b=2&a=1` must collide;
+    *  5. trailing slashes stripped from the path (`/a/` == `/a`,
+    *     root `/` == no path).
+    *
+    * One zero-shuffle projection of RE2-safe regex/array built-ins;
+    * the array lambda steps (filter/sort over the split param list)
+    * replay as DuckDB list_filter/list_sort. Compose with
+    * `sha2(canon, 256)` + [[Dedup]] for URL-level dedup. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val pre = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = substr(base, length(pre) + lit(1), length(base))
+    val preLc = regexp_replace(
+      regexp_replace(lower(pre), "^(http://[^/?#:]*):80$", "$1"),
+      "^(https://[^/?#:]*):443$", "$1")
+    val restClean = regexp_replace(rest, "/+$", "")
+    val params = array_sort(filter(split(query, "&"), p =>
+      !(p.rlike("^(utm_[a-z0-9]*|gclid|fbclid|msclkid|ref)=") || p === "")))
+    val q = array_join(params, "&")
+    concat(preLc, restClean,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
   /** [[parseUrls]] with REAL Public Suffix List semantics
     * (publicsuffix.org rules: multi-label suffixes, `*.` wildcards,
     * `!` exceptions, private-section entries) — the upgrade every

@@ -97,6 +97,33 @@ class WebCleanSpec extends AnyFunSuite {
     assert(row.getString(2) == "example.co.uk")
   }
 
+  test("canonicalizeUrl: fragment/tracking dropped, case/port/slash " +
+    "normalized, params sorted — variants collide on one key") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/Path/To/Item/?b=2&utm_source=x&a=1#top",
+        "https://www.example.com/Path/To/Item?a=1&b=2"),
+      ("https://www.example.com/Path/To/Item?a=1&b=2",
+        "https://www.example.com/Path/To/Item?a=1&b=2"),
+      ("http://Host.net:80/", "http://host.net"),
+      ("http://host.net:8080/x", "http://host.net:8080/x"), // non-default port kept
+      ("https://host.net:80/x", "https://host.net:80/x"),   // 80 not default for https
+      ("https://h.io/p?ref=rss&gclid=abc&fbclid=z", "https://h.io/p"),
+      ("https://h.io/CaseSensitive/Path", "https://h.io/CaseSensitive/Path"))
+    val got = cases.toDF("u", "want")
+      .select(WebClean.canonicalizeUrl($"u").as("got"), $"want").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)} want ${r.getString(1)}"))
+    // the point: all tracking/case/port/order variants of one page
+    // collapse to ONE dedup key
+    val variants = Seq(
+      "https://shop.example.com/item?color=red&size=m",
+      "HTTPS://shop.example.com:443/item/?size=m&color=red#reviews",
+      "https://Shop.Example.Com/item?utm_campaign=q3&color=red&size=m")
+    val keys = variants.toDF("u")
+      .select(WebClean.canonicalizeUrl($"u").as("c")).as[String].collect()
+    assert(keys.distinct.length == 1, keys.mkString(" | "))
+  }
+
   test("Psl.parse reads the standard format: comments, sections, " +
     "wildcards, exceptions; bundled subset loads") {
     val psl = graft.functions.Psl.parse(Iterator(
