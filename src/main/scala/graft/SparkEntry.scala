@@ -1810,6 +1810,18 @@ object SparkEntry {
         m = 4, ksub = 8, iters = 1)
     }),
 
+    // §2b-66 residual: FAISS's by_residual default — codebooks train
+    // on (v − centroid[cell]) so the code budget describes within-cell
+    // structure; scoring adds the exact per-(query, cell) centroid dot
+    "q_ann_ivfpq2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.ivfPqTopKResidual(emb, queries, k = 3, nlist = 16,
+        nprobe = 6, m = 4, ksub = 8, iters = 1)
+    }),
+
     // §2b-67: weighted sampling without replacement (Efraimidis-
     // Spirakis exponential clocks) — 25 docs per source with inclusion
     // probability ∝ n_chars, deterministic via the content-hash
@@ -4930,6 +4942,83 @@ object SparkEntry {
          |  FROM cand cd JOIN pcodes c ON cd.vec_id = c.vec_id
          |  JOIN lut l ON c.s = l.s AND c.j = l.j AND l.query_id = cd.query_id
          |  GROUP BY cd.query_id, cd.vec_id),
+         |ranked AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // residual IVFPQ: the q_ann_ivfpq chain with the PQ half moved to
+    // residual space — the reference point is the CELL MEAN (cmv; the
+    // cosine quantizer's centroids are normalized, so the mean is the
+    // L2 center that shrinks within-cell variance), res = v − mean,
+    // codebooks/codes from residual sub-vectors, LUTs from RAW query
+    // sub-vectors, and the exact per-(query, probed cell) mean dot
+    // added LAST (lut-sum + cdot, the engine's addition order)
+    "q_ann_ivfpq2" ->
+      s"""WITH $sqlIvfCentroidsCte,
+         |pr AS (
+         |  SELECT e.vec_id AS query_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, cell FROM pr WHERE rn <= 6),
+         |av AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM av WHERE rn = 1),
+         |cm AS (
+         |  SELECT i.cell, r.d, avg(e.v[r.d+1]) AS m
+         |  FROM idx i JOIN ev e USING (vec_id), range(0,64) r(d)
+         |  GROUP BY i.cell, r.d),
+         |cmv AS (SELECT cell, list(m ORDER BY d) AS mv FROM cm GROUP BY cell),
+         |res AS (
+         |  SELECT e.vec_id, list_transform(range(1,65), d -> e.v[d] - mm.mv[d]) AS v
+         |  FROM ev e JOIN idx i USING (vec_id) JOIN cmv mm ON i.cell = mm.cell),
+         |pinit AS (SELECT o.cell AS j, r.v FROM ordered o JOIN res r USING (vec_id)
+         |          WHERE o.cell < 8),
+         |grid AS (SELECT CAST(s AS INT) AS s FROM range(0,4) r(s)),
+         |pb0 AS (SELECT g.s, i.j, list_transform(range(1,17), d -> i.v[g.s*16 + d]) AS cv
+         |       FROM pinit i, grid g),
+         |subr AS (SELECT r.vec_id, g.s, list_transform(range(1,17), d -> r.v[g.s*16 + d]) AS sv
+         |        FROM res r, grid g),
+         |subq AS (SELECT e.vec_id, g.s, list_transform(range(1,17), d -> e.v[g.s*16 + d]) AS sv
+         |        FROM ev e, grid g WHERE e.vec_id < 5),
+         |pd0 AS (SELECT u.vec_id, u.s, b.j,
+         |    list_sum(list_transform(range(1,17), i -> (u.sv[i]-b.cv[i])*(u.sv[i]-b.cv[i]))) AS dist
+         |  FROM subr u JOIN pb0 b ON u.s = b.s),
+         |pa0 AS (SELECT vec_id, s, j,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM pd0),
+         |pasg0 AS (SELECT vec_id, s, j FROM pa0 WHERE rn = 1),
+         |pm0 AS (SELECT a.s, a.j, r.d, avg(u.sv[r.d]) AS mval
+         |  FROM pasg0 a JOIN subr u ON a.vec_id = u.vec_id AND a.s = u.s, range(1,17) r(d)
+         |  GROUP BY a.s, a.j, r.d),
+         |pb1 AS (SELECT b.s, b.j, list(coalesce(m.mval, b.cv[r.d]) ORDER BY r.d) AS cv
+         |  FROM pb0 b CROSS JOIN range(1,17) r(d)
+         |  LEFT JOIN pm0 m ON m.s = b.s AND m.j = b.j AND m.d = r.d
+         |  GROUP BY b.s, b.j),
+         |pd1 AS (SELECT u.vec_id, u.s, b.j,
+         |    list_sum(list_transform(range(1,17), i -> (u.sv[i]-b.cv[i])*(u.sv[i]-b.cv[i]))) AS dist
+         |  FROM subr u JOIN pb1 b ON u.s = b.s),
+         |pa1 AS (SELECT vec_id, s, j,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM pd1),
+         |pcodes AS (SELECT vec_id, s, j FROM pa1 WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, b.s, b.j, list_inner_product(q.sv, b.cv) AS ip
+         |  FROM subq q JOIN pb1 b ON q.s = b.s),
+         |cdot AS (
+         |  SELECT p.query_id, p.cell, list_inner_product(qe.v, mm.mv) AS cd
+         |  FROM probes p JOIN ev qe ON p.query_id = qe.vec_id
+         |  JOIN cmv mm ON p.cell = mm.cell),
+         |cand AS (
+         |  SELECT p.query_id, p.cell, i.vec_id
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  WHERE i.vec_id <> p.query_id),
+         |sc AS (SELECT cd0.query_id, cd0.vec_id,
+         |    list_sum(list(l.ip ORDER BY l.s)) + any_value(cj.cd) AS score
+         |  FROM cand cd0 JOIN pcodes c ON cd0.vec_id = c.vec_id
+         |  JOIN lut l ON c.s = l.s AND c.j = l.j AND l.query_id = cd0.query_id
+         |  JOIN cdot cj ON cj.query_id = cd0.query_id AND cj.cell = cd0.cell
+         |  GROUP BY cd0.query_id, cd0.vec_id),
          |ranked AS (SELECT query_id, vec_id AS neighbor_id, score,
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
          |  FROM sc)

@@ -930,6 +930,90 @@ object Similarity {
     ivfPqProbe(indexed, cents, books, queries, k, nprobe, idCol, qidCol, qvecCol)
   }
 
+  /** RESIDUAL-encoded IVFPQ top-k — FAISS's `by_residual` default and
+    * the accuracy upgrade over [[ivfPqTopK]]'s raw encoding when cells
+    * are tight: PQ codebooks train on (v − mean[cell]) residuals,
+    * whose variance is what remains AFTER the coarse partitioning — so
+    * the same m×ksub code budget spends its resolution on the
+    * within-cell structure instead of re-describing the cell
+    * location. The reference point is the CELL MEAN ([[cellMeans]]),
+    * not the quantizer centroid: the shipped quantizer is angular
+    * (normalized centroids), so subtracting its unit centroids would
+    * leave residuals nearly as large as the vectors — the mean is the
+    * L2 center that actually shrinks them (spec-measured: ≥2× tighter
+    * reconstruction on clustered data). Scoring adds the exact
+    * per-(query, probed-cell) term: dot(q, v) ≈ dot(q, mean_cell) +
+    * Σ_s lut_s[code_s] with LUTs built from the residual codebooks;
+    * the cell term costs one inner product per PROBE ROW (nq × nprobe
+    * — metadata-sized), evaluated in the probe frame.
+    *
+    * The trade vs raw encoding: the codebook now depends on the cell
+    * structure, so a quantizer rebuild invalidates the codes (raw
+    * encoding survives it), and delta appends must residual-encode
+    * under the frozen centroids. Same plan shape as [[ivfPqTopK]];
+    * deterministic (shared mix64 sample), SQL-replayable. */
+  def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+                        nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                        ksub: Int = 8, iters: Int = 1,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        qidCol: String = "query_id",
+                        qvecCol: String = "query_vec"): DataFrame = {
+    val cents = trainQuantizer(corpus, nlist, iters, idCol, vecCol)
+    val means = cellMeans(corpus, cents, idCol, vecCol)
+    val res = ivfResiduals(corpus, cents, means, idCol, vecCol)
+    val books = trainPq(res.select(col(idCol), col("rv")), m, ksub, iters,
+      idCol, "rv")
+    val indexed = res.select(col(idCol),
+      graft.plans.VecExpressions.pqEncode(col("rv"), books).as("codes"),
+      col("cell"))
+    ivfPqProbe(indexed, cents, books, queries, k, nprobe,
+      idCol, qidCol, qvecCol, cellDotRefs = Some(means))
+  }
+
+  /** Per-cell MEAN vectors under the cosine quantizer's assignment —
+    * the residual REFERENCE points. The shipped quantizer's centroids
+    * are normalized (angular cells), so subtracting them would leave
+    * residuals nearly as large as the vectors; the cell mean is the
+    * L2 center that actually shrinks within-cell variance (what
+    * FAISS's by_residual subtracts). One posexplode aggregation;
+    * nlist×dim doubles reach the driver (the IVF-header pattern).
+    * Empty cells keep zero vectors (they host no vectors, so their
+    * reference is never read). */
+  def cellMeans(corpus: DataFrame, cents: Array[Array[Double]],
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Array[Array[Double]] = {
+    import graft.plans.VecExpressions.nearestCell
+    val dim = cents(0).length
+    val rows = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .select(nearestCell(col("v"), cents).as("cell"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+      .collect()
+    val out = Array.fill(cents.length)(new Array[Double](dim))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** (id, cell, rv = v − refs[cell]) — the residual frame both the
+    * codebook training and the encode read (assignment by `cents`,
+    * reference point from `refs` = [[cellMeans]]); public because a
+    * delta APPEND under a frozen (cents, refs, books) triple
+    * re-encodes through exactly this projection. zip_with/element_at
+    * built-ins, so the DuckDB oracle replays it as list arithmetic. */
+  def ivfResiduals(corpus: DataFrame, cents: Array[Array[Double]],
+                   refs: Array[Array[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VecExpressions.nearestCell
+    val refsLit = array(refs.map(c => array(c.map(lit): _*)): _*)
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+      .select(col(idCol), col("cell"),
+        zip_with(col("v"), element_at(refsLit, col("cell") + 1),
+          (a, b) => a - b).as("rv"))
+  }
+
   /** One codegen projection: cell assignment + PQ encode. */
   private def ivfPqEncode(corpus: DataFrame, cents: Array[Array[Double]],
                           books: Array[Array[Array[Double]]],
@@ -948,8 +1032,9 @@ object Similarity {
   private def ivfPqProbe(indexed: DataFrame, cents: Array[Array[Double]],
                          books: Array[Array[Array[Double]]],
                          queries: DataFrame, k: Int, nprobe: Int,
-                         idCol: String, qidCol: String,
-                         qvecCol: String): DataFrame = {
+                         idCol: String, qidCol: String, qvecCol: String,
+                         cellDotRefs: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     import graft.plans.VecExpressions.nearestCells
     val spark = indexed.sparkSession
     import spark.implicits._
@@ -970,15 +1055,33 @@ object Similarity {
       }
     }
     val qIdx = qRows.map(_._1).zipWithIndex.toSeq.toDF(qidCol, "__qi")
-    val probes = queries
+    val probes0 = queries
       .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
       .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
       .join(qIdx, qidCol)
-      .select(col(qidCol), col("__qi"), col("cell"))
+    // residual scoring: the exact dot(q, refs[cell]) rides on the
+    // probe rows (nq × nprobe of them — metadata-sized); sequential
+    // left-fold matches the driver LUT loop and list_inner_product
+    val probes = cellDotRefs match {
+      case Some(refs) =>
+        val refsLit = array(refs.map(c => array(c.map(lit): _*)): _*)
+        probes0
+          .withColumn("__cdot", aggregate(
+            zip_with(col("qv"), element_at(refsLit, col("cell") + 1),
+              (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x))
+          .select(col(qidCol), col("__qi"), col("cell"), col("__cdot"))
+      case None =>
+        probes0.select(col(qidCol), col("__qi"), col("cell"),
+          lit(0.0).as("__cdot"))
+    }
+    val lutScore = graft.plans.VecExpressions.pqLutScore(
+      col("codes"), col("__qi"), luts)
+    val scoreCol =
+      if (cellDotRefs.isDefined) lutScore + col("__cdot") else lutScore
     indexed.join(broadcast(probes), Seq("cell"))
       .filter(col(idCol) =!= col(qidCol))
-      .withColumn("score", graft.plans.VecExpressions.pqLutScore(
-        col("codes"), col("__qi"), luts))
+      .withColumn("score", scoreCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))))
       .filter(col("rank") <= k)
