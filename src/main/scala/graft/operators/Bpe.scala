@@ -278,4 +278,23 @@ object Bpe {
     import spark.implicits._
     merges.toDF("rank", "lhs", "rhs", "freq")
   }
+
+  /** Persist the learned merge list — THE tokenizer artifact a
+    * training run ships with (the merges.txt of a real BPE tokenizer,
+    * as parquet so it lives next to the corpus release and any
+    * engine can read it). One tiny file; rank order restores the
+    * greedy application order exactly. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit =
+    mergesDf(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge list; [[applyMerges]]/[[encodeDocs]] on
+    * the loaded artifact segment exactly as the learning run did
+    * (round-trip spec-pinned). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] =
+    spark.read.parquet(path).select("rank", "lhs", "rhs", "freq")
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
 }

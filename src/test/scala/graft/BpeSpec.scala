@@ -123,6 +123,23 @@ class BpeSpec extends AnyFunSuite {
     assert(out === Seq("ab", "ab"))
   }
 
+  test("merge-list artifact round-trip: save/load restores the exact " +
+    "sequence and the loaded artifact encodes identically") {
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "newest newer new"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bpeart").toString + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded == merges)
+    val direct = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val viaArtifact = Bpe.encodeDocs(docs, "doc_id", "text", loaded)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaArtifact == direct)
+  }
+
   test("byteSymbols: one hex-pair symbol per UTF-8 byte — ASCII, " +
     "accents, CJK; empty string -> empty array") {
     val got = Seq("hi", "café", "日本", "")

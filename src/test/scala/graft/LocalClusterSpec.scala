@@ -42,12 +42,16 @@ class LocalClusterSpec extends AnyFunSuite {
     *  - shingle/minhash codegen kernels        → q_minhash_pairs
     *  - hyperplane-LSH matrix (auto depth)     → q_embed_neardup_auto
     *  - splitmix cut kernel (FIM)              → q_fim_transform
+    *  - PSL rule-set reference object          → q_url_parse2
+    *  - residual IVFPQ (means + codebooks + per-probe-cell dots)
+    *                                           → q_ann_ivfpq2
     */
   private val names = Seq(
     "q_classifier_score", "q_lang_id2", "q_ann_ivf", "q_pq_topk",
     "q_decontaminate_bloom", "q_hll_card", "q_cms_counts",
     "q_hist_quantiles", "q_bpe_encode", "q_minhash_pairs",
-    "q_embed_neardup_auto", "q_fim_transform")
+    "q_embed_neardup_auto", "q_fim_transform", "q_url_parse2",
+    "q_ann_ivfpq2")
 
   private def builder(master: String) = SparkSession.builder()
     .master(master)
