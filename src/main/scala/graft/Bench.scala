@@ -153,7 +153,11 @@ object Bench {
     val groupedTotal = groupedRuns.min
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val cs = cpuSec.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Double.toString, not f"%.3f": the f-interpolator is
+    // default-locale-sensitive and would emit comma decimal
+    // separators (invalid JSON) under e.g. de_DE
+    val cs = cpuSec.map { case (k, v) =>
+      "\"" + k + "\":" + (math.rint(v * 1000) / 1000).toString }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ces = counterExamples.toSeq.sorted

@@ -1891,6 +1891,8 @@ object SparkEntry {
   private def messyUrl: Column = concat(
     when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://"))
       .otherwise(lit("http://")),
+    when(pmod(col("doc_id"), lit(11)) === 0, lit("User:PW@"))
+      .otherwise(lit("")),
     lit("WWW.Example"), pmod(col("doc_id"), lit(5)).cast("string"),
     lit(".COM"),
     when(pmod(col("doc_id"), lit(3)) === 0, lit(":443"))
@@ -4688,6 +4690,7 @@ object SparkEntry {
       """WITH u AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'User:PW@' ELSE '' END ||
         |    'WWW.Example' || (doc_id % 5) || '.COM' ||
         |    CASE WHEN doc_id % 3 = 0 THEN ':443'
         |         WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END ||
@@ -4710,16 +4713,23 @@ object SparkEntry {
         |  SELECT doc_id, url, base, q,
         |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre
         |  FROM s2),
+        |s3b AS (
+        |  SELECT doc_id, url, base, q, pre,
+        |    lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/@]*@)', 1) AS userinfo,
+        |    lower(regexp_extract(pre, '://(?:[^/@]*@)?([^/?#]*)$', 1)) AS hostport
+        |  FROM s3),
         |s4 AS (
         |  SELECT doc_id, url,
-        |    regexp_replace(regexp_replace(lower(pre),
-        |      '^(http://[^/?#:]*):80$', '\1'),
-        |      '^(https://[^/?#:]*):443$', '\1') AS pre_lc,
+        |    scheme || '://' || userinfo ||
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END AS pre_lc,
         |    regexp_replace(substr(base, length(pre) + 1), '/+$', '') AS rest,
         |    list_sort(list_filter(string_split(q, '&'), p ->
         |      NOT regexp_matches(p, '^(utm_[a-z0-9]*|gclid|fbclid|msclkid|ref)=')
         |      AND p <> '')) AS params
-        |  FROM s3)
+        |  FROM s3b)
         |SELECT doc_id, url,
         |  pre_lc || rest ||
         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
@@ -4753,10 +4763,10 @@ object SparkEntry {
          |    '/p/' || doc_id || '?ref=rss#top' AS url
          |  FROM documents),
          |hh AS (
-         |  SELECT doc_id, regexp_replace(
+         |  SELECT doc_id, regexp_replace(regexp_replace(
          |    regexp_extract(lower(url),
          |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([a-z0-9.-]+)', 1),
-         |    '^www\\.', '') AS host
+         |    '^www\\.', ''), '\\.+$', '') AS host
          |  FROM u),
          |$sqlPslRules,
          |labs AS (SELECT doc_id, host, string_split(host, '.') AS L FROM hh),

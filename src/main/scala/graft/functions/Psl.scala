@@ -55,14 +55,6 @@ final class Psl(val normal: Set[String], val wildcardBases: Set[String],
   /** Kernel entry point (UTF8String in, int out — see
     * [[graft.plans.PslSuffixLabels]]). */
   def suffixLabels(host: UTF8String): Int = suffixLabelCount(host.toString)
-
-  /** The rules flattened back to PSL lines (deterministic order) —
-    * what the DuckDB oracle embeds so both engines provably match on
-    * the same rule set. */
-  def ruleLines: Seq[String] =
-    normal.toSeq.sorted.map(identity) ++
-      wildcardBases.toSeq.sorted.map("*." + _) ++
-      exceptions.toSeq.sorted.map("!" + _)
 }
 
 object Psl {

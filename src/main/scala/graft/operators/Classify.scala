@@ -165,10 +165,15 @@ object Classify {
   def trainLangId(docs: DataFrame, textCol: String, langCol: String,
                   numBuckets: Int = 4096, iters: Int = 3,
                   lr: Double = 0.1): Seq[(String, Array[Double])] = {
-    val langs = docs.select(col(langCol).cast("string").as("__l"))
+    // null labels are routine in real labeled slices: they can't name
+    // a model, and training against them as "rest" rows would be
+    // silent label noise — drop them up front
+    val labeled = docs.filter(col(langCol).isNotNull)
+    val langs = labeled.select(col(langCol).cast("string").as("__l"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     require(langs.nonEmpty, "trainLangId needs at least one labeled row")
-    val base = docs.select(col(textCol), col(langCol).cast("string").as("__l"))
+    val base = labeled
+      .select(col(textCol), col(langCol).cast("string").as("__l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try langs.map { lang =>
       lang -> trainLogReg(

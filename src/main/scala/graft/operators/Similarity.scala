@@ -830,26 +830,9 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding",
              qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val books = trainPq(corpus, m, ksub, iters, idCol, vecCol)
-    val dsub = books(0)(0).length
     val codes = pqEncodeCorpus(corpus, books, idCol, vecCol)
-    val qRows = queries
-      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val luts: Array[Array[Array[Double]]] = qRows.map { case (_, qv) =>
-      Array.tabulate(m) { s =>
-        books(s).map { cb =>
-          var ip = 0.0; var d = 0
-          while (d < dsub) { ip += qv(s * dsub + d) * cb(d); d += 1 }
-          ip
-        }
-      }
-    }
-    val qIdx = qRows.map(_._1).zipWithIndex.toSeq.toDF(qidCol, "__qi")
+    val (luts, qIdx) = buildQueryLuts(queries, books, qidCol, qvecCol)
     codes.join(broadcast(qIdx), col(idCol) =!= col(qidCol))
       .withColumn("score", graft.plans.VecExpressions.pqLutScore(
         col("codes"), col("__qi"), luts))
@@ -1024,19 +1007,17 @@ object Similarity {
         nearestCell(col("v"), cents).as("cell"))
   }
 
-  /** Shared probe half of the inline and indexed IVFPQ paths: LUTs
-    * precompute driver-side per query ([[pqTopK]]'s batch state),
-    * probes broadcast onto the cell key, ADC scores the codes, one
-    * rank window cuts top-k. Cells PARTITION the corpus, so a
-    * (query, vector) candidate appears at most once — no dedup. */
-  private def ivfPqProbe(indexed: DataFrame, cents: Array[Array[Double]],
-                         books: Array[Array[Array[Double]]],
-                         queries: DataFrame, k: Int, nprobe: Int,
-                         idCol: String, qidCol: String, qvecCol: String,
-                         cellDotRefs: Option[Array[Array[Double]]] = None)
-      : DataFrame = {
-    import graft.plans.VecExpressions.nearestCells
-    val spark = indexed.sparkSession
+  /** Driver-side per-query ADC state shared by [[pqTopK]] and the
+    * IVFPQ probe paths: queries collected id-SORTED (the LUT index is
+    * positional), the per-query m×ksub inner-product LUT stack, and
+    * the (qid → LUT index) frame. One definition so the LUT math and
+    * tie order cannot drift between the pure-ADC and IVFPQ paths
+    * (their nprobe=nlist equality is spec-pinned). */
+  private def buildQueryLuts(queries: DataFrame,
+                             books: Array[Array[Array[Double]]],
+                             qidCol: String, qvecCol: String)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val m = books.length
     val dsub = books(0)(0).length
@@ -1054,7 +1035,22 @@ object Similarity {
         }
       }
     }
-    val qIdx = qRows.map(_._1).zipWithIndex.toSeq.toDF(qidCol, "__qi")
+    (luts, qRows.map(_._1).zipWithIndex.toSeq.toDF(qidCol, "__qi"))
+  }
+
+  /** Shared probe half of the inline and indexed IVFPQ paths: LUTs
+    * precompute driver-side per query ([[pqTopK]]'s batch state),
+    * probes broadcast onto the cell key, ADC scores the codes, one
+    * rank window cuts top-k. Cells PARTITION the corpus, so a
+    * (query, vector) candidate appears at most once — no dedup. */
+  private def ivfPqProbe(indexed: DataFrame, cents: Array[Array[Double]],
+                         books: Array[Array[Array[Double]]],
+                         queries: DataFrame, k: Int, nprobe: Int,
+                         idCol: String, qidCol: String, qvecCol: String,
+                         cellDotRefs: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    import graft.plans.VecExpressions.nearestCells
+    val (luts, qIdx) = buildQueryLuts(queries, books, qidCol, qvecCol)
     val probes0 = queries
       .select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
       .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))

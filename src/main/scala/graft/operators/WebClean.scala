@@ -105,8 +105,8 @@ object WebClean {
     * before fetch or before content dedup keys on this form):
     *
     *  1. fragment dropped (`#…` never reaches the server);
-    *  2. scheme + authority lowercased (path case is preserved —
-    *     paths are case-sensitive);
+    *  2. scheme + host:port lowercased (path case AND RFC-3986
+    *     userinfo case are preserved — both are case-sensitive);
     *  3. default ports stripped (`http://…:80`, `https://…:443`);
     *  4. tracking parameters dropped (utm_*, gclid, fbclid, msclkid,
     *     ref) and the REMAINING query params sorted — param order is
@@ -124,9 +124,18 @@ object WebClean {
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     val pre = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val rest = substr(base, length(pre) + lit(1), length(base))
-    val preLc = regexp_replace(
-      regexp_replace(lower(pre), "^(http://[^/?#:]*):80$", "$1"),
-      "^(https://[^/?#:]*):443$", "$1")
+    // lowercase ONLY scheme and host:port — RFC 3986 userinfo is
+    // case-sensitive and must pass through untouched (it also may
+    // contain ':', which is why the default-port strip anchors on the
+    // host:port segment, not on the whole authority)
+    val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val userinfo = regexp_extract(pre, "^[A-Za-z][A-Za-z0-9+.-]*://([^/@]*@)", 1)
+    val hostPort = lower(regexp_extract(pre, "://(?:[^/@]*@)?([^/?#]*)$", 1))
+    val hostPortNoDefault =
+      when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort)
+    val preLc = concat(scheme, lit("://"), userinfo, hostPortNoDefault)
     val restClean = regexp_replace(rest, "/+$", "")
     val params = array_sort(filter(split(query, "&"), p =>
       !(p.rlike("^(utm_[a-z0-9]*|gclid|fbclid|msclkid|ref)=") || p === "")))
@@ -152,7 +161,11 @@ object WebClean {
     * and both are NULL when nothing URL-shaped matched. */
   def parseUrlsPsl(df: DataFrame, idCol: String, urlCol: String,
                    psl: graft.functions.Psl): DataFrame = {
-    val host = urlHost(col(urlCol))
+    // trailing root dots stripped (FQDN form "example.com." == the
+    // canonical "example.com"): the kernel's label split drops
+    // trailing empties, so the derivation's split must see the same
+    // label count or site/suffix would mis-slice
+    val host = regexp_replace(urlHost(col(urlCol)), "\\.+$", "")
     df.select(col(idCol), host.as("host"))
       .withColumn("__labs", split(col("host"), "\\."))
       .withColumn("__n", size(col("__labs")))

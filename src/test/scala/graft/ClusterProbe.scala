@@ -22,29 +22,39 @@ object ClusterProbe {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
-  def clusterSession(): SparkSession = {
-    // the Worker resolves the executor launch script tree from
+  /** The executor-launch wiring local-cluster mode needs in this
+    * environment — ONE definition shared by the probe and
+    * LocalClusterSpec, so the suite that depends on the wiring cannot
+    * drift from the probe that debugs it:
+    *  - executors are fresh JVMs and need the application classes
+    *    (this build's main + test output dirs ride the test classpath);
+    *  - the JDK-17 module opens spark-submit normally injects;
+    *  - the Worker-side command builder resolves $SPARK_HOME/jars only
+    *    once it knows the Scala version, which a normal spark-submit
+    *    gets from load-spark-env.sh — injected via executorEnv. */
+  def clusterConfigs: Map[String, String] = {
+    // the Worker resolves the executor launch tree from
     // spark.test.home (falling back to env SPARK_HOME)
     System.setProperty("spark.test.home", "/opt/spark")
-    SparkSession.builder()
-      .master("local-cluster[2,2,2048]")
-      .appName("graft-local-cluster")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // executors are fresh JVMs: they need the application classes
-      // (this build's main + test output dirs ride the test classpath)
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.executor.extraJavaOptions", jdk17AddOpens)
-      // the Worker-side command builder resolves the Spark jars dir as
-      // $SPARK_HOME/jars only once it knows the Scala version, which a
-      // normal spark-submit gets from load-spark-env.sh; injected here
-      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
-      .config("spark.executor.memory", "1024m")
-      .getOrCreate()
+    Map(
+      "spark.executor.extraClassPath" -> sys.props("java.class.path"),
+      "spark.executor.extraJavaOptions" -> jdk17AddOpens,
+      "spark.executorEnv.SPARK_SCALA_VERSION" -> "2.13",
+      "spark.executor.memory" -> "1024m")
   }
+
+  def clusterSession(): SparkSession =
+    clusterConfigs.foldLeft(
+      SparkSession.builder()
+        .master("local-cluster[2,2,2048]")
+        .appName("graft-local-cluster")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
 
   def main(args: Array[String]): Unit = {
     val spark = clusterSession()

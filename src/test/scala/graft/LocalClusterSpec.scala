@@ -76,18 +76,12 @@ class LocalClusterSpec extends AnyFunSuite {
   test("custom kernels/aggregates serialize across JVMs: local-cluster == local") {
     val local = runAll(builder("local[4]").getOrCreate())
 
-    // Worker-side executor command builder needs the distribution home
-    // (spark.test.home is its test-path hook) and the Scala version it
-    // would normally get from load-spark-env.sh
-    System.setProperty("spark.test.home", "/opt/spark")
-    val clusterSession = builder("local-cluster[2,2,2048]")
-      // executors are FRESH JVMs: give them this build's classes and
-      // the JDK-17 module opens spark-submit normally injects
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.executor.extraJavaOptions", ClusterProbe.jdk17AddOpens)
-      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
-      .config("spark.executor.memory", "1024m")
-      .getOrCreate()
+    // executor-launch wiring shared with ClusterProbe (one definition;
+    // see its scaladoc for what each piece is for)
+    val clusterSession = ClusterProbe.clusterConfigs
+      .foldLeft(builder("local-cluster[2,2,2048]")) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
     // prove the topology is what the test claims: 2 executor processes
     // + the driver (a silent fallback to local mode would make the
     // parity check vacuous). Executor JVMs register asynchronously —

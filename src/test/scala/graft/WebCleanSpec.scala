@@ -108,7 +108,11 @@ class WebCleanSpec extends AnyFunSuite {
       ("http://host.net:8080/x", "http://host.net:8080/x"), // non-default port kept
       ("https://host.net:80/x", "https://host.net:80/x"),   // 80 not default for https
       ("https://h.io/p?ref=rss&gclid=abc&fbclid=z", "https://h.io/p"),
-      ("https://h.io/CaseSensitive/Path", "https://h.io/CaseSensitive/Path"))
+      ("https://h.io/CaseSensitive/Path", "https://h.io/CaseSensitive/Path"),
+      // userinfo: case PRESERVED (RFC 3986), and a ':' inside it must
+      // not defeat the default-port strip on the host:port segment
+      ("http://alice:PW@Example.com:80/x", "http://alice:PW@example.com/x"),
+      ("HTTPS://Bob@Example.com:443/y", "https://Bob@example.com/y"))
     val got = cases.toDF("u", "want")
       .select(WebClean.canonicalizeUrl($"u").as("got"), $"want").collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1),
@@ -169,7 +173,9 @@ class WebCleanSpec extends AnyFunSuite {
       (2L, "https://a.city.kawasaki.jp/"),
       (3L, "https://example.ck/x"),       // host == public suffix
       (4L, "https://me.pages.github.io"), // private-section suffix
-      (5L, "not a url")).toDF("doc_id", "url")
+      (5L, "not a url"),
+      (6L, "https://shop.example.co.uk./x") // trailing-dot FQDN form
+    ).toDF("doc_id", "url")
     val got = WebClean.parseUrlsPsl(df, "doc_id", "url", psl)
       .orderBy("doc_id").collect()
     assert(got(0).getString(1) == "shop.example.co.uk" &&
@@ -181,6 +187,9 @@ class WebCleanSpec extends AnyFunSuite {
     assert(got(3).getString(2) == "pages.github.io" &&
       got(3).getString(3) == "github.io")
     assert(got(4).isNullAt(2) && got(4).isNullAt(3))
+    // FQDN trailing dot normalizes away: same keys as the dotless form
+    assert(got(5).getString(1) == "shop.example.co.uk" &&
+      got(5).getString(2) == "example.co.uk" && got(5).getString(3) == "co.uk")
     // still a zero-shuffle projection: the rule set is a codegen
     // reference object, not a join
     val plan = WebClean.parseUrlsPsl(df, "doc_id", "url", psl)
