@@ -4766,7 +4766,7 @@ object SparkEntry {
          |  SELECT doc_id, regexp_replace(regexp_replace(
          |    regexp_extract(lower(url),
          |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([a-z0-9.-]+)', 1),
-         |    '^www\\.', ''), '\\.+$', '') AS host
+         |    '^www\\.', ''), '\\.+$$', '') AS host
          |  FROM u),
          |$sqlPslRules,
          |labs AS (SELECT doc_id, host, string_split(host, '.') AS L FROM hh),
