@@ -4736,64 +4736,6 @@ object SparkEntry {
         |       ELSE '' END AS canon
         |FROM s4""".stripMargin,
 
-    // PSL parse: the same host chain, then the published
-    // public-suffix algorithm replayed relationally — candidate
-    // suffixes explode per label, the embedded rule set (normal /
-    // wildcard / exception, rendered from the SAME bundled subset the
-    // Spark side loads) joins in, the prevailing rule is
-    // (exception first, then most labels), and site/suffix rebuild
-    // from the winning label count
-    "q_url_parse2" ->
-      s"""WITH u AS (
-         |  SELECT doc_id,
-         |    'https://' ||
-         |    CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
-         |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
-         |    CASE WHEN doc_id % 9 = 4 THEN '' ELSE 'u' || (doc_id % 7) || '.' END ||
-         |    CASE WHEN doc_id % 9 = 0 THEN 'example.co.uk'
-         |         WHEN doc_id % 9 = 1 THEN 'example.com.au'
-         |         WHEN doc_id % 9 = 2 THEN 'city.kawasaki.jp'
-         |         WHEN doc_id % 9 = 3 THEN 'sub.kawasaki.jp'
-         |         WHEN doc_id % 9 = 4 THEN 'example.ck'
-         |         WHEN doc_id % 9 = 5 THEN 'www.ck'
-         |         WHEN doc_id % 9 = 6 THEN 'pages.github.io'
-         |         WHEN doc_id % 9 = 7 THEN 'example.unknown'
-         |         ELSE 'example.org' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
-         |    '/p/' || doc_id || '?ref=rss#top' AS url
-         |  FROM documents),
-         |hh AS (
-         |  SELECT doc_id, regexp_replace(regexp_replace(
-         |    regexp_extract(lower(url),
-         |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([a-z0-9.-]+)', 1),
-         |    '^www\\.', ''), '\\.+$$', '') AS host
-         |  FROM u),
-         |$sqlPslRules,
-         |labs AS (SELECT doc_id, host, string_split(host, '.') AS L FROM hh),
-         |cands AS (
-         |  SELECT doc_id, i, len(L) AS n, len(L) - i + 1 AS nl,
-         |    array_to_string(L[i:], '.') AS suffix,
-         |    array_to_string(L[i+1:], '.') AS rest
-         |  FROM labs, unnest(generate_series(1, len(L))) g(i)),
-         |m AS (
-         |  SELECT doc_id, 1 AS is_exc, nl FROM cands JOIN excs ON suffix = r
-         |  UNION ALL
-         |  SELECT doc_id, 0 AS is_exc, nl FROM cands JOIN norms ON suffix = r
-         |  UNION ALL
-         |  SELECT doc_id, 0 AS is_exc, nl FROM cands JOIN wilds ON rest = r AND i < n),
-         |best AS (
-         |  SELECT doc_id, is_exc, nl,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY is_exc DESC, nl DESC) AS rn
-         |  FROM m),
-         |ps AS (
-         |  SELECT l.doc_id, l.host, l.L, len(l.L) AS n,
-         |    coalesce(CASE WHEN b.is_exc = 1 THEN b.nl - 1 ELSE b.nl END, 1) AS k
-         |  FROM labs l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id))
-         |SELECT doc_id, host,
-         |  CASE WHEN n > k THEN array_to_string(L[n-k:], '.') END AS site,
-         |  array_to_string(L[n-k+1:], '.') AS suffix
-         |FROM ps""".stripMargin,
-
     // interpolated-bigram NLL: identical count tables, identical
     // lambda arithmetic (0.75 / 0.25 are exact dyadic rationals),
     // identical -ln fold; docs with <2 tokens drop on both sides
@@ -5088,6 +5030,91 @@ object SparkEntry {
   // The Bloom-prefiltered path is exact by construction (no false
   // negatives + exact verify join), so it is graded against the plain
   // policy's oracle VERBATIM — any divergence is a defect.
+  /** q_url_parse2 DuckDB oracle — the same host chain as q_url_parse,
+    * then the published public-suffix algorithm replayed relationally:
+    * candidate suffixes explode per label, the embedded rule set
+    * (normal / wildcard / exception, rendered from the SAME bundled
+    * subset the Spark side loads) joins in, the prevailing rule is
+    * (exception first, then most labels), and site/suffix rebuild from
+    * the winning label count. Kept OUT of oracleSqlBase: its string
+    * construction needs the PSL classpath resource, and a missing
+    * resource must fail only THIS entry, never the whole oracle map
+    * (the round-11 artifact-zeroing failure). */
+  private def qUrlParse2Oracle: String =
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' ||
+         |    CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 4 THEN '' ELSE 'u' || (doc_id % 7) || '.' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN 'example.co.uk'
+         |         WHEN doc_id % 9 = 1 THEN 'example.com.au'
+         |         WHEN doc_id % 9 = 2 THEN 'city.kawasaki.jp'
+         |         WHEN doc_id % 9 = 3 THEN 'sub.kawasaki.jp'
+         |         WHEN doc_id % 9 = 4 THEN 'example.ck'
+         |         WHEN doc_id % 9 = 5 THEN 'www.ck'
+         |         WHEN doc_id % 9 = 6 THEN 'pages.github.io'
+         |         WHEN doc_id % 9 = 7 THEN 'example.unknown'
+         |         ELSE 'example.org' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+         |    '/p/' || doc_id || '?ref=rss#top' AS url
+         |  FROM documents),
+         |hh AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(
+         |    regexp_extract(lower(url),
+         |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([a-z0-9.-]+)', 1),
+         |    '^www\\.', ''), '\\.+$$', '') AS host
+         |  FROM u),
+         |$sqlPslRules,
+         |labs AS (SELECT doc_id, host, string_split(host, '.') AS L FROM hh),
+         |cands AS (
+         |  SELECT doc_id, i, len(L) AS n, len(L) - i + 1 AS nl,
+         |    array_to_string(L[i:], '.') AS suffix,
+         |    array_to_string(L[i+1:], '.') AS rest
+         |  FROM labs, unnest(generate_series(1, len(L))) g(i)),
+         |m AS (
+         |  SELECT doc_id, 1 AS is_exc, nl FROM cands JOIN excs ON suffix = r
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS is_exc, nl FROM cands JOIN norms ON suffix = r
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS is_exc, nl FROM cands JOIN wilds ON rest = r AND i < n),
+         |best AS (
+         |  SELECT doc_id, is_exc, nl,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY is_exc DESC, nl DESC) AS rn
+         |  FROM m),
+         |ps AS (
+         |  SELECT l.doc_id, l.host, l.L, len(l.L) AS n,
+         |    coalesce(CASE WHEN b.is_exc = 1 THEN b.nl - 1 ELSE b.nl END, 1) AS k
+         |  FROM labs l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id))
+         |SELECT doc_id, host,
+         |  CASE WHEN n > k THEN array_to_string(L[n-k:], '.') END AS site,
+         |  array_to_string(L[n-k+1:], '.') AS suffix
+         |FROM ps""".stripMargin
+
+  /** Oracle entries whose SQL-string CONSTRUCTION can itself throw
+    * (classpath-resource dependence). Thunked so graft.Verify can
+    * render oracle_sql.json per-entry: one bad entry yields a failure
+    * marker, never an empty artifact. */
+  private[graft] def fragileOracleSql: Map[String, () => String] = Map(
+    "q_url_parse2" -> (() => qUrlParse2Oracle))
+
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate"))
+    oracleSqlBase ++ fragileOracleSql.map { case (k, f) => k -> f() } +
+      ("q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate"))
+
+  /** Per-entry safe view of [[oracleSql]] for graft.Verify: Right(sql)
+    * per constructible entry, Left(error) for an entry whose string
+    * construction failed — the rest of the artifact survives. */
+  def oracleSqlSafe: Seq[(String, Either[String, String])] = {
+    val base = (oracleSqlBase +
+      ("q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate")))
+      .toSeq.map { case (k, v) => k -> (Right(v): Either[String, String]) }
+    val frag = fragileOracleSql.toSeq.map { case (k, f) =>
+      k -> (try Right(f()) catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getName}: ${e.getMessage}")
+      }): (String, Either[String, String])
+    }
+    (base ++ frag).sortBy(_._1)
+  }
 }

@@ -85,15 +85,28 @@ object Psl {
     try parse(src.getLines()) finally src.close()
   }
 
+  /** Classpath resource the bundled subset loads from. Overridable via
+    * the `graft.psl.resource` system property so tests can simulate a
+    * missing/misplaced resource (the round-11 failure mode: a raw
+    * `java -cp classes` launch without Compile/copyResources). */
+  private val defaultResource = "/graft/psl_subset.dat"
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Psl]()
+
   /** The bundled SUBSET (src/main/resources/graft/psl_subset.dat):
     * the same file format with a hand-maintained slice of the public
     * list — enough to exercise every rule kind (multi-label suffixes,
     * wildcards, exceptions, private-section entries) in tests and
-    * oracles without shipping the full list. */
-  lazy val subset: Psl = {
-    val in = getClass.getResourceAsStream("/graft/psl_subset.dat")
-    require(in != null, "bundled PSL subset resource missing")
-    val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try parse(src.getLines()) finally src.close()
+    * oracles without shipping the full list. Cached per resource name;
+    * a missing resource throws on EVERY call (never caches a failure),
+    * so callers must isolate the failure per-entry (see graft.Verify). */
+  def subset: Psl = {
+    val res = sys.props.getOrElse("graft.psl.resource", defaultResource)
+    cache.computeIfAbsent(res, r => {
+      val in = getClass.getResourceAsStream(r)
+      require(in != null, s"bundled PSL subset resource missing: $r")
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try parse(src.getLines()) finally src.close()
+    })
   }
 }
