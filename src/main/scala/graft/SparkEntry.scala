@@ -1946,10 +1946,17 @@ object SparkEntry {
     * augmented near-dup corpus, per-doc simhash (token FNV votes),
     * hamming<=3 pair graph, and a recursive-CTE reachability fixpoint
     * labeling every doc with its component minimum. Continued by the
-    * q_neardup_prune (min-id retention) and q_cluster_best (quality
-    * argmax retention) oracles. */
+    * q_dedup_clusters / q_neardup_prune (min-id retention) /
+    * q_cluster_best (quality argmax retention) oracles.
+    *
+    * corpus/sig/prs/edges are AS MATERIALIZED: DuckDB inlines plain
+    * CTEs, so the recursive fixpoint used to RE-COMPUTE the whole
+    * simhash pipeline (the ~100 s part) on every iteration — the
+    * ">900 s killed" BASELINE rows. Materialized, the fixpoint
+    * iterates over a ~10k-row edge table and the whole oracle runs
+    * in ~50 s single-threaded at sf0.1 (measured, duckdb 1.0.0). */
   private val sqlSimhashClustersCte: String =
-    """WITH RECURSIVE corpus AS (
+    """WITH RECURSIVE corpus AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
@@ -1972,17 +1979,17 @@ object SparkEntry {
       |  SELECT doc_id,
       |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
       |  FROM votes GROUP BY doc_id),
-      |sig AS (
+      |sig AS MATERIALIZED (
       |  SELECT c.doc_id,
       |    CAST(coalesce(s.u, CAST(0 AS HUGEINT))
       |      - CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
       |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
       |  FROM corpus c LEFT JOIN sim s ON c.doc_id = s.doc_id),
-      |prs AS (
+      |prs AS MATERIALIZED (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT id_a AS x, id_b AS y FROM prs
       |  UNION ALL SELECT id_b, id_a FROM prs),
       |cc(id, comp) AS (
@@ -4060,48 +4067,11 @@ object SparkEntry {
     // candidates) is deterministic integer math, re-expressed below in
     // HUGEINT mod-2^64 arithmetic (split hi/lo multiply to stay inside
     // INT128).
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
-        |  FROM corpus),
-        |th AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(tok)+1),
-        |        i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
-        |    (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
-        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
-        |  FROM toks),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
-        |sim AS (
-        |  SELECT doc_id,
-        |         sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
-        |  FROM votes GROUP BY doc_id),
-        |sig AS (
-        |  SELECT c.doc_id,
-        |    CAST(coalesce(s.u, CAST(0 AS HUGEINT))
-        |      - CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('9223372036854775808' AS HUGEINT)
-        |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
-        |  FROM corpus c LEFT JOIN sim s ON c.doc_id = s.doc_id),
-        |prs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        |edges AS (
-        |  SELECT id_a AS x, id_b AS y FROM prs
-        |  UNION ALL SELECT id_b, id_a FROM prs),
-        |cc(id, comp) AS (
-        |  SELECT doc_id, doc_id FROM corpus
-        |  UNION
-        |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x)
-        |SELECT id AS doc_id, min(comp) AS canonical_id FROM cc GROUP BY id""".stripMargin,
+    // CC over the simhash pair graph: the shared cluster-replay CTE
+    // (corpus/sig/edges MATERIALIZED — see its doc) + the labels
+    // projection. Retention-policy twins below reuse the same CTE.
+    "q_dedup_clusters" -> (sqlSimhashClustersCte + "\n" +
+      "SELECT id AS doc_id, m AS canonical_id FROM labels"),
 
     // same reachability fixpoint, then the applied policy: keep only
     // docs that are their own component minimum
