@@ -980,6 +980,24 @@ object SparkEntry {
             .as("segmented"))
     }),
 
+    // §2b-57d: EXTERNAL tokenizer import — the published GPT-2
+    // merges.txt format (bytes→unicode alphabet, "lhs rhs" per line)
+    // parsed into the engine's byte-level hex chain and applied by the
+    // SAME encode kernel as the learned path. This is how a production
+    // pipeline tokenizes: with a shipped artifact, not a re-learned
+    // one. The bundled sample exercises ASCII pairs, chained merges
+    // (t h → th e) and multi-byte symbols (Ã © = the two UTF-8 bytes
+    // of é, which fires on the planted 'café').
+    "q_bpe_external" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" " + bpeNonAsciiSuffix)))
+      val merges = Bpe.loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      Bpe.wordCounts(docs, "text", asciiOnly = false)
+        .select(col("w"), col("cnt"),
+          array_join(Bpe.applyMerges(Bpe.byteSymbols(col("w")), merges), " ")
+            .as("segmented"))
+    }),
+
     // §2b: the APPLIED near-dup policy — the composition users actually
     // run: candidate pairs → connected components → keep each cluster's
     // canonical (minimum-id) doc. One semi-join over the corpus; the
@@ -2154,7 +2172,17 @@ object SparkEntry {
          |  FROM w${k - 1}, unnest(generate_series(1, len(s)-1)) u(i)
          |  WHERE len(s) >= 2 GROUP BY 1, 2),
          |b$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |e$k AS (SELECT w, cnt, i, s[i] AS sym
+         |""".stripMargin + sqlBpeApplyRound(k)
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** One greedy left-to-right merge-application round shared by
+    * [[sqlBpeChain]] (per-round argmax pair in b$k) and
+    * [[sqlBpeApplyFixedChain]] (externally-given pair in b$k):
+    * rewrites w{k-1} -> w$k under the pair bound to b$k. */
+  private def sqlBpeApplyRound(k: Int): String =
+      s"""e$k AS (SELECT w, cnt, i, s[i] AS sym
          |        FROM w${k - 1}, unnest(generate_series(1, len(s))) u(i)),
          |m$k AS (
          |  -- LEFT JOIN ON true, not CROSS: when the corpus exhausts
@@ -2184,6 +2212,28 @@ object SparkEntry {
          |    list(CASE WHEN strt THEN lhs || rhs ELSE sym END ORDER BY i)
          |      FILTER (NOT cons) AS s
          |  FROM f$k GROUP BY w)""".stripMargin
+
+  /** Byte-level encode under an EXTERNAL (fixed) merge chain: the same
+    * bsrc/words/w0 head as the byte-level [[sqlBpeChain]], then one
+    * application round per given (lhs, rhs) hex pair — no argmax, the
+    * chain is the published tokenizer artifact. Replays
+    * [[graft.operators.Bpe.applyMerges]] over [[graft.operators.Bpe.byteSymbols]]. */
+  private def sqlBpeApplyFixedChain(pairs: Seq[(String, String)]): String = {
+    val head =
+      s"""WITH bsrc AS (
+         |  SELECT text || ' $bpeNonAsciiSuffix' AS text FROM documents),
+         |words AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS w
+         |    FROM bsrc) u
+         |  GROUP BY w),
+         |w0 AS (
+         |  SELECT w, cnt, list_transform(generate_series(1, length(hex(encode(w)))//2),
+         |    i -> substr(hex(encode(w)), CAST(2*i-1 AS INT), 2)) AS s
+         |  FROM words)""".stripMargin
+    val rounds = pairs.zipWithIndex.map { case ((l, r), i0) =>
+      val k = i0 + 1
+      s"b$k AS (SELECT '$l' AS lhs, '$r' AS rhs),\n" + sqlBpeApplyRound(k)
     }
     (head +: rounds).mkString(",\n")
   }
@@ -5066,7 +5116,22 @@ object SparkEntry {
     * render oracle_sql.json per-entry: one bad entry yields a failure
     * marker, never an empty artifact. */
   private[graft] def fragileOracleSql: Map[String, () => String] = Map(
-    "q_url_parse2" -> (() => qUrlParse2Oracle))
+    "q_url_parse2" -> (() => qUrlParse2Oracle),
+    "q_bpe_external" -> (() => qBpeExternalOracle))
+
+  /** q_bpe_external oracle: the fixed-chain byte-level encode replay,
+    * its pair list parsed from the SAME bundled merges.txt resource
+    * the Spark side loads (the PSL-rules pattern) — fragile because
+    * the resource read happens at oracle-string construction. */
+  private def qBpeExternalOracle: String = {
+    val pairs = graft.operators.Bpe
+      .loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      .map(m => (m.lhs, m.rhs))
+    s"""${sqlBpeApplyFixedChain(pairs)}
+       |SELECT w, CAST(cnt AS BIGINT) AS cnt,
+       |       array_to_string(s, ' ') AS segmented
+       |FROM w${pairs.length}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] =
     oracleSqlBase ++ fragileOracleSql.map { case (k, f) => k -> f() } +

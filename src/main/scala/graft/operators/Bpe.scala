@@ -297,4 +297,82 @@ object Bpe {
       .collect()
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_.rank).toSeq
+
+  // ---- published GPT-2 merges.txt interchange -----------------------
+  // Real pipelines tokenize with a PUBLISHED tokenizer; the artifact
+  // format is GPT-2's merges.txt (Radford et al. 2019, encoder.py —
+  // public): an optional `#version:` comment, then one "lhs rhs" pair
+  // per line in merge-priority order, tokens written in the
+  // bytes→unicode alphabet. This block converts that alphabet to/from
+  // the engine's byte-level hex symbols so [[applyMerges]]/
+  // [[encodeDocs]] consume an external tokenizer unchanged.
+
+  /** GPT-2's bytes→unicode table: printable bytes ('!'..'~',
+    * '¡'..'¬', '®'..'ÿ') map to their own code point; the remaining
+    * 68 bytes map to 256+n in increasing byte order. Bijective, so
+    * merges.txt tokens decode losslessly back to bytes. */
+  private lazy val gpt2Unicode: Map[Int, Char] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val base = printable.map(b => b -> b.toChar).toMap
+    val extra = (0 to 255).filterNot(printable).zipWithIndex
+      .map { case (b, n) => b -> (256 + n).toChar }
+    base ++ extra
+  }
+  private lazy val gpt2Byte: Map[Char, Int] = gpt2Unicode.map(_.swap)
+
+  /** One merges.txt token → this engine's byte-level symbol (the
+    * uppercase-hex rendering of [[byteSymbols]]). */
+  def gpt2TokenToHex(tok: String): String =
+    tok.map(c => f"${gpt2Byte.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"not a GPT-2 alphabet char: '$c' (U+${c.toInt}%04X) in token '$tok'"))}%02X")
+      .mkString
+
+  /** Inverse of [[gpt2TokenToHex]]: an even-length hex symbol → the
+    * merges.txt rendering of its bytes. */
+  def hexToGpt2Token(hexSym: String): String = {
+    require(hexSym.length % 2 == 0, s"odd-length hex symbol: $hexSym")
+    hexSym.grouped(2).map(h => gpt2Unicode(Integer.parseInt(h, 16))).mkString
+  }
+
+  /** Parse the published merges.txt format into a byte-level merge
+    * chain (freq is unknown to the format — recorded as -1; only
+    * rank/lhs/rhs drive [[applyMerges]]). `#`-comment and blank lines
+    * skip; the pair separator is a single plain space (a SPACE BYTE
+    * inside a token is impossible — GPT-2's alphabet renders 0x20 as
+    * 'Ġ'). */
+  def loadMergesText(lines: Iterator[String]): Seq[Merge] =
+    lines.map(_.stripLineEnd)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (l, i) =>
+        l.split(" ") match {
+          case Array(a, b) =>
+            Merge(i + 1, gpt2TokenToHex(a), gpt2TokenToHex(b), -1L)
+          case _ => throw new IllegalArgumentException(
+            s"merges.txt line ${i + 1} is not 'lhs rhs': '$l'")
+        }
+      }.toSeq
+
+  /** [[loadMergesText]] from a file path (the published artifact on
+    * shared storage). */
+  def loadMergesTextFile(path: String): Seq[Merge] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try loadMergesText(src.getLines()) finally src.close()
+  }
+
+  /** [[loadMergesText]] from a classpath resource (the bundled
+    * sample ships at /graft/gpt2_merges_subset.txt). */
+  def loadMergesTextResource(resource: String): Seq[Merge] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"merges.txt resource missing: $resource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try loadMergesText(src.getLines()) finally src.close()
+  }
+
+  /** Render a graft-learned byte-level chain in the published format,
+    * so a tokenizer induced here ships to any GPT-2-compatible
+    * consumer. Exact inverse of [[loadMergesText]] up to freq. */
+  def renderMergesText(merges: Seq[Merge]): String =
+    ("#version: 0.2" +: merges.sortBy(_.rank).map(m =>
+      s"${hexToGpt2Token(m.lhs)} ${hexToGpt2Token(m.rhs)}")).mkString("\n")
 }
