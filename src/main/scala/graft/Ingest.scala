@@ -687,22 +687,8 @@ object Ingest {
     val staged = merges.map { case (incoming, path, keys, order) =>
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
       val merged =
-        if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
-          val existing = spark.read.parquet(path)
-          val aligned =
-            incoming.select(existing.columns.toIndexedSeq.map(col): _*)
-          order match {
-            case None =>
-              Dedup.idempotentUpsert(existing, aligned, keys)
-            case Some(ord) =>
-              firstBy(
-                existing.withColumn("__src", lit(0))
-                  .unionByName(aligned.withColumn("__src", lit(1))),
-                struct(keys.map(col): _*),
-                ord :+ col("__src").desc: _*)
-                .drop("__src")
-          }
-        }
+        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          mergedFrame(spark.read.parquet(path), incoming, keys, order)
         else incoming
       val tmp = s"$path.__tmp"
       merged.write.mode("overwrite").parquet(tmp)
@@ -729,6 +715,50 @@ object Ingest {
       fs.delete(old, true)
     }
   }
+
+  /** The per-table merge policy shared by the rename-swap path and the
+    * generation-versioned path: existing ∪ incoming reduced to one row
+    * per key under the table's ordering (None = insert-if-absent). */
+  private def mergedFrame(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String],
+      order: Option[Seq[org.apache.spark.sql.Column]]): DataFrame = {
+    val aligned = incoming.select(existing.columns.toIndexedSeq.map(col): _*)
+    order match {
+      case None =>
+        Dedup.idempotentUpsert(existing, aligned, keys)
+      case Some(ord) =>
+        firstBy(
+          existing.withColumn("__src", lit(0))
+            .unionByName(aligned.withColumn("__src", lit(1))),
+          struct(keys.map(col): _*),
+          ord :+ col("__src").desc: _*)
+          .drop("__src")
+    }
+  }
+
+  /** [[mergeParquetOrderedAll]] over SNAPSHOT-ISOLATED tables
+    * ([[graft.sources.Warehouse]] manifest-pointer generations):
+    * existing = the current committed generation, the merged result
+    * commits as the NEXT generation, retired generations are retained
+    * (`keepGenerations`) so readers that resolved before this merge
+    * keep a complete immutable snapshot — there is no rename-aside
+    * window at all, closing the concurrent-reader gap of the swap
+    * path. */
+  private[graft] def mergeParquetOrderedAllVersioned(spark: SparkSession,
+      merges: Seq[(DataFrame, String, Seq[String],
+                   Option[Seq[org.apache.spark.sql.Column]])],
+      keepGenerations: Int = 2): Unit =
+    merges.foreach { case (incoming, root, keys, order) =>
+      val merged =
+        graft.sources.Warehouse.currentGeneration(spark, root) match {
+          case Some(cur) =>
+            mergedFrame(spark.read.parquet(cur), incoming, keys, order)
+          case None => incoming
+        }
+      graft.sources.Warehouse.commitGeneration(spark, root)(p =>
+        merged.write.parquet(p))
+      graft.sources.Warehouse.cleanup(spark, root, keepGenerations)
+    }
 
   /** Finish or roll back a swap interrupted by a crash (see
     * [[mergeParquetAll]] phase 2). Target missing + `__tmp` present →

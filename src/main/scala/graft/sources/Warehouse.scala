@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated warehouse tables via manifest-pointer
+  * generations — the round-11 verdict gap: the rename-aside swap in
+  * [[graft.Ingest.mergeParquetOrderedAll]] is crash-safe for the
+  * WRITER, but a reader holding the table directory open across a
+  * swap can observe a mixed or vanished generation. At 100 TB with
+  * always-on consumers the standard fix is a version-pointer
+  * indirection (the Delta/Iceberg log pattern in miniature):
+  *
+  *   <root>/gen-00000001/        immutable parquet generation
+  *   <root>/gen-00000002/
+  *   <root>/_gen/00000001.ptr    one-line pointer file -> "gen-00000001"
+  *   <root>/_gen/00000002.ptr
+  *
+  * A generation is COMMITTED iff its pointer file exists; the current
+  * generation is the highest-numbered pointer. Readers resolve the
+  * pointer ONCE per query ([[read]]) and then scan an immutable
+  * directory — a later merge commits a NEW generation dir and pointer
+  * and never mutates or renames what the reader resolved. Commit is a
+  * create-rename of the pointer file to a name that must not exist:
+  * atomic on HDFS and POSIX-local alike (no overwrite-rename, whose
+  * atomicity is store-dependent), and a lost race between two writers
+  * surfaces as a rename failure instead of silent clobbering
+  * (single-writer ingestion is the contract, as in the reference's
+  * one-process ght2dm loop — ght2dm.go:1124ff).
+  *
+  * The pointer resolution is one metadata list on a dir holding a few
+  * dozen tiny files — O(generations), independent of data size.
+  * Retired generations are retained until [[cleanup]] drops all but
+  * the newest `keep`, so in-flight readers of recent generations keep
+  * their snapshot. */
+object Warehouse {
+
+  private val LogDir = "_gen"
+  private val GenPrefix = "gen-"
+  private val PtrRe = raw"(\d{8})\.ptr".r
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed pointer numbers, ascending (empty if never committed). */
+  private def committed(fs: FileSystem, root: Path): Seq[Long] = {
+    val log = new Path(root, LogDir)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.flatMap(_.getPath.getName match {
+      case PtrRe(n) => Some(n.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  private def readPtr(fs: FileSystem, root: Path, n: Long): String = {
+    val in = fs.open(new Path(new Path(root, LogDir), f"$n%08d.ptr"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Resolve the current generation's DATA PATH, or None if the table
+    * has no committed generation yet. This is the one metadata
+    * round-trip a query pays; everything after reads immutable data. */
+  def currentGeneration(spark: SparkSession, root: String): Option[String] = {
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    committed(fs, rootP).lastOption
+      .map(n => new Path(rootP, readPtr(fs, rootP, n)).toString)
+  }
+
+  /** Read the table at its current generation (resolve once, scan an
+    * immutable dir). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(currentGeneration(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed generation under $root")))
+
+  /** Write the NEXT generation: `writer` materializes the data at the
+    * provided fresh path (e.g. `df.write.parquet(_)`), then the
+    * pointer commits via atomic create-rename. Nothing the current
+    * generation's readers hold is touched. Returns the committed data
+    * path. */
+  def commitGeneration(spark: SparkSession, root: String)
+                      (writer: String => Unit): String = {
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    val log = new Path(rootP, LogDir)
+    fs.mkdirs(log)
+    val next = committed(fs, rootP).lastOption.getOrElse(0L) + 1
+    val genName = f"$GenPrefix$next%08d"
+    val genPath = new Path(rootP, genName)
+    writer(genPath.toString)
+    require(fs.exists(genPath),
+      s"generation writer produced nothing at $genPath")
+    // commit: pointer content to a tmp file, then rename to the final
+    // (must-not-exist) name — the atomic commit point
+    val tmp = new Path(log, f"$next%08d.ptr.__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(log, f"$next%08d.ptr")
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(tmp, true)
+      fs.delete(genPath, true)
+      throw new java.io.IOException(
+        s"pointer commit lost a race at $ptr — concurrent writer?")
+    }
+    genPath.toString
+  }
+
+  /** Drop all generations (and their pointers) except the newest
+    * `keep` — run AFTER consumers of older snapshots have drained.
+    * Uncommitted orphan gen dirs (a writer crashed before its pointer
+    * rename) older than the retained window are dropped too. */
+  def cleanup(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    val all = committed(fs, rootP)
+    if (all.isEmpty) return
+    val (drop, kept) = all.splitAt(math.max(0, all.size - keep))
+    val keptGens = kept.map(n => readPtr(fs, rootP, n)).toSet
+    drop.foreach { n =>
+      val gen = readPtr(fs, rootP, n)
+      if (!keptGens.contains(gen))
+        fs.delete(new Path(rootP, gen), true)
+      fs.delete(new Path(new Path(rootP, LogDir), f"$n%08d.ptr"), false)
+    }
+    // orphans: gen dirs below the retained window with no pointer
+    val minKept = kept.head
+    fs.listStatus(rootP).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(GenPrefix) && !keptGens.contains(nm) &&
+          nm.stripPrefix(GenPrefix).forall(_.isDigit) &&
+          nm.stripPrefix(GenPrefix).toLong < minKept)
+        fs.delete(st.getPath, true)
+    }
+  }
+}

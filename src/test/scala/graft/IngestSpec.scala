@@ -1081,4 +1081,60 @@ class IngestSpec extends AnyFunSuite {
     assert(errs.exists(_.startsWith("usage:")) &&
       errs.exists(_.contains("cannot read config")), s"errs=$errs")
   }
+
+  test("snapshot-isolated generations: a reader that resolved before a " +
+    "merge keeps its complete old snapshot; a new reader sees the merge") {
+    import graft.sources.Warehouse
+    import org.apache.spark.sql.functions.col
+    val tbl = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "whgen").toString + "/users"
+
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "v", "updated_at")
+    val ordered = Some(Seq(col("updated_at").desc_nulls_last))
+
+    // generation 1
+    Ingest.mergeParquetOrderedAllVersioned(spark, Seq(
+      (batch((1L, "a1", "2014-01-01"), (2L, "b1", "2014-01-01")),
+        tbl, Seq("id"), ordered)))
+    // reader A resolves NOW and holds the resolved path across merges
+    val resolvedA = Warehouse.currentGeneration(spark, tbl).get
+
+    // generation 2: id 1 updated (newer), id 3 inserted
+    Ingest.mergeParquetOrderedAllVersioned(spark, Seq(
+      (batch((1L, "a2", "2014-02-01"), (3L, "c1", "2014-01-15")),
+        tbl, Seq("id"), ordered)))
+
+    // reader A still reads its ORIGINAL complete snapshot
+    val oldSnap = spark.read.parquet(resolvedA)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(oldSnap == Seq((1L, "a1", "2014-01-01"), (2L, "b1", "2014-01-01")))
+    // a NEW reader resolves the merged generation (latest-wins on id 1)
+    val newSnap = Warehouse.read(spark, tbl)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(newSnap == Seq((1L, "a2", "2014-02-01"),
+      (2L, "b1", "2014-01-01"), (3L, "c1", "2014-01-15")))
+
+    // generation 3 + cleanup(keep=2): gen-1 retires, reader A's path
+    // is gone but gen-2 (the previous) is still readable
+    Ingest.mergeParquetOrderedAllVersioned(spark, Seq(
+      (batch((2L, "b2", "2014-03-01")), tbl, Seq("id"), ordered)))
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(resolvedA)),
+      "gen-1 should be cleaned under keep=2")
+    assert(Warehouse.read(spark, tbl).count() == 3)
+    // the pointer log holds exactly the retained window
+    val ptrs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(tbl, "_gen")).map(_.getPath.getName)
+      .filter(_.endsWith(".ptr")).sorted
+    assert(ptrs.toSeq == Seq("00000002.ptr", "00000003.ptr"))
+
+    // commitGeneration refuses an empty write (no pointer advances)
+    val before = Warehouse.currentGeneration(spark, tbl)
+    intercept[IllegalArgumentException] {
+      Warehouse.commitGeneration(spark, tbl)(_ => ())
+    }
+    assert(Warehouse.currentGeneration(spark, tbl) == before)
+  }
 }
