@@ -86,4 +86,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 &&
       f.thumb_w >= 1 && f.thumb_h >= 1))
   }
+
+  test("renderThumbnails emits REAL resized pixels: pixel-exact " +
+    "nearest-neighbor on a real PNG, null payload for non-image/" +
+    "corrupt/over-budget records") {
+    // a real 8x4 PNG with a distinct color per pixel
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 8).foreach(x =>
+      img.setRGB(x, y, (x * 0x010203 + y * 0x102030) & 0xffffff)))
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 9, 9),
+      Multimodal.MediaRecord(2L, "image", "junk".getBytes("UTF-8"), 80, 20),
+      Multimodal.MediaRecord(3L, "video", png, 640, 480)
+    ).toDF()
+    // box=4: 8x4 -> 4x2
+    val got = Multimodal.renderThumbnails(spark, media, box = 4)
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(got(1L).thumb_w == 4 && got(1L).thumb_h == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).thumb_png))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    // pixel-exact: nearest-neighbor maps out(x,y) <- in(x*8/4, y*4/2)
+    (0 until 2).foreach(y => (0 until 4).foreach { x =>
+      val expected = img.getRGB(x * 8 / 4, y * 4 / 2)
+      assert(back.getRGB(x, y) == expected, s"pixel ($x,$y)")
+    })
+    // corrupt image: declared 80x20 -> box 4 = 4x1, payload null
+    assert(got(2L).thumb_png == null &&
+      got(2L).thumb_w == 4 && got(2L).thumb_h == 1)
+    // non-image: null payload (no JDK codec), declared-dims box
+    assert(got(3L).thumb_png == null)
+    // decompression-bomb guard: a decodable image past maxPixels is
+    // skipped to null instead of resampled
+    val guarded = Multimodal.renderThumbnails(spark,
+        Seq(Multimodal.MediaRecord(4L, "image", png, 8, 4)).toDF(),
+        box = 4, maxPixels = 8L)
+      .collect().head
+    assert(guarded.thumb_png == null)
+  }
 }
