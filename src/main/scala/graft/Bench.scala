@@ -170,6 +170,13 @@ object Bench {
     val seqTotal = timings.collect {
       case (n, v) if v >= 0 && !counterExamples(n) => v
     }.sum + ccLabelsSec
+    // seq_total_all keeps the counter-example rows IN, so round-over-
+    // round totals stay comparable with pre-bracketing BASELINE rows
+    // (advice round 11): readers diff seq_total_all against old totals
+    // and seq_total against new ones.
+    val seqTotalAll = timings.collect {
+      case (_, v) if v >= 0 => v
+    }.sum + ccLabelsSec
     val coldTotal = cold.values.sum
     // "value" is the SEQUENTIAL per-query total (sum of pass-1 warm
     // minimums) — the apples-to-apples headline against BASELINE.md and
@@ -185,7 +192,7 @@ object Bench {
     // not decay between queries), so it is contamination EVIDENCE for
     // a reader, not a usable ambient-load signal.
     val loadWarning = loadBefore > 2.0
-    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"cpu_sec":$cs,"failed":$fs,"counterexamples":$ces,"seq_total":$seqTotal,"cc_labels_sec":$ccLabelsSec,"grouped_total":$groupedTotal,"grouped_runs":${groupedRuns.mkString("[", ",", "]")},"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"cpu_sec":$cs,"failed":$fs,"counterexamples":$ces,"seq_total":$seqTotal,"seq_total_all":$seqTotalAll,"cc_labels_sec":$ccLabelsSec,"grouped_total":$groupedTotal,"grouped_runs":${groupedRuns.mkString("[", ",", "]")},"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

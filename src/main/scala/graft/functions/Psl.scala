@@ -34,7 +34,10 @@ final class Psl(val normal: Set[String], val wildcardBases: Set[String],
     * (>= 1 for any non-empty host — the default rule; 0 for ""). */
   def suffixLabelCount(host: String): Int = {
     if (host.isEmpty) return 0
-    val labels = host.split('.')
+    // hosts arrive from arbitrary upstream extraction — lowercase here
+    // so a mixed-case host can't silently miss every rule and fall to
+    // the 1-label default (rules are lowercased at parse time)
+    val labels = host.toLowerCase(java.util.Locale.ROOT).split('.')
     val n = labels.length
     var best = 1 // the implicit default rule `*`
     var i = 0
@@ -67,13 +70,22 @@ object Psl {
     val normal = Set.newBuilder[String]
     val wild = Set.newBuilder[String]
     val exc = Set.newBuilder[String]
+    // the published list writes IDN rules in UNICODE (e.g. рф) while
+    // crawl hosts arrive punycoded (xn--p1ai): normalize rules to the
+    // wire (ASCII-compatible) form at parse time so matching keys on
+    // what hosts actually look like. IDN.toASCII is identity on
+    // already-ASCII rules, so the bundled subset and its SQL-rendered
+    // oracle rules are unaffected.
+    def toAscii(rule: String): String =
+      try java.net.IDN.toASCII(rule)
+      catch { case _: IllegalArgumentException => rule }
     lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
       .map(_.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT))
       .foreach { rule =>
-        if (rule.startsWith("!")) exc += rule.substring(1)
-        else if (rule.startsWith("*.")) wild += rule.substring(2)
+        if (rule.startsWith("!")) exc += toAscii(rule.substring(1))
+        else if (rule.startsWith("*.")) wild += toAscii(rule.substring(2))
         else if (rule == "*") () // the implicit default rule
-        else normal += rule
+        else normal += toAscii(rule)
       }
     new Psl(normal.result(), wild.result(), exc.result())
   }

@@ -140,8 +140,13 @@ object WebClean {
     val params = array_sort(filter(split(query, "&"), p =>
       !(p.rlike("^(utm_[a-z0-9]*|gclid|fbclid|msclkid|ref)=") || p === "")))
     val q = array_join(params, "&")
-    concat(preLc, restClean,
-      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+    // schemeless input (pre matches nothing) must pass through
+    // unchanged, not gain a malformed '://' prefix — mirrors urlHost's
+    // empty-on-no-match contract; a non-URL row keeps a stable,
+    // harmless canon key (itself)
+    when(pre === "", c).otherwise(
+      concat(preLc, restClean,
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
   }
 
   /** [[parseUrls]] with REAL Public Suffix List semantics

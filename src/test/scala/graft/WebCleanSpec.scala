@@ -128,6 +128,24 @@ class WebCleanSpec extends AnyFunSuite {
     assert(keys.distinct.length == 1, keys.mkString(" | "))
   }
 
+  test("canonicalizeUrl: schemeless / non-URL rows pass through " +
+    "unchanged instead of gaining a malformed '://' prefix") {
+    val cases = Seq(
+      "example.com/path?a=1",       // schemeless URL-ish
+      "not a url at all",           // prose
+      "",                           // empty
+      "ftp.example.com#frag")       // no scheme, fragment-looking tail
+    val got = cases.toDF("u")
+      .select($"u", WebClean.canonicalizeUrl($"u").as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach(u => assert(got(u) == u, s"input '$u' -> '${got(u)}'"))
+    // schemed inputs still canonicalize (the guard keys on the scheme
+    // match, not on content heuristics)
+    val ok = Seq("HTTP://X.io:80/a/").toDF("u")
+      .select(WebClean.canonicalizeUrl($"u")).as[String].head()
+    assert(ok == "http://x.io/a")
+  }
+
   test("Psl.parse reads the standard format: comments, sections, " +
     "wildcards, exceptions; bundled subset loads") {
     val psl = graft.functions.Psl.parse(Iterator(
@@ -163,6 +181,21 @@ class WebCleanSpec extends AnyFunSuite {
       ("", 0))
     cases.foreach { case (h, want) =>
       assert(psl.suffixLabelCount(h) == want, s"host=$h") }
+  }
+
+  test("Psl production-path hardening: Unicode IDN rules match " +
+    "punycode hosts, mixed-case hosts match rules") {
+    // the published list writes IDN rules in Unicode; crawl hosts are
+    // punycoded — parse-time IDN.toASCII keys rules on the wire form
+    val psl = graft.functions.Psl.parse(Iterator(
+      "com", "рф", "*.テスト", "!exempt.テスト"))
+    assert(psl.normal.contains("xn--p1ai"), psl.normal)
+    assert(psl.suffixLabelCount("site.xn--p1ai") == 1)
+    assert(psl.suffixLabelCount("a.b.xn--zckzah") == 2)  // *.テスト
+    assert(psl.suffixLabelCount("exempt.xn--zckzah") == 1) // exception
+    // hosts from arbitrary upstream extraction may be mixed-case
+    assert(psl.suffixLabelCount("Site.COM") == 1)
+    assert(graft.functions.Psl.subset.suffixLabelCount("Shop.Example.CO.UK") == 2)
   }
 
   test("parseUrlsPsl keys the registrable site from PSL rules, NULL " +
