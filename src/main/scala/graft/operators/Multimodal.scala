@@ -186,6 +186,100 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio-container metadata (null-free: -1 marks fields a
+    * non-audio or undecodable payload can't provide). */
+  case class AudioFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           checksum: Long, sample_rate: Int, channels: Int,
+                           bits: Int, n_frames: Long, duration_ms: Long)
+
+  /** REAL audio-container parsing via `javax.sound.sampled` (JDK-
+    * bundled, headless: WAV / AIFF / AU): sample rate, channel count,
+    * sample width, frame count and duration come from the DECODED
+    * header, not declared metadata. Non-audio records and payloads no
+    * installed reader accepts fall through with -1 audio fields — the
+    * same permissive posture as [[ImageIoDecoder]]. The checksum stays
+    * the raw-payload FNV (provenance). One stream is open at a time
+    * per task and only the HEADER is parsed — payload bytes are not
+    * decompressed, so memory is O(1) per record. */
+  def extractAudioFeatures(spark: SparkSession,
+                           media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val sum = graft.functions.TextHash.fnv64(r.payload, 0, r.payload.length)
+        val base = AudioFeatures(r.doc_id, r.media_type, r.payload.length,
+          sum, -1, -1, -1, -1L, -1L)
+        if (r.media_type != "audio") base
+        else {
+          val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+          if (in == null) base
+          else try {
+            val f = in.getFormat
+            val frames = in.getFrameLength
+            val durMs =
+              if (frames >= 0 && f.getFrameRate > 0)
+                (frames * 1000.0 / f.getFrameRate).toLong
+              else -1L
+            base.copy(sample_rate = f.getSampleRate.toInt,
+              channels = f.getChannels, bits = f.getSampleSizeInBits,
+              n_frames = frames, duration_ms = durMs)
+          } finally in.close()
+        }
+      }
+    }
+  }
+
+  /** One decoded GIF frame: index within the container + dims + the
+    * frame re-encoded as PNG. */
+  case class GifFrame(doc_id: Long, frame_idx: Int, n_frames: Int,
+                      w: Int, h: Int, frame_png: Array[Byte])
+
+  /** REAL multi-frame container sampling: animated GIF through the
+    * JDK's ImageIO multi-image reader — up to `maxFrames`
+    * evenly-spaced CODEC frames per payload (the [[sampleFrames]]
+    * byte-slice shape upgraded to actual decoded frames; video codecs
+    * aren't in the JDK, but GIF is a real frame container and proves
+    * the seek-decode-emit contract end to end). Records that aren't
+    * GIF (or are corrupt) emit nothing — compose with [[sampleFrames]]
+    * for opaque formats. Frames decode ONE AT A TIME per record; the
+    * emitted payload is the single frame, so memory is bounded by one
+    * frame, not the animation. */
+  def sampleGifFrames(spark: SparkSession, media: DataFrame,
+                      maxFrames: Int = 4): Dataset[GifFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val iis = try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+      val readers =
+        if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+        else javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Iterator.empty
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          if (!"gif".equalsIgnoreCase(reader.getFormatName)) Iterator.empty
+          else {
+            val n = reader.getNumImages(true)
+            val k = math.max(1, math.min(maxFrames, n))
+            (0 until k).iterator.map { i =>
+              val idx = if (k == 1) 0 else (n - 1).toLong * i / (k - 1)
+              val img = reader.read(idx.toInt)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              GifFrame(r.doc_id, idx.toInt, n, img.getWidth, img.getHeight,
+                bos.toByteArray)
+            }.toVector.iterator // materialize before the reader disposes
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        finally { reader.dispose(); iis.close() }
+      }
+    }
+  }
+
   /** One sampled frame: slice metadata + the frame payload. */
   case class Frame(doc_id: Long, media_type: String, frame_idx: Int,
                    frame_offset: Int, frame_bytes: Array[Byte])
