@@ -1005,6 +1005,34 @@ object SparkEntry {
             .as("segmented"))
     }),
 
+    // §2b-57e: tokenizer fertility / compression stats — the
+    // vocabulary-fit report every tokenizer choice is judged by
+    // (subwords per word, bytes per emitted token, per language),
+    // computed under the EXTERNAL chain via the word-cache encode:
+    // one corpus scan to words, the fixed chain over the vocab, a
+    // token-to-vocab join, two aggs. At 100 TB the vocab side
+    // broadcasts and text never shuffles.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" " + bpeNonAsciiSuffix)))
+      val merges = Bpe.loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges,
+          asciiOnly = false, byteLevel = true)
+        .select(col("doc_id"), col("n_subwords"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val base = docs.select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (a, x) => a + octet_length(x)).as("n_bytes"))
+      base.join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          round(sum(col("n_subwords")).cast("double") /
+            sum(col("n_words")).cast("double"), 6).as("fertility"),
+          round(sum(col("n_bytes")).cast("double") /
+            sum(col("n_subwords")).cast("double"), 6).as("bytes_per_token"),
+          sum(col("n_subwords")).cast("long").as("n_tokens"))
+    }),
+
     // §2b: the APPLIED near-dup policy — the composition users actually
     // run: candidate pairs → connected components → keep each cluster's
     // canonical (minimum-id) doc. One semi-join over the corpus; the
@@ -5124,7 +5152,35 @@ object SparkEntry {
     * marker, never an empty artifact. */
   private[graft] def fragileOracleSql: Map[String, () => String] = Map(
     "q_url_parse2" -> (() => qUrlParse2Oracle),
-    "q_bpe_external" -> (() => qBpeExternalOracle))
+    "q_bpe_external" -> (() => qBpeExternalOracle),
+    "q_bpe_fertility" -> (() => qBpeFertilityOracle))
+
+  /** q_bpe_fertility oracle: the fixed-chain segmented vocabulary
+    * joined back to doc tokens, rolled up per language — fertility =
+    * subwords/word, bytes_per_token = token utf-8 bytes / subwords.
+    * Fragile: reads the bundled merges.txt resource. */
+  private def qBpeFertilityOracle: String = {
+    val pairs = graft.operators.Bpe
+      .loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      .map(m => (m.lhs, m.rhs))
+    s"""${sqlBpeApplyFixedChain(pairs)},
+       |vocab AS (SELECT w, s FROM w${pairs.length}),
+       |dtoks AS (
+       |  SELECT doc_id, lang, t[i] AS w
+       |  FROM (SELECT doc_id, lang,
+       |          regexp_extract_all(text || ' $bpeNonAsciiSuffix',
+       |            '[^ \\t\\n\\x0b\\f\\r]+') AS t
+       |        FROM documents),
+       |       unnest(generate_series(1, len(t))) AS u(i)),
+       |joined AS (
+       |  SELECT d.lang, len(v.s) AS ns, strlen(d.w) AS nb
+       |  FROM dtoks d JOIN vocab v ON d.w = v.w)
+       |SELECT lang,
+       |  round(CAST(sum(ns) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(sum(nb) AS DOUBLE) / CAST(sum(ns) AS DOUBLE), 6) AS bytes_per_token,
+       |  CAST(sum(ns) AS BIGINT) AS n_tokens
+       |FROM joined GROUP BY lang""".stripMargin
+  }
 
   /** q_bpe_external oracle: the fixed-chain byte-level encode replay,
     * its pair list parsed from the SAME bundled merges.txt resource
