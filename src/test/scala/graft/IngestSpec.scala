@@ -1136,5 +1136,27 @@ class IngestSpec extends AnyFunSuite {
       Warehouse.commitGeneration(spark, tbl)(_ => ())
     }
     assert(Warehouse.currentGeneration(spark, tbl) == before)
+
+    // a LOST POINTER RACE surfaces as an error, never as silent
+    // clobbering: a "concurrent writer" lands the same pointer number
+    // inside the commit window (between the next-number read and the
+    // pointer rename — the writer callback runs exactly there), so the
+    // atomic create-rename hits an existing destination and fails. The
+    // loser's generation data is cleaned up and readers resolve the
+    // winner's pointer.
+    val log = new org.apache.hadoop.fs.Path(tbl, "_gen")
+    val racedPtr = new org.apache.hadoop.fs.Path(log, "00000004.ptr")
+    val ex = intercept[java.io.IOException] {
+      Warehouse.commitGeneration(spark, tbl) { p =>
+        batch((9L, "z", "2014-09-09")).write.parquet(p)
+        // the concurrent winner points its generation at gen-00000003
+        val out = fs.create(racedPtr, true)
+        out.write("gen-00000003".getBytes("UTF-8")); out.close()
+      }
+    }
+    assert(ex.getMessage.contains("lost a race"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "gen-00000004")),
+      "loser's generation data must be cleaned after a lost race")
+    assert(Warehouse.read(spark, tbl).count() == 3)
   }
 }

@@ -51,7 +51,62 @@ class LocalClusterSpec extends AnyFunSuite {
     "q_decontaminate_bloom", "q_hll_card", "q_cms_counts",
     "q_hist_quantiles", "q_bpe_encode", "q_minhash_pairs",
     "q_embed_neardup_auto", "q_fim_transform", "q_url_parse2",
-    "q_ann_ivfpq2")
+    "q_ann_ivfpq2",
+    // round 12: external merges.txt chain folded into lit() columns
+    "q_bpe_external")
+
+  /** Round-12 real-decode surface (imageio thumbnails, GIF codec
+    * frames, javax.sound audio headers): mapPartitions closures over
+    * JDK decoder state, proven across real executor JVMs like the
+    * query kernels. Rows render deterministically (payload bytes by
+    * java Arrays.hashCode — both sessions run the same JVM, so PNG
+    * re-encodes are byte-identical). */
+  private def multimodalProbe(spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // the same deterministic in-process artifacts MultimodalSpec uses
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 8).foreach(x =>
+      img.setRGB(x, y, (x * 0x010203 + y * 0x102030) & 0xffffff)))
+    val pngBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngBuf)
+    val png = pngBuf.toByteArray
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](2000 * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2000L)
+    val wavBuf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBuf)
+    val wav = wavBuf.toByteArray
+    val gifWriter = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val gifBuf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(gifBuf)
+    gifWriter.setOutput(ios); gifWriter.prepareWriteSequence(null)
+    (1 to 3).foreach { k =>
+      val f = new java.awt.image.BufferedImage(
+        4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 2).foreach(y => (0 until 4).foreach(x =>
+        f.setRGB(x, y, 0x204060 * k & 0xffffff)))
+      gifWriter.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+    }
+    gifWriter.endWriteSequence(); ios.close(); gifWriter.dispose()
+    val gif = gifBuf.toByteArray
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 9, 9),
+      Multimodal.MediaRecord(2L, "audio", wav, 0, 0),
+      Multimodal.MediaRecord(3L, "video", gif, 4, 2)).toDF()
+    val thumbs = Multimodal.renderThumbnails(spark, media, box = 4)
+      .collect().map(t => s"T:${t.doc_id}:${t.thumb_w}x${t.thumb_h}:" +
+        java.util.Arrays.hashCode(t.thumb_png))
+    val audio = Multimodal.extractAudioFeatures(spark, media)
+      .collect().map(_.toString)
+    val frames = Multimodal.sampleGifFrames(spark, media, maxFrames = 2)
+      .collect().map(f => s"G:${f.doc_id}:${f.frame_idx}/${f.n_frames}:" +
+        s"${f.w}x${f.h}:" + java.util.Arrays.hashCode(f.frame_png))
+    (thumbs ++ audio ++ frames).sorted.toSeq
+  }
 
   private def builder(master: String) = SparkSession.builder()
     .master(master)
@@ -67,9 +122,11 @@ class LocalClusterSpec extends AnyFunSuite {
     * row order by construction). */
   private def runAll(spark: SparkSession): Map[String, Seq[String]] = {
     spark.sparkContext.setLogLevel("WARN")
-    try names.map { n =>
-      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
-    }.toMap
+    try {
+      names.map { n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
+      }.toMap + ("__multimodal__" -> multimodalProbe(spark))
+    }
     finally spark.stop()
   }
 
@@ -93,7 +150,7 @@ class LocalClusterSpec extends AnyFunSuite {
       s"expected 2 remote executors + driver, got $execCount")
     val cluster = runAll(clusterSession)
 
-    names.foreach { n =>
+    (names :+ "__multimodal__").foreach { n =>
       assert(cluster(n).nonEmpty, s"$n returned no rows under local-cluster")
       assert(cluster(n) == local(n),
         s"$n diverged between local and local-cluster execution")
