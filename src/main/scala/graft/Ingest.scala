@@ -38,10 +38,16 @@ object Ingest {
 
   /** Parsed config (ght2dm.conf.example: `ghtorrent_folders` +
     * database target → here a staging/warehouse directory). */
-  case class Config(ghtorrentFolders: Seq[String], warehouseDir: String)
+  case class Config(ghtorrentFolders: Seq[String], warehouseDir: String,
+                    versionedWarehouse: Boolean = false)
 
   object Config {
-    /** Minimal JSON config reader (readConfig, ght2dm.go:186-199). */
+    /** Minimal JSON config reader (readConfig, ght2dm.go:186-199).
+      * The optional `"versioned_warehouse": true` flag (graft
+      * extension) commits each output table as a
+      * [[graft.sources.Warehouse]] generation instead of an in-place
+      * overwrite, so readers concurrent with a re-import keep a
+      * complete snapshot. */
     def load(path: String): Config = {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
@@ -49,7 +55,8 @@ object Ingest {
       val j = org.json4s.jackson.JsonMethods.parse(txt)
       Config(
         (j \ "ghtorrent_folders").extract[Seq[String]],
-        (j \ "warehouse_dir").extract[String])
+        (j \ "warehouse_dir").extract[String],
+        (j \ "versioned_warehouse").extractOrElse[Boolean](false))
     }
   }
 
@@ -1047,7 +1054,8 @@ object Ingest {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hc).exists(hp)
     }
-    if (allThere) Some(paths.map(spark.read.parquet(_))) else None
+    if (allThere)
+      Some(paths.map(graft.sources.Warehouse.readAuto(spark, _))) else None
   }
 
   /** See [[runMembersStream]]; resolves login + owner/repo full_name. */
@@ -1156,7 +1164,11 @@ object Ingest {
       }
     }
     out.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"${cfg.warehouseDir}/$name")
+      if (cfg.versionedWarehouse)
+        graft.sources.Warehouse.commitGeneration(spark,
+          s"${cfg.warehouseDir}/$name")(p => df.write.parquet(p))
+      else
+        df.write.mode("overwrite").parquet(s"${cfg.warehouseDir}/$name")
     }
     out
   }

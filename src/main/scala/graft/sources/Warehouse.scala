@@ -75,6 +75,27 @@ object Warehouse {
       throw new java.util.NoSuchElementException(
         s"no committed generation under $root")))
 
+  /** True if `path` is readable as a table under either layout: a
+    * generation-versioned root with a committed generation, or a plain
+    * parquet directory. */
+  def existsAuto(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsFor(spark, p)
+    currentGeneration(spark, path).isDefined || fs.exists(p)
+  }
+
+  /** Read `path` under either layout: a versioned root (a `_gen` log
+    * with a committed pointer) resolves its current generation first;
+    * anything else reads as a plain parquet dir. Lets consumers (the
+    * ingestion dim resolution, ad-hoc readers) stay agnostic to
+    * whether a table was written with the swap path or the
+    * generation path. */
+  def readAuto(spark: SparkSession, path: String): DataFrame =
+    currentGeneration(spark, path) match {
+      case Some(gen) => spark.read.parquet(gen)
+      case None => spark.read.parquet(path)
+    }
+
   /** Write the NEXT generation: `writer` materializes the data at the
     * provided fresh path (e.g. `df.write.parquet(_)`), then the
     * pointer commits via atomic create-rename. Nothing the current

@@ -634,6 +634,45 @@ class IngestSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L)), s"got $got")
   }
 
+  test("run() with versioned_warehouse commits tables as generations: " +
+    "a re-import lands a NEW generation (readers keep their snapshot) " +
+    "and relation-only configs resolve dims from the versioned layout") {
+    import graft.sources.Warehouse
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_vers").toString
+    Seq("users", "org_members").foreach(e =>
+      Files.createDirectories(Paths.get(s"$dir/$e")))
+    writeDocs(s"$dir/users/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","type":"User","name":"Alice","email":"a@x.org","created_at":"2013-01-01T00:00:00Z","updated_at":"","followers":1,"following":1,"hireable":true}""",
+      """{"id":3,"login":"devmine","type":"Organization","name":"DevMine","created_at":"2013-03-01T00:00:00Z","updated_at":""}"""))
+    writeDocs(s"$dir/org_members/2014-01-01.bson", Seq(
+      """{"id":1,"login":"alice","org":"devmine","type":"User"}"""))
+    // the JSON flag parses (graft extension, default false)
+    val cfgPath = s"$dir/graft.conf"
+    Files.writeString(Paths.get(cfgPath),
+      s"""{"ghtorrent_folders": ["$dir/users"], "warehouse_dir": "$dir/wh",
+         | "versioned_warehouse": true}""".stripMargin)
+    val cfg = Ingest.Config.load(cfgPath)
+    assert(cfg.versionedWarehouse)
+
+    Ingest.run(spark, cfg)
+    val gen1 = Warehouse.currentGeneration(spark, s"$dir/wh/users").get
+    assert(gen1.endsWith("gen-00000001"))
+    assert(Warehouse.read(spark, s"$dir/wh/users").count() == 1) // alice
+    // re-import: a NEW generation; the old one stays on disk for
+    // readers that resolved before the re-import
+    Ingest.run(spark, cfg)
+    assert(Warehouse.currentGeneration(spark, s"$dir/wh/users").get
+      .endsWith("gen-00000002"))
+    assert(spark.read.parquet(gen1).count() == 1)
+    // relation-only config resolves dims through the VERSIONED layout
+    // (readAuto), producing the same resolution as the plain layout
+    val out = Ingest.run(spark, Ingest.Config(
+      Seq(s"$dir/org_members"), s"$dir/wh", versionedWarehouse = true))
+    val got = out("gh_users_organizations").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)), s"got $got")
+  }
+
   test("continuous issues/PR ingestion: newest updated_at wins across " +
     "batches; an older replay never overwrites newer warehouse state") {
     import graft.functions.Bson
