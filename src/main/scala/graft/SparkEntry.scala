@@ -1016,21 +1016,24 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("text", concat(col("text"), lit(" " + bpeNonAsciiSuffix)))
       val merges = Bpe.loadMergesTextResource("/graft/gpt2_merges_subset.txt")
-      val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges,
-          asciiOnly = false, byteLevel = true)
-        .select(col("doc_id"), col("n_subwords"))
-      val toks = graft.functions.TextFunctions.tokens(col("text"))
-      val base = docs.select(col("doc_id"), col("lang"),
-        size(toks).cast("long").as("n_words"),
-        aggregate(toks, lit(0L), (a, x) => a + octet_length(x)).as("n_bytes"))
-      base.join(enc, Seq("doc_id"))
+      // per-word subword counts, once per DISTINCT word (Heaps'-law
+      // small -> broadcast); the rollup then aggregates straight off
+      // the token explode by language — no per-doc intermediate, two
+      // corpus-scan-class reads total (vocab agg + token explode)
+      val vocab = Bpe.wordCounts(docs, "text", asciiOnly = false)
+        .select(col("w"),
+          size(Bpe.applyMerges(Bpe.byteSymbols(col("w")), merges))
+            .cast("long").as("ns"))
+      val toks = docs.select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      toks.join(broadcast(vocab), Seq("w"))
         .groupBy(col("lang"))
         .agg(
-          round(sum(col("n_subwords")).cast("double") /
-            sum(col("n_words")).cast("double"), 6).as("fertility"),
-          round(sum(col("n_bytes")).cast("double") /
-            sum(col("n_subwords")).cast("double"), 6).as("bytes_per_token"),
-          sum(col("n_subwords")).cast("long").as("n_tokens"))
+          round(sum(col("ns")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("fertility"),
+          round(sum(octet_length(col("w"))).cast("double") /
+            sum(col("ns")).cast("double"), 6).as("bytes_per_token"),
+          sum(col("ns")).as("n_tokens"))
     }),
 
     // §2b: the APPLIED near-dup policy — the composition users actually
