@@ -1810,6 +1810,14 @@ object SparkEntry {
     "q_lm_score2" -> ((s, dir) =>
       LmScore.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // §2b-48b: EXTERNAL LM scoring — the published ARPA back-off
+    // format (KenLM/SRILM) loaded and applied as broadcast joins;
+    // CCNet-style pipelines filter with a SHIPPED model, not one
+    // re-estimated per corpus (the tokenizer-import story for LMs)
+    "q_lm_external" -> ((s, dir) =>
+      LmScore.arpaScoreDocs(t(s, dir, "documents"), "doc_id", "text",
+        LmScore.loadArpaResource("/graft/sample_bigram.arpa"))),
+
     // §2b-63: deterministic epoch shuffle — the global training order
     // as a pure function of (content hash, epoch); two epochs show
     // independent permutations, positions via range-sharded rank (no
@@ -5156,7 +5164,47 @@ object SparkEntry {
   private[graft] def fragileOracleSql: Map[String, () => String] = Map(
     "q_url_parse2" -> (() => qUrlParse2Oracle),
     "q_bpe_external" -> (() => qBpeExternalOracle),
-    "q_bpe_fertility" -> (() => qBpeFertilityOracle))
+    "q_bpe_fertility" -> (() => qBpeFertilityOracle),
+    "q_lm_external" -> (() => qLmExternalOracle))
+
+  /** q_lm_external oracle: the bundled ARPA model rendered as VALUES
+    * relations (from the SAME parsed resource the Spark side loads),
+    * the back-off rule replayed with left joins. Fragile: reads the
+    * classpath resource at string-construction time. */
+  private def qLmExternalOracle: String = {
+    val m = graft.operators.LmScore.loadArpaResource("/graft/sample_bigram.arpa")
+    def q(w: String) = "'" + w.replace("'", "''") + "'"
+    val uniVals = m.uni.map { case (w, lp, bo) => s"(${q(w)}, $lp, $bo)" }
+      .mkString(", ")
+    val biVals = m.bi.map { case (a, b, lp) => s"(${q(a)}, ${q(b)}, $lp)" }
+      .mkString(", ")
+    s"""WITH uni(w, lp1, bo1) AS (SELECT * FROM (VALUES $uniVals) t),
+       |bi(w1, w2, lp2) AS (SELECT * FROM (VALUES $biVals) t),
+       |tk AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+       |nz AS (SELECT doc_id, ts FROM tk WHERE len(ts) >= 1),
+       |firsts AS (
+       |  SELECT f.doc_id, coalesce(u.lp1, ${m.unkLp}) AS lp
+       |  FROM (SELECT doc_id, ts[1] AS w FROM nz) f LEFT JOIN uni u ON f.w = u.w),
+       |pairs AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+       |  FROM nz, unnest(generate_series(1, len(ts)-1)) u(i)
+       |  WHERE len(ts) >= 2),
+       |trans AS (
+       |  SELECT p.doc_id,
+       |    coalesce(b.lp2,
+       |      coalesce(u1.bo1, 0.0) + coalesce(u2.lp1, ${m.unkLp})) AS lp
+       |  FROM pairs p
+       |  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  LEFT JOIN uni u1 ON p.w1 = u1.w
+       |  LEFT JOIN uni u2 ON p.w2 = u2.w),
+       |allr AS (SELECT * FROM firsts UNION ALL SELECT * FROM trans)
+       |SELECT doc_id,
+       |  round(-(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) /
+       |          CAST(count(*) AS DOUBLE)), 6) AS nll10,
+       |  CAST(count(*) AS BIGINT) AS n_scored
+       |FROM allr GROUP BY doc_id""".stripMargin
+  }
 
   /** q_bpe_fertility oracle: the fixed-chain segmented vocabulary
     * joined back to doc tokens, rolled up per language — fertility =

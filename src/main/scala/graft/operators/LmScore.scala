@@ -353,4 +353,117 @@ object LmScore {
       .filter(col("rank") <= k)
       .select(col("term"), col("doc_id"), col("rank"), col("score"))
   }
+
+  // ---- published ARPA back-off LM interchange ------------------------
+  // CCNet-style pipelines score documents with a SHIPPED KenLM model,
+  // not one re-estimated from the corpus; the artifact format is ARPA
+  // (Stolcke, SRILM; KenLM writes the same): log10 probabilities and
+  // back-off weights in \1-grams:/\2-grams: sections. This block loads
+  // the text format (orders 1-2) and scores documents with the standard
+  // back-off rule — all as broadcast joins, no UDF in the hot path.
+
+  /** A loaded bigram back-off model: unigram (word, log10 p, log10
+    * back-off) and bigram (w1, w2, log10 p) rows. Must contain `<unk>`
+    * (the OOV floor every real KenLM artifact carries). */
+  case class ArpaModel(uni: Seq[(String, Double, Double)],
+                       bi: Seq[(String, String, Double)]) {
+    require(uni.exists(_._1 == "<unk>"), "ARPA model must define <unk>")
+    def unkLp: Double = uni.find(_._1 == "<unk>").get._2
+  }
+
+  /** Parse the ARPA text format: `\\data\\` header skipped, `\\1-grams:`
+    * rows are `lp word [backoff]`, `\\2-grams:` rows are `lp w1 w2`
+    * (whitespace-separated; a trailing bigram back-off — present only
+    * in order-3+ models — is ignored). Orders above 2 are rejected
+    * loudly rather than silently dropped. */
+  def loadArpaText(lines: Iterator[String]): ArpaModel = {
+    val uni = Seq.newBuilder[(String, Double, Double)]
+    val bi = Seq.newBuilder[(String, String, Double)]
+    var section = 0
+    lines.map(_.trim).filter(_.nonEmpty).foreach { l =>
+      if (l.startsWith("\\")) {
+        section = l match {
+          case "\\1-grams:" => 1
+          case "\\2-grams:" => 2
+          case "\\data\\" | "\\end\\" => 0
+          case other if other.matches("\\\\\\d+-grams:") =>
+            throw new IllegalArgumentException(
+              s"only ARPA orders 1-2 are supported, found section $other")
+          case _ => 0
+        }
+      } else if (section == 1) {
+        val f = l.split("\\s+")
+        require(f.length >= 2, s"bad 1-gram line: '$l'")
+        uni += ((f(1), f(0).toDouble,
+          if (f.length >= 3) f(2).toDouble else 0.0))
+      } else if (section == 2) {
+        val f = l.split("\\s+")
+        require(f.length >= 3, s"bad 2-gram line: '$l'")
+        bi += ((f(1), f(2), f(0).toDouble))
+      } // section 0: \data\ counts — informational only
+    }
+    ArpaModel(uni.result(), bi.result())
+  }
+
+  /** [[loadArpaText]] from a classpath resource (the bundled sample
+    * ships at /graft/sample_bigram.arpa). */
+  def loadArpaResource(resource: String): ArpaModel = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"ARPA resource missing: $resource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try loadArpaText(src.getLines()) finally src.close()
+  }
+
+  /** Score documents under an EXTERNAL bigram back-off model: the
+    * first token scores as a unigram, every transition (w1, w2) as
+    * `lp2(w1,w2)` when the bigram exists, else `bo(w1) + lp1(w2)`
+    * (the published back-off rule); OOV words take `lp1(<unk>)` and
+    * contribute no back-off weight. Output: per-doc mean negative
+    * log10 probability per scored token (`nll10`) + the token count —
+    * the CCNet filtering signal, comparable across documents.
+    *
+    * Plan shape: the model rides as two BROADCAST frames (a real
+    * KenLM vocab is MBs — broadcast-sized by construction); tokens
+    * explode once; three broadcast hash joins and one per-doc hash
+    * aggregation. No sentence segmentation (`<s>`/`</s>` rows in the
+    * model are simply never matched) — the whole-doc token stream is
+    * the scoring unit, as in per-doc perplexity filtering. */
+  def arpaScoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                    model: ArpaModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val uniDf = broadcast(model.uni.toDF("w", "lp1", "bo1"))
+    val biDf = broadcast(model.bi.toDF("w1", "w2", "lp2"))
+    val unk = lit(model.unkLp)
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+    // first token: unigram (OOV -> <unk>)
+    val firsts = toks.select(col(idCol), element_at(col("__ts"), 1).as("w"))
+      .join(uniDf, Seq("w"), "left")
+      .select(col(idCol), coalesce(col("lp1"), unk).as("lp"))
+    // transitions: bigram, else backoff(w1) + unigram(w2)
+    val pairs = toks.filter(size(col("__ts")) >= 2)
+      .withColumn("a", slice(col("__ts"), lit(1), size(col("__ts")) - 1))
+      .withColumn("b", slice(col("__ts"), lit(2), size(col("__ts")) - 1))
+      .select(col(idCol), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col(idCol), col("p.a").as("w1"), col("p.b").as("w2"))
+    val trans = pairs
+      .join(biDf, Seq("w1", "w2"), "left")
+      .join(uniDf.select(col("w").as("w1"), col("bo1")), Seq("w1"), "left")
+      .join(uniDf.select(col("w").as("w2"), col("lp1").as("lp1w2")),
+        Seq("w2"), "left")
+      .select(col(idCol), coalesce(col("lp2"),
+        coalesce(col("bo1"), lit(0.0)) + coalesce(col("lp1w2"), unk)).as("lp"))
+    // the per-doc mean goes through an EXACT decimal sum (the
+    // q_rrf_fusion pattern): double partial sums are merge-order-
+    // sensitive and land exactly on round-at-6 ties for grid-valued
+    // ARPA probabilities; decimal(28,10) sums are associative, so the
+    // score is deterministic across partitionings and engines
+    firsts.unionByName(trans)
+      .groupBy(col(idCol))
+      .agg(round(-(sum(col("lp").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double")), 6).as("nll10"),
+        count(lit(1)).as("n_scored"))
+  }
 }
