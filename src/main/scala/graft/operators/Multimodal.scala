@@ -81,21 +81,45 @@ object Multimodal {
     def decode(r: MediaRecord): MediaFeatures =
       if (r.media_type != "image") StubDecoder.decode(r)
       else {
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          // NonFatal, not just IOException: ImageIO readers throw
-          // ArrayIndexOutOfBounds/NegativeArraySize/IllegalArgument/CMM
-          // RuntimeExceptions on truncated or fuzzed crawl payloads, and
-          // the permissive-decode contract must hold for those too
-          catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) StubDecoder.decode(r) // not a decodable image
-        else {
-          val sum = graft.functions.TextHash.fnv64(r.payload, 0, r.payload.length)
-          val (tw, th) = thumbDims(img.getWidth, img.getHeight)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length, sum, tw, th,
-            math.max(1, r.payload.length / 4096))
+        // Only the true container dims are needed, so read them from the
+        // HEADER (reader.getWidth/getHeight — no pixel decode): O(header)
+        // memory per record regardless of payload dims, which also makes
+        // this path immune to decompression bombs by construction.
+        // NonFatal inside headerDims: ImageIO readers throw
+        // ArrayIndexOutOfBounds/NegativeArraySize/IllegalArgument/CMM
+        // RuntimeExceptions on truncated or fuzzed crawl payloads, and
+        // the permissive-decode contract must hold for those too.
+        headerDims(r.payload) match {
+          case None => StubDecoder.decode(r) // not a decodable image
+          case Some((w, h)) =>
+            val sum = graft.functions.TextHash.fnv64(r.payload, 0, r.payload.length)
+            val (tw, th) = thumbDims(w, h)
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length, sum, tw, th,
+              math.max(1, r.payload.length / 4096))
         }
       }
+  }
+
+  /** Container dims from the image HEADER only (no pixel decode); None
+    * when no installed reader claims the payload or the header is
+    * corrupt. */
+  private[graft] def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = try javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) None
+    else try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
   /** Build a media table from the documents table: payload = utf-8 bytes
@@ -151,14 +175,47 @@ object Multimodal {
     out
   }
 
+  /** Header-only guarded decode: obtain an ImageReader for the payload,
+    * read the DECLARED dimensions from the container header
+    * (`reader.getWidth(0)`/`getHeight(0)` parse only the header — no
+    * pixel data is touched), and refuse to call `read(0)` when
+    * `w*h > maxPixels`. This is what makes the decompression-bomb guard
+    * real: a 100k×100k PNG is rejected from its 33-byte IHDR before the
+    * 40 GB pixel buffer would be allocated. Returns null on non-image,
+    * corrupt, and over-budget payloads alike (permissive posture). */
+  private[graft] def readImageGuarded(payload: Array[Byte],
+                                          maxPixels: Long): java.awt.image.BufferedImage = {
+    val iis = try javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) null
+    else try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0).toLong // header-only: no pixel decode
+          val h = reader.getHeight(0).toLong
+          if (w * h > maxPixels) null // bomb guard BEFORE the decode
+          else reader.read(0)
+        } catch { case scala.util.control.NonFatal(_) => null }
+        finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** REAL resized-thumbnail emission (round-12 verdict gap: dims and
     * checksums only was plumbing, not a decode surface): decode via
     * javax.imageio, resample into the `box`-px bounding box keeping
     * ratio, re-encode as PNG bytes. Memory is bounded per task: ONE
     * decoded image lives at a time (the mapPartitions loop holds no
-    * batch), images past `maxPixels` are skipped to null instead of
-    * decoded (a crawl's decompression-bomb guard), and the emitted
-    * payload is the small thumbnail, never the source pixels. */
+    * batch), images whose HEADER dims exceed `maxPixels` are rejected
+    * before any pixel decode (see [[readImageGuarded]] — the
+    * decompression-bomb guard bounds the decode itself, not just the
+    * output), and the emitted payload is the small thumbnail, never
+    * the source pixels. */
   def renderThumbnails(spark: SparkSession, media: DataFrame,
                        box: Int = 64,
                        maxPixels: Long = 64L * 1024 * 1024): Dataset[Thumbnail] = {
@@ -168,11 +225,8 @@ object Multimodal {
       it.map { r =>
         val img =
           if (r.media_type != "image") null
-          else try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null ||
-            img.getWidth.toLong * img.getHeight > maxPixels) {
+          else readImageGuarded(r.payload, maxPixels)
+        if (img == null) {
           val (tw, th) = thumbDims(r.declared_w, r.declared_h, box)
           Thumbnail(r.doc_id, r.media_type, tw, th, null)
         } else {
@@ -249,33 +303,40 @@ object Multimodal {
   def sampleGifFrames(spark: SparkSession, media: DataFrame,
                       maxFrames: Int = 4): Dataset[GifFrame] = {
     import spark.implicits._
-    media.as[MediaRecord].flatMap { r =>
-      val iis = try javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
-      catch { case scala.util.control.NonFatal(_) => null }
-      val readers =
-        if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
-        else javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Iterator.empty
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          if (!"gif".equalsIgnoreCase(reader.getFormatName)) Iterator.empty
+    media.as[MediaRecord].mapPartitions { part =>
+      // per-partition init: an in-memory stream must never spill a temp
+      // file (with useCache=true the no-reader branch used to leak a
+      // FileCacheImageInputStream's temp file + FD per corrupt record)
+      javax.imageio.ImageIO.setUseCache(false)
+      part.flatMap { r =>
+        val iis = try javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+        if (iis == null) Iterator.empty
+        else try { // iis closed on EVERY path, incl. no-reader payloads
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Iterator.empty
           else {
-            val n = reader.getNumImages(true)
-            val k = math.max(1, math.min(maxFrames, n))
-            (0 until k).iterator.map { i =>
-              val idx = if (k == 1) 0 else (n - 1).toLong * i / (k - 1)
-              val img = reader.read(idx.toInt)
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              GifFrame(r.doc_id, idx.toInt, n, img.getWidth, img.getHeight,
-                bos.toByteArray)
-            }.toVector.iterator // materialize before the reader disposes
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              if (!"gif".equalsIgnoreCase(reader.getFormatName)) Iterator.empty
+              else {
+                val n = reader.getNumImages(true)
+                val k = math.max(1, math.min(maxFrames, n))
+                (0 until k).iterator.map { i =>
+                  val idx = if (k == 1) 0 else (n - 1).toLong * i / (k - 1)
+                  val img = reader.read(idx.toInt)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  GifFrame(r.doc_id, idx.toInt, n, img.getWidth, img.getHeight,
+                    bos.toByteArray)
+                }.toVector.iterator // materialize before the reader disposes
+              }
+            } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+            finally reader.dispose()
           }
-        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
-        finally { reader.dispose(); iis.close() }
+        } finally iis.close()
       }
     }
   }

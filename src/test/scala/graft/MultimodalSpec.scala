@@ -129,6 +129,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(guarded.thumb_png == null)
   }
 
+  test("decompression-bomb guard fires BEFORE the decode: header-only " +
+    "dims, bounded allocation, no pixel read ever attempted") {
+    // A PNG with a VALID header declaring 8000x8000 (64M px -> 256 MB
+    // ARGB if decoded) and NO pixel data at all. Header-only parsing
+    // succeeds on it; any attempt at a full decode would first allocate
+    // the destination raster, then throw on the missing IDAT.
+    def bombPng(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      val chunk = java.nio.ByteBuffer.allocate(17)
+      chunk.put("IHDR".getBytes("US-ASCII"))
+      chunk.putInt(w); chunk.putInt(h)
+      chunk.put(8.toByte)  // bit depth
+      chunk.put(2.toByte)  // color type: RGB
+      chunk.put(0.toByte); chunk.put(0.toByte); chunk.put(0.toByte)
+      val crc = new java.util.zip.CRC32(); crc.update(chunk.array())
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+      bos.write(chunk.array())
+      bos.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+      bos.toByteArray // truncated here: no IDAT, no IEND
+    }
+    val bomb = bombPng(8000, 8000)
+    // the header parse is truly header-only: there ARE no pixels
+    assert(Multimodal.headerDims(bomb).contains((8000, 8000)))
+    // guard: over-budget dims rejected from the header; the call must
+    // not allocate anything decode-sized on this thread
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread.getId
+    val before = mx.getThreadAllocatedBytes(tid)
+    val out = Multimodal.readImageGuarded(bomb, maxPixels = 1L << 20)
+    val allocated = mx.getThreadAllocatedBytes(tid) - before
+    assert(out == null)
+    assert(allocated < 32L * 1024 * 1024,
+      s"allocated $allocated bytes — the decode was attempted")
+    // end-to-end: renderThumbnails nulls the bomb (dims fall back to
+    // the declared box) and ImageIoDecoder still reports header dims
+    val media = Seq(Multimodal.MediaRecord(1L, "image", bomb, 10, 10)).toDF()
+    val thumb = Multimodal.renderThumbnails(spark, media, box = 4,
+      maxPixels = 1L << 20).collect().head
+    assert(thumb.thumb_png == null && thumb.thumb_w == 4 && thumb.thumb_h == 4)
+    val feats = Multimodal.extractFeatures(spark, media,
+      Multimodal.ImageIoDecoder).collect().head
+    assert(feats.thumb_w == 64 && feats.thumb_h == 64) // from 8000x8000
+  }
+
   test("extractAudioFeatures parses a REAL WAV container: sample rate, " +
     "channels, bits, frames, duration from the decoded header; " +
     "non-audio and undecodable fall through with -1s") {
