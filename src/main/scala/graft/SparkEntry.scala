@@ -1036,6 +1036,35 @@ object SparkEntry {
           sum(col("ns")).as("n_tokens"))
     }),
 
+    // §2b-57f: fertility under the PUBLISHED GPT-2 PRE-TOKENIZER —
+    // word boundaries from the GPT-2 regex (contraction suffixes,
+    // space-prefixed letter/digit/punct runs, whitespace runs yielding
+    // their last char forward), not whitespace splitting. This is the
+    // other half of external-tokenizer parity: the same merges over
+    // whitespace words give different token counts than tiktoken/HF;
+    // this path reproduces the published word boundaries end-to-end.
+    // Same plan shape as q_bpe_fertility: one codegen'd
+    // regexp_extract_all, vocab broadcasts, text never shuffles.
+    "q_bpe_fertility2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" " + bpeNonAsciiSuffix)))
+      val merges = Bpe.loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      val vocab = Bpe.wordCountsGpt2(docs, "text")
+        .select(col("w"),
+          size(Bpe.applyMerges(Bpe.byteSymbols(col("w")), merges))
+            .cast("long").as("ns"))
+      val toks = docs.select(col("lang"),
+        explode(Bpe.gpt2PreTokens(col("text"))).as("w"))
+      toks.join(broadcast(vocab), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(
+          round(sum(col("ns")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("fertility"),
+          round(sum(octet_length(col("w"))).cast("double") /
+            sum(col("ns")).cast("double"), 6).as("bytes_per_token"),
+          sum(col("ns")).as("n_tokens"))
+    }),
+
     // §2b: the APPLIED near-dup policy — the composition users actually
     // run: candidate pairs → connected components → keep each cluster's
     // canonical (minimum-id) doc. One semi-join over the corpus; the
@@ -2071,9 +2100,9 @@ object SparkEntry {
       |    (CASE WHEN length(text) = 0 THEN 0.0 ELSE
       |      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
       |      CAST(length(text) AS DOUBLE) END) * 0.4 +
-      |    least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+      |    least((CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
       |      CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
-      |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+      |      CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
       |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
       |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
       |      CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6)""".stripMargin
@@ -2264,13 +2293,16 @@ object SparkEntry {
     * application round per given (lhs, rhs) hex pair — no argmax, the
     * chain is the published tokenizer artifact. Replays
     * [[graft.operators.Bpe.applyMerges]] over [[graft.operators.Bpe.byteSymbols]]. */
-  private def sqlBpeApplyFixedChain(pairs: Seq[(String, String)]): String = {
+  private def sqlBpeApplyFixedChain(
+      pairs: Seq[(String, String)],
+      tokenizeSql: String =
+        "regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')"): String = {
     val head =
       s"""WITH bsrc AS (
          |  SELECT text || ' $bpeNonAsciiSuffix' AS text FROM documents),
          |words AS (
          |  SELECT w, count(*) AS cnt FROM (
-         |    SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS w
+         |    SELECT unnest($tokenizeSql) AS w
          |    FROM bsrc) u
          |  GROUP BY w),
          |w0 AS (
@@ -2573,7 +2605,7 @@ object SparkEntry {
 
     "q_dup_line_frac" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t FROM documents),
         |chunks AS (
         |  SELECT doc_id, array_to_string(t[(i*20+1):(i*20+20)], ' ') AS line
         |  FROM toks, unnest(generate_series(0, (len(t)-1)//20)) AS u(i)),
@@ -2595,7 +2627,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 100000, regexp_replace(text, '\s+\S+$', '') FROM documents),
         |toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM corpus),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t FROM corpus),
         |wins AS (
         |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s
         |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
@@ -2937,9 +2969,9 @@ object SparkEntry {
         |      (CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
         |        CAST(length(text) AS DOUBLE) END) * 0.4 +
-        |      least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |      least((CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
-        |        CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+        |        CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
         |      (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |        CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
         |        CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
@@ -3035,7 +3067,7 @@ object SparkEntry {
 
     "q_rep_ratio" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t FROM documents),
         |grams AS (
         |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS gram
         |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
@@ -3110,9 +3142,9 @@ object SparkEntry {
         |      (CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
         |        CAST(length(text) AS DOUBLE) END) * 0.4 +
-        |      least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |      least((CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
-        |        CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+        |        CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
         |      (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |        CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
         |        CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
@@ -3122,15 +3154,15 @@ object SparkEntry {
         |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies, min(text) AS text
         |  FROM kept GROUP BY sha256(text))
         |SELECT doc_id, n_copies,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
         |  round(
         |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3 +
         |    (CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
         |      CAST(length(text) AS DOUBLE) END) * 0.4 +
-        |    least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |    least((CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
-        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+        |      CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
         |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
         |      CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
@@ -3179,7 +3211,7 @@ object SparkEntry {
 
     "q_top_tokens" ->
       """WITH toks AS (
-        |  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  SELECT lang, unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents),
         |counts AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
         |ranked AS (
@@ -3193,7 +3225,7 @@ object SparkEntry {
     // DuckDB list slicing is 1-based inclusive, range(x) is 0..x-1
     "q_chunk_docs" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS ts FROM documents),
         |n AS (
         |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM toks
         |  WHERE len(ts) > 0)
@@ -3807,7 +3839,7 @@ object SparkEntry {
     // by distinct-doc frequency on line STRINGS, stripped everywhere
     "q_strip_boilerplate" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t FROM documents),
         |chunks AS (
         |  SELECT doc_id, i AS cidx,
         |         array_to_string(t[(i*20+1):(i*20+20)], ' ') AS para
@@ -3840,7 +3872,7 @@ object SparkEntry {
     // structure (20-token chunks + shared header) rebuilt identically
     "q_para_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t FROM documents),
         |chunks AS (
         |  SELECT doc_id, i AS cidx,
         |         array_to_string(t[(i*20+1):(i*20+20)], ' ') AS para
@@ -3885,20 +3917,20 @@ object SparkEntry {
         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
         |    CAST(length(text) AS DOUBLE) END AS alpha_ratio,
-        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |  CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS stopword_ratio,
-        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END AS stopword_ratio,
+        |  CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END AS mean_word_len,
         |  round(
         |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3 +
         |    (CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
         |      CAST(length(text) AS DOUBLE) END) * 0.4 +
-        |    least((CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |    least((CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
-        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
+        |      CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END) * 4.0, 1.0) * 0.2 +
         |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) /
         |      CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.1, 6) AS quality
@@ -4039,8 +4071,8 @@ object SparkEntry {
     // case-insensitive "javascript"
     "q_clean_lines" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |  WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t FROM documents
+        |  WHERE len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) > 0),
         |structured AS (
         |  SELECT doc_id, array_to_string(
         |    list_transform(generate_series(0, (len(t)-1)//10), i ->
@@ -4067,7 +4099,7 @@ object SparkEntry {
 
     "q_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
@@ -4331,7 +4363,7 @@ object SparkEntry {
 
     "q_lm_score" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents),
         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
@@ -4347,22 +4379,22 @@ object SparkEntry {
     "q_gopher_rules" ->
       """WITH sig AS (
         |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '\S+')) AS n,
-        |    CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |    len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS n,
+        |    CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |      CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS mwl,
-        |    CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END AS mwl,
+        |    CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) /
-        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS symr,
+        |      CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END AS symr,
         |    CAST(len(list_filter(str_split(text, chr(10)),
         |           l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) /
         |      CAST(len(str_split(text, chr(10))) AS DOUBLE) AS bullf,
         |    CAST(len(list_filter(str_split(text, chr(10)),
         |           l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE) /
         |      CAST(len(str_split(text, chr(10))) AS DOUBLE) AS ellf,
-        |    CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+        |    CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) = 0 THEN 0.0 ELSE
         |      CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS DOUBLE) /
-        |      CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS alphf,
+        |      CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS DOUBLE) END AS alphf,
         |    len(regexp_extract_all(lower(text),
         |        '\b(the|be|to|of|and|that|have|with)\b')) AS stops
         |  FROM documents)
@@ -4445,7 +4477,7 @@ object SparkEntry {
     // q_value_quantiles) + the same <= comparisons on rounded NLLs
     "q_ppl_buckets" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents),
         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
@@ -4535,7 +4567,7 @@ object SparkEntry {
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
-        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, lang, n_tokens,
         |  (CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -4807,7 +4839,7 @@ object SparkEntry {
     // identical -ln fold; docs with <2 tokens drop on both sides
     "q_lm_score2" ->
       """WITH tk AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS ts FROM documents),
         |uni AS (
         |  SELECT w, count(*) AS c
         |  FROM (SELECT unnest(ts) AS w FROM tk) u GROUP BY w),
@@ -5165,6 +5197,7 @@ object SparkEntry {
     "q_url_parse2" -> (() => qUrlParse2Oracle),
     "q_bpe_external" -> (() => qBpeExternalOracle),
     "q_bpe_fertility" -> (() => qBpeFertilityOracle),
+    "q_bpe_fertility2" -> (() => qBpeFertility2Oracle),
     "q_lm_external" -> (() => qLmExternalOracle))
 
   /** q_lm_external oracle: the bundled ARPA model rendered as VALUES
@@ -5181,7 +5214,7 @@ object SparkEntry {
     s"""WITH uni(w, lp1, bo1) AS (SELECT * FROM (VALUES $uniVals) t),
        |bi(w1, w2, lp2) AS (SELECT * FROM (VALUES $biVals) t),
        |tk AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+       |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS ts FROM documents),
        |nz AS (SELECT doc_id, ts FROM tk WHERE len(ts) >= 1),
        |firsts AS (
        |  SELECT f.doc_id, coalesce(u.lp1, ${m.unkLp}) AS lp
@@ -5221,6 +5254,48 @@ object SparkEntry {
        |  FROM (SELECT doc_id, lang,
        |          regexp_extract_all(text || ' $bpeNonAsciiSuffix',
        |            '[^ \\t\\n\\x0b\\f\\r]+') AS t
+       |        FROM documents),
+       |       unnest(generate_series(1, len(t))) AS u(i)),
+       |joined AS (
+       |  SELECT d.lang, len(v.s) AS ns, strlen(d.w) AS nb
+       |  FROM dtoks d JOIN vocab v ON d.w = v.w)
+       |SELECT lang,
+       |  round(CAST(sum(ns) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(sum(nb) AS DOUBLE) / CAST(sum(ns) AS DOUBLE), 6) AS bytes_per_token,
+       |  CAST(sum(ns) AS BIGINT) AS n_tokens
+       |FROM joined GROUP BY lang""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Bpe.gpt2PreTokens]]: RE2 has
+    * no lookahead, so the pattern's `\s+(?!\S)` alternative (a run
+    * yields its LAST whitespace char to the following token) is
+    * emulated by first inserting a \x1e sentinel before each
+    * whitespace run's final character (regexp_replace of
+    * ws-followed-by-non-ws), then extracting with a lookahead-free
+    * pattern whose `[ws]+` stops at the sentinel; the sentinel matches
+    * no alternative and is skipped. Whitespace is spelled as the
+    * explicit Java-`\s` class so both engines agree (the RE2-\s-
+    * excludes-\x0b lesson). Fuzz-validated against the Java pattern
+    * over 3k random mixed strings; equivalence assumes the text is
+    * free of \x1e and exotic Unicode whitespace (the corpus is ASCII
+    * plus the planted UTF-8 suffix). */
+  private def sqlGpt2PreTokens(input: String): String =
+    s"""regexp_extract_all(regexp_replace($input, '([ \\t\\n\\x0b\\f\\r])([^ \\t\\n\\x0b\\f\\r])', chr(30) || '\\1\\2', 'g'), '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0b\\f\\r\\p{L}\\p{N}\\x1e]+|[ \\t\\n\\x0b\\f\\r]+')"""
+
+  /** q_bpe_fertility2 oracle: the fertility rollup with BOTH the
+    * vocabulary and the per-doc token explode produced by the GPT-2
+    * pre-tokenizer replay ([[sqlGpt2PreTokens]]) instead of
+    * whitespace splitting. Fragile: reads the merges resource. */
+  private def qBpeFertility2Oracle: String = {
+    val pairs = graft.operators.Bpe
+      .loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      .map(m => (m.lhs, m.rhs))
+    s"""${sqlBpeApplyFixedChain(pairs, sqlGpt2PreTokens("text"))},
+       |vocab AS (SELECT w, s FROM w${pairs.length}),
+       |dtoks AS (
+       |  SELECT doc_id, lang, t[i] AS w
+       |  FROM (SELECT doc_id, lang,
+       |          ${sqlGpt2PreTokens(s"text || ' $bpeNonAsciiSuffix'")} AS t
        |        FROM documents),
        |       unnest(generate_series(1, len(t))) AS u(i)),
        |joined AS (

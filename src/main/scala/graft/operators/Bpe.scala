@@ -375,4 +375,60 @@ object Bpe {
   def renderMergesText(merges: Seq[Merge]): String =
     ("#version: 0.2" +: merges.sortBy(_.rank).map(m =>
       s"${hexToGpt2Token(m.lhs)} ${hexToGpt2Token(m.rhs)}")).mkString("\n")
+
+  // ---- GPT-2 pre-tokenization --------------------------------------
+  // The published GPT-2 tokenizer (Radford et al. 2019, encoder.py)
+  // does NOT split on whitespace: it first applies a pre-tokenization
+  // regex — contraction suffixes, optionally-space-prefixed letter /
+  // digit / punctuation runs, and whitespace runs that yield their
+  // final character to the following token — and only then runs the
+  // byte-level merge chain within each pre-token. Word boundaries are
+  // half the tokenizer contract: whitespace-split words under the same
+  // merges give DIFFERENT token counts than tiktoken/HF on real text.
+
+  /** The GPT-2 `pat` regex in Java syntax. `(?U)` switches `\s` to the
+    * Unicode White_Space property, matching the Python `regex` module's
+    * semantics the published tokenizer was built on (NBSP, U+2028 etc.
+    * are whitespace); `\p{L}`/`\p{N}` are Unicode in both engines
+    * already. The trailing `\s+(?!\S)|\s+` pair is what hands a run's
+    * last whitespace char to the next pre-token (" world" tokens). */
+  val gpt2PreTokenPattern: String =
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** GPT-2 pre-tokens of a text column as `array<string>` — one
+    * codegen'd `regexp_extract_all`, no UDF. The pattern partitions
+    * the input: concatenating the pre-tokens restores the text
+    * byte-for-byte (spec-pinned), so nothing is lost before the merge
+    * chain. */
+  def gpt2PreTokens(c: Column): Column =
+    regexp_extract_all(c, lit(gpt2PreTokenPattern), lit(0))
+
+  /** Pre-token-frequency table under the GPT-2 regex — the
+    * [[wordCounts]] of the published-tokenizer path (pre-tokens keep
+    * their leading space and any non-ASCII bytes: byte-level symbols
+    * cover the full alphabet, so there is no ascii filter here). */
+  def wordCountsGpt2(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(gpt2PreTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-level ENCODE under GPT-2 pre-tokenization: the
+    * [[encodeDocs]] word-cache shape (each DISTINCT pre-token segments
+    * once, documents join and reassemble in order) with the published
+    * regex supplying the word boundaries and byte-level symbols always
+    * on — feed it [[loadMergesTextFile]]'s chain and the token stream
+    * matches the published tokenizer end-to-end. */
+  def encodeDocsGpt2(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val vocab = wordCountsGpt2(docs, textCol)
+      .select(col("w"), applyMerges(byteSymbols(col("w")), merges).as("__seg"))
+    val toks = docs.select(col(idCol),
+      posexplode(gpt2PreTokens(col(textCol))).as(Seq("__pos", "w")))
+    toks.join(vocab, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(flatten(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__seg")))),
+            p => p.getField("__seg"))), " ").as("encoded"),
+        sum(size(col("__seg"))).as("n_subwords"))
+  }
 }

@@ -214,6 +214,64 @@ class BpeSpec extends AnyFunSuite {
     assert(viaText == direct)
   }
 
+  test("GPT-2 pre-tokenizer: hand-pinned fixtures reproduce the " +
+    "published regex's word boundaries; pre-tokens partition the text") {
+    def pre(t: String): Seq[String] = Seq(Tuple1(t)).toDF("text")
+      .select(Bpe.gpt2PreTokens(col("text"))).as[Seq[String]].collect().head
+    // the canonical behaviors the GPT-2 `pat` regex is known for
+    // (each fixture hand-traced against encoder.py's pattern):
+    assert(pre("Hello world") == Seq("Hello", " world"))
+    assert(pre("I'm sure you'll we've can't they'd it's") ==
+      Seq("I", "'m", " sure", " you", "'ll", " we", "'ve", " can", "'t",
+          " they", "'d", " it", "'s"))
+    assert(pre("Hello, world!!") == Seq("Hello", ",", " world", "!!"))
+    // letter/digit runs split; the space prefixes the RUN, not the digit
+    assert(pre("1234 abc12 x9") == Seq("1234", " abc", "12", " x", "9"))
+    // a whitespace run yields its LAST char to the next token
+    assert(pre("a  b") == Seq("a", " ", " b"))
+    assert(pre("a   b") == Seq("a", "  ", " b"))
+    // only a literal 0x20 attaches forward — a tab stands alone
+    assert(pre("tab\tx") == Seq("tab", "\t", "x"))
+    assert(pre("a\n\nb") == Seq("a", "\n", "\n", "b"))
+    // trailing whitespace is one token; leading space attaches
+    assert(pre("ab  ") == Seq("ab", "  "))
+    assert(pre(" leading") == Seq(" leading"))
+    // Unicode: letters with accents are \p{L}; NBSP is whitespace
+    // under (?U), exactly as in the Python `regex` pattern
+    assert(pre("café naïve") == Seq("café", " naïve"))
+    assert(pre("a b") == Seq("a", " ", "b"))
+    // the pattern PARTITIONS the input: concatenation restores it
+    val tricky = Seq("", "   ", "x", "mixed \t\n z9!?'ll café  ",
+      "'s'tilt", "a'b c'd", "  end")
+    tricky.foreach(t => assert(pre(t).mkString == t, s"partition of '$t'"))
+    // corpus invariant on real rows too
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+    val ok = docs.select(
+      (concat_ws("", Bpe.gpt2PreTokens(col("text"))) === col("text")).as("ok"))
+      .as[Boolean].collect()
+    assert(ok.forall(identity))
+  }
+
+  test("encodeDocsGpt2: word-cache encode on GPT-2 boundaries matches a " +
+    "direct per-doc segmentation; space-prefixed words segment as units") {
+    val docs = Seq((1L, "the ther other"), (2L, "the the  the")).toDF("doc_id", "text")
+    val merges = Bpe.loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+    val got = Bpe.encodeDocsGpt2(docs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // doc 1 pre-tokens "the", " ther", " other" (hand-traced):
+    //   "the"   = 74 68 65 --(t h)--> 7468 65 --(th e)--> 746865
+    //   " ther" = 20 74 68 65 72 --(e r first, rank 1)--> 20 74 68 6572
+    //             --(t h)--> 20 7468 6572  (th e can't fire: e is in er)
+    //   " other"= 20 6F 74 68 65 72 -> 20 6F 7468 6572 (same chain)
+    // doc 2 pre-tokens "the", " the", " ", " the" (the double space
+    //   yields its last char to the next token): 746865 / 20 746865
+    //   / 20 / 20 746865
+    val byId = got.map(g => (g._1, g._2)).toMap
+    assert(byId(1L) == "746865 20 7468 6572 20 6F 7468 6572")
+    assert(byId(2L) == "746865 20 746865 20 20 746865")
+    assert(got.map(_._3).toSeq == Seq(8L, 6L))
+  }
+
   test("GPT-2 alphabet decode: printable bytes map to themselves, " +
     "space is Ġ, multi-byte é decodes from 'Ã©'") {
     assert(Bpe.gpt2TokenToHex("er") == "6572")
