@@ -1847,6 +1847,17 @@ object SparkEntry {
       LmScore.arpaScoreDocs(t(s, dir, "documents"), "doc_id", "text",
         LmScore.loadArpaResource("/graft/sample_bigram.arpa"))),
 
+    // §2b-48c: ORDER-N external LM scoring — the general Katz
+    // back-off recursion (the 5-gram KenLM shape CCNet actually
+    // ships) as 2n-1 broadcast hash joins over one position explode:
+    // longest matching n-gram wins, every longer context suffix
+    // contributes its back-off weight. The bundled order-3 sample
+    // exercises full-trigram hits, bigram+backoff, unigram+two
+    // backoffs, and the OOV floor on real corpus trigrams.
+    "q_lm_external3" -> ((s, dir) =>
+      LmScore.arpaScoreDocsN(t(s, dir, "documents"), "doc_id", "text",
+        LmScore.loadArpaResourceN("/graft/sample_trigram.arpa"))),
+
     // §2b-63: deterministic epoch shuffle — the global training order
     // as a pure function of (content hash, epoch); two epochs show
     // independent permutations, positions via range-sharded rank (no
@@ -5198,7 +5209,8 @@ object SparkEntry {
     "q_bpe_external" -> (() => qBpeExternalOracle),
     "q_bpe_fertility" -> (() => qBpeFertilityOracle),
     "q_bpe_fertility2" -> (() => qBpeFertility2Oracle),
-    "q_lm_external" -> (() => qLmExternalOracle))
+    "q_lm_external" -> (() => qLmExternalOracle),
+    "q_lm_external3" -> (() => qLmExternal3Oracle))
 
   /** q_lm_external oracle: the bundled ARPA model rendered as VALUES
     * relations (from the SAME parsed resource the Spark side loads),
@@ -5264,6 +5276,56 @@ object SparkEntry {
        |  round(CAST(sum(nb) AS DOUBLE) / CAST(sum(ns) AS DOUBLE), 6) AS bytes_per_token,
        |  CAST(sum(ns) AS BIGINT) AS n_tokens
        |FROM joined GROUP BY lang""".stripMargin
+  }
+
+  /** q_lm_external3 oracle: the bundled order-3 ARPA model rendered
+    * as VALUES relations, the Katz back-off recursion unrolled as the
+    * same longest-match CASE over 5 left joins the Spark plan uses
+    * (tri lp, bi lp, bi backoff of (w1,w2), uni backoff of w2, uni lp
+    * of w3). Fragile: reads the classpath resource. */
+  private def qLmExternal3Oracle: String = {
+    val m = graft.operators.LmScore.loadArpaResourceN("/graft/sample_trigram.arpa")
+    require(m.order == 3, s"oracle expects order 3, got ${m.order}")
+    def q(w: String) = "'" + w.replace("'", "''") + "'"
+    val uniVals = m.grams(0).map { case (ws, lp, bo) => s"(${q(ws(0))}, $lp, $bo)" }
+      .mkString(", ")
+    val biVals = m.grams(1).map { case (ws, lp, bo) =>
+      s"(${q(ws(0))}, ${q(ws(1))}, $lp, $bo)" }.mkString(", ")
+    val triVals = m.grams(2).map { case (ws, lp, _) =>
+      s"(${q(ws(0))}, ${q(ws(1))}, ${q(ws(2))}, $lp)" }.mkString(", ")
+    s"""WITH uni(w, lp1, bo1) AS (SELECT * FROM (VALUES $uniVals) t),
+       |bi(a, b, lp2, bo2) AS (SELECT * FROM (VALUES $biVals) t),
+       |tri(a, b, c, lp3) AS (SELECT * FROM (VALUES $triVals) t),
+       |tk AS (
+       |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS ts
+       |  FROM documents),
+       |nz AS (SELECT doc_id, ts FROM tk WHERE len(ts) >= 1),
+       |pos AS (
+       |  SELECT doc_id,
+       |    CASE WHEN i >= 3 THEN ts[i-2] END AS w1,
+       |    CASE WHEN i >= 2 THEN ts[i-1] END AS w2,
+       |    ts[i] AS w3
+       |  FROM nz, unnest(generate_series(1, len(ts))) u(i)),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    CASE
+       |      WHEN t3.lp3 IS NOT NULL THEN t3.lp3
+       |      WHEN b23.lp2 IS NOT NULL THEN coalesce(b12.bo2, 0.0) + b23.lp2
+       |      WHEN u3.lp1 IS NOT NULL THEN
+       |        coalesce(u2.bo1, 0.0) + coalesce(b12.bo2, 0.0) + u3.lp1
+       |      ELSE coalesce(u2.bo1, 0.0) + coalesce(b12.bo2, 0.0) + ${m.unkLp}
+       |    END AS lp
+       |  FROM pos p
+       |  LEFT JOIN tri t3 ON p.w1 = t3.a AND p.w2 = t3.b AND p.w3 = t3.c
+       |  LEFT JOIN bi b23 ON p.w2 = b23.a AND p.w3 = b23.b
+       |  LEFT JOIN bi b12 ON p.w1 = b12.a AND p.w2 = b12.b
+       |  LEFT JOIN uni u2 ON p.w2 = u2.w
+       |  LEFT JOIN uni u3 ON p.w3 = u3.w)
+       |SELECT doc_id,
+       |  round(-(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) /
+       |          CAST(count(*) AS DOUBLE)), 6) AS nll10,
+       |  CAST(count(*) AS BIGINT) AS n_scored
+       |FROM scored GROUP BY doc_id""".stripMargin
   }
 
   /** DuckDB replay of [[graft.operators.Bpe.gpt2PreTokens]]: RE2 has

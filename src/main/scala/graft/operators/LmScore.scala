@@ -371,38 +371,73 @@ object LmScore {
     def unkLp: Double = uni.find(_._1 == "<unk>").get._2
   }
 
-  /** Parse the ARPA text format: `\\data\\` header skipped, `\\1-grams:`
-    * rows are `lp word [backoff]`, `\\2-grams:` rows are `lp w1 w2`
-    * (whitespace-separated; a trailing bigram back-off — present only
-    * in order-3+ models — is ignored). Orders above 2 are rejected
-    * loudly rather than silently dropped. */
-  def loadArpaText(lines: Iterator[String]): ArpaModel = {
-    val uni = Seq.newBuilder[(String, Double, Double)]
-    val bi = Seq.newBuilder[(String, String, Double)]
+  /** An order-n back-off model: `grams(k-1)` holds the k-gram rows
+    * (words, log10 p, log10 back-off weight; 0.0 when the line carries
+    * none — the highest order never does). Must contain `<unk>`. */
+  case class ArpaModelN(order: Int,
+                        grams: IndexedSeq[Seq[(Vector[String], Double, Double)]]) {
+    require(order >= 1 && grams.length == order,
+      s"grams must hold orders 1..$order")
+    require(grams.head.exists(_._1 == Vector("<unk>")),
+      "ARPA model must define <unk>")
+    grams.zipWithIndex.foreach { case (rows, i) =>
+      require(rows.forall(_._1.length == i + 1),
+        s"order-${i + 1} section holds a wrong-length n-gram")
+      require(rows.iterator.map(_._1).toSet.size == rows.size,
+        s"duplicate ${i + 1}-gram in model (joins would multiply rows)")
+    }
+    def unkLp: Double = grams.head.find(_._1 == Vector("<unk>")).get._2
+  }
+
+  /** Parse the ARPA text format at ANY order (the 5-gram KenLM shape
+    * CCNet ships): `\\data\\` header skipped, each `\\k-grams:` row is
+    * `lp w1..wk [backoff]` (whitespace-separated; the optional trailing
+    * field is the back-off weight of that k-gram as a CONTEXT —
+    * `f.length == k+2` disambiguates it from the words, which cannot
+    * contain whitespace in this format). */
+  def loadArpaTextN(lines: Iterator[String]): ArpaModelN = {
+    val bySection = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Vector[String], Double, Double)]]
+    val sectionRe = "\\\\(\\d+)-grams:".r
     var section = 0
     lines.map(_.trim).filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("\\")) {
         section = l match {
-          case "\\1-grams:" => 1
-          case "\\2-grams:" => 2
-          case "\\data\\" | "\\end\\" => 0
-          case other if other.matches("\\\\\\d+-grams:") =>
-            throw new IllegalArgumentException(
-              s"only ARPA orders 1-2 are supported, found section $other")
-          case _ => 0
+          case sectionRe(k) => k.toInt
+          case _ => 0 // \data\, \end\: informational
         }
-      } else if (section == 1) {
+      } else if (section >= 1) {
+        val k = section
         val f = l.split("\\s+")
-        require(f.length >= 2, s"bad 1-gram line: '$l'")
-        uni += ((f(1), f(0).toDouble,
-          if (f.length >= 3) f(2).toDouble else 0.0))
-      } else if (section == 2) {
-        val f = l.split("\\s+")
-        require(f.length >= 3, s"bad 2-gram line: '$l'")
-        bi += ((f(1), f(2), f(0).toDouble))
+        require(f.length == k + 1 || f.length == k + 2,
+          s"bad $k-gram line (${f.length} fields): '$l'")
+        val bo = if (f.length == k + 2) f(k + 1).toDouble else 0.0
+        bySection.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty) +=
+          ((f.slice(1, k + 1).toVector, f(0).toDouble, bo))
       } // section 0: \data\ counts — informational only
     }
-    ArpaModel(uni.result(), bi.result())
+    require(bySection.nonEmpty, "no n-gram sections found")
+    val order = bySection.keys.max
+    require((1 to order).forall(bySection.contains),
+      s"missing order sections below $order: have ${bySection.keys.toSeq.sorted}")
+    ArpaModelN(order, (1 to order).map(k => bySection(k).toSeq).toIndexedSeq)
+  }
+
+  /** Parse an order-≤2 ARPA text into the bigram-shaped [[ArpaModel]]
+    * (compat surface for [[arpaScoreDocs]]). Higher orders don't FIT
+    * this shape — load them with [[loadArpaTextN]] and score with
+    * [[arpaScoreDocsN]], which handles any order. */
+  def loadArpaText(lines: Iterator[String]): ArpaModel = {
+    val m = loadArpaTextN(lines)
+    require(m.order <= 2,
+      s"order-${m.order} model: use loadArpaTextN/arpaScoreDocsN " +
+        "(this bigram-shaped API cannot hold it)")
+    ArpaModel(
+      m.grams(0).map { case (ws, lp, bo) => (ws.head, lp, bo) },
+      if (m.order >= 2)
+        m.grams(1).map { case (ws, lp, _) => (ws(0), ws(1), lp) }
+      else Seq.empty)
   }
 
   /** [[loadArpaText]] from a classpath resource (the bundled sample
@@ -463,6 +498,77 @@ object LmScore {
     firsts.unionByName(trans)
       .groupBy(col(idCol))
       .agg(round(-(sum(col("lp").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double")), 6).as("nll10"),
+        count(lit(1)).as("n_scored"))
+  }
+
+  /** [[loadArpaTextN]] from a classpath resource (the bundled order-3
+    * sample ships at /graft/sample_trigram.arpa). */
+  def loadArpaResourceN(resource: String): ArpaModelN = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"ARPA resource missing: $resource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try loadArpaTextN(src.getLines()) finally src.close()
+  }
+
+  /** Score documents under an EXTERNAL order-n back-off model — the
+    * [[arpaScoreDocs]] rule generalized (Katz back-off as SRILM/KenLM
+    * write it): each position takes the LONGEST matching n-gram ending
+    * there; every context suffix longer than the match contributes its
+    * back-off weight (0 when that context is not in the model, which
+    * also covers doc-start positions with short contexts); an OOV word
+    * bottoms out at `lp(<unk>)`. Formally, with context suffixes
+    * u_1..u_c (c = min(pos-1, n-1)) and K = longest k with the k-gram
+    * (u_{k-1}, w) in the model: score = lp_K + Σ_{j=K..c} bo(u_j).
+    *
+    * Plan shape: n lp-joins + (n-1) back-off joins, all BROADCAST
+    * (2n-1 hash joins for a 5-gram model — the model is MBs, join keys
+    * are token-array suffixes so no string concat collisions); the
+    * corpus explodes once into (position, window) rows of ≤n tokens,
+    * then one per-doc decimal-exact aggregation. Text never shuffles;
+    * the only shuffle is the final per-doc agg, partial-aggregated
+    * map-side. */
+  def arpaScoreDocsN(docs: DataFrame, idCol: String, textCol: String,
+                     model: ArpaModelN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = model.order
+    val unk = lit(model.unkLp)
+    // the up-to-n-token window ending at each position (1-based i):
+    // [ts[max(1, i-n+1)] .. ts[i]]
+    val windows = expr(
+      s"transform(sequence(1, size(__ts)), " +
+        s"i -> slice(__ts, greatest(1, i - ${n - 1}), least(i, $n)))")
+    var cur = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+      .select(col(idCol), explode(windows).as("__g"))
+    for (k <- 1 to n) { // lp_k: the k-gram ending at the position
+      val tbl = broadcast(model.grams(k - 1)
+        .map { case (ws, lp, _) => (ws, lp) }.toDF(s"__key$k", s"__lp$k"))
+      cur = cur.withColumn(s"__key$k",
+          when(size(col("__g")) >= k,
+            expr(s"slice(__g, size(__g) - ${k - 1}, $k)")))
+        .join(tbl, Seq(s"__key$k"), "left")
+    }
+    for (j <- 1 until n) { // bo_j: the j-token context suffix
+      val tbl = broadcast(model.grams(j - 1)
+        .map { case (ws, _, bo) => (ws, bo) }.toDF(s"__ctx$j", s"__bo$j"))
+      cur = cur.withColumn(s"__ctx$j",
+          when(size(col("__g")) >= j + 1,
+            expr(s"slice(__g, size(__g) - $j, $j)")))
+        .join(tbl, Seq(s"__ctx$j"), "left")
+    }
+    def boSum(fromJ: Int): Column =
+      (fromJ until n).map(j => coalesce(col(s"__bo$j"), lit(0.0)))
+        .foldLeft(lit(0.0))(_ + _)
+    val lp = (n to 1 by -1).foldRight(boSum(1) + unk) { (k, fallback) =>
+      when(col(s"__lp$k").isNotNull, boSum(k) + col(s"__lp$k"))
+        .otherwise(fallback)
+    }
+    cur.select(col(idCol), lp.as("__lp"))
+      .groupBy(col(idCol))
+      .agg(round(-(sum(col("__lp").cast("decimal(28,10)")).cast("double") /
           count(lit(1)).cast("double")), 6).as("nll10"),
         count(lit(1)).as("n_scored"))
   }
