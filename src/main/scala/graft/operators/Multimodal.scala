@@ -341,6 +341,126 @@ object Multimodal {
     }
   }
 
+  /** Decoded video-container metadata (-1/"" marks fields a non-video
+    * or unparseable payload can't provide). */
+  case class VideoFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           checksum: Long, brand: String, timescale: Int,
+                           duration_ms: Long, n_tracks: Int,
+                           width: Int, height: Int)
+
+  private[graft] case class Mp4Info(brand: String, timescale: Int,
+                                    durationMs: Long, nTracks: Int,
+                                    width: Int, height: Int)
+
+  /** HEADER-ONLY MP4 (ISO BMFF, public spec ISO/IEC 14496-12) parse:
+    * walk the top-level box sequence (`[u32 size][4cc type]`, size 1 →
+    * u64 largesize, size 0 → to EOF), take the major brand from
+    * `ftyp`, and inside `moov` read `mvhd` (timescale, duration — v0
+    * u32 / v1 u64 fields) and each `trak`'s `tkhd` (track count, max
+    * 16.16-fixed width/height). `mdat` — the actual media — is SKIPPED
+    * by its size field without touching a byte, the exact analog of
+    * [[extractAudioFeatures]]' header-only contract: memory is O(1)
+    * per record, no codec work, bombs can't detonate because nothing
+    * decodes. Returns None on anything malformed (permissive
+    * posture). */
+  private[graft] def parseMp4Header(b: Array[Byte]): Option[Mp4Info] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // yields (type, payloadStart, payloadEnd) for boxes in [from, to)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = lo
+        private var broken = false
+        def hasNext: Boolean = !broken && off + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size0 = u32(off)
+          val typ = fourcc(off + 4)
+          val (start, size) =
+            if (size0 == 1L && off + 16 <= hi) (off + 16, u64(off + 8))
+            else if (size0 == 0L) (off + 8, (hi - off).toLong)
+            else (off + 8, size0)
+          val end = off + size
+          if (size < 8 || end > hi || end <= off) { broken = true; (typ, -1, -1) }
+          else { off = end.toInt; (typ, start, end.toInt) }
+        }
+      }.filter(_._2 >= 0)
+    try {
+      var brand = ""
+      var timescale = -1
+      var durMs = -1L
+      var nTracks = 0
+      var w = -1
+      var h = -1
+      var sawMoov = false
+      boxes(0, b.length).foreach {
+        case ("ftyp", s, e) if e - s >= 4 => brand = fourcc(s)
+        case ("moov", ms, me) =>
+          sawMoov = true
+          boxes(ms, me).foreach {
+            case ("mvhd", s, e) =>
+              val v = b(s) & 0xff // version byte, then 3 flag bytes
+              if (v == 1 && e - s >= 32) { // u64 ctime/mtime/duration
+                timescale = u32(s + 20).toInt
+                val dur = u64(s + 24)
+                if (timescale > 0) durMs = dur * 1000 / timescale
+              } else if (v == 0 && e - s >= 20) {
+                timescale = u32(s + 12).toInt
+                val dur = u32(s + 16)
+                if (timescale > 0) durMs = dur * 1000 / timescale
+              }
+            case ("trak", ts, te) =>
+              nTracks += 1
+              boxes(ts, te).foreach {
+                case ("tkhd", s, e) =>
+                  val v = b(s) & 0xff
+                  // width/height are the LAST two 16.16-fixed u32s
+                  val need = if (v == 1) 4 + 8 + 8 + 4 + 4 + 8 + 60
+                             else 4 + 4 + 4 + 4 + 4 + 4 + 60
+                  if (e - s >= need) {
+                    val tw = (u32(e - 8) >> 16).toInt
+                    val th = (u32(e - 4) >> 16).toInt
+                    if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => () // mdat, free, skip-by-size: never read
+      }
+      if (sawMoov) Some(Mp4Info(brand, timescale, durMs, nTracks, w, h))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL video-container metadata: MP4/ISO-BMFF headers parsed via
+    * [[parseMp4Header]] — duration, timescale, track count, display
+    * dims from the `moov` tree, media payload skipped by size. The
+    * profiling pass a video corpus needs before any codec touches it.
+    * Non-video records and payloads that aren't ISO BMFF fall through
+    * with -1 fields; the checksum stays the raw-payload FNV. */
+  def extractVideoFeatures(spark: SparkSession,
+                           media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val sum = graft.functions.TextHash.fnv64(r.payload, 0, r.payload.length)
+        val base = VideoFeatures(r.doc_id, r.media_type, r.payload.length,
+          sum, "", -1, -1L, -1, -1, -1)
+        if (r.media_type != "video") base
+        else parseMp4Header(r.payload) match {
+          case None => base
+          case Some(i) => base.copy(brand = i.brand, timescale = i.timescale,
+            duration_ms = i.durationMs, n_tracks = i.nTracks,
+            width = i.width, height = i.height)
+        }
+      }
+    }
+  }
+
   /** One sampled frame: slice metadata + the frame payload. */
   case class Frame(doc_id: Long, media_type: String, frame_idx: Int,
                    frame_offset: Int, frame_bytes: Array[Byte])

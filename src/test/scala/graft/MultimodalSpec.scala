@@ -213,6 +213,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L).sample_rate == -1)
   }
 
+  test("extractVideoFeatures parses a REAL MP4 header: brand, timescale, " +
+    "duration, tracks, 16.16 dims from the moov tree; mdat skipped by " +
+    "size (never read); non-BMFF and truncated payloads fall through") {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    // mvhd v0: ver/flags, ctime, mtime, timescale=600, duration=3000
+    // (-> 5000 ms), then the 80 spec bytes (rate..next_track_id)
+    val mvhd = box("mvhd", ByteBuffer.allocate(100)
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(3000).array())
+    // tkhd v0: 20 bytes of times/ids, 52 reserved/matrix bytes, then
+    // width=640.0, height=360.0 as 16.16 fixed
+    val tkhd = box("tkhd", ByteBuffer.allocate(84)
+      .putInt(0).putInt(0).putInt(0).putInt(1).putInt(3000)
+      .position(76).asInstanceOf[ByteBuffer]
+      .putInt(640 << 16).putInt(360 << 16).array())
+    val tkhd2 = box("tkhd", ByteBuffer.allocate(84)
+      .putInt(0).putInt(0).putInt(0).putInt(2).putInt(3000)
+      .position(76).asInstanceOf[ByteBuffer]
+      .putInt(0).putInt(0).array()) // audio track: 0x0 dims
+    val moov = box("moov", mvhd ++ box("trak", tkhd) ++ box("trak", tkhd2))
+    // mdat payload is GARBAGE that would crash any decoder — the
+    // header walk must skip it by its size field without reading it
+    val mdat = box("mdat", Array.fill[Byte](512)(0x5a))
+    val mp4 = ftyp ++ mdat ++ moov // moov-last layout (non-faststart)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, 0, 0),
+      Multimodal.MediaRecord(2L, "video", "not a container".getBytes("UTF-8"), 0, 0),
+      Multimodal.MediaRecord(3L, "video", mp4.take(20), 0, 0), // truncated
+      Multimodal.MediaRecord(4L, "image", mp4, 0, 0) // wrong type: skipped
+    ).toDF()
+    val got = Multimodal.extractVideoFeatures(spark, media)
+      .collect().map(v => v.doc_id -> v).toMap
+    assert(got(1L).brand == "isom" && got(1L).timescale == 600 &&
+      got(1L).duration_ms == 5000L && got(1L).n_tracks == 2 &&
+      got(1L).width == 640 && got(1L).height == 360)
+    assert(got(1L).checksum ==
+      graft.functions.TextHash.fnv64(mp4, 0, mp4.length))
+    assert(got(2L).timescale == -1 && got(2L).brand == "")
+    assert(got(3L).timescale == -1) // truncated: permissive fallback
+    assert(got(4L).timescale == -1) // non-video media_type
+    // mvhd v1 (64-bit times): timescale 1000, duration 90000 -> 90 s
+    val mvhd1 = box("mvhd", ByteBuffer.allocate(112)
+      .putInt(0x01000000).putLong(0L).putLong(0L).putInt(1000)
+      .putLong(90000L).array())
+    val mp4v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd))
+    val v1 = Multimodal.extractVideoFeatures(spark,
+      Seq(Multimodal.MediaRecord(9L, "video", mp4v1, 0, 0)).toDF())
+      .collect().head
+    assert(v1.timescale == 1000 && v1.duration_ms == 90000L &&
+      v1.n_tracks == 1 && v1.width == 640)
+  }
+
   test("sampleGifFrames decodes REAL codec frames from an animated GIF: " +
     "evenly-spaced indices, per-frame pixels; non-GIF emits nothing") {
     // build a real 6-frame animated GIF in-process via the ImageIO
