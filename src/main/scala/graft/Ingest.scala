@@ -680,8 +680,20 @@ object Ingest {
     * maps onto a MERGE ... WHEN MATCHED AND incoming.ord > existing
     * .ord THEN UPDATE in a transactional table format. */
   private[graft] def mergeParquetOrderedAll(spark: SparkSession,
-      merges: Seq[(DataFrame, String, Seq[String],
-                   Option[Seq[org.apache.spark.sql.Column]])]): Unit = {
+      allMerges: Seq[(DataFrame, String, Seq[String],
+                      Option[Seq[org.apache.spark.sql.Column]])]): Unit = {
+    // LAYOUT AUTO-ROUTING: a generation-versioned root (its `_gen` log
+    // exists — Warehouse.initVersioned declares it once) must never go
+    // through the rename-swap below: spark.read.parquet on the root
+    // would double-read gen dirs and the swap would destroy the
+    // layout. Detecting here covers every caller — the batch run(),
+    // ALL run*Stream continuous merges, and mergeParquetAll — so a
+    // stream pointed at a versioned warehouse gets snapshot-isolated
+    // commits without threading a flag through 14 entry points.
+    val (versioned, merges) = allMerges.partition { case (_, path, _, _) =>
+      graft.sources.Warehouse.isVersionedRoot(spark, path) }
+    if (versioned.nonEmpty) mergeParquetOrderedAllVersioned(spark, versioned)
+    if (merges.isEmpty) return
     val hc = spark.sparkContext.hadoopConfiguration
     // phase 0: recover any interrupted prior swap BEFORE reading the
     // current state. Invariant of the swap protocol below: the target
@@ -1049,12 +1061,10 @@ object Ingest {
   /** All dimension tables read, or None if any is not yet present. */
   private def dimsIfPresent(spark: SparkSession,
                             paths: Seq[String]): Option[Seq[DataFrame]] = {
-    val hc = spark.sparkContext.hadoopConfiguration
-    val allThere = paths.forall { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hc).exists(hp)
-    }
-    if (allThere)
+    // existsAuto, not fs.exists: a versioned root whose log exists but
+    // holds no committed generation is LAYOUT, not data — reading it
+    // would fail, so the batch must be skipped like any missing dim
+    if (paths.forall(graft.sources.Warehouse.existsAuto(spark, _)))
       Some(paths.map(graft.sources.Warehouse.readAuto(spark, _))) else None
   }
 
@@ -1164,11 +1174,16 @@ object Ingest {
       }
     }
     out.foreach { case (name, df) =>
-      if (cfg.versionedWarehouse)
-        graft.sources.Warehouse.commitGeneration(spark,
-          s"${cfg.warehouseDir}/$name")(p => df.write.parquet(p))
+      val root = s"${cfg.warehouseDir}/$name"
+      // auto-detect too: a root previously declared versioned must
+      // never be clobbered by a plain overwrite from a config that
+      // forgot the flag
+      if (cfg.versionedWarehouse ||
+          graft.sources.Warehouse.isVersionedRoot(spark, root))
+        graft.sources.Warehouse.commitGeneration(spark, root)(p =>
+          df.write.parquet(p))
       else
-        df.write.mode("overwrite").parquet(s"${cfg.warehouseDir}/$name")
+        df.write.mode("overwrite").parquet(root)
     }
     out
   }

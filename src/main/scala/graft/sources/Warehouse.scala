@@ -75,14 +75,51 @@ object Warehouse {
       throw new java.util.NoSuchElementException(
         s"no committed generation under $root")))
 
+  /** True if `path` is a generation-versioned root: its `_gen` log
+    * dir exists (even with nothing committed yet — [[initVersioned]]
+    * creates the log up front so the FIRST merge already routes
+    * through generations instead of laying plain parquet over the
+    * layout). */
+  def isVersionedRoot(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, LogDir)
+    fsFor(spark, p).exists(p)
+  }
+
+  /** Mark an (empty or existing-versioned) root as generation-
+    * versioned by creating its pointer log. Idempotent. Streams and
+    * merges auto-detect the layout from this marker, so a versioned
+    * warehouse is declared ONCE, not threaded through every entry
+    * point. */
+  def initVersioned(spark: SparkSession, root: String): Unit = {
+    val log = new Path(new Path(root), LogDir)
+    fsFor(spark, log).mkdirs(log)
+    ()
+  }
+
   /** True if `path` is readable as a table under either layout: a
     * generation-versioned root with a committed generation, or a plain
-    * parquet directory. */
+    * parquet directory. A versioned root with NOTHING committed is not
+    * readable (its root dir existing is layout, not data). */
   def existsAuto(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = fsFor(spark, p)
-    currentGeneration(spark, path).isDefined || fs.exists(p)
+    if (isVersionedRoot(spark, path)) currentGeneration(spark, path).isDefined
+    else fs.exists(p)
   }
+
+  /** Pin the table's CONCRETE data path once: the current generation
+    * for a versioned root, the path itself otherwise. A multi-scan job
+    * (funnel, overlap card, self-join) resolves once and hands the
+    * result to [[readAt]] for every scan — a merge committing between
+    * its scans then cannot mix generations inside the one job, which
+    * per-call [[readAuto]] permits. */
+  def resolveAuto(spark: SparkSession, path: String): String =
+    currentGeneration(spark, path).getOrElse(path)
+
+  /** Read a path previously pinned by [[resolveAuto]] (no pointer
+    * resolution — the pin IS the snapshot). */
+  def readAt(spark: SparkSession, pinned: String): DataFrame =
+    spark.read.parquet(pinned)
 
   /** Read `path` under either layout: a versioned root (a `_gen` log
     * with a committed pointer) resolves its current generation first;
@@ -124,6 +161,19 @@ object Warehouse {
       fs.delete(genPath, true)
       throw new java.io.IOException(
         s"pointer commit lost a race at $ptr — concurrent writer?")
+    }
+    // Read the pointer back: rename-to-existing FAILS on HDFS-semantics
+    // filesystems (the atomicity claim above), but raw POSIX rename(2)
+    // silently REPLACES the destination — RawLocalFileSystem delegates
+    // to File.renameTo, so on a vanilla local FS a lost race would
+    // clobber the winner's pointer without the rename reporting it.
+    // The read-back turns that silent clobber into a loud failure.
+    val landed = readPtr(fs, rootP, next)
+    if (landed != genName) {
+      fs.delete(genPath, true)
+      throw new java.io.IOException(
+        s"pointer commit raced at $ptr: committed '$landed', " +
+          s"this writer produced '$genName' — concurrent writer?")
     }
     genPath.toString
   }

@@ -1198,4 +1198,92 @@ class IngestSpec extends AnyFunSuite {
       "loser's generation data must be cleaned after a lost race")
     assert(Warehouse.read(spark, tbl).count() == 3)
   }
+
+  test("streams onto a VERSIONED root auto-route through generations: " +
+    "initVersioned declares the layout once, every micro-batch merge " +
+    "commits a new snapshot, no rename-swap artifacts touch the root") {
+    import graft.functions.Bson
+    import graft.sources.Warehouse
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ingest_vstream").toString
+    Files.createDirectories(Paths.get(s"$dir/commits"))
+    val wh = s"$dir/warehouse"; val ckpt = s"$dir/_ckpt"
+    Warehouse.initVersioned(spark, s"$wh/commits") // declared ONCE
+    def commitDoc(sha: String, msg: String, date: String) =
+      Bson.docBody(Seq("sha" -> sha,
+        "author" -> Seq("id" -> 1L, "login" -> "alice"),
+        "committer" -> Seq("id" -> 1L, "login" -> "alice"),
+        "commit" -> Seq("message" -> msg, "comment_count" -> 0L,
+          "author" -> Seq("name" -> "Alice", "email" -> "a@x",
+            "date" -> date),
+          "committer" -> Seq("name" -> "Alice", "email" -> "a@x",
+            "date" -> date)),
+        "parents" -> Bson.BArray(Nil)))
+    def runOnce(): Unit = {
+      val q = Ingest.runCommitsStream(spark, s"$dir/commits", wh, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    DumpSource.writeDump(s"$dir/commits/2014-01-01.bson", Iterator(
+      commitDoc("c1", "first copy", "2014-01-01T10:00:00Z")))
+    runOnce()
+    // generation 1 committed; a reader pins it
+    val pinned = Warehouse.resolveAuto(spark, s"$wh/commits")
+    assert(Warehouse.readAuto(spark, s"$wh/commits").count() == 1)
+    // day 2: re-ship of c1 (first-wins must hold ACROSS generations)
+    // + a new commit -> the stream merge commits generation 2
+    DumpSource.writeDump(s"$dir/commits/2014-01-02.bson", Iterator(
+      commitDoc("c1", "later copy", "2014-01-02T10:00:00Z"),
+      commitDoc("c2", "second", "2014-01-02T11:00:00Z")))
+    runOnce()
+    val got = Warehouse.readAuto(spark, s"$wh/commits")
+      .select($"sha", $"message").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("c1", "first copy"), ("c2", "second")), s"got $got")
+    // the pinned reader still sees its complete generation-1 snapshot
+    assert(Warehouse.readAt(spark, pinned).count() == 1)
+    // the root holds ONLY the generation layout: no plain parquet, no
+    // rename-swap side dirs (the swap path would have clobbered it)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/commits"))
+      .map(_.getPath.getName).toSet
+    assert(entries.forall(n => n.startsWith("gen-") || n == "_gen"),
+      s"unexpected root entries: $entries")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/commits.__tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/commits.__old")))
+  }
+
+  test("pin-one-generation reads: resolveAuto + readAt hold a multi-scan " +
+    "job's view steady across a concurrent merge; existsAuto treats an " +
+    "empty versioned layout as not-yet-readable") {
+    import graft.sources.Warehouse
+    import org.apache.spark.sql.functions.col
+    val tbl = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "whpin").toString + "/docs"
+    // layout declared but nothing committed: not readable as data
+    Warehouse.initVersioned(spark, tbl)
+    assert(Warehouse.isVersionedRoot(spark, tbl))
+    assert(!Warehouse.existsAuto(spark, tbl))
+    val ordered = Some(Seq(col("v").desc_nulls_last))
+    Ingest.mergeParquetOrderedAllVersioned(spark, Seq(
+      (Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl, Seq("id"), ordered)))
+    assert(Warehouse.existsAuto(spark, tbl))
+    // a funnel/overlap-style job pins ONCE and scans twice; a merge
+    // lands between its scans
+    val pinned = Warehouse.resolveAuto(spark, tbl)
+    val scan1 = Warehouse.readAt(spark, pinned).count()
+    Ingest.mergeParquetOrderedAllVersioned(spark, Seq(
+      (Seq((3L, "c")).toDF("id", "v"), tbl, Seq("id"), ordered)))
+    val scan2 = Warehouse.readAt(spark, pinned).count()
+    assert(scan1 == 2 && scan2 == 2, "mid-job commit changed the job's view")
+    // per-call resolution (the hazard the pin exists to avoid) DOES
+    // see the new generation
+    assert(Warehouse.readAuto(spark, tbl).count() == 3)
+    // on a PLAIN parquet dir the pin degrades to the path itself
+    val plain = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "whplain").toString + "/t"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(plain)
+    assert(Warehouse.resolveAuto(spark, plain) == plain)
+    assert(Warehouse.readAt(spark, plain).count() == 1)
+  }
 }
