@@ -1065,6 +1065,19 @@ object SparkEntry {
           sum(col("ns")).as("n_tokens"))
     }),
 
+    // §2b-57f: corpus ENCODE under the published tokenizer end to end
+    // — GPT-2 pre-token boundaries + imported merges.txt chain through
+    // the word-cache encode: what "tokenize the corpus like tiktoken"
+    // actually runs. Same plan as q_bpe_docs (vocab segments once,
+    // documents join and reassemble); only the word boundaries differ.
+    "q_bpe_docs2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" " + bpeNonAsciiSuffix)))
+      val merges = Bpe.loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      Bpe.encodeDocsGpt2(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", merges)
+    }),
+
     // §2b: the APPLIED near-dup policy — the composition users actually
     // run: candidate pairs → connected components → keep each cluster's
     // canonical (minimum-id) doc. One semi-join over the corpus; the
@@ -5209,6 +5222,7 @@ object SparkEntry {
     "q_bpe_external" -> (() => qBpeExternalOracle),
     "q_bpe_fertility" -> (() => qBpeFertilityOracle),
     "q_bpe_fertility2" -> (() => qBpeFertility2Oracle),
+    "q_bpe_docs2" -> (() => qBpeDocs2Oracle),
     "q_lm_external" -> (() => qLmExternalOracle),
     "q_lm_external3" -> (() => qLmExternal3Oracle))
 
@@ -5368,6 +5382,30 @@ object SparkEntry {
        |  round(CAST(sum(nb) AS DOUBLE) / CAST(sum(ns) AS DOUBLE), 6) AS bytes_per_token,
        |  CAST(sum(ns) AS BIGINT) AS n_tokens
        |FROM joined GROUP BY lang""".stripMargin
+  }
+
+  /** q_bpe_docs2 oracle: the q_bpe_docs word-cache reassembly with
+    * BOTH the vocabulary and the positional token explode produced by
+    * the GPT-2 pre-tokenizer replay over the EXTERNAL fixed chain.
+    * Fragile: reads the merges resource. */
+  private def qBpeDocs2Oracle: String = {
+    val pairs = graft.operators.Bpe
+      .loadMergesTextResource("/graft/gpt2_merges_subset.txt")
+      .map(m => (m.lhs, m.rhs))
+    s"""${sqlBpeApplyFixedChain(pairs, sqlGpt2PreTokens("text"))},
+       |vocab AS (SELECT w, s FROM w${pairs.length}),
+       |dtoks AS (
+       |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+       |  FROM (SELECT doc_id,
+       |          ${sqlGpt2PreTokens(s"text || ' $bpeNonAsciiSuffix'")} AS t
+       |        FROM documents),
+       |       unnest(generate_series(1, len(t))) AS u(i)),
+       |joined AS (
+       |  SELECT d.doc_id, d.pos, v.s FROM dtoks d JOIN vocab v ON d.w = v.w)
+       |SELECT doc_id,
+       |  string_agg(array_to_string(s, ' '), ' ' ORDER BY pos) AS encoded,
+       |  CAST(sum(len(s)) AS BIGINT) AS n_subwords
+       |FROM joined GROUP BY doc_id""".stripMargin
   }
 
   /** q_bpe_external oracle: the fixed-chain byte-level encode replay,

@@ -38,6 +38,18 @@ class EntryContractSpec extends AnyFunSuite {
     assert(uncited.isEmpty, s"queries missing from SURVEY §2: $uncited")
   }
 
+  test("SURVEY.md §7 prose cites the CURRENT query count — the round-12 " +
+    "verdict's prose drift, pinned mechanically like the §2 table") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+    val s7 = survey.substring(survey.indexOf("## §7"))
+    val m = "exposed as (\\d+) queries".r.findFirstMatchIn(s7)
+    assert(m.isDefined, "SURVEY §7 must state 'exposed as N queries'")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY §7 says ${m.get.group(1)} queries; " +
+        s"SparkEntry.queries has ${SparkEntry.queries.size}")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.sf0001).count()
