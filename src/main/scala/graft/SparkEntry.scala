@@ -383,6 +383,32 @@ object SparkEntry {
           col("j.c_mktsegment").as("c_mktsegment"))
     }),
 
+    // §2b (web-crawl ingestion): WARC/ISO-28500 round-trip — documents
+    // written as real WARC/1.0 response records, read back through the
+    // self-resyncing DataSource V2 (index-free sub-file splits: the
+    // 4 KiB splitBytes forces many byte-range tasks per shard and the
+    // magic-scan resync must find every record exactly once)
+    "q_warc_ingest" -> ((s, dir) => {
+      val out = dumpDir(dir) + "_warc"
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      src.repartition(4, col("doc_id")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.sources.WarcSource.writeWarc(f"$out/shard-$pid%02d.warc",
+            it.map(r => (s"http://corpus.local/doc/${r.getLong(0)}",
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      }
+      val paths = (0 until 4).map(p => f"$out/shard-$p%02d.warc")
+      s.read.format("graft.sources.WarcDataSource")
+        .option("splitBytes", 4L << 10)
+        .load(paths: _*)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("content").cast("string").as("text"),
+          col("content_length"))
+    }),
+
     // §2a-1/§6 (entity breadth): commits ingestion end to end — REAL
     // framed BSON commit documents (nested author/commit structs + the
     // parents ARRAY) through FromBson + Ingest.importCommits. Every
@@ -1469,6 +1495,18 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"), col("frame_idx"),
           col("frame_offset"),
           length(col("frame_bytes")).as("frame_len"))),
+
+    // §2b-28c: REAL MP4/ISO-BMFF header parsing over in-process video
+    // containers — every fixture field is doc_id arithmetic
+    // (Multimodal.buildMp4), so the oracle replays the PARSED metadata
+    // without touching bytes while the Spark side walks real boxes
+    // (and must skip the garbage mdat by its size field)
+    "q_video_meta" -> ((s, dir) =>
+      Multimodal.extractVideoFeatures(s,
+          Multimodal.mp4Table(s, t(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"))),
 
     // §2b-25e: one-pass table profiling (row/non-null/exact-distinct
     // counts — the validation step before any training-data ingest)
@@ -2706,6 +2744,12 @@ object SparkEntry {
     "q_dump_source_bson" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",
 
+    // the WARC round-trip restores the projection; content_length is
+    // the payload's UTF-8 BYTE length (DuckDB strlen counts bytes)
+    "q_warc_ingest" ->
+      """SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS content_length
+        |FROM documents""".stripMargin,
+
     // brute-force ANN is SQL-expressible: DuckDB's list_cosine_similarity
     // replays the same exact cosine; ranks are decided on the UNROUNDED
     // sim (engine float drift ~1e-15 is far below the sim gaps), then
@@ -3039,6 +3083,24 @@ object SparkEntry {
         |       CAST(off AS INT) AS frame_offset,
         |       CAST(least(len, off + 128) - off AS INT) AS frame_len
         |FROM o""".stripMargin,
+
+    // MP4 header parse replay: the fixture builder (Multimodal.buildMp4)
+    // derives every box field from doc_id, so the expected PARSE output
+    // is closed-form — n_bytes sums the box sizes (ftyp 16 + mdat
+    // 24+id%256 + moov 8 + mvhd 108/120 + 100/track), duration_ms is
+    // the mvhd integer division, dims/tracks are the moduli
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(48 + doc_id % 256
+        |       + (CASE WHEN doc_id % 5 = 0 THEN 120 ELSE 108 END)
+        |       + 100 * (doc_id % 2 + 1) AS INT) AS n_bytes,
+        |  'isom' AS brand,
+        |  CAST(600 AS INT) AS timescale,
+        |  CAST(((doc_id % 9000 + 600) * 1000) // 600 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 2 + 1 AS INT) AS n_tracks,
+        |  CAST(doc_id % 1920 + 16 AS INT) AS width,
+        |  CAST(doc_id % 1080 + 16 AS INT) AS height
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "q_profile" ->
       """SELECT count(*) AS n_rows,

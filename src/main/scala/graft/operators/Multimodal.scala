@@ -436,6 +436,63 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Deterministic in-process MP4 fixtures: one REAL ISO-BMFF container
+    * per video-typed document (the `doc_id % 3 == 2` rows of
+    * [[mediaTable]]), every header field pure integer arithmetic on
+    * `doc_id` so an oracle can replay the parse without touching bytes:
+    * timescale 600, duration units `doc_id % 9000 + 600` (mvhd v1
+    * 64-bit layout when `doc_id % 5 == 0`, else v0), `doc_id % 2 + 1`
+    * tracks (track 2 is an audio-style 0x0-dims tkhd), display dims
+    * `(doc_id % 1920 + 16, doc_id % 1080 + 16)` as 16.16 fixed, and a
+    * `doc_id % 256 + 16`-byte garbage `mdat` the header walk must skip
+    * by size. Built per partition — no driver-side materialization. */
+  def mp4Table(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          MediaRecord(id, "video", buildMp4(id),
+            (id % 1920 + 16).toInt, (id % 1080 + 16).toInt)
+        }
+      }.toDF()
+  }
+
+  private[graft] def buildMp4(docId: Long): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+        .put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(payload)
+      bb.array()
+    }
+    val dur = docId % 9000 + 600
+    val w = (docId % 1920 + 16).toInt
+    val h = (docId % 1080 + 16).toInt
+    val mvhd =
+      if (docId % 5 == 0) // v1: u64 ctime/mtime/duration
+        box("mvhd", ByteBuffer.allocate(112)
+          .putInt(0x01000000).putLong(0L).putLong(0L).putInt(600)
+          .putLong(dur).array())
+      else // v0: u32 fields
+        box("mvhd", ByteBuffer.allocate(100)
+          .putInt(0).putInt(0).putInt(0).putInt(600).putInt(dur.toInt)
+          .array())
+    def tkhd(tw: Int, th: Int): Array[Byte] =
+      box("tkhd", ByteBuffer.allocate(84)
+        .position(76).asInstanceOf[ByteBuffer]
+        .putInt(tw << 16).putInt(th << 16).array())
+    val nTracks = (docId % 2 + 1).toInt
+    val traks = (0 until nTracks).map { i =>
+      box("trak", if (i == 0) tkhd(w, h) else tkhd(0, 0))
+    }.reduce(_ ++ _)
+    val moov = box("moov", mvhd ++ traks)
+    val mdat = box("mdat", Array.fill[Byte]((docId % 256 + 16).toInt)(0x5a))
+    box("ftyp",
+      "isomiso2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+      mdat ++ moov // moov-last (non-faststart) layout
+  }
+
   /** REAL video-container metadata: MP4/ISO-BMFF headers parsed via
     * [[parseMp4Header]] — duration, timescale, track count, display
     * dims from the `moov` tree, media payload skipped by size. The
