@@ -1508,6 +1508,33 @@ object SparkEntry {
           col("timescale"), col("duration_ms"), col("n_tracks"),
           col("width"), col("height"))),
 
+    // §2b-28d: perceptual image hash (dHash) over the media table —
+    // the stub token-grid path the oracle replays byte-for-byte; the
+    // REAL decode path (Multimodal.imageDhashes: guarded decode →
+    // 9×8 nearest-neighbor resample → integer luma → adjacent-cell
+    // compare) is pixel-pinned in MultimodalSpec
+    "q_image_dhash" -> ((s, dir) =>
+      Multimodal.stubImageDhashes(s,
+        Multimodal.mediaTable(t(s, dir, "documents"))).toDF()),
+
+    // §2b-28e: image near-dup pairs — dHash signatures through the
+    // SAME 4×16-bit-block Hamming LSH as text SimHash (exact recall
+    // at hamming <= 3, never all-pairs). The planted mutant
+    // substitutes the FIRST token (token-count preserving, so the
+    // stub grid differs in few cells — the image analog of a small
+    // patch edit; the drop-last-token mutation the text family plants
+    // would shift every grid cell and land nowhere near)
+    "q_image_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "imgvariant").as("text"))
+      val media = docs.unionByName(mutated).select(col("doc_id"),
+        lit("image").as("media_type"), col("text").cast("binary").as("payload"),
+        lit(64).as("declared_w"), lit(64).as("declared_h"))
+      NearDup.hammingPairs(Multimodal.stubImageDhashes(s, media).toDF(),
+        "doc_id", "dhash", maxHamming = 3)
+    }),
+
     // §2b-25e: one-pass table profiling (row/non-null/exact-distinct
     // counts — the validation step before any training-data ingest)
     "q_profile" -> ((s, dir) =>
@@ -4221,6 +4248,78 @@ object SparkEntry {
         |  greatest(1, CAST(trunc(declared_h * scale) AS INT)) AS thumb_h,
         |  greatest(1, n_bytes // 4096) AS frame_samples
         |FROM f""".stripMargin,
+
+    // Stub dHash replay: 9×8 grid where cell i carries the low byte of
+    // fnv64(token[i mod n]), bit b set when the right neighbor is
+    // strictly greater (grid lists are 1-indexed: left cell of bit b
+    // sits at (b//8)*9 + b%8 + 1). The REAL decode path is pinned
+    // pixel-exact in MultimodalSpec — this verifies the grid/compare
+    // pipeline and the signed-conversion arithmetic end to end.
+    "q_image_dhash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, media_type, i,
+        |    CASE WHEN len(toks) = 0 THEN CAST(0 AS HUGEINT) ELSE
+        |      list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          list_transform(range(1, length(toks[(i % len(toks)) + 1]) + 1),
+        |            j -> CAST(unicode(substr(toks[(i % len(toks)) + 1], j, 1)) AS HUGEINT))),
+        |        (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                    % CAST('18446744073709551616' AS HUGEINT)) % 256 END AS gray
+        |  FROM m, range(0, 72) r(i)),
+        |g AS (
+        |  SELECT doc_id, media_type, list(gray ORDER BY i) AS gl
+        |  FROM grid GROUP BY doc_id, media_type),
+        |u AS (
+        |  SELECT doc_id, media_type,
+        |    sum(CASE WHEN gl[(b // 8) * 9 + (b % 8) + 2] > gl[(b // 8) * 9 + (b % 8) + 1]
+        |      THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS uh
+        |  FROM g, range(0, 64) r(b) GROUP BY doc_id, media_type)
+        |SELECT doc_id, media_type,
+        |  CAST(uh - CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+        |FROM u""".stripMargin,
+
+    // Exhaustive-pair oracle (the 4×16-bit-block LSH is exact-recall
+    // at hamming <= 3, so the bucket join must equal the all-pairs
+    // filter — same contract as q_simhash_pairs).
+    "q_image_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'imgvariant') FROM documents),
+        |tl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM corpus),
+        |grid AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN len(toks) = 0 THEN CAST(0 AS HUGEINT) ELSE
+        |      list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          list_transform(range(1, length(toks[(i % len(toks)) + 1]) + 1),
+        |            j -> CAST(unicode(substr(toks[(i % len(toks)) + 1], j, 1)) AS HUGEINT))),
+        |        (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+        |                    % CAST('18446744073709551616' AS HUGEINT)) % 256 END AS gray
+        |  FROM tl, range(0, 72) r(i)),
+        |g AS (SELECT doc_id, list(gray ORDER BY i) AS gl FROM grid GROUP BY doc_id),
+        |u AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN gl[(b // 8) * 9 + (b % 8) + 2] > gl[(b // 8) * 9 + (b % 8) + 1]
+        |      THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS uh
+        |  FROM g, range(0, 64) r(b) GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(uh - CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+        |  FROM u)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
 
     "q_fingerprint" ->
       """WITH toks AS (

@@ -240,6 +240,114 @@ object Multimodal {
     }
   }
 
+  /** A perceptual image hash row (`dhash` null for non-image /
+    * undecodable / over-budget payloads on the real-decode path). */
+  case class ImageHash(doc_id: Long, media_type: String,
+                       dhash: java.lang.Long)
+
+  /** 64-bit dHash bits from a 9×8 grayscale grid (row-major,
+    * `gray(y*9 + x)`): bit `y*8 + x` is set when the right neighbor is
+    * strictly brighter — `gray(x+1, y) > gray(x, y)`. Comparing
+    * ADJACENT cells makes the hash invariant to global brightness /
+    * contrast shifts (every comparison sees the same offset), which is
+    * why dHash, not a raw pixel hash, is the standard image near-dup
+    * key. */
+  private[operators] def dhashFromGrid(gray: Array[Int]): Long = {
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      val y = b >>> 3
+      val x = b & 7
+      if (gray(y * 9 + x + 1) > gray(y * 9 + x)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** REAL perceptual hash (dHash) of a decoded image: resample to the
+    * canonical 9×8 grid with the bit-deterministic nearest-neighbor
+    * kernel (same one the thumbnails use — no rendering hints, so the
+    * hash is stable across JVMs/platforms, a hard requirement for a
+    * dedup KEY), integer-luma grayscale ((77r + 151g + 28b) >> 8 —
+    * coefficients sum to 256, so an all-channel brightness shift moves
+    * every cell by exactly the shift and the comparisons are
+    * untouched), then the adjacent-cell compare. */
+  private[graft] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val g = resizeNearest(img, 9, 8)
+    val gray = new Array[Int](72)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = g.getRGB(x, y)
+        gray(y * 9 + x) =
+          (77 * ((rgb >> 16) & 0xff) + 151 * ((rgb >> 8) & 0xff) +
+            28 * (rgb & 0xff)) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    dhashFromGrid(gray)
+  }
+
+  /** STUB perceptual hash: the same 9×8-grid compare pipeline as
+    * [[dhash64]], but cell (y, x) takes its "gray" value from the low
+    * byte of the FNV-1a hash of the payload text's token at position
+    * `(y*9 + x) mod n_tokens` — deterministic byte arithmetic the
+    * DuckDB oracle replays exactly (`q_image_dhash` /
+    * `q_image_neardup` pin it), with the property that token-level
+    * edits perturb few grid cells, so planted near-dup documents land
+    * at small Hamming distance just as near-identical images do under
+    * the real hash. Tokenless payloads hash to 0. */
+  def stubDhash64(payload: Array[Byte]): Long = {
+    val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val toks = text.split(' ').filter(_.nonEmpty)
+    val gray = new Array[Int](72)
+    if (toks.nonEmpty) {
+      var i = 0
+      while (i < 72) {
+        val b = toks(i % toks.length)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        gray(i) = (graft.functions.TextHash.fnv64(b, 0, b.length) & 0xffL).toInt
+        i += 1
+      }
+    }
+    dhashFromGrid(gray)
+  }
+
+  /** Per-record perceptual hashes over a media table, REAL decode
+    * path: guarded header-first decode (the [[readImageGuarded]]
+    * decompression-bomb contract), one decoded image per task at a
+    * time, null `dhash` for non-image / corrupt / over-budget records
+    * (permissive posture). The output feeds
+    * [[graft.operators.NearDup.hammingPairs]] — the same 4×16-bit
+    * block LSH that powers text SimHash dedup, exact-recall at
+    * Hamming <= 3 — giving image near-dup dedup the identical
+    * never-all-pairs scale shape as the text family. */
+  def imageDhashes(spark: SparkSession, media: DataFrame,
+                   maxPixels: Long = 64L * 1024 * 1024): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init
+      it.map { r =>
+        val img =
+          if (r.media_type != "image") null
+          else readImageGuarded(r.payload, maxPixels)
+        ImageHash(r.doc_id, r.media_type,
+          if (img == null) null else java.lang.Long.valueOf(dhash64(img)))
+      }
+    }
+  }
+
+  /** [[imageDhashes]] on the oracle-replayable stub grid — every
+    * record hashes (plumbing parity with [[StubDecoder]]). */
+  def stubImageDhashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(r =>
+      ImageHash(r.doc_id, r.media_type,
+        java.lang.Long.valueOf(stubDhash64(r.payload)))))
+  }
+
   /** Decoded audio-container metadata (null-free: -1 marks fields a
     * non-audio or undecodable payload can't provide). */
   case class AudioFeatures(doc_id: Long, media_type: String, n_bytes: Int,

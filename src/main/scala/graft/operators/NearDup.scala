@@ -112,8 +112,22 @@ object NearDup {
     * corpus scale). [[Dedup.connectedComponents]] tolerates duplicate
     * edges; a consumer counting pairs does not — dedupe ids upstream. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(df, idCol, textCol), idCol, "simhash",
+      maxHamming)
+
+  /** Hamming near-dup pairs over ANY 64-bit signature column — the
+    * [[simhashPairs]] block-LSH join factored out so every 64-bit
+    * perceptual signature reuses it (text SimHash here; image dHash in
+    * [[graft.operators.Multimodal.imageDhashes]]). Pigeonhole recall:
+    * two signatures within Hamming distance d <= 3 agree on at least
+    * one of the four 16-bit blocks, so the per-(block, value) bucket
+    * join is EXACT at maxHamming <= 3 — never all-pairs, candidate
+    * volume is the bucket collision volume. Same id-uniqueness
+    * precondition as [[simhashPairs]]. */
+  def hammingPairs(sig0: DataFrame, idCol: String, hashCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+    val sig = sig0.select(col(idCol), col(hashCol).as("simhash"))
     val blocked = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))

@@ -129,6 +129,91 @@ class MultimodalSpec extends AnyFunSuite {
     assert(guarded.thumb_png == null)
   }
 
+  test("dhash64 on a REAL 9x8 PNG equals the hand-computed adjacent-" +
+    "compare hash, is invariant to a global brightness shift, and flips " +
+    "exactly the patch-edit comparisons") {
+    // 9x8 = the canonical grid, so resizeNearest is the identity and the
+    // luma of a pure-gray pixel (v,v,v) is exactly v (77+151+28 = 256).
+    def grayPng(shift: Int, patch: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 9).foreach { x =>
+        var v = (x * 13 + y * 5) % 200 + shift // +40 shift stays < 256
+        if (patch && x == 4 && y == 3) v = 255
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", buf))
+      buf.toByteArray
+    }
+    def hashOf(png: Array[Byte]): Long =
+      Multimodal.dhash64(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png)))
+    // hand-computed expectation straight from the defining formula
+    val grid = Array.tabulate(72)(i => ((i % 9) * 13 + (i / 9) * 5) % 200)
+    var expected = 0L
+    (0 until 64).foreach { b =>
+      val y = b / 8; val x = b % 8
+      if (grid(y * 9 + x + 1) > grid(y * 9 + x)) expected |= 1L << b
+    }
+    val base = hashOf(grayPng(0, patch = false))
+    assert(base == expected)
+    // global +40 brightness: every comparison sees the same offset
+    assert(hashOf(grayPng(40, patch = false)) == base)
+    // one patched cell touches only its two adjacent comparisons; here
+    // (3,3)->(4,3) keeps its direction and (4,3)->(5,3) flips
+    val patched = hashOf(grayPng(0, patch = true))
+    assert(java.lang.Long.bitCount(base ^ patched) == 1)
+  }
+
+  test("imageDhashes real-decode path: near-identical images meet in " +
+    "hammingPairs, unrelated images do not; non-image and over-budget " +
+    "records are null") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 48).foreach(y => (0 until 64).foreach { x =>
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", buf))
+      buf.toByteArray
+    }
+    val a = png((x, y) => x * 3 + y * 2)
+    // a small patch edit: one 4x4 block brightened, placed to COVER the
+    // 9x8 grid's sampled pixel (28, 18) so the hash actually sees it
+    val aEdit = png((x, y) =>
+      if (x >= 26 && x < 30 && y >= 16 && y < 20) 250 else x * 3 + y * 2)
+    val b = png((x, y) => (x * x + y * 37) % 251) // unrelated content
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", a, 64, 48),
+      Multimodal.MediaRecord(2L, "image", aEdit, 64, 48),
+      Multimodal.MediaRecord(3L, "image", b, 64, 48),
+      Multimodal.MediaRecord(4L, "image", "not a png".getBytes("UTF-8"), 64, 48),
+      Multimodal.MediaRecord(5L, "audio", a, 64, 48)
+    ).toDF()
+    val hashes = Multimodal.imageDhashes(spark, media)
+      .collect().map(h => h.doc_id -> Option(h.dhash).map(_.toLong)).toMap
+    assert(hashes(4L).isEmpty && hashes(5L).isEmpty)
+    assert(hashes(1L).isDefined && hashes(2L).isDefined && hashes(3L).isDefined)
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(2L).get) <= 3)
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(3L).get) > 10)
+    // over-budget header dims -> null (the bomb contract carries over)
+    val guarded = Multimodal.imageDhashes(spark,
+        Seq(Multimodal.MediaRecord(6L, "image", a, 64, 48)).toDF(),
+        maxPixels = 16L)
+      .collect().head
+    assert(guarded.dhash == null)
+    // the factored block-LSH finds exactly the planted near-pair
+    val sigs = Multimodal.imageDhashes(spark, media).toDF()
+      .filter($"dhash".isNotNull)
+    val pairs = graft.operators.NearDup
+      .hammingPairs(sigs, "doc_id", "dhash", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("decompression-bomb guard fires BEFORE the decode: header-only " +
     "dims, bounded allocation, no pixel read ever attempted") {
     // A PNG with a VALID header declaring 8000x8000 (64M px -> 256 MB
