@@ -409,6 +409,37 @@ object SparkEntry {
           col("content_length"))
     }),
 
+    // §2b (multimodal-corpus ingestion): WebDataset-layout tar
+    // round-trip — customer rows written as grouped sample files
+    // (<key>.txt + <key>.cls) into real ustar archives, read back
+    // through the block-aligned checksum-resync DataSource V2 (4 KiB
+    // splitBytes forces many byte-range tasks per shard), regrouped
+    // into samples by the WebDataset key rule, and projected back to
+    // the source columns
+    "q_tar_ingest" -> ((s, dir) => {
+      val out = dumpDir(dir) + "_tar"
+      val src = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      src.repartition(4, col("c_custkey")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.sources.TarSource.writeTar(f"$out/shard-$pid%02d.tar",
+            it.flatMap(r => Seq(
+              (s"${r.getLong(0)}.txt",
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+              (s"${r.getLong(0)}.cls",
+                r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+      }
+      val paths = (0 until 4).map(p => f"$out/shard-$p%02d.tar")
+      val tar = s.read.format("graft.sources.TarDataSource")
+        .option("splitBytes", 4L << 10)
+        .load(paths: _*)
+      graft.sources.TarSource.tarSamples(tar)
+        .select(col("sample_key").cast("bigint").as("c_custkey"),
+          element_at(col("members"), "txt").cast("string").as("c_name"),
+          element_at(col("members"), "cls").cast("string").as("c_mktsegment"))
+    }),
+
     // §2a-1/§6 (entity breadth): commits ingestion end to end — REAL
     // framed BSON commit documents (nested author/commit structs + the
     // parents ARRAY) through FromBson + Ingest.importCommits. Every
@@ -2776,6 +2807,13 @@ object SparkEntry {
     "q_warc_ingest" ->
       """SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS content_length
         |FROM documents""".stripMargin,
+
+    // the tar round-trip restores the projection: two sample files per
+    // customer regrouped by the WebDataset key rule — the oracle is
+    // the plain source projection (the q_dump_source caveat shape: the
+    // Spark side does the real ustar write + split-resync read)
+    "q_tar_ingest" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
 
     // brute-force ANN is SQL-expressible: DuckDB's list_cosine_similarity
     // replays the same exact cosine; ranks are decided on the UNROUNDED

@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException, IOException}
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for POSIX ustar TAR archives — the container of the
+  * WebDataset layout (Aizman et al.: tar shards of grouped sample
+  * files, `key.jpg` + `key.txt` + `key.json` adjacent), the de-facto
+  * shipping format for large-scale multimodal training corpora.
+  *
+  * Output schema: (path, entry_offset, name, size, payload) — one row
+  * per REGULAR file entry (directories and special entries are
+  * skipped); `entry_offset` is the header block's absolute byte
+  * offset, a stable identity independent of splitting.
+  * [[TarSource.tarSamples]] regroups entries into WebDataset samples
+  * (key = entry name minus the basename's extension chain, members =
+  * extension → payload map).
+  *
+  * Parallelism: tar needs no sidecar index — every entry starts on a
+  * 512-byte block boundary with a checksummed header, so sub-file
+  * byte ranges resync by stepping block-aligned offsets until a block
+  * validates (magic `ustar` at 257 AND the header checksum over the
+  * block with the checksum field blanked). A task owns the entries
+  * STARTING in its range, making the split union byte-identical to
+  * the unsplit read (same ownership rule as [[WarcSource]]). Known
+  * limit, documented rather than hidden: a payload embedding a fully
+  * valid header AT a 512-aligned archive offset can fool the resync —
+  * the alignment constraint plus the checksum makes an accidental
+  * false positive vanishingly unlikely, and the entry walk itself
+  * never looks inside payloads.
+  *
+  * Entries stream one at a time (512-byte header + size-bounded
+  * payload; never whole-file materialization). Size fields are parsed
+  * as POSIX octal (entries < 8 GiB — the GNU base-256 extension is
+  * out of scope and fails loudly).
+  *
+  * Usage: `spark.read.format("graft.sources.TarDataSource").load(paths*)`.
+  */
+class TarDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TarTable(DumpSource.pathsFromProps(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object TarSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("entry_offset", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  final val BlockSize = 512
+
+  /** A parsed ustar header (regular==true for typeflag '0'/NUL). */
+  private[sources] case class TarHeader(name: String, size: Long,
+                                        regular: Boolean)
+
+  private def ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def putStr(b: Array[Byte], off: Int, s: String): Unit = {
+    val bytes = s.getBytes(ascii)
+    System.arraycopy(bytes, 0, b, off, bytes.length)
+  }
+
+  /** POSIX numeric field: (width-1) zero-padded octal digits + NUL. */
+  private def putOctal(b: Array[Byte], off: Int, width: Int, v: Long): Unit = {
+    val s = java.lang.Long.toOctalString(v)
+    val pad = width - 1 - s.length
+    require(pad >= 0, s"value $v overflows a $width-byte octal field")
+    var i = 0
+    while (i < pad) { b(off + i) = '0'; i += 1 }
+    putStr(b, off + pad, s)
+    b(off + width - 1) = 0
+  }
+
+  /** Octal field parse: leading spaces allowed, ends at NUL/space;
+    * None on anything else (binary/base-256 sizes fail validation). */
+  private[sources] def parseOctal(b: Array[Byte], off: Int, width: Int): Option[Long] = {
+    var i = off
+    val end = off + width
+    while (i < end && b(i) == ' ') i += 1
+    var v = 0L
+    var digits = 0
+    while (i < end && b(i) != 0 && b(i) != ' ') {
+      if (b(i) < '0' || b(i) > '7') return None
+      v = (v << 3) | (b(i) - '0')
+      digits += 1
+      i += 1
+    }
+    if (digits == 0) None else Some(v)
+  }
+
+  private def nulString(b: Array[Byte], off: Int, width: Int): String = {
+    var end = off
+    while (end < off + width && b(end) != 0) end += 1
+    new String(b, off, end - off, ascii)
+  }
+
+  /** Header checksum as POSIX defines it: byte sum of the block with
+    * the checksum field read as eight spaces. */
+  private[graft] def checksumOf(b: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < BlockSize) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else b(i) & 0xff)
+      i += 1
+    }
+    sum
+  }
+
+  /** Build one deterministic ustar header block (mode 0644, uid/gid 0,
+    * mtime 0 — fixture/staging writes must be byte-reproducible). */
+  private[graft] def headerBlock(name: String, size: Long,
+                                   typeflag: Byte = '0'): Array[Byte] = {
+    require(name.getBytes(ascii).length <= 100,
+      s"entry name exceeds the 100-byte ustar name field: $name")
+    val b = new Array[Byte](BlockSize)
+    putStr(b, 0, name)
+    putOctal(b, 100, 8, 420 /* 0644 */)
+    putOctal(b, 108, 8, 0)
+    putOctal(b, 116, 8, 0)
+    putOctal(b, 124, 12, size)
+    putOctal(b, 136, 12, 0)
+    b(156) = typeflag
+    putStr(b, 257, "ustar")
+    b(263) = '0'; b(264) = '0'
+    val oct = java.lang.Long.toOctalString(checksumOf(b))
+    val padded = ("000000" + oct).substring(oct.length)
+    putStr(b, 148, padded)
+    b(154) = 0; b(155) = ' '
+    b
+  }
+
+  /** Validate + parse the block as a ustar header: magic `ustar` at
+    * 257 (POSIX `\0` or GNU ` ` terminator), checksum match, parseable
+    * octal size. None otherwise (including the all-zero trailer
+    * block) — this is the resync predicate AND the walk parser. */
+  private[sources] def parseHeader(b: Array[Byte]): Option[TarHeader] = {
+    if (b.length != BlockSize) return None
+    if (!(b(257) == 'u' && b(258) == 's' && b(259) == 't' &&
+          b(260) == 'a' && b(261) == 'r' &&
+          (b(262) == 0 || b(262) == ' '))) return None
+    val stored = parseOctal(b, 148, 8).getOrElse(return None)
+    if (stored != checksumOf(b)) return None
+    val size = parseOctal(b, 124, 12).getOrElse(return None)
+    val base = nulString(b, 0, 100)
+    if (base.isEmpty) return None
+    val prefix = nulString(b, 345, 155)
+    val name = if (prefix.isEmpty) base else s"$prefix/$base"
+    val tf = b(156)
+    // a directory's size field describes no payload bytes
+    val regular = tf == '0'.toByte || tf == 0.toByte
+    Some(TarHeader(name, if (tf == '5'.toByte) 0L else size, regular))
+  }
+
+  /** Write `entries` as one deterministic ustar archive (payload
+    * padded to 512, two zero trailer blocks). */
+  def writeTar(path: String, entries: Iterator[(String, Array[Byte])]): Unit = {
+    val fs = new Path(path).getFileSystem(DumpSource.activeHadoopConf())
+    val out = fs.create(new Path(path), true)
+    try {
+      val pad = new Array[Byte](BlockSize)
+      entries.foreach { case (name, body) =>
+        out.write(headerBlock(name, body.length))
+        out.write(body)
+        val rem = body.length % BlockSize
+        if (rem != 0) out.write(pad, 0, BlockSize - rem)
+      }
+      out.write(pad); out.write(pad) // end-of-archive marker
+    } finally out.close()
+  }
+
+  /** Cut one file into ~`splitBytes` ranges; readers round up to the
+    * 512 grid and validate-resync, so ranges need no index. */
+  def planSplits(path: String, splitBytes: Long,
+                 conf: org.apache.hadoop.conf.Configuration): Seq[TarFilePartition] = {
+    val p = new Path(path)
+    val fileLen = p.getFileSystem(conf).getFileStatus(p).getLen
+    if (splitBytes <= 0 || fileLen <= splitBytes)
+      return Seq(TarFilePartition(path, 0L, Long.MaxValue))
+    (0L until fileLen by splitBytes)
+      .map(off => TarFilePartition(path, off, math.min(off + splitBytes, fileLen)))
+  }
+
+  /** WebDataset sample grouping: entries sharing a name-minus-
+    * extension-chain key (basename split at its FIRST dot — the
+    * published WebDataset rule, so `a.seg.png` files group with
+    * `a.txt` under extension `seg.png`) collapse into one row with an
+    * extension→payload map. ONE hash shuffle on the sample key; a
+    * duplicated extension within a sample fails loudly (Spark's
+    * map-key policy) rather than silently dropping a member. */
+  def tarSamples(tar: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = regexp_extract(col("name"), "([^/]+)$", 1)
+    val key = concat(
+      regexp_extract(col("name"), "^(.*/)?[^/]+$", 1),
+      regexp_extract(base, "^([^.]*)", 1))
+    val ext = regexp_extract(base, "^[^.]*\\.(.*)$", 1)
+    tar.select(key.as("sample_key"), ext.as("ext"), col("payload"))
+      .groupBy(col("sample_key"))
+      .agg(map_from_entries(collect_list(struct(col("ext"), col("payload"))))
+        .as("members"))
+  }
+}
+
+class TarTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft_tar(${paths.mkString(",")})"
+  override def schema(): StructType = TarSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // session Hadoop conf captured ON THE DRIVER (see WarcTable)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      DumpSource.activeHadoopConf())
+    val splitBytes = options.getLong("splitbytes", 64L << 20)
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = TarSource.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        paths.flatMap(p =>
+          TarSource.planSplits(p, splitBytes, conf.value)
+            .map(sp => sp: InputPartition)).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new TarReaderFactory(conf)
+    }
+  }
+}
+
+/** One read task: entries of `path` STARTING in [start, end). */
+case class TarFilePartition(path: String, start: Long, end: Long)
+  extends InputPartition
+
+class TarReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TarPartitionReader(partition.asInstanceOf[TarFilePartition], conf)
+}
+
+/** Streams one tar split: rounds the range start up to the 512-byte
+  * grid, steps blocks until one validates as a header (checksum +
+  * magic), then walks entries until one would START at or past
+  * `part.end`. Truncation inside an entry fails loudly; EOF at a
+  * block boundary (archives without the optional zero trailer) ends
+  * the walk. */
+class TarPartitionReader(part: TarFilePartition,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
+
+  private val fsPath = new Path(part.path)
+  private val fs = fsPath.getFileSystem(conf.value)
+  private val fileLen = fs.getFileStatus(fsPath).getLen
+  private val pathUtf8 = UTF8String.fromString(part.path)
+  private val limit = math.min(part.end, fileLen)
+
+  private var pos: Long = 0L
+  private var in: DataInputStream = _
+  private var row: InternalRow = _
+  private var done = false
+
+  { // resync to the first block-aligned valid header in range
+    val aligned = (part.start + TarSource.BlockSize - 1) /
+      TarSource.BlockSize * TarSource.BlockSize
+    val startAt = if (aligned >= limit) -1L else findNextHeader(aligned)
+    pos = startAt
+    if (startAt >= 0) {
+      val raw = fs.open(fsPath)
+      if (startAt > 0) raw.seek(startAt)
+      in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
+    } else done = true
+  }
+
+  /** First 512-aligned offset at/after `from` whose block validates as
+    * a ustar header; -1 when none starts before the range limit. */
+  private def findNextHeader(from: Long): Long = {
+    if (from == 0L) return 0L // offset 0 needs no scan (walk validates)
+    val scan = fs.open(fsPath)
+    try {
+      scan.seek(from)
+      val buf = new DataInputStream(new BufferedInputStream(scan, 1 << 16))
+      val block = new Array[Byte](TarSource.BlockSize)
+      var off = from
+      while (off < limit) {
+        try buf.readFully(block)
+        catch { case _: EOFException => return -1L }
+        if (TarSource.parseHeader(block).isDefined) return off
+        off += TarSource.BlockSize
+      }
+      -1L
+    } finally scan.close()
+  }
+
+  @annotation.tailrec
+  final override def next(): Boolean = {
+    if (done || pos >= limit) return false
+    val block = new Array[Byte](TarSource.BlockSize)
+    try in.readFully(block)
+    catch { case _: EOFException => done = true; return false }
+    // all-zero block: end-of-archive trailer
+    if (block.forall(_ == 0)) { done = true; return false }
+    TarSource.parseHeader(block) match {
+      case None => throw new IOException(
+        s"malformed tar: invalid header block at offset $pos in ${part.path}")
+      case Some(h) =>
+        val entryStart = pos
+        if (h.size < 0 || h.size > Int.MaxValue - 16) throw new IOException(
+          s"tar entry at $pos in ${part.path} exceeds the 2 GiB row " +
+            s"payload cap (size ${h.size})")
+        val padded = (h.size + TarSource.BlockSize - 1) /
+          TarSource.BlockSize * TarSource.BlockSize
+        pos = entryStart + TarSource.BlockSize + padded
+        if (h.regular) {
+          val body = new Array[Byte](h.size.toInt)
+          try {
+            in.readFully(body)
+            var skip = padded - h.size
+            while (skip > 0) {
+              val n = in.skip(skip)
+              if (n <= 0) throw new EOFException()
+              skip -= n
+            }
+          } catch { case _: EOFException => throw new IOException(
+            s"truncated tar: entry at $entryStart in ${part.path} " +
+              s"declares ${h.size} payload bytes past EOF") }
+          row = InternalRow(
+            pathUtf8, entryStart, UTF8String.fromString(h.name), h.size, body)
+          true
+        } else { // directory/link/special: skip payload (if any), continue
+          var skip = padded
+          while (skip > 0) {
+            val n = in.skip(skip)
+            if (n <= 0) throw new IOException(
+              s"truncated tar: cannot skip entry at $entryStart in ${part.path}")
+            skip -= n
+          }
+          next()
+        }
+    }
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = if (in != null) in.close()
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TarSource
+
+class TarSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), "tarspec").toString
+
+  private def readTar(paths: Seq[String], splitBytes: Long = 0) =
+    spark.read.format("graft.sources.TarDataSource")
+      .option("splitBytes", splitBytes)
+      .load(paths: _*)
+
+  test("round-trips entries: names, sizes, payload bytes exact; " +
+    "entry_offset is the 512-aligned header offset; the archive itself " +
+    "is readable by format definition (GNU tar list parity via header " +
+    "checksums)") {
+    val dir = tmpDir()
+    val entries = (0 until 9).map(i =>
+      (s"sample$i.txt", (s"body-$i " + "x" * (i * 97 % 513)).getBytes(UTF_8)))
+    TarSource.writeTar(s"$dir/a.tar", entries.iterator)
+    val got = readTar(Seq(s"$dir/a.tar"))
+      .select($"entry_offset", $"name", $"size", $"payload".cast("string"))
+      .as[(Long, String, Long, String)].collect().sortBy(_._1)
+    assert(got.length == 9)
+    assert(got.map(_._2).toSeq == entries.map(_._1))
+    assert(got.map(_._4).toSeq == entries.map(e => new String(e._2, UTF_8)))
+    assert(got.forall { case (off, _, size, body) =>
+      off % 512 == 0 && size == body.length })
+    assert(got.head._1 == 0L)
+    // the file ends with the two-zero-block trailer on the 512 grid
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/a.tar"))
+    assert(bytes.length % 512 == 0)
+    assert(bytes.takeRight(1024).forall(_ == 0))
+  }
+
+  test("sub-file splits are index-free and byte-identical to the unsplit " +
+    "read: block-aligned checksum resync owns each entry exactly once") {
+    val dir = tmpDir()
+    val entries = (0 until 150).map(i =>
+      (s"d/k$i.bin", ("p" * (i % 1400 + 3) + s"|$i").getBytes(UTF_8)))
+    TarSource.writeTar(s"$dir/b.tar", entries.iterator)
+    val whole = readTar(Seq(s"$dir/b.tar"))
+      .select($"entry_offset", $"name", $"payload".cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val split = readTar(Seq(s"$dir/b.tar"), splitBytes = 2048)
+    assert(split.rdd.getNumPartitions > 4)
+    val gotSplit = split
+      .select($"entry_offset", $"name", $"payload".cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(gotSplit == whole)
+    assert(whole.length == 150)
+  }
+
+  test("a payload embedding ustar magic — even a full header block at a " +
+    "MISALIGNED or checksum-broken position — does not fool the resync") {
+    val dir = tmpDir()
+    // poison 1: a full VALID header block, but embedded 100 bytes into
+    // the payload so it can never sit on the 512 grid the resync steps
+    val fake = TarSource.headerBlock("fake/evil.txt", 7)
+    val poison1 = ("A" * 100).getBytes(US_ASCII) ++ fake ++
+      ("B" * 700).getBytes(US_ASCII)
+    // poison 2: sits exactly at a 512 boundary WITHIN the payload, but
+    // one checksum digit is corrupted — validation must reject it
+    val broken = TarSource.headerBlock("fake/evil2.txt", 7)
+    broken(148) = (if (broken(148) == '0') '1' else '0').toByte
+    val poison2 = new Array[Byte](512) ++ broken ++ ("C" * 300).getBytes(US_ASCII)
+    val entries = Seq(
+      ("real1.txt", poison1),
+      ("real2.txt", poison2)) ++
+      (0 until 40).map(i => (s"real$i.bin", s"data-$i".getBytes(UTF_8)))
+    TarSource.writeTar(s"$dir/c.tar", entries.iterator)
+    val whole = readTar(Seq(s"$dir/c.tar"))
+      .select($"name").as[String].collect().sorted.toSeq
+    val split = readTar(Seq(s"$dir/c.tar"), splitBytes = 1024)
+      .select($"name").as[String].collect().sorted.toSeq
+    assert(split == whole)
+    assert(!whole.exists(_.startsWith("fake/")))
+    assert(whole.size == 42)
+  }
+
+  test("WebDataset sample grouping: basename split at the FIRST dot, " +
+    "directory prefix kept in the key, extension chains preserved") {
+    val dir = tmpDir()
+    val entries = Seq(
+      ("train/000/a.txt", "textA".getBytes(UTF_8)),
+      ("train/000/a.seg.png", Array[Byte](1, 2, 3)),
+      ("train/000/b.txt", "textB".getBytes(UTF_8)),
+      ("train/001/a.txt", "textA2".getBytes(UTF_8))) // same basename, other dir
+    TarSource.writeTar(s"$dir/d.tar", entries.iterator)
+    val samples = TarSource.tarSamples(readTar(Seq(s"$dir/d.tar")))
+      .select($"sample_key",
+        map_keys($"members").as("exts"),
+        element_at($"members", "txt").cast("string").as("txt"))
+      .as[(String, Seq[String], String)].collect()
+      .map(r => r._1 -> ((r._2.sorted, r._3))).toMap
+    assert(samples.keySet ==
+      Set("train/000/a", "train/000/b", "train/001/a"))
+    assert(samples("train/000/a")._1 == Seq("seg.png", "txt"))
+    assert(samples("train/000/a")._2 == "textA")
+    assert(samples("train/001/a")._2 == "textA2")
+  }
+
+  test("directory entries are skipped, prefix-field names are honored, " +
+    "and truncated archives fail loudly") {
+    val dir = tmpDir()
+    // hand-assemble: [dir header]['prefixed' file][file truncated mid-payload]
+    val dirHdr = TarSource.headerBlock("train/", 0, typeflag = '5')
+    val withPrefix = TarSource.headerBlock("leaf.txt", 4)
+    // move the directory part into the ustar prefix field (345, 155)
+    "deep/nested".getBytes(US_ASCII).zipWithIndex.foreach {
+      case (b, i) => withPrefix(345 + i) = b }
+    // re-checksum after editing the prefix
+    val sum = TarSource.checksumOf(withPrefix)
+    val oct = java.lang.Long.toOctalString(sum)
+    ("000000" + oct).substring(oct.length).getBytes(US_ASCII).zipWithIndex
+      .foreach { case (b, i) => withPrefix(148 + i) = b }
+    withPrefix(154) = 0; withPrefix(155) = ' '
+    val body = "leaf".getBytes(UTF_8) ++ new Array[Byte](508)
+    val ok = dirHdr ++ withPrefix ++ body ++
+      new Array[Byte](1024) // trailer
+    Files.write(Paths.get(s"$dir/e.tar"), ok)
+    val got = readTar(Seq(s"$dir/e.tar"))
+      .select($"name", $"payload".cast("string"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("deep/nested/leaf.txt", "leaf")))
+    // truncation: declare 4 KiB of payload, ship 100 bytes
+    val bad = TarSource.headerBlock("t.bin", 4096) ++ new Array[Byte](100)
+    Files.write(Paths.get(s"$dir/f.tar"), bad)
+    val e = intercept[org.apache.spark.SparkException] {
+      readTar(Seq(s"$dir/f.tar")).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("truncated tar")))
+    // a non-tar file fails loudly too (offset-0 walk validates)
+    Files.write(Paths.get(s"$dir/junk.tar"),
+      ("junk " * 200).getBytes(UTF_8))
+    intercept[org.apache.spark.SparkException] {
+      readTar(Seq(s"$dir/junk.tar")).count()
+    }
+  }
+}
