@@ -1286,6 +1286,26 @@ object SparkEntry {
         dropFrac = 0.25, k = 4, targetCell = 64, nprobe = 4, iters = 1)
     }),
 
+    // §2b-23g: margin-based bitext mining (Artetxe & Schwenk 2019) —
+    // X = even-id embeddings, Y = planted "translations" (perturbed
+    // copies, +100000) plus odd-id distractors (+200000); the ratio
+    // margin recovers the planted alignments while plain-cosine hubs
+    // among the distractors are suppressed by their own high avgB
+    "q_margin_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val xs = emb.filter(col("vec_id") % 2 === 0)
+      val pert = xs.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + sin(i.cast("double") + col("vec_id").cast("double")) * 0.02)
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      Similarity.marginMine(xs, pert.unionByName(odd), k = 4,
+        targetCell = 64, nprobe = 4, threshold = 1.5, iters = 1)
+    }),
+
     // §2b: cluster-balanced diversity sampling (SemDeDup-family
     // policy): IVF cells as semantic clusters, keep the 8 most
     // central vectors per cell — per-cluster budgets cap semantic
@@ -3034,6 +3054,77 @@ object SparkEntry {
          |  FROM scored)
          |SELECT src_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Margin-mining replay: X/Y corpus construction, shared-quantizer
+    // chain on the union, both kNN directions (sides split by id
+    // range), micro-unit edges after the rank cut, the exact
+    // CAST/divide order of the mean and margin arithmetic, and the
+    // max-strategy rank-1 cut. Cosine argument order mirrors the
+    // Spark kernel calls (corpus vector first).
+    "q_margin_mine" ->
+      s"""WITH xs AS (
+         |  SELECT vec_id AS xid, embedding::DOUBLE[] AS xv
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |pertm AS (
+         |  SELECT xid + 100000 AS yid,
+         |    list(xv[d+1] + sin(CAST(d AS DOUBLE) + CAST(xid AS DOUBLE)) * 0.02 ORDER BY d) AS yv
+         |  FROM xs, range(0,64) r(d) GROUP BY xid),
+         |oddm AS (
+         |  SELECT vec_id + 200000 AS yid, embedding::DOUBLE[] AS yv
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |ys AS (SELECT yid, yv FROM pertm UNION ALL SELECT yid, yv FROM oddm),
+         |ev AS (SELECT xid AS vec_id, xv AS v FROM xs
+         |       UNION ALL SELECT yid, yv FROM ys),
+         |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS INT)) AS nl,
+         |               least(4, greatest(1, CAST(ceil(count(*) / 64.0) AS INT))) AS np
+         |        FROM ev),
+         |${sqlCentroidsBodyWith("(SELECT nl FROM prm)")},
+         |a1 AS (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM ev e CROSS JOIN c1 c),
+         |idx AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell FROM a1 WHERE rn <= (SELECT np FROM prm)),
+         |fsc AS (
+         |  SELECT p.vec_id AS xid, i.vec_id AS yid,
+         |    list_cosine_similarity(ye.v, xe.v) AS sim
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  JOIN ev xe ON p.vec_id = xe.vec_id
+         |  JOIN ev ye ON i.vec_id = ye.vec_id
+         |  WHERE p.vec_id < 100000 AND i.vec_id >= 100000),
+         |fedge AS (
+         |  SELECT xid, yid, CAST(round(sim * 1e6) AS BIGINT) AS sim_micro
+         |  FROM (SELECT xid, yid, sim, row_number() OVER (PARTITION BY xid
+         |          ORDER BY sim DESC, yid) AS rank FROM fsc)
+         |  WHERE rank <= 4),
+         |bsc AS (
+         |  SELECT p.vec_id AS yid, i.vec_id AS xid,
+         |    list_cosine_similarity(xe.v, ye.v) AS sim
+         |  FROM probes p JOIN idx i ON p.cell = i.cell
+         |  JOIN ev ye ON p.vec_id = ye.vec_id
+         |  JOIN ev xe ON i.vec_id = xe.vec_id
+         |  WHERE p.vec_id >= 100000 AND i.vec_id < 100000),
+         |bedge AS (
+         |  SELECT yid, xid, CAST(round(sim * 1e6) AS BIGINT) AS sim_micro
+         |  FROM (SELECT yid, xid, sim, row_number() OVER (PARTITION BY yid
+         |          ORDER BY sim DESC, xid) AS rank FROM bsc)
+         |  WHERE rank <= 4),
+         |favg AS (SELECT xid,
+         |    CAST(sum(sim_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_f
+         |  FROM fedge GROUP BY xid),
+         |bavg AS (SELECT yid,
+         |    CAST(sum(sim_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_b
+         |  FROM bedge GROUP BY yid),
+         |candm AS (
+         |  SELECT f.xid, f.yid, f.sim_micro,
+         |    CAST(f.sim_micro AS DOUBLE) / ((fa.avg_f + ba.avg_b) * 0.5) AS margin
+         |  FROM fedge f JOIN favg fa USING (xid) JOIN bavg ba USING (yid)),
+         |best AS (
+         |  SELECT xid, yid, sim_micro, margin,
+         |    row_number() OVER (PARTITION BY xid ORDER BY margin DESC, yid) AS rk
+         |  FROM candm)
+         |SELECT xid AS x_id, yid AS y_id, sim_micro, round(margin, 6) AS margin
+         |FROM best WHERE rk = 1 AND margin >= 1.5""".stripMargin,
 
     // a tighter probe budget over the SAME index: pins that nprobe
     // actually narrows the candidate set (recall knob behavior)

@@ -425,6 +425,93 @@ object Similarity {
     knnGraph(corpus, k, nlist, math.min(nprobe, nlist), iters, idCol, vecCol)
   }
 
+  /** Margin-based cross-corpus pair mining (Artetxe & Schwenk 2019 —
+    * the bitext-mining scorer behind CCMatrix/WikiMatrix-style
+    * parallel-corpus construction, and equally the cross-release
+    * "which new doc duplicates which old doc" aligner): candidate
+    * pairs come from a forward approximate kNN of X into Y and are
+    * scored by the RATIO margin
+    *   margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+    * where avgF(x) is x's mean cosine to its k nearest Y-neighbors
+    * and avgB(y) is y's mean to its k nearest X-neighbors — the
+    * normalization that suppresses hubness false positives a plain
+    * cosine threshold admits (a "hub" y scores high against
+    * EVERYTHING, so its avgB is high and its margins collapse).
+    * Retrieval is the paper's "max" strategy: each x keeps its best
+    * candidate by margin, thresholded.
+    *
+    * Scale shape: ONE deterministic quantizer trained on the union
+    * (nlist = ceil(n/targetCell), the [[knnGraphAuto]] sizing rule)
+    * assigns both sides; each direction is a cell-equi-join kNN
+    * exactly like [[knnGraph]] — hash shuffle on cell, probe side
+    * corpus-sized so never broadcast, candidate volume
+    * nprobe·n·targetCell (linear); the means are single hash aggs on
+    * k-bounded edge lists; the margin join attaches two id→mean
+    * frames to the forward edges. Edge sims are carried as exact
+    * integer MICRO-units after the rank cut, so every margin is a
+    * fixed chain of IEEE ops over exactly-representable integers —
+    * bitwise-replayable cross-engine (the [[knnDensityPrune]]
+    * determinism discipline).
+    *
+    * PRECONDITIONS: the two sides' id spaces are disjoint; a
+    * candidate (x, y) needs y to have a non-empty backward
+    * neighborhood (true whenever any X vector is assigned to one of
+    * y's probed cells — candidates whose y has none are dropped, the
+    * conservative policy since their margin denominator is
+    * unmeasured). */
+  def marginMine(xSide: DataFrame, ySide: DataFrame, k: Int,
+                 targetCell: Int = 64, nprobe: Int = 4,
+                 threshold: Double = 1.5, iters: Int = 1,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VecExpressions.{nearestCell, nearestCells}
+    val x = xSide.select(col(idCol).as("x_id"),
+      col(vecCol).cast("array<double>").as("xv"))
+    val y = ySide.select(col(idCol).as("y_id"),
+      col(vecCol).cast("array<double>").as("yv"))
+    val union = x.select(col("x_id").as(idCol), col("xv").as("v"))
+      .unionByName(y.select(col("y_id").as(idCol), col("yv").as("v")))
+    val n = union.count()
+    val nlist = math.max(1, ((n + targetCell - 1) / targetCell).toInt)
+    val np = math.min(nprobe, nlist)
+    val cents = trainQuantizer(union, nlist, iters, idCol, "v")
+
+    // one direction of the cross kNN: corpus side assigned to its one
+    // cell, probe side exploded to its np nearest cells, rank window
+    // per probe id; sims leave as micro-units (rank decided unrounded)
+    def knnDir(corpus: DataFrame, cid: String, cvec: String,
+               probes: DataFrame, pid: String, pvec: String): DataFrame = {
+      val indexed = corpus.withColumn("cell", nearestCell(col(cvec), cents))
+      val probed = probes.withColumn("cell",
+        explode(nearestCells(col(pvec), cents, np)))
+      indexed.join(probed, Seq("cell"))
+        .withColumn("sim", cosine(col(cvec), col(pvec)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col(pid)).orderBy(col("sim").desc, col(cid))))
+        .filter(col("rank") <= k)
+        .select(col(pid), col(cid),
+          round(col("sim") * 1e6).cast("long").as("sim_micro"))
+    }
+
+    val fwd = knnDir(y, "y_id", "yv", x, "x_id", "xv")
+    val bwd = knnDir(x, "x_id", "xv", y, "y_id", "yv")
+    // mean-of-neighborhood frames: CAST(sum)/CAST(count) is one IEEE
+    // division of two exactly-representable integers
+    val fAvg = fwd.groupBy(col("x_id")).agg(
+      (sum(col("sim_micro")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_f"))
+    val bAvg = bwd.groupBy(col("y_id")).agg(
+      (sum(col("sim_micro")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_b"))
+    fwd.join(fAvg, Seq("x_id")).join(bAvg, Seq("y_id"))
+      .withColumn("margin",
+        col("sim_micro").cast("double") / ((col("avg_f") + col("avg_b")) * 0.5))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("x_id")).orderBy(col("margin").desc, col("y_id"))))
+      .filter(col("rk") === 1 && col("margin") >= threshold)
+      .select(col("x_id"), col("y_id"), col("sim_micro"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   /** kNN-density pruning (the SSL-prototypes / D4-family policy:
     * Sorscher et al. 2022 prune by prototype distance, Tirumala et
     * al. 2023 compose semantic dedup with density-based selection):

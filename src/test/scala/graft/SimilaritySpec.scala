@@ -735,4 +735,28 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("marginMine recovers exactly the planted alignments: each x pairs " +
+    "with its translation, distractors are never mined, margins exceed " +
+    "the plain-cosine baseline's normalization") {
+    val xs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val ys = Seq(
+      (101L, Array(0.99f, 0.10f, 0.0f, 0.0f)), // translation of x1
+      (102L, Array(0.08f, 0.99f, 0.0f, 0.0f)), // translation of x2
+      (103L, Array(0.0f, 0.0f, 1.0f, 0.0f))    // distractor
+    ).toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(xs, ys, k = 2,
+        targetCell = 64, nprobe = 4, threshold = 1.5)
+      .select($"x_id", $"y_id", $"margin").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(mined.map(m => (m._1, m._2)).toSeq == Seq((1L, 101L), (2L, 102L)))
+    // the planted pair's cosine ~0.995 against a ~0.5 mean neighborhood:
+    // the ratio margin sits far above the threshold
+    assert(mined.forall(_._3 > 1.5))
+    // tightening the threshold above the planted margins empties the set
+    assert(Similarity.marginMine(xs, ys, k = 2, threshold = 10.0).count() == 0)
+  }
 }
