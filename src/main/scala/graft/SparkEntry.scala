@@ -412,10 +412,13 @@ object SparkEntry {
     // §2b (multimodal-corpus ingestion): WebDataset-layout tar
     // round-trip — customer rows written as grouped sample files
     // (<key>.txt + <key>.cls) into real ustar archives, read back
-    // through the block-aligned checksum-resync DataSource V2 (4 KiB
-    // splitBytes forces many byte-range tasks per shard), regrouped
-    // into samples by the WebDataset key rule, and projected back to
-    // the source columns
+    // through the block-aligned checksum-resync DataSource V2 (64 KiB
+    // splitBytes still forces dozens of byte-range resyncs per shard;
+    // TarSourceSpec hammers the pathological tiny-split case — a
+    // benched query should not pay 4 KiB-split task-launch overhead
+    // that no deployment would configure), regrouped into samples by
+    // the WebDataset key rule, and projected back to the source
+    // columns
     "q_tar_ingest" -> ((s, dir) => {
       val out = dumpDir(dir) + "_tar"
       val src = t(s, dir, "customer")
@@ -432,7 +435,7 @@ object SparkEntry {
       }
       val paths = (0 until 4).map(p => f"$out/shard-$p%02d.tar")
       val tar = s.read.format("graft.sources.TarDataSource")
-        .option("splitBytes", 4L << 10)
+        .option("splitBytes", 64L << 10)
         .load(paths: _*)
       graft.sources.TarSource.tarSamples(tar)
         .select(col("sample_key").cast("bigint").as("c_custkey"),

@@ -263,7 +263,13 @@ object Bpe {
     val toks = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as(Seq("__pos", "w")))
-    toks.join(vocab, Seq("w"))
+    // the vocab (distinct words, Heaps-law sublinear) is the broadcast
+    // side BY CONTRACT: without the hint Spark sizes the exploded token
+    // table off the compressed parquet footprint and can pick IT as the
+    // build side — broadcasting the corpus (measured 47x on 10x data
+    // before the hint). Past executor-memory vocabularies: drop the
+    // hint and let the join shuffle on w.
+    toks.join(broadcast(vocab), Seq("w"))
       .groupBy(col(idCol))
       .agg(
         array_join(flatten(
@@ -423,7 +429,8 @@ object Bpe {
       .select(col("w"), applyMerges(byteSymbols(col("w")), merges).as("__seg"))
     val toks = docs.select(col(idCol),
       posexplode(gpt2PreTokens(col(textCol))).as(Seq("__pos", "w")))
-    toks.join(vocab, Seq("w"))
+    // explicit build side — see the [[encodeDocs]] hint note
+    toks.join(broadcast(vocab), Seq("w"))
       .groupBy(col(idCol))
       .agg(
         array_join(flatten(

@@ -86,8 +86,13 @@ object LmScore {
       .crossJoin(broadcast(total))
     val p = lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
       lit(1.0 - lambda) * (col("c2").cast("double") / col("n").cast("double"))
+    // the count tables (distinct bigrams, Heaps-sublinear — the
+    // min-count UNK floor is the cap past broadcast scale) are the
+    // build side BY CONTRACT: without the hint Spark sizes the
+    // corpus-wide pair explode off the compressed parquet footprint
+    // and broadcast it at 10x data (measured 4.7x regression)
     pairs
-      .join(decorated, Seq("w1", "w2"))
+      .join(broadcast(decorated), Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(round(avg(-log(p)), 4).as("nll2"))
   }
