@@ -288,4 +288,25 @@ class BpeSpec extends AnyFunSuite {
     val the = sample.indexWhere(m => m.lhs == "7468" && m.rhs == "65")
     assert(th >= 0 && the > th)
   }
+
+  test("encode joins pin the VOCAB as the broadcast side — without the " +
+    "hint Spark sized the build side off the compressed parquet footprint " +
+    "of the token explode and broadcast the CORPUS at 10x data (measured " +
+    "47x wall on 10x rows before the round-13 fix)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge(1, "62", "63", -1L))
+    Seq(
+      Bpe.encodeDocs(docs, "doc_id", "text", merges, byteLevel = true),
+      Bpe.encodeDocsGpt2(docs, "doc_id", "text", merges),
+      graft.operators.LmScore.bigramNll(docs, "doc_id", "text")
+    ).foreach { df =>
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      assert(joins.exists(j =>
+        j.hint.rightHint.exists(_.strategy.isDefined) &&
+          j.hint.leftHint.forall(_.strategy.isEmpty)),
+        s"no right-side (vocab/count-table) broadcast hint survived to " +
+          s"the optimized plan:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
 }
