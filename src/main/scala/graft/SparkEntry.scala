@@ -409,6 +409,33 @@ object SparkEntry {
           col("content_length"))
     }),
 
+    // §2b (web-crawl ingestion, compressed): the Common Crawl shipping
+    // layout — ONE GZIP MEMBER PER RECORD (.warc.gz), written and read
+    // back through the member-magic resync path (8 KiB compressed
+    // splits force many byte-range tasks; each candidate is validated
+    // by inflating the member head and checking the WARC magic, and
+    // every member's CRC/ISIZE is verified)
+    "q_warc_gz" -> ((s, dir) => {
+      val out = dumpDir(dir) + "_warcgz"
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      src.repartition(4, col("doc_id")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.sources.WarcSource.writeWarcGz(f"$out/shard-$pid%02d.warc.gz",
+            it.map(r => (s"http://corpus.local/doc/${r.getLong(0)}",
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      }
+      val paths = (0 until 4).map(p => f"$out/shard-$p%02d.warc.gz")
+      s.read.format("graft.sources.WarcDataSource")
+        .option("splitBytes", 8L << 10)
+        .load(paths: _*)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("content").cast("string").as("text"),
+          col("content_length"))
+    }),
+
     // §2b (multimodal-corpus ingestion): WebDataset-layout tar
     // round-trip — customer rows written as grouped sample files
     // (<key>.txt + <key>.cls) into real ustar archives, read back
@@ -2828,6 +2855,13 @@ object SparkEntry {
     // the WARC round-trip restores the projection; content_length is
     // the payload's UTF-8 BYTE length (DuckDB strlen counts bytes)
     "q_warc_ingest" ->
+      """SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS content_length
+        |FROM documents""".stripMargin,
+
+    // same projection restored through the member-per-record gzip
+    // round-trip (the Spark side additionally pays compress + inflate
+    // + CRC verification per record)
+    "q_warc_gz" ->
       """SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS content_length
         |FROM documents""".stripMargin,
 

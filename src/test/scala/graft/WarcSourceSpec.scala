@@ -96,6 +96,81 @@ class WarcSourceSpec extends AnyFunSuite {
       .as[String].collect().head == expected)
   }
 
+  test("member-per-record gzip (.warc.gz, the Common Crawl layout): " +
+    "round-trips byte-exact, record_offset is the compressed member " +
+    "offset, and sub-file splits resync on the member magic") {
+    val dir = tmpDir()
+    val recs = (0 until 120).map(i =>
+      (s"http://x.test/gz/$i", ("v" * (i % 211 + 5) + s"|$i").getBytes(UTF_8)))
+    WarcSource.writeWarcGz(s"$dir/a.warc.gz", recs.iterator)
+    val whole = readWarc(Seq(s"$dir/a.warc.gz"))
+      .select($"record_offset", $"target_uri", $"content".cast("string"),
+        $"warc_type", $"content_length")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(whole.length == 120)
+    assert(whole.map(_._2).toSeq == recs.map(_._1))
+    assert(whole.map(_._3).toSeq == recs.map(r => new String(r._2, UTF_8)))
+    assert(whole.forall(_._4 == "response"))
+    assert(whole.head._1 == 0L)
+    // offsets strictly increase and the file is smaller than the plain form
+    assert(whole.map(_._1).toSeq == whole.map(_._1).toSeq.sorted)
+    val split = readWarc(Seq(s"$dir/a.warc.gz"), splitBytes = 1024)
+    assert(split.rdd.getNumPartitions > 4)
+    val gotSplit = split
+      .select($"record_offset", $"target_uri", $"content".cast("string"),
+        $"warc_type", $"content_length")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(gotSplit.toSeq == whole.toSeq)
+  }
+
+  test("gzip magic INSIDE a member's payload — even a complete VALID " +
+    "gzip member of non-WARC content — does not fool the .gz resync") {
+    val dir = tmpDir()
+    // a full, valid gzip member whose inflated content is NOT a WARC
+    // record: inflate-head validation must reject it
+    val evil = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(evil)
+    gz.write("this is not a warc record at all".getBytes(UTF_8))
+    gz.close()
+    val poison = ("x" * 37).getBytes(UTF_8) ++ evil.toByteArray ++
+      Array[Byte](0x1f, 0x8b.toByte, 8) ++ ("y" * 900).getBytes(UTF_8)
+    val recs = Seq(("http://x.test/p/0", poison)) ++
+      (1 until 60).map(i => (s"http://x.test/p/$i", s"clean-$i".getBytes(UTF_8)))
+    WarcSource.writeWarcGz(s"$dir/b.warc.gz", recs.iterator)
+    val whole = readWarc(Seq(s"$dir/b.warc.gz"))
+      .select($"target_uri").as[String].collect().sorted.toSeq
+    val split = readWarc(Seq(s"$dir/b.warc.gz"), splitBytes = 512)
+      .select($"target_uri").as[String].collect().sorted.toSeq
+    assert(split == whole)
+    assert(whole.size == 60)
+    // the poisoned payload itself survives byte-exact
+    val back = readWarc(Seq(s"$dir/b.warc.gz"))
+      .filter($"target_uri" === "http://x.test/p/0")
+      .select($"content").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(back, poison))
+  }
+
+  test("corrupt and truncated .warc.gz members fail loudly (CRC / " +
+    "truncation), never yield a silently-mangled record") {
+    val dir = tmpDir()
+    WarcSource.writeWarcGz(s"$dir/c.warc.gz",
+      Iterator(("http://x.test/1", "abcdef".getBytes(UTF_8))))
+    val full = Files.readAllBytes(Paths.get(s"$dir/c.warc.gz"))
+    // flip a byte INSIDE the deflate stream -> CRC mismatch
+    val corrupt = full.clone()
+    corrupt(full.length / 2) = (corrupt(full.length / 2) ^ 0x55).toByte
+    Files.write(Paths.get(s"$dir/corrupt.warc.gz"), corrupt)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      readWarc(Seq(s"$dir/corrupt.warc.gz")).collect()
+    }
+    assert(e1.getMessage != null)
+    // drop the trailer -> truncation
+    Files.write(Paths.get(s"$dir/trunc.warc.gz"), full.take(full.length - 6))
+    intercept[org.apache.spark.SparkException] {
+      readWarc(Seq(s"$dir/trunc.warc.gz")).collect()
+    }
+  }
+
   test("truncated and garbage files fail loudly, not silently") {
     val dir = tmpDir()
     WarcSource.writeWarc(s"$dir/e.warc",
