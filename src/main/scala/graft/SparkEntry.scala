@@ -544,6 +544,25 @@ object SparkEntry {
       Dedup.normalizedDedup(docs.unionByName(noisy), "text", "doc_id")
     }),
 
+    // §2b-53b: Unicode-canonical dedup keys — planted byte-variant
+    // spellings (precomposed U+00E9 vs e + combining U+0301) collapse
+    // under the codegen NfcNormalize expression before hashing, the
+    // normalization real crawls need ahead of any byte-keyed dedup;
+    // DuckDB's nfc_normalize replays it exactly
+    "q_nfc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pre = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val dec = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("text"))
+      docs.unionByName(pre).unionByName(dec)
+        .select(col("doc_id"),
+          sha2(graft.plans.HashExpressions.nfcNormalize(col("text")), 256)
+            .as("content_sha"))
+        .groupBy(col("content_sha"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+    }),
+
     // §2b-18c: duplicated-substring removal at 8-token-window
     // granularity (Lee et al. 2022 ExactSubstr, Spark-shaped: window
     // key shuffle + first-occurrence retention instead of a corpus
@@ -3487,6 +3506,21 @@ object SparkEntry {
         |  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
         |            'abcdefghijklmnopqrstuvwxyz'),
         |  '[^a-z0-9 \t\n\x0b\f\r]', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')))""".stripMargin,
+
+    // Unicode-canonical dedup keys: chr(233) = precomposed U+00E9,
+    // chr(769) = combining U+0301 — nfc_normalize composes the
+    // decomposed spelling, so each doc's two planted variants share
+    // one sha while byte-keyed hashing would keep them apart.
+    "q_nfc_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' caf' || chr(233) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' cafe' || chr(769) FROM documents)
+        |SELECT sha256(nfc_normalize(text)) AS content_sha,
+        |       count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM corpus GROUP BY 1""".stripMargin,
 
     "q_top_tokens" ->
       """WITH toks AS (

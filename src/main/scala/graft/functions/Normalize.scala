@@ -73,4 +73,22 @@ object Normalize {
                      "abcdefghijklmnopqrstuvwxyz"),
         "[^a-z0-9 \\t\\n\\x0b\\f\\r]", " "),
       "[ \\t\\n\\x0b\\f\\r]+", " "))
+
+  /** Unicode NFC normalization KERNEL (JDK `java.text.Normalizer`, no
+    * dependency) — called from the codegen'd `NfcNormalize` expression
+    * ([[graft.plans.HashExpressions.nfcNormalize]]). Real crawl text
+    * carries canonically-equivalent byte variants (é as U+00E9 vs
+    * e + U+0301); byte-keyed dedup treats them as distinct documents,
+    * so pipelines normalize BEFORE hashing. The `isNormalized` quick
+    * check makes already-NFC (in particular all-ASCII) input a scan +
+    * identity — no allocation on the common path. NFC (not NFKC) is
+    * deliberate: canonical equivalence only, no compatibility folding
+    * (ﬁ→fi, ²→2) that would change retrieval-visible content; DuckDB's
+    * `nfc_normalize` replays it exactly. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -63,6 +63,9 @@ object GraftExtensions {
     ("repratio64",
       new ExpressionInfo(classOf[RepRatio64].getName, "repratio64"),
       (es: Seq[Expression]) => RepRatio64(es.head)),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),

@@ -202,6 +202,29 @@ case class CleanLines(child: Expression, minWords: Int)
   override def prettyName: String = "clean_lines"
 }
 
+/** Unicode NFC normalization ([[graft.functions.Normalize.nfc]]):
+  * canonical composition so byte-variant spellings of the same text
+  * (é vs e+U+0301) share dedup keys — compose with sha2/fnv64 ahead
+  * of any hash-keyed operator. Stays inside whole-stage codegen; the
+  * already-normalized (incl. all-ASCII) path is identity. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.Normalize.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Normalize.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Hashing-trick linear classifier logit ([[TextHash.hashGramLogit]]):
   * one pass over the text, unigram + adjacent-bigram FNV features into
   * the weight vector's buckets — the weights ride along as a
@@ -359,4 +382,8 @@ object HashExpressions {
     * bit_count(a XOR b) — codegen'd, no custom expression needed). */
   def hamming(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Unicode NFC normalization ([[NfcNormalize]]). */
+  def nfcNormalize(c: Column): Column =
+    GraftSqlShim.column(NfcNormalize(GraftSqlShim.expression(c)))
 }

@@ -48,4 +48,36 @@ class NormalizeSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(got == Seq("2020-05-05", "2019-01-01"))
   }
+
+  test("nfc_normalize composes decomposed spellings, is idempotent, an " +
+    "identity on ASCII, null-safe, and registered as a SQL function") {
+    import graft.plans.HashExpressions.nfcNormalize
+    val df = Seq(
+      (1L, "caf\u00e9"),            // precomposed
+      (2L, "cafe\u0301"),           // decomposed: e + combining acute
+      (3L, "plain ascii stays"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = df.select($"id", nfcNormalize($"s").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "caf\u00e9")
+    assert(got(2L) == "caf\u00e9")            // composed to U+00E9
+    assert(got(2L).length == 4)
+    assert(got(3L) == "plain ascii stays")   // quick-check identity
+    assert(got(4L) == null)
+    // idempotence: normalizing twice is the same column
+    val twice = df.filter($"s".isNotNull)
+      .select((nfcNormalize(nfcNormalize($"s")) === nfcNormalize($"s")).as("ok"))
+      .as[Boolean].collect()
+    assert(twice.forall(identity))
+    // the dedup composition: both spellings share one sha256 key
+    val keys = df.filter($"id" <= 2)
+      .select(sha2(nfcNormalize($"s"), 256).as("k")).as[String].collect()
+    assert(keys.distinct.length == 1)
+    // SQL surface (GraftExtensions registry)
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') = 'caf\u00e9'").as[Boolean].head()
+    assert(viaSql)
+  }
 }
