@@ -2118,11 +2118,85 @@ object SparkEntry {
     // are a pure function of the content hash (uniform on [0,n] then
     // [a,n]); PSM rendering; one codegen projection, zero shuffles
     "q_fim_transform" -> ((s, dir) =>
-      Chunking.fimSplit(t(s, dir, "documents"), Seq("doc_id"), col("text")))
+      Chunking.fimSplit(t(s, dir, "documents"), Seq("doc_id"), col("text"))),
+
+    // §2b-69: link-graph PageRank (Graph.pageRank) — integer
+    // micro-unit power iteration, bit-exact across engines (no
+    // float sums); a synthetic crawl graph with a ring (connectivity),
+    // a skewed 101-hub spine (realistic in-degree hotspots), and a
+    // long stride. The count() is a driver-side scalar (metadata-
+    // sized); the 10 iterations are join+agg pairs with per-round
+    // lineage truncation. Top-100 by (rank desc, node) is a
+    // TakeOrderedAndProject — no global sort materialization.
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0), lit(1), lit(2))).as("j"))
+        .select(col("src"),
+          when(col("j") === 0, (col("src") + 1L) % n)
+            .when(col("j") === 1, (col("src") * 7L) % 101L)
+            .otherwise((col("src") * 37L + 11L) % n).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 10)
+        .orderBy(col("rank_micro").desc, col("node")).limit(100)
+    }),
+
+    // §2b-70: exact tie-aware ROC AUC (Eval.aucExact) — does the
+    // English-stopword count actually rank English docs above the
+    // rest? Integer scores exercise the average-rank tie handling;
+    // everything is Long until the single final division, so the
+    // statistic replays bitwise. The global window runs over the
+    // per-distinct-score histogram, not rows.
+    "q_classifier_auc" -> ((s, dir) =>
+      Eval.aucExact(t(s, dir, "documents"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|is)\\b")).cast("long"),
+        col("lang") === "en")),
+
+    // §2b-71: per-paragraph language segmentation
+    // (Classify.langSegments) — planted French/German paragraphs (and
+    // a blank one) appended by doc_id residue give every doc a known
+    // code-switching profile; the rollup rides one exchange on doc_id
+    "q_lang_segments" -> ((s, dir) =>
+      Classify.langSegments(
+        t(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\n\n" + frPara)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("\n\n" + dePara)).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n\n   ")).otherwise(lit("")))
+          .as("text")),
+        "doc_id", "text")),
+
+    // §2b-72: mojibake repair (Normalize.fixMojibake) — docs with a
+    // planted cp1252-mojibake suffix are detected by the exact
+    // UTF-8-structure predicate and re-decoded; clean/CJK/ambiguous
+    // text passes through. Pure codegen built-ins in the scan
+    // projection.
+    "q_fix_mojibake" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(mojibakeSuffix)))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+        Normalize.fixMojibake(col("text")).as("text_fixed"),
+        (Normalize.fixMojibake(col("text")) =!= col("text")).as("was_fixed"))
+    })
   )
 
   /** The blocklist the q_word_filter query and its oracle share. */
   private val blocklistWords = Seq("spam", "casino", "lottery", "the")
+
+  /** Planted paragraphs for q_lang_segments — unambiguous French and
+    * German stopword runs, shared verbatim with the oracle. */
+  private val frPara = "le chat et la maison les arbres des fleurs"
+  private val dePara = "der hund und das haus ein baum die katze"
+
+  /** q_fix_mojibake's planted suffix: the cp1252 decode of the UTF-8
+    * bytes of " Café — déjà vu" — "Ã©" for é, "â€”" (with a real
+    * U+20AC/U+201D) for the em dash, "Ã " (with U+00A0) for à. The
+    * oracle renders the identical string via chr() so the SQL file
+    * stays ASCII-safe. */
+  private val mojibakeSuffix =
+    " Caf\u00C3\u00A9 \u00E2\u20AC\u201D d\u00C3\u00A9j\u00C3\u00A0 vu"
 
   /** Non-ASCII words planted into the byte-level BPE queries' corpus
     * (CJK + accents; repeated so multi-byte pairs reliably reach the
@@ -5507,8 +5581,149 @@ object SparkEntry {
          |  FROM ab)
          |SELECT doc_id, fim_prefix, fim_middle, fim_suffix,
          |  '<PRE>' || fim_prefix || '<SUF>' || fim_suffix || '<MID>' || fim_middle AS fim_text
-         |FROM parts""".stripMargin
+         |FROM parts""".stripMargin,
+
+    // §2b-69: the integer-micro-unit power iteration unrolled as a
+    // CTE chain (aggregation cannot live in a recursive term) — same
+    // synthetic ring + 101-hub + stride graph, same floor divisions,
+    // so the BIGINT ranks match Spark's bit for bit
+    "q_pagerank" -> sqlPageRankOracle(10),
+
+    // §2b-70: Mann-Whitney AUC over the per-distinct-score histogram;
+    // 2·avgrank = 2·cum_before + cnt + 1 keeps everything integral
+    // until the one final division
+    "q_classifier_auc" ->
+      """WITH scored AS (
+        |  SELECT CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS s,
+        |         (lang = 'en') AS y
+        |  FROM documents),
+        |hist AS (
+        |  SELECT s, count(*) AS cnt,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM scored GROUP BY s),
+        |cum AS (
+        |  SELECT s, cnt, pos,
+        |         sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - cnt AS cum_before
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(sum(pos) AS BIGINT) AS npos,
+        |         CAST(sum(cnt) - sum(pos) AS BIGINT) AS nneg,
+        |         CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS sr2
+        |  FROM cum)
+        |SELECT npos, nneg,
+        |  CASE WHEN npos > 0 AND nneg > 0
+        |    THEN CAST(sr2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
+        |    ELSE NULL END AS auc
+        |FROM agg""".stripMargin,
+
+    // §2b-71: paragraph explode via zipped unnest (position rides
+    // along), the q_lang_id CASE per paragraph, then the same
+    // run/majority windows keyed on doc_id
+    "q_lang_segments" -> s"""WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN chr(10)||chr(10)||'$frPara' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN chr(10)||chr(10)||'$dePara' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(10)||chr(10)||'   ' ELSE '' END AS text
+      |  FROM documents),
+      |paras0 AS (
+      |  SELECT doc_id, unnest(l) AS para, unnest(range(1, len(l)+1)) AS pos
+      |  FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS l FROM planted)),
+      |kept AS (SELECT doc_id, pos, CASE
+      |    WHEN zh > 0 THEN 'zh'
+      |    WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+      |    WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+      |    WHEN de >= es AND de > 0 THEN 'de'
+      |    WHEN es > 0 THEN 'es'
+      |    ELSE 'unknown' END AS lp
+      |  FROM (SELECT doc_id, pos,
+      |    len(regexp_extract_all(lower(para), '\\b(the|and|of|to|is)\\b')) AS en,
+      |    len(regexp_extract_all(lower(para), '\\b(le|la|et|les|des)\\b')) AS fr,
+      |    len(regexp_extract_all(lower(para), '\\b(der|die|und|das|ein)\\b')) AS de,
+      |    len(regexp_extract_all(lower(para), '\\b(el|los|las|una|y)\\b')) AS es,
+      |    len(regexp_extract_all(para, '[\\x{4e00}-\\x{9fff}]')) AS zh
+      |    FROM paras0 WHERE length(trim(para)) > 0) t),
+      |sw AS (SELECT doc_id, lp,
+      |    CASE WHEN lag(lp) OVER w IS NULL OR lag(lp) OVER w = lp
+      |         THEN 0 ELSE 1 END AS switch
+      |  FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |cnts AS (SELECT doc_id, lp, count(*) AS majority_cnt
+      |  FROM sw GROUP BY doc_id, lp),
+      |major AS (SELECT doc_id, lp AS majority_lang, majority_cnt,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY majority_cnt DESC, lp) AS rn
+      |  FROM cnts),
+      |stats AS (SELECT doc_id, count(*) AS n_paras,
+      |    CAST(sum(switch) + 1 AS BIGINT) AS n_runs
+      |  FROM sw GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_paras, m.majority_lang, m.majority_cnt, s.n_runs,
+      |  CAST(m.majority_cnt AS DOUBLE) / CAST(s.n_paras AS DOUBLE) AS majority_frac
+      |FROM stats s JOIN major m ON s.doc_id = m.doc_id AND m.rn = 1""".stripMargin,
+
+    // §2b-72: the same cp1252 back-map (rendered via chr()), the same
+    // UTF-8-structure predicate, and the byte re-decode spelled as a
+    // per-char hex fold — CASE evaluates lazily, so decode only ever
+    // sees guard-validated byte streams
+    "q_fix_mojibake" -> sqlFixMojibakeOracle
   )
+
+  /** q_pagerank oracle: `iters` rounds of the micro-unit power
+    * iteration as chained CTEs over the ring+hub+stride edge list.
+    * BIGINT // BIGINT floor division matches Spark's `div`; the
+    * HUGEINT contribution sums cast back losslessly (total mass is
+    * bounded by n·1e6). */
+  private def sqlPageRankOracle(iters: Int): String = {
+    val head =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, CASE j
+        |    WHEN 0 THEN (src + 1) % n
+        |    WHEN 1 THEN (src * 7) % 101
+        |    ELSE (src * 37 + 11) % n END AS dst
+        |  FROM (SELECT doc_id AS src FROM documents),
+        |       (SELECT count(*) AS n FROM documents), range(0, 3) r(j)),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, CAST(150000 + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank // d.d) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |                 JOIN r${i - 1} r ON r.id = e.src
+         |    GROUP BY e.dst) m ON n.id = m.id)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id AS node, rank AS rank_micro FROM r$iters" +
+      "\nORDER BY rank_micro DESC, node LIMIT 100"
+  }
+
+  /** q_fix_mojibake oracle: the cp1252 translate table and planted
+    * suffix rendered via chr() (ASCII-safe SQL), the shared
+    * [[graft.functions.Normalize.utf8StructRegex]] predicate, and the
+    * latin-1 re-encode as a per-character hex fold through
+    * from_hex/decode. */
+  private def sqlFixMojibakeOracle: String = {
+    val pairs = Normalize.cp1252Pairs
+    val from = pairs.map(p => s"chr(${p._1.toInt})").mkString("||")
+    val to = pairs.map(p => s"chr(${p._2.toInt})").mkString("||")
+    val suffix = mojibakeSuffix.map(c => s"chr(${c.toInt})").mkString("||")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || $suffix ELSE text END AS text
+       |  FROM documents),
+       |m AS (SELECT doc_id, text, translate(text, $from, $to) AS mt FROM planted)
+       |SELECT doc_id, text_fixed, (text_fixed <> text) AS was_fixed
+       |FROM (SELECT doc_id, text,
+       |  CASE WHEN regexp_matches(mt, '${Normalize.mojibakeLeadRegex}')
+       |        AND regexp_matches(mt, '${Normalize.utf8StructRegex}')
+       |    THEN decode(from_hex(list_aggregate(list_transform(
+       |           range(1, length(mt) + 1),
+       |           i -> lpad(to_hex(unicode(substr(mt, i, 1))), 2, '0')),
+       |         'string_agg', '')))
+       |    ELSE text END AS text_fixed
+       |  FROM m) fx""".stripMargin
+  }
 
   // The Bloom-prefiltered path is exact by construction (no false
   // negatives + exact verify join), so it is graded against the plain

@@ -74,6 +74,77 @@ object Normalize {
         "[^a-z0-9 \\t\\n\\x0b\\f\\r]", " "),
       "[ \\t\\n\\x0b\\f\\r]+", " "))
 
+  /** The 27 printable Windows-1252 characters that occupy the C1 byte
+    * range 0x80–0x9F (bytes 0x81/0x8D/0x8F/0x90/0x9D are undefined in
+    * cp1252 and never appear). Mojibake produced by reading UTF-8
+    * bytes through a cp1252 decoder shows THESE characters where raw
+    * continuation/lead bytes were; mapping them back to U+0080–U+009F
+    * makes every character equal its original byte value, after which
+    * a latin-1 re-encode recovers the byte stream exactly. Bytes
+    * 0xA0–0xFF decode identically under cp1252 and latin-1, so this
+    * table is the entire difference between the two. */
+  private val cp1252From =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160" +
+    "\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014" +
+    "\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+  private val cp1252To =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
+    "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+    "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+
+  /** (from, to) pairs of [[cp1252From]]/[[cp1252To]] — exported so the
+    * DuckDB oracle can render the identical translate() table. */
+  def cp1252Pairs: Seq[(Char, Char)] = cp1252From.zip(cp1252To).toSeq
+
+  /** A UTF-8-structure regex over CHARACTERS-AS-BYTES: matches iff the
+    * string's code points, read as byte values, form well-formed UTF-8
+    * (RFC 3629 — surrogate range and >U+10FFFF excluded). Any code
+    * point above 0xFF falls in no alternative, so a match also proves
+    * every character is byte-valued. Plain alternation/classes only —
+    * identical semantics under Java regex and RE2, so the oracle
+    * reuses the exact pattern. */
+  val utf8StructRegex: String =
+    "^(?:[\\x00-\\x7F]" +
+      "|[\\xC2-\\xDF][\\x80-\\xBF]" +
+      "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]" +
+      "|[\\xE1-\\xEC\\xEE\\xEF][\\x80-\\xBF]{2}" +
+      "|\\xED[\\x80-\\x9F][\\x80-\\xBF]" +
+      "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}" +
+      "|[\\xF1-\\xF3][\\x80-\\xBF]{3}" +
+      "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*$"
+
+  /** At least one multi-byte UTF-8 lead byte — the mojibake signature
+    * that gates the repair (an all-ASCII byte stream decodes to
+    * itself; "fixing" it would be an expensive identity). */
+  val mojibakeLeadRegex: String = "[\\xC2-\\xF4]"
+
+  /** Mojibake repair (the ftfy "fix one layer of UTF-8/cp1252
+    * double-decoding" core, as pure codegen built-ins): text that was
+    * UTF-8 on disk but decoded through cp1252/latin-1 — "Café" read
+    * as "CafÃ©" — is detected and re-decoded; everything else passes
+    * through UNCHANGED.
+    *
+    * The repair fires only when, after mapping cp1252's C1-range
+    * characters back to their byte values ([[cp1252Pairs]]), every
+    * character is byte-valued AND the byte sequence is well-formed
+    * UTF-8 with at least one multi-byte sequence ([[utf8StructRegex]]
+    * + [[mojibakeLeadRegex]]). That predicate is exact, so the repair
+    * NEVER corrupts legitimate text: a genuine "Ã©" in a French
+    * linguistics article survives only if the surrounding characters
+    * happen to form valid UTF-8 byte-wise — the same (vanishingly
+    * rare) ambiguity every mojibake fixer shares. One layer per call
+    * (double-encoded text needs two applications; production corpora
+    * are overwhelmingly single-layer).
+    *
+    * Plan shape: translate + two rlikes + encode/decode, all
+    * codegen'd built-ins inside the scan projection — no UDF, no
+    * shuffle, embarrassingly parallel at 100 TB. */
+  def fixMojibake(c: Column): Column = {
+    val m = translate(c, cp1252From, cp1252To)
+    val repairable = m.rlike(mojibakeLeadRegex) && m.rlike(utf8StructRegex)
+    when(repairable, decode(encode(m, "ISO-8859-1"), "UTF-8")).otherwise(c)
+  }
+
   /** Unicode NFC normalization KERNEL (JDK `java.text.Normalizer`, no
     * dependency) — called from the codegen'd `NfcNormalize` expression
     * ([[graft.plans.HashExpressions.nfcNormalize]]). Real crawl text

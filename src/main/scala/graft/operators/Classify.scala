@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextHash
+import graft.functions.{TextFunctions, TextHash}
 import graft.plans.HashExpressions
 
 /** Hashing-trick linear text classifier — fastText-style INFERENCE for
@@ -194,4 +195,53 @@ object Classify {
         HashExpressions.hashGramLogit(col(textCol), weights).as("__logit"))
       .select(col(idCol), round(col("__logit"), 6).as("logit"),
         (col("__logit") > threshold).as("keep"))
+
+  /** Per-paragraph language segmentation: split each document on blank
+    * lines, language-ID every paragraph with the
+    * [[TextFunctions.langId]] heuristic, and roll up the per-document
+    * code-switching profile a multilingual curation pipeline routes
+    * on — mixed-language pages are a known contamination source that
+    * whole-document language ID hides (a page that is 80% English
+    * boilerplate around a French article IDs as English).
+    *
+    * Returns one row per document that has at least one non-blank
+    * paragraph: (`id`, `n_paras`, `majority_lang`, `majority_cnt`,
+    * `n_runs`, `majority_frac`) where `n_runs` counts maximal runs of
+    * consecutive same-language paragraphs (1 = monolingual layout,
+    * higher = interleaved) and ties for the majority break to the
+    * lexicographically smallest language, deterministically.
+    *
+    * Plan shape: the paragraph explode is narrow; every downstream
+    * stage — the run window, the (id, lang) count, the majority-pick
+    * window, the per-doc rollup — is keyed on the document id, so the
+    * whole rollup rides ONE hash exchange on `id`. Nothing is
+    * corpus-global; safe at any scale. */
+  def langSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .select(col(idCol), col("pos"),
+        TextFunctions.langId(col("para")).as("lp"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val sw = paras.withColumn("switch",
+      when(lag(col("lp"), 1).over(byPos).isNull ||
+           lag(col("lp"), 1).over(byPos) === col("lp"), lit(0L))
+        .otherwise(lit(1L)))
+    val cnts = sw.groupBy(col(idCol), col("lp"))
+      .agg(count(lit(1)).as("majority_cnt"))
+    val pick = Window.partitionBy(col(idCol))
+      .orderBy(col("majority_cnt").desc, col("lp"))
+    val major = cnts.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("lp").as("majority_lang"), col("majority_cnt"))
+    val stats = sw.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+           (sum(col("switch")) + lit(1L)).as("n_runs"))
+    stats.join(major, Seq(idCol))
+      .select(col(idCol), col("n_paras"), col("majority_lang"),
+        col("majority_cnt"), col("n_runs"),
+        (col("majority_cnt").cast("double") / col("n_paras").cast("double"))
+          .as("majority_frac"))
+  }
 }

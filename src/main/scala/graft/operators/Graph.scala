@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over a crawl: PageRank as the canonical
+  * "which domains/pages carry authority" signal a web-corpus curation
+  * pipeline feeds into quality weighting (the OPIC/Common-Crawl rank
+  * columns). The reference engine has no graph surface; this is part
+  * of the LLM-pipeline extension (SURVEY §2b).
+  *
+  * Design for exact cross-engine replay AND 100 TB scale:
+  *
+  *   - **Integer micro-units, not doubles.** Ranks live in units of
+  *     1e-6 (`microBase` = 1.0). Per-edge contribution is integer
+  *     floor division `rank div outdeg`; the damping step is
+  *     `base + (dampNum * inMass) div dampDen`. Long sums are
+  *     order-independent, so the result is bit-identical however
+  *     Spark schedules the shuffle — the same discipline as
+  *     [[Similarity]]'s micro-unit distance chains. Headroom: total
+  *     mass is ≤ n·1e6, so Long is safe to n ≈ 9·10^12 nodes.
+  *   - **Fixed iteration count** (the production norm — PageRank is
+  *     consumed as a feature, not solved to fixpoint), so the DuckDB
+  *     oracle replays it as an unrolled CTE chain.
+  *   - **One shuffle pair per iteration**: join ranks to the
+  *     degree-annotated edge list on `src`, aggregate contributions
+  *     on `dst` (map-side partial agg), left-join back to the node
+  *     set. The edge list is degree-annotated ONCE and persisted;
+  *     per-iteration lineage is truncated with `localCheckpoint`
+  *     (or reliable checkpoints under `checkpointDir`, which a real
+  *     cluster wants for executor-loss recovery) — the
+  *     [[Dedup.connectedComponents]] idiom.
+  *   - **Dangling mass evaporates** (nodes with no out-edges absorb
+  *     rank but emit none). This is the common simplification in
+  *     curation settings where rank is a relative ordering signal;
+  *     redistributing dangling mass would add a driver-side scalar
+  *     per round without changing the ordering materially.
+  *
+  * Multi-edges would double-contribute, so the edge list is
+  * deduplicated here; the extra `distinct` shares its hash
+  * partitioning with the out-degree aggregation that follows it.
+  */
+object Graph {
+
+  /** PageRank in integer micro-units. Returns (`node`, `rank_micro`)
+    * for every node appearing as a source or destination.
+    *
+    * @param edges    directed edge list; duplicates are removed
+    * @param srcCol   source-id column (integral)
+    * @param dstCol   destination-id column (integral)
+    * @param iters    fixed number of power iterations
+    * @param dampNum  damping numerator (85 → d = 0.85)
+    * @param dampDen  damping denominator
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      "damping must satisfy 0 <= dampNum <= dampDen")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val microBase = 1000000L
+    // base = (1-d)·1.0 in micro-units, exact: 1e6·(den-num) div den
+    val baseMicro = microBase * (dampDen - dampNum) / dampDen
+
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    // out-degree rides every edge row; annotate once, persist — the
+    // loop below re-reads this frame `iters` times
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").persist()
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+
+    var ranks = nodes.withColumn("rank_micro", lit(microBase))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contribs = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("rank_micro div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(baseMicro) +
+            expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
+            .as("rank_micro"))
+      val truncated =
+        if (checkpointDir.isDefined) next.checkpoint(eager = true)
+        else next.localCheckpoint(true)
+      prev.foreach(_.unpersist(false))
+      prev = Some(truncated)
+      ranks = truncated
+    }
+    // the final frame is checkpoint-backed; its inputs can go
+    ed.unpersist(false)
+    nodes.unpersist(false)
+    ranks
+  }
+}
