@@ -2128,19 +2128,18 @@ object SparkEntry {
     // sized); the 10 iterations are join+agg pairs with per-round
     // lineage truncation. Top-100 by (rank desc, node) is a
     // TakeOrderedAndProject — no global sort materialization.
-    "q_pagerank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(0), lit(1), lit(2))).as("j"))
-        .select(col("src"),
-          when(col("j") === 0, (col("src") + 1L) % n)
-            .when(col("j") === 1, (col("src") * 7L) % 101L)
-            .otherwise((col("src") * 37L + 11L) % n).as("dst"))
-      Graph.pageRank(edges, "src", "dst", iters = 10)
-        .orderBy(col("rank_micro").desc, col("node")).limit(100)
-    }),
+    "q_pagerank" -> ((s, dir) =>
+      Graph.pageRank(syntheticLinkGraph(s, dir), "src", "dst", iters = 10)
+        .orderBy(col("rank_micro").desc, col("node")).limit(100)),
+
+    // §2b-69b: HITS hubs & authorities over the same crawl graph —
+    // the complementary signal (hub farms vs canonical pages); two
+    // Long-sum half-steps per round, renormalized by a pure-integer
+    // division with the max attached as a broadcast 1-row frame
+    "q_hits" -> ((s, dir) =>
+      Graph.hits(syntheticLinkGraph(s, dir), "src", "dst", iters = 8)
+        .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("node"))
+        .limit(100)),
 
     // §2b-70: exact tie-aware ROC AUC (Eval.aucExact) — does the
     // English-stopword count actually rank English docs above the
@@ -2184,6 +2183,23 @@ object SparkEntry {
 
   /** The blocklist the q_word_filter query and its oracle share. */
   private val blocklistWords = Seq("spam", "casino", "lottery", "the")
+
+  /** The synthetic crawl graph q_pagerank / q_hits share: each doc
+    * emits a ring edge (strong connectivity, high diameter), a skewed
+    * 101-hub spine edge (realistic in-degree hotspots), and a long
+    * stride. `count()` is a metadata-sized driver scalar; the oracles
+    * derive the same n from a 1-row count CTE. */
+  private def syntheticLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    docs
+      .select(col("doc_id").as("src"),
+        explode(array(lit(0), lit(1), lit(2))).as("j"))
+      .select(col("src"),
+        when(col("j") === 0, (col("src") + 1L) % n)
+          .when(col("j") === 1, (col("src") * 7L) % 101L)
+          .otherwise((col("src") * 37L + 11L) % n).as("dst"))
+  }
 
   /** Planted paragraphs for q_lang_segments — unambiguous French and
     * German stopword runs, shared verbatim with the oracle. */
@@ -5589,6 +5605,10 @@ object SparkEntry {
     // so the BIGINT ranks match Spark's bit for bit
     "q_pagerank" -> sqlPageRankOracle(10),
 
+    // §2b-69b: the HITS half-steps unrolled; max-renormalization as a
+    // scalar subquery per half-step
+    "q_hits" -> sqlHitsOracle(8),
+
     // §2b-70: Mann-Whitney AUC over the per-distinct-score histogram;
     // 2·avgrank = 2·cum_before + cnt + 1 keeps everything integral
     // until the one final division
@@ -5671,21 +5691,26 @@ object SparkEntry {
     * BIGINT // BIGINT floor division matches Spark's `div`; the
     * HUGEINT contribution sums cast back losslessly (total mass is
     * bounded by n·1e6). */
+  /** The ring+hub+stride edge list both graph oracles share —
+    * replays [[syntheticLinkGraph]] with n from a 1-row count CTE. */
+  private val sqlLinkGraphCtes: String =
+    """edges AS MATERIALIZED (
+      |  SELECT DISTINCT src, CASE j
+      |    WHEN 0 THEN (src + 1) % n
+      |    WHEN 1 THEN (src * 7) % 101
+      |    ELSE (src * 37 + 11) % n END AS dst
+      |  FROM (SELECT doc_id AS src FROM documents),
+      |       (SELECT count(*) AS n FROM documents), range(0, 3) r(j)),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS id FROM edges UNION SELECT dst FROM edges)""".stripMargin
+
   private def sqlPageRankOracle(iters: Int): String = {
     val head =
-      """WITH edges AS MATERIALIZED (
-        |  SELECT DISTINCT src, CASE j
-        |    WHEN 0 THEN (src + 1) % n
-        |    WHEN 1 THEN (src * 7) % 101
-        |    ELSE (src * 37 + 11) % n END AS dst
-        |  FROM (SELECT doc_id AS src FROM documents),
-        |       (SELECT count(*) AS n FROM documents), range(0, 3) r(j)),
-        |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
-        |nodes AS MATERIALIZED (
-        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+      s"""WITH $sqlLinkGraphCtes,
+         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.id, CAST(150000 + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id, sum(r.rank // d.d) AS s
@@ -5696,6 +5721,42 @@ object SparkEntry {
     (head +: rounds).mkString(",\n") +
       s"\nSELECT id AS node, rank AS rank_micro FROM r$iters" +
       "\nORDER BY rank_micro DESC, node LIMIT 100"
+  }
+
+  /** q_hits oracle: `iters` unrolled (authority, hub) half-step pairs;
+    * each half-step is a Long-sum aggregation then the pure-integer
+    * renormalization `x // greatest(1, (max+999999) // 1e6)` with the
+    * max as a scalar subquery — Spark's broadcast 1-row frame. */
+  private def sqlHitsOracle(iters: Int): String = {
+    val head =
+      s"""WITH $sqlLinkGraphCtes,
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS v FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT n.id, coalesce(m.s, 0) AS raw FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(h.v) AS s
+         |    FROM edges e JOIN h${i - 1} h ON h.id = e.src
+         |    GROUP BY e.dst) m ON n.id = m.id),
+         |a$i AS MATERIALIZED (
+         |  SELECT id, CAST(raw // greatest(1,
+         |    ((SELECT max(raw) FROM ar$i) + 999999) // 1000000) AS BIGINT) AS v
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT n.id, coalesce(m.s, 0) AS raw FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS id, sum(a.v) AS s
+         |    FROM edges e JOIN a$i a ON a.id = e.dst
+         |    GROUP BY e.src) m ON n.id = m.id),
+         |h$i AS MATERIALIZED (
+         |  SELECT id, CAST(raw // greatest(1,
+         |    ((SELECT max(raw) FROM hr$i) + 999999) // 1000000) AS BIGINT) AS v
+         |  FROM hr$i)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT n.id AS node, a.v AS auth_micro, h.v AS hub_micro
+         |FROM nodes n JOIN a$iters a ON n.id = a.id
+         |             JOIN h$iters h ON n.id = h.id
+         |ORDER BY auth_micro DESC, hub_micro DESC, node LIMIT 100""".stripMargin
   }
 
   /** q_fix_mojibake oracle: the cp1252 translate table and planted

@@ -101,4 +101,69 @@ object Graph {
     nodes.unpersist(false)
     ranks
   }
+
+  /** HITS (Kleinberg) hubs & authorities in integer micro-units —
+    * the complementary link signal to [[pageRank]]: directories/link
+    * farms score as hubs, canonical pages as authorities, and the
+    * PAIR is what a crawl-curation policy wants (a high-PageRank hub
+    * farm is exactly the thing to down-weight).
+    *
+    * Same exactness discipline as [[pageRank]]: scores live in
+    * micro-units; each half-step sums Longs (order-independent) and
+    * renormalizes to ≤ 1e6 by an integer division
+    * `x div ceil(max/1e6)` — a pure-integer stand-in for the usual
+    * max-normalization that never multiplies (no overflow for any
+    * corpus size: raw sums are bounded by n·1e6, never squared). The
+    * max is attached as a broadcast 1-row frame, not a driver
+    * action, so each half-step stays one job.
+    *
+    * Returns (`node`, `auth_micro`, `hub_micro`) for every node.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+
+    // renormalize: x -> x div ceil(max/1e6), max over the frame
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("__mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"$c div greatest(CAST(1 AS BIGINT), " +
+            s"(__mx + 999999) div 1000000)").as(c))
+    }
+
+    var hub = nodes.withColumn("hub_micro", lit(1000000L))
+    var auth: DataFrame = null
+    var prev: List[DataFrame] = Nil
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.join(
+          e.join(hub, e("src") === hub("node"))
+            .groupBy(col("dst")).agg(sum(col("hub_micro")).as("a_raw")),
+          nodes("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("auth_micro"))
+      auth = rescale(aRaw, "auth_micro").localCheckpoint(true)
+      val hRaw = nodes.join(
+          e.join(auth, e("dst") === auth("node"))
+            .groupBy(col("src")).agg(sum(col("auth_micro")).as("h_raw")),
+          nodes("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("hub_micro"))
+      hub = rescale(hRaw, "hub_micro").localCheckpoint(true)
+      prev.foreach(_.unpersist(false))
+      prev = List(auth, hub)
+    }
+    val out = nodes
+      .join(auth, Seq("node"))
+      .join(hub, Seq("node"))
+      .select(col("node"), col("auth_micro"), col("hub_micro"))
+    e.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
 }

@@ -55,6 +55,38 @@ class GraphEvalSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  // ---- Graph.hits ----------------------------------------------------------
+
+  test("hits: hand-computed two-iteration hubs/authorities on a fan-in DAG") {
+    // 1 -> 3, 2 -> 3, 3 -> 4
+    // iter 1: auth raw (3: 2e6, 4: 1e6) -> denom 2 -> (3: 1e6, 4: 5e5)
+    //   hub raw (1: 1e6, 2: 1e6, 3: 5e5) -> denom 1 -> unchanged
+    // iter 2: auth raw (3: 2e6, 4: 5e5) -> denom 2 -> (3: 1e6, 4: 25e4)
+    //   hub raw (1: 1e6, 2: 1e6, 3: 25e4, 4: 0) -> denom 1
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iters = 2)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 1000000L),
+      (2L, 0L, 1000000L),
+      (3L, 1000000L, 250000L),
+      (4L, 250000L, 0L)))
+  }
+
+  test("hits: hub farm scores high hub / low authority; target the reverse") {
+    // 10 hub pages all pointing at 2 authorities; authorities link back
+    // to one hub so every node is in the node set with nonzero signal
+    val hubs = (10L to 19L)
+    val edges = (hubs.flatMap(h => Seq((h, 1L), (h, 2L))) ++ Seq((1L, 10L)))
+      .toDF("src", "dst")
+    val rows = Graph.hits(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (auth1, hub1) = rows(1L)
+    val (authH, hubH) = rows(11L)
+    assert(auth1 > authH, "target page should out-authority a farm page")
+    assert(hubH > hub1, "farm page should out-hub the target page")
+  }
+
   // ---- Eval.aucExact -----------------------------------------------------
 
   test("aucExact: perfect separation gives 1.0, inverted gives 0.0") {
