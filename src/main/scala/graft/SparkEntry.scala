@@ -2141,6 +2141,33 @@ object SparkEntry {
         .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("node"))
         .limit(100)),
 
+    // §2b-57f: unigram-LM seed vocabulary (the EM-init frequent-
+    // substring lattice) — one narrow substring explode over the
+    // Heaps-sublinear word table, map-combined weights, top-K with
+    // lexicographic tie-break, integer micro-nat surrogate scores
+    "q_unigram_vocab" -> ((s, dir) =>
+      Unigram.seedVocab(Bpe.wordCounts(t(s, dir, "documents"), "text"),
+        topK = 200)),
+
+    // §2b-57g: unigram-LM Viterbi encode under the seeded vocab — the
+    // SentencePiece counterpart of q_bpe_docs: DP once per distinct
+    // word in one codegen kernel call, corpus reassembled through the
+    // broadcast word cache
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Unigram.collectVocab(
+        Unigram.seedVocab(Bpe.wordCounts(docs, "text"), topK = 200))
+      Unigram.encodeDocs(docs, "doc_id", "text", vocab, unkMicro = -2500000L)
+    }),
+
+    // §2b-57h: the same encode under a PUBLISHED-FORMAT vocabulary —
+    // the bundled SentencePiece TSV dump imports via exact scaled-
+    // decimal parsing (the merges.txt interop pattern)
+    "q_unigram_external" -> ((s, dir) =>
+      Unigram.encodeDocs(t(s, dir, "documents"), "doc_id", "text",
+        Unigram.loadSpVocabResource("/graft/unigram_vocab_sample.tsv"),
+        unkMicro = -12000000L)),
+
     // §2b-70: exact tie-aware ROC AUC (Eval.aucExact) — does the
     // English-stopword count actually rank English docs above the
     // rest? Integer scores exercise the average-rank tie handling;
@@ -5609,6 +5636,23 @@ object SparkEntry {
     // scalar subquery per half-step
     "q_hits" -> sqlHitsOracle(8),
 
+    // §2b-57f: frequent-substring seed lattice — substring explode
+    // over the word table, integer surrogate scores
+    "q_unigram_vocab" ->
+      s"""WITH $sqlUnigramWordsCte,
+         |$sqlUnigramSeedCte
+         |SELECT piece, weight, lp_micro FROM seeds""".stripMargin,
+
+    // §2b-57g: the Viterbi DP unrolled to the corpus word-length cap,
+    // backwalk as a plain recursive CTE, doc reassembly as q_bpe_docs
+    "q_unigram_encode" ->
+      s"""WITH RECURSIVE
+         |$sqlUnigramWordsCte,
+         |$sqlUnigramSeedCte,
+         |pieces AS (SELECT piece, lp_micro AS lp FROM seeds),
+         |${sqlUnigramDpCtes(-2500000L, maxPiece = 4, maxW = 16)},
+         |$sqlUnigramDocAssembly""".stripMargin,
+
     // §2b-70: Mann-Whitney AUC over the per-distinct-score histogram;
     // 2·avgrank = 2·cum_before + cnt + 1 keeps everything integral
     // until the one final division
@@ -5759,6 +5803,118 @@ object SparkEntry {
          |ORDER BY auth_micro DESC, hub_micro DESC, node LIMIT 100""".stripMargin
   }
 
+  /** ASCII word-frequency CTE shared by the unigram oracles — the
+    * [[graft.operators.Bpe.wordCounts]] replay. */
+  private val sqlUnigramWordsCte: String =
+    """words AS MATERIALIZED (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS w
+      |    FROM documents) u
+      |  WHERE regexp_matches(w, '^[!-~]+$')
+      |  GROUP BY w)""".stripMargin
+
+  /** Seed-vocabulary CTE replaying [[graft.operators.Unigram.seedVocab]]
+    * with the q_unigram_vocab parameters: substrings of length 2..4
+    * weighted by word count, top-200 by (weight desc, piece),
+    * `min(weight, 5e5) − (1e6 + 4e5·len)` micro-nat scores. */
+  private val sqlUnigramSeedCte: String =
+    """seeds AS MATERIALIZED (
+      |  SELECT piece, CAST(weight AS BIGINT) AS weight,
+      |    CAST(least(weight, 500000) - (1000000 + 400000 * length(piece)) AS BIGINT) AS lp_micro
+      |  FROM (
+      |    SELECT piece, sum(cnt) AS weight,
+      |      row_number() OVER (ORDER BY sum(cnt) DESC, piece) AS rn
+      |    FROM (
+      |      SELECT unnest(flatten(list_transform(range(2, 5), l ->
+      |        list_filter(list_transform(range(1, length(w) + 1), s2 ->
+      |          CASE WHEN s2 <= length(w) - l + 1
+      |               THEN substr(w, CAST(s2 AS INT), CAST(l AS INT)) END),
+      |          x -> x IS NOT NULL)))) AS piece, cnt
+      |      FROM words) su
+      |    GROUP BY piece) q
+      |  WHERE rn <= 200)""".stripMargin
+
+  /** Unrolled Viterbi-DP replay shared by the unigram encode oracles:
+    * expects `words(w, ...)` and `pieces(piece, lp)` CTEs upstream;
+    * emits dp rounds (position 1..`maxW`), the recursive backwalk,
+    * and `enc(w, seg, n)`. Each dp$i is MATERIALIZED (referenced by
+    * both the next round's candidate scan and its own union — the
+    * CTE-re-inlining lesson). Tie-break `ORDER BY cand DESC, j` =
+    * the kernel's ascending-j strict-replace. The word-length cap
+    * `maxW` must cover the corpus (max ASCII token is 8 at every sf;
+    * a longer word would drop out of `enc` and fail the compare
+    * LOUDLY, not silently). */
+  private def sqlUnigramDpCtes(unkMicro: Long, maxPiece: Int, maxW: Int): String = {
+    val head =
+      "dp0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, " +
+        "CAST(NULL AS INT) AS bp FROM words)"
+    val rounds = (1 to maxW).map { i =>
+      s"""cand$i AS (
+         |  SELECT d.w,
+         |    d.score + CASE WHEN p.lp IS NOT NULL THEN p.lp
+         |                   WHEN $i - d.pos = 1 THEN CAST($unkMicro AS BIGINT)
+         |                   ELSE NULL END AS cand,
+         |    d.pos AS j
+         |  FROM dp${i - 1} d
+         |  LEFT JOIN pieces p ON p.piece = substr(d.w, d.pos + 1, $i - d.pos)
+         |  WHERE length(d.w) >= $i AND d.pos >= $i - $maxPiece AND d.pos < $i),
+         |dp$i AS MATERIALIZED (
+         |  SELECT w, pos, score, bp FROM dp${i - 1}
+         |  UNION ALL
+         |  SELECT w, $i AS pos, cand AS score, CAST(j AS INT) AS bp FROM (
+         |    SELECT w, cand, j,
+         |      row_number() OVER (PARTITION BY w ORDER BY cand DESC, j) AS rn
+         |    FROM cand$i WHERE cand IS NOT NULL) q WHERE rn = 1)""".stripMargin
+    }
+    val tail =
+      s"""walk AS (
+         |  SELECT w, pos, bp FROM dp$maxW WHERE pos = length(w) AND pos > 0
+         |  UNION ALL
+         |  SELECT d.w, d.pos, d.bp FROM walk k JOIN dp$maxW d
+         |    ON d.w = k.w AND d.pos = k.bp WHERE k.bp > 0),
+         |segs AS (SELECT w, pos, substr(w, bp + 1, pos - bp) AS piece FROM walk),
+         |enc AS MATERIALIZED (
+         |  SELECT w, string_agg(piece, ' ' ORDER BY pos) AS seg,
+         |         count(*) AS n
+         |  FROM segs GROUP BY w)""".stripMargin
+    (head +: rounds :+ tail).mkString(",\n")
+  }
+
+  /** Doc-level reassembly for the unigram encode oracles — the
+    * q_bpe_docs shape over `enc(w, seg, n)`. */
+  private val sqlUnigramDocAssembly: String =
+    """dtoks AS (
+      |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+      |  FROM (SELECT doc_id,
+      |          regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS t
+      |        FROM documents),
+      |       unnest(generate_series(1, len(t))) AS u(i)),
+      |joined AS (
+      |  SELECT d.doc_id, d.pos, e.seg, e.n FROM dtoks d JOIN enc e ON d.w = e.w)
+      |SELECT doc_id,
+      |  string_agg(seg, ' ' ORDER BY pos) AS encoded,
+      |  CAST(sum(n) AS BIGINT) AS n_subwords
+      |FROM joined GROUP BY doc_id""".stripMargin
+
+  /** q_unigram_external oracle: the bundled SentencePiece-format
+    * vocab rendered as a VALUES relation (from the SAME parsed
+    * resource the Spark side loads — the merges.txt pattern), feeding
+    * the shared DP replay. Fragile: reads the classpath resource at
+    * string-construction time. */
+  private def qUnigramExternalOracle: String = {
+    val pieces = graft.operators.Unigram
+      .loadSpVocabResource("/graft/unigram_vocab_sample.tsv")
+    val maxPiece = pieces.map(_.piece.length).max
+    val vals = pieces.map(p =>
+      s"('${p.piece.replace("'", "''")}', CAST(${p.lpMicro} AS BIGINT))")
+      .mkString(", ")
+    s"""WITH RECURSIVE
+       |$sqlUnigramWordsCte,
+       |pieces(piece, lp) AS (SELECT * FROM (VALUES $vals) t),
+       |${sqlUnigramDpCtes(-12000000L, maxPiece, maxW = 16)},
+       |$sqlUnigramDocAssembly""".stripMargin
+  }
+
   /** q_fix_mojibake oracle: the cp1252 translate table and planted
     * suffix rendered via chr() (ASCII-safe SQL), the shared
     * [[graft.functions.Normalize.utf8StructRegex]] predicate, and the
@@ -5861,7 +6017,8 @@ object SparkEntry {
     "q_bpe_fertility2" -> (() => qBpeFertility2Oracle),
     "q_bpe_docs2" -> (() => qBpeDocs2Oracle),
     "q_lm_external" -> (() => qLmExternalOracle),
-    "q_lm_external3" -> (() => qLmExternal3Oracle))
+    "q_lm_external3" -> (() => qLmExternal3Oracle),
+    "q_unigram_external" -> (() => qUnigramExternalOracle))
 
   /** q_lm_external oracle: the bundled ARPA model rendered as VALUES
     * relations (from the SAME parsed resource the Spark side loads),

@@ -53,7 +53,12 @@ class LocalClusterSpec extends AnyFunSuite {
     "q_embed_neardup_auto", "q_fim_transform", "q_url_parse2",
     "q_ann_ivfpq2",
     // round 12: external merges.txt chain folded into lit() columns
-    "q_bpe_external")
+    "q_bpe_external",
+    // round 13: unigram Viterbi kernel — the UnigramVocab reference
+    // object (transient lazy lookup map) must rebuild per executor JVM
+    "q_unigram_external",
+    // round 13: integer-micro-unit graph iteration across executors
+    "q_pagerank")
 
   /** Round-12 real-decode surface (imageio thumbnails, GIF codec
     * frames, javax.sound audio headers): mapPartitions closures over
