@@ -70,13 +70,15 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     // out-degree rides every edge row; annotate once, persist — the
-    // loop below re-reads this frame `iters` times
+    // loop below re-reads this frame `iters` times. Pre-partitioned
+    // on the per-round join key so only the (much smaller) rank frame
+    // moves each iteration, not the edge list.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").persist()
+    val ed = e.join(deg, "src").repartition(col("src")).persist()
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().persist()
+      .distinct().repartition(col("node")).persist()
 
     var ranks = nodes.withColumn("rank_micro", lit(microBase))
     var prev: Option[DataFrame] = None
@@ -89,6 +91,12 @@ object Graph {
           (lit(baseMicro) +
             expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
             .as("rank_micro"))
+      // per-round lineage truncation, one materialization barrier per
+      // round — the measured local floor is ~0.39 s/round, and it is
+      // the two shuffle stages (not the barrier count: truncating
+      // every 2nd round measures the same), i.e. the iterative-
+      // algorithm floor the CC rounds also pay; at scale the
+      // data-proportional shuffle dominates it
       val truncated =
         if (checkpointDir.isDefined) next.checkpoint(eager = true)
         else next.localCheckpoint(true)
@@ -130,13 +138,21 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
 
-    // renormalize: x -> x div ceil(max/1e6), max over the frame
-    def rescale(df: DataFrame, c: String): DataFrame = {
-      val mx = df.agg(max(col(c)).as("__mx"))
-      df.crossJoin(broadcast(mx))
+    // renormalize x -> x div ceil(max/1e6): the RAW frame is
+    // materialized ONCE (localCheckpoint), the max is a cheap agg
+    // over the cached blocks attached as a broadcast 1-row frame, and
+    // the scaled view is a narrow projection over the same cache —
+    // without the checkpoint-first step the broadcast's job and the
+    // consumer's job each recompute the whole half-step (measured 2×
+    // wall on the q_hits shape)
+    def rescale(raw: DataFrame, c: String): (DataFrame, DataFrame) = {
+      val t = raw.localCheckpoint(true)
+      val mx = t.agg(max(col(c)).as("__mx"))
+      val scaled = t.crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"$c div greatest(CAST(1 AS BIGINT), " +
             s"(__mx + 999999) div 1000000)").as(c))
+      (scaled, t)
     }
 
     var hub = nodes.withColumn("hub_micro", lit(1000000L))
@@ -148,15 +164,17 @@ object Graph {
             .groupBy(col("dst")).agg(sum(col("hub_micro")).as("a_raw")),
           nodes("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("auth_micro"))
-      auth = rescale(aRaw, "auth_micro").localCheckpoint(true)
+      val (aScaled, aCache) = rescale(aRaw, "auth_micro")
+      auth = aScaled
       val hRaw = nodes.join(
           e.join(auth, e("dst") === auth("node"))
             .groupBy(col("src")).agg(sum(col("auth_micro")).as("h_raw")),
           nodes("node") === col("src"), "left")
         .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("hub_micro"))
-      hub = rescale(hRaw, "hub_micro").localCheckpoint(true)
+      val (hScaled, hCache) = rescale(hRaw, "hub_micro")
+      hub = hScaled
       prev.foreach(_.unpersist(false))
-      prev = List(auth, hub)
+      prev = List(aCache, hCache)
     }
     val out = nodes
       .join(auth, Seq("node"))
