@@ -2141,6 +2141,12 @@ object SparkEntry {
         .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("node"))
         .limit(100)),
 
+    // §2b-69c: per-node triangle counts + clustering coefficient over
+    // the same crawl graph — degree-oriented (compact-forward) wedge
+    // generation keeps candidate volume O(m^1.5) under hub skew
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangles(syntheticLinkGraph(s, dir), "src", "dst")),
+
     // §2b-57f: unigram-LM seed vocabulary (the EM-init frequent-
     // substring lattice) — one narrow substring explode over the
     // Heaps-sublinear word table, map-combined weights, top-K with
@@ -5635,6 +5641,43 @@ object SparkEntry {
     // §2b-69b: the HITS half-steps unrolled; max-renormalization as a
     // scalar subquery per half-step
     "q_hits" -> sqlHitsOracle(8),
+
+    // §2b-69c: the same degree-orientation, wedge join, and closing-
+    // edge lookup — three joins, no iteration
+    "q_triangles" ->
+      s"""WITH $sqlLinkGraphCtes,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |degt AS MATERIALIZED (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) q
+         |  GROUP BY node),
+         |ori AS MATERIALIZED (
+         |  SELECT CASE WHEN d1.degree < d2.degree
+         |              OR (d1.degree = d2.degree AND e.u < e.v)
+         |         THEN e.u ELSE e.v END AS s,
+         |         CASE WHEN d1.degree < d2.degree
+         |              OR (d1.degree = d2.degree AND e.u < e.v)
+         |         THEN e.v ELSE e.u END AS t
+         |  FROM und e JOIN degt d1 ON e.u = d1.node
+         |             JOIN degt d2 ON e.v = d2.node),
+         |tri AS MATERIALIZED (
+         |  SELECT o1.s, o1.t AS t1, o2.t AS t2
+         |  FROM ori o1 JOIN ori o2 ON o1.s = o2.s AND o1.t < o2.t
+         |  JOIN und c ON c.u = o1.t AND c.v = o2.t),
+         |pn AS (
+         |  SELECT node, count(*) AS triangles FROM (
+         |    SELECT s AS node FROM tri
+         |    UNION ALL SELECT t1 FROM tri
+         |    UNION ALL SELECT t2 FROM tri) q
+         |  GROUP BY node)
+         |SELECT d.node, d.degree,
+         |  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN (2.0 * coalesce(p.triangles, 0)) /
+         |         (d.degree * (d.degree - 1.0)) END AS clustering
+         |FROM degt d LEFT JOIN pn p ON d.node = p.node""".stripMargin,
 
     // §2b-57f: frequent-substring seed lattice — substring explode
     // over the word table, integer surrogate scores

@@ -184,4 +184,66 @@ object Graph {
     nodes.unpersist(false)
     out
   }
+
+  /** Per-node triangle counts + local clustering coefficient — the
+    * community-density signal (link farms and boilerplate rings are
+    * triangle-dense; organic link neighborhoods are sparse).
+    *
+    * The compact-forward / degree-orientation algorithm: edges are
+    * oriented from the lower-(degree, id) endpoint to the higher, so
+    * every node's ORIENTED out-degree is O(√m) on any graph — wedge
+    * volume (the one superlinear risk) is Σ outdeg² ≤ O(m^1.5)
+    * instead of Σ deg² (which a hub-heavy crawl graph makes
+    * quadratic). Each triangle is generated EXACTLY once: from its
+    * lowest-rank vertex, with the out-neighbor pair ordered by id.
+    * Three hash-join shuffles, no iteration, exact integer counts;
+    * the coefficient `2·T / (d·(d−1))` is one final float division
+    * (null for degree < 2).
+    *
+    * Input edges are symmetrized and deduplicated here; self-loops
+    * are dropped. Returns (node, degree, triangles, clustering). */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val raw = edges.select(col(aCol).cast("long").as("x"),
+        col(bCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+    val und = raw.select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct().persist()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree")).persist()
+
+    // orient u—v from the lower (degree, id) endpoint (rank compare)
+    val du = deg.select(col("node").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+
+    // wedges at the lowest-rank vertex; the out-neighbor pair is
+    // id-ordered so each candidate (t1, t2) appears once, and the
+    // closing edge is looked up in canonical id order
+    val o1 = oriented.select(col("s"), col("t").as("t1"))
+    val o2 = oriented.select(col("s"), col("t").as("t2"))
+    val wedges = o1.join(o2, "s").where(col("t1") < col("t2"))
+    val tri = wedges.join(und,
+      col("t1") === col("u") && col("t2") === col("v"))
+      .select(col("s"), col("t1"), col("t2"))
+
+    val perNode = tri
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (lit(2.0) * col("triangles").cast("double")) /
+            (col("degree").cast("double") * (col("degree").cast("double") - 1.0))))
+    out
+  }
 }

@@ -87,6 +87,37 @@ class GraphEvalSpec extends AnyFunSuite {
     assert(hubH > hub1, "farm page should out-hub the target page")
   }
 
+  // ---- Graph.triangles -----------------------------------------------------
+
+  test("triangles: hand-computed counts and clustering on K4 minus an edge") {
+    // edges: 1-2,1-3,1-4,2-3,2-4 (3-4 missing)
+    // triangles: (1,2,3) and (1,2,4); degrees 3,3,2,2
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val got = Graph.triangles(edges, "a", "b").orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2.0 * 2 / (3 * 2)),
+      (2L, 3L, 2L, 2.0 * 2 / (3 * 2)),
+      (3L, 2L, 1L, 1.0),
+      (4L, 2L, 1L, 1.0)))
+  }
+
+  test("triangles: symmetrization/dedup — reversed and duplicate edges " +
+    "count once; self-loops dropped; stars have none") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 3L)).toDF("a", "b")
+    val got = Graph.triangles(edges, "a", "b").orderBy("node")
+      .select("node", "triangles").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // star: hub with many leaves, zero triangles, clustering 0 at hub
+    val star = (1L to 20L).map(i => (0L, i)).toDF("a", "b")
+    val s0 = Graph.triangles(star, "a", "b")
+      .where(col("node") === 0L).head()
+    assert(s0.getLong(2) == 0L && s0.getDouble(3) == 0.0)
+  }
+
   // ---- Eval.aucExact -----------------------------------------------------
 
   test("aucExact: perfect separation gives 1.0, inverted gives 0.0") {
