@@ -2147,6 +2147,14 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) =>
       Graph.triangles(syntheticLinkGraph(s, dir), "src", "dst")),
 
+    // §2b-61b: Aho-Corasick blocklist scan — one automaton pass per
+    // doc whatever the term-list size; the term list includes nested
+    // and overlapping entries ("in"⊂"window", "par"/"ark" overlap in
+    // "spark") so the all-occurrences contract is exercised
+    "q_blocklist_scan" -> ((s, dir) =>
+      WebClean.blocklistScan(t(s, dir, "documents"), "doc_id", "text",
+        acScanTerms)),
+
     // §2b-57f: unigram-LM seed vocabulary (the EM-init frequent-
     // substring lattice) — one narrow substring explode over the
     // Heaps-sublinear word table, map-combined weights, top-K with
@@ -2216,6 +2224,12 @@ object SparkEntry {
 
   /** The blocklist the q_word_filter query and its oracle share. */
   private val blocklistWords = Seq("spam", "casino", "lottery", "the")
+
+  /** q_blocklist_scan's term list — nested ("in" inside "window") and
+    * overlapping ("par"/"ark" overlap in "spark") entries exercise the
+    * Aho-Corasick all-occurrences contract. */
+  private val acScanTerms =
+    Seq("spark", "par", "ark", "join", "in", "window", "the")
 
   /** The synthetic crawl graph q_pagerank / q_hits share: each doc
     * emits a ring edge (strong connectivity, high diameter), a skewed
@@ -5679,6 +5693,11 @@ object SparkEntry {
          |         (d.degree * (d.degree - 1.0)) END AS clustering
          |FROM degt d LEFT JOIN pn p ON d.node = p.node""".stripMargin,
 
+    // §2b-61b: per-term all-occurrences counts replayed as
+    // per-position substring equality over the same ASCII-translate
+    // lowering
+    "q_blocklist_scan" -> sqlBlocklistScanOracle,
+
     // §2b-57f: frequent-substring seed lattice — substring explode
     // over the word table, integer surrogate scores
     "q_unigram_vocab" ->
@@ -5844,6 +5863,36 @@ object SparkEntry {
          |FROM nodes n JOIN a$iters a ON n.id = a.id
          |             JOIN h$iters h ON n.id = h.id
          |ORDER BY auth_micro DESC, hub_micro DESC, node LIMIT 100""".stripMargin
+  }
+
+  /** q_blocklist_scan oracle: every term's all-occurrences count as a
+    * per-position substring equality over the ASCII-translate
+    * lowering — overlapping and nested matches count, exactly the
+    * automaton's output function. */
+  private def sqlBlocklistScanOracle: String = {
+    val occ = acScanTerms.zipWithIndex.map { case (term, i) =>
+      val l = term.length
+      s"len(list_filter(range(1, length(x) - $l + 2), " +
+        s"p -> substr(x, CAST(p AS INT), $l) = '$term')) AS o$i"
+    }.mkString(",\n    ")
+    val idx = acScanTerms.indices
+    val total = idx.map(i => s"o$i").mkString(" + ")
+    val nhit = idx.map(i => s"(CASE WHEN o$i > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH lx AS (
+       |  SELECT doc_id,
+       |    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+       |              'abcdefghijklmnopqrstuvwxyz') AS x
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |    $occ
+       |  FROM lx)
+       |SELECT doc_id,
+       |  CAST($total AS BIGINT) AS hits_total,
+       |  CAST($nhit AS INT) AS n_terms_hit,
+       |  ($total) > 0 AS flagged
+       |FROM occ""".stripMargin
   }
 
   /** ASCII word-frequency CTE shared by the unigram oracles — the

@@ -65,6 +65,34 @@ object WebClean {
       blocklistHits(col(textCol), words).as("hits"))
       .withColumn("kept", col("hits") === 0)
 
+  /** Substring blocklist scan at TERM-LIST scale: one Aho-Corasick
+    * pass per document whatever the list size
+    * ([[graft.functions.AcAutomaton]] — real curation lists carry
+    * hundreds of terms, where [[blocklistHits]]'s regex alternation
+    * degrades linearly and becomes the scan bottleneck). Counts every
+    * occurrence of every term, overlapping and nested included
+    * (substring semantics — the whole-word policy stays with
+    * [[blocklistHits]]); case folding is the engine-exact ASCII
+    * `translate`, applied to the INPUT (terms must arrive lowercase).
+    *
+    * Returns (id, hits_total, n_terms_hit, flagged) — one codegen
+    * projection, zero shuffles. */
+  def blocklistScan(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "blocklist terms must be non-empty lowercase literals")
+    val ac = new graft.functions.AcAutomaton(terms.toArray)
+    val lowered = translate(col(textCol),
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    docs
+      .select(col(idCol),
+        graft.plans.AcExpression.acScan(lowered, ac).as("__c"))
+      .select(col(idCol),
+        aggregate(col("__c"), lit(0L), (a, x) => a + x).as("hits_total"),
+        size(filter(col("__c"), x => x > 0L)).as("n_terms_hit"))
+      .withColumn("flagged", col("hits_total") > 0L)
+  }
+
   /** Lowercased host of a URL: authority after `scheme://`, userinfo
     * stripped, stopping at port / path / query / fragment; a leading
     * `www.` removed. Empty string when nothing URL-shaped matches. */

@@ -229,4 +229,38 @@ class WebCleanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"PSL parse shuffled:\n$plan")
   }
+  // ---- Aho-Corasick blocklist scan (round 13) -----------------------------
+
+  private def acCounts(text: String, terms: Seq[String]): Seq[Long] =
+    new graft.functions.AcAutomaton(terms.toArray).scan(text).toSeq
+
+  test("AcAutomaton counts ALL occurrences: overlapping, nested, and " +
+    "suffix-link hits (the ushers classic)") {
+    // he/she/his/hers over "ushers": she at 2-4, he at 3-4, hers at 3-6
+    assert(acCounts("ushers", Seq("he", "she", "his", "hers")) ==
+      Seq(1L, 1L, 0L, 1L))
+    // overlapping occurrences of one term
+    assert(acCounts("aaa", Seq("aa")) == Seq(2L))
+    // nested term inside a longer match, both counted
+    assert(acCounts("window", Seq("window", "in")) == Seq(1L, 1L))
+    // empty text, no hits
+    assert(acCounts("", Seq("x")) == Seq(0L))
+  }
+
+  test("blocklistScan: signals, translate case folding, null text") {
+    val docs = Seq((1L, "Spark IN the wINdow"), (2L, "nothing here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = WebClean.blocklistScan(docs, "doc_id", "text",
+      Seq("spark", "par", "ark", "in", "window", "the"))
+      .orderBy("doc_id").collect()
+    // doc 1 lowered "spark in the window": spark 1, par 1 (inside
+    // spark), ark 1, in 2 (standalone + inside window), window 1,
+    // the 1 -> 7 hits over 6 terms
+    assert(got(0).getLong(1) == 7L && got(0).getInt(2) == 6 &&
+      got(0).getBoolean(3))
+    // doc 2 "nothing here": only "in" (inside nothing) -> 1 hit, 1 term
+    assert(got(1).getLong(1) == 1L && got(1).getInt(2) == 1 &&
+      got(1).getBoolean(3))
+    assert(got(2).isNullAt(1))
+  }
 }
