@@ -2155,6 +2155,18 @@ object SparkEntry {
       WebClean.blocklistScan(t(s, dir, "documents"), "doc_id", "text",
         acScanTerms)),
 
+    // §2b-43c: rarity-weighted keyword extraction (tf/df in integer
+    // micro-units — the log-free tf-idf cousin, exact in SQL); the
+    // Heaps-sublinear df table broadcast by contract
+    "q_keywords" -> ((s, dir) =>
+      LmScore.keywordsTfIdf(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // §2b-43d: exact consecutive-token phrase search — per-word
+    // selectivity filters the token stream before the position joins
+    "q_phrase_search" -> ((s, dir) =>
+      LmScore.phraseCount(t(s, dir, "documents"), "doc_id", "text",
+        Seq("batch", "table"))),
+
     // §2b-57f: unigram-LM seed vocabulary (the EM-init frequent-
     // substring lattice) — one narrow substring explode over the
     // Heaps-sublinear word table, map-combined weights, top-K with
@@ -5697,6 +5709,43 @@ object SparkEntry {
     // per-position substring equality over the same ASCII-translate
     // lowering
     "q_blocklist_scan" -> sqlBlocklistScanOracle,
+
+    // §2b-43c: same integer tf/df ranking; row_number cast to INT to
+    // match Spark's rank type
+    "q_keywords" ->
+      """WITH tf AS MATERIALIZED (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |    FROM documents) q
+        |  GROUP BY doc_id, term),
+        |dfr AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, term, tf, df, score_micro, rank FROM (
+        |  SELECT t.doc_id, t.term,
+        |    CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+        |    CAST((t.tf * 1000000) // d.df AS BIGINT) AS score_micro,
+        |    CAST(row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY (t.tf * 1000000) // d.df DESC, t.term) AS INT) AS rank
+        |  FROM tf t JOIN dfr d ON t.term = d.term) q
+        |WHERE rank <= 3""".stripMargin,
+
+    // §2b-43d: phrase occurrences counted as positions of the
+    // space-delimited phrase inside the space-joined token stream —
+    // equivalent to the consecutive-position join because tokens are
+    // single-space-joined with sentinel spaces at both ends
+    "q_phrase_search" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    ' ' || array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') || ' ' AS ts
+        |  FROM documents)
+        |SELECT doc_id, n_occurrences FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(range(1, length(ts) - 13 + 2),
+        |      p -> substr(ts, CAST(p AS INT), 13) = ' batch table ')) AS BIGINT)
+        |      AS n_occurrences
+        |  FROM s) q
+        |WHERE n_occurrences > 0""".stripMargin,
 
     // §2b-57f: frequent-substring seed lattice — substring explode
     // over the word table, integer surrogate scores

@@ -208,6 +208,68 @@ object LmScore {
                             textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), bm25Tokens(col(textCol)).as("__ts"))
 
+  /** Per-document keyword extraction by the rarity-weighted tf/df
+    * score, in integer micro-units: `tf·1e6 div df` — the log-free
+    * cousin of tf-idf (idf without the log changes the weights, not
+    * the "frequent here, rare elsewhere" shape), chosen because the
+    * integer ranking replays EXACTLY in SQL where `ln` parity would
+    * hang on libm. Top-`k` terms per doc, ties by term.
+    *
+    * Shuffle budget: one (doc, term) tf aggregation; the document-
+    * frequency table is vocabulary-sized (Heaps-sublinear) and rides
+    * a BROADCAST join by contract (the q_bpe_docs2 lesson: without
+    * the hint Spark can size the exploded side off its compressed
+    * footprint and broadcast the corpus); the per-doc rank lowers to
+    * WindowGroupLimit. Returns (doc_id, term, tf, df, score_micro,
+    * rank). */
+  def keywordsTfIdf(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tf = tokenizedBase(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("__ts")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score_micro", expr("(tf * 1000000L) div df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rank"))
+  }
+
+  /** Exact phrase occurrence counts: documents where `phrase` appears
+    * as CONSECUTIVE tokens (the retrieval feature BM25's bag-of-words
+    * scoring cannot express), with the occurrence count. The token
+    * stream is filtered to the phrase's words BEFORE any join —
+    * per-word selectivity makes the position joins near-free at any
+    * corpus size — then each occurrence is the word-0 position whose
+    * i-th successor holds word i for all i. Tokenization is
+    * [[bm25Tokens]], shared with the whole retrieval family. */
+  def phraseCount(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val toks = tokenizedBase(docs, idCol, textCol)
+      .select(col("doc_id"), posexplode(col("__ts")).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+      .persist()
+    val first = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (word, i)) =>
+        val next = toks.filter(col("term") === word)
+          .select(col("doc_id").as("__d"), (col("pos") - i).as("__p"))
+        acc.join(next,
+          acc("doc_id") === col("__d") && acc("pos") === col("__p"))
+          .select(acc("doc_id"), acc("pos"))
+    }
+    val out = matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    out
+  }
+
   /** Scoring tail shared by [[bm25TopK]] and [[bm25TopKIndexed]]:
     * takes the (doc_id, term, tf, dl) rows already restricted to the
     * query terms, derives per-term document frequencies, and ranks.

@@ -544,4 +544,45 @@ class ChunkingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"fimSplit should not shuffle:\n$plan")
   }
+  // ---- keyword extraction + phrase search (round 13) ----------------------
+
+  test("keywordsTfIdf matches a naive tf/df ranking and keeps exactly " +
+    "top-k with term tie-break") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta common common"),
+      (2L, "beta beta gamma common"),
+      (3L, "gamma gamma gamma common common common")).toDF("doc_id", "text")
+    val got = LmScore.keywordsTfIdf(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "score_micro", "rank")
+      .as[(Long, String, Long, Int)].collect().toSeq
+    // df: alpha 1, beta 2, gamma 2, common 3
+    // doc1: alpha 3/1 = 3e6; common 2/3 = 666666; beta 1/2 = 5e5
+    // doc2: beta 2/2 = 1e6; gamma 1/2 = 5e5 beats common 1/3 = 333333
+    // doc3: gamma 3/2 = 15e5; common 3/3 = 1e6
+    assert(got == Seq(
+      (1L, "alpha", 3000000L, 1), (1L, "common", 666666L, 2),
+      (2L, "beta", 1000000L, 1), (2L, "gamma", 500000L, 2),
+      (3L, "gamma", 1500000L, 1), (3L, "common", 1000000L, 2)))
+  }
+
+  test("phraseCount finds consecutive-token occurrences only, counts " +
+    "repeats, tokenizes like the BM25 family") {
+    val docs = Seq(
+      (1L, "the quick Brown-Fox jumps, the quick brown fox sleeps"),
+      (2L, "quick the brown fox"),                 // words present, order wrong
+      (3L, "quick brown dog")).toDF("doc_id", "text")
+    val got = LmScore.phraseCount(docs, "doc_id", "text",
+      Seq("quick", "brown", "fox")).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // doc1: "brown-fox" tokenizes to brown, fox -> two occurrences
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("phraseCount handles repeated words in the phrase") {
+    val docs = Seq((1L, "ha ha ha"), (2L, "ha")).toDF("doc_id", "text")
+    val got = LmScore.phraseCount(docs, "doc_id", "text", Seq("ha", "ha"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))  // positions 0-1 and 1-2
+  }
 }
