@@ -3,6 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.TextHash
@@ -131,6 +132,71 @@ class PropertySpec extends AnyFunSuite {
       val one = TextHash.winnow64(u(s), k)
       val two = TextHash.winnow64(u(s + s), k)
       java.lang.Long.compareUnsigned(two, one) <= 0
+    })
+  }
+  // ---- round-13 kernels ----------------------------------------------------
+
+  test("fixMojibake predicate: latin-1 round-trip repairs any string " +
+    "with a multi-byte char and no cp1252-undefined bytes") {
+    // chars from ascii + latin-1 letters + a cp1252-representable
+    // special; exclude the 5 undefined bytes' code points by
+    // construction
+    val ch: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('\u00E9', '\u00E0', '\u00FC', '\u00D6'),
+      1 -> Gen.oneOf('\u2014', '\u20AC', '\u2018'))
+    val str: Gen[String] = Gen.nonEmptyListOf(ch).map(_.mkString)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    check("mojibake-roundtrip", Prop.forAll(Gen.listOfN(20, str)) { ss =>
+      val clean = ss.filter(s => s.exists(_ > 127))
+      if (clean.isEmpty) true
+      else {
+        val broken = clean.map(s =>
+          new String(s.getBytes("UTF-8"), "windows-1252"))
+        val fixed = broken.toDF("t")
+          .select(graft.functions.Normalize.fixMojibake(col("t")))
+          .as[String].collect().toSeq
+        fixed == clean
+      }
+    }, cases = 30)
+  }
+
+  test("unigram viterbi: segmentation always reassembles to the word, " +
+    "pieces respect maxPiece, and the unk fallback never dead-ends") {
+    val word: Gen[String] =
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+        .map(_.take(24))
+    val pieceGen: Gen[(String, Long)] = for {
+      p <- Gen.choose(2, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+      lp <- Gen.choose(-5000000L, -1000000L)
+    } yield (p, lp)
+    check("viterbi-reassembly", Prop.forAll(
+      word, Gen.listOf(pieceGen)) { (w, ps) =>
+      val vocab = new graft.functions.UnigramVocab(
+        ps.map(_._1).distinct.toArray,
+        ps.distinctBy(_._1).map(_._2).toArray, -7000000L)
+      val arr = graft.functions.UnigramOps.viterbi(u(w), vocab)
+      val segs = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      segs.mkString("") == w && segs.forall(_.length <= vocab.maxPiece)
+    })
+  }
+
+  test("AcAutomaton agrees with the naive per-position scan") {
+    val txt: Gen[String] =
+      Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val term: Gen[String] =
+      Gen.choose(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check("ac-vs-naive", Prop.forAll(txt, Gen.nonEmptyListOf(term)) {
+      (t, terms0) =>
+      val terms = terms0.distinct
+      val got = new graft.functions.AcAutomaton(terms.toArray).scan(t).toSeq
+      val want = terms.map(p =>
+        (0 to t.length - p.length).count(i => t.startsWith(p, i)).toLong)
+      got == want
     })
   }
 }
