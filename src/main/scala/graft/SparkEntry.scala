@@ -5859,14 +5859,20 @@ object SparkEntry {
       |nodes AS MATERIALIZED (
       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges)""".stripMargin
 
-  private def sqlPageRankOracle(iters: Int): String = {
+  private def sqlPageRankOracle(iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    // the damping literals are DERIVED from the same parameters the
+    // Spark side passes to Graph.pageRank — base = 1e6·(den−num)//den
+    // exactly as pageRank computes baseMicro — so changing the bench
+    // parameters cannot silently diverge the oracle
+    val baseMicro = 1000000L * (dampDen - dampNum) / dampDen
     val head =
       s"""WITH $sqlLinkGraphCtes,
          |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
-         |  SELECT n.id, CAST(150000 + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS rank
+         |  SELECT n.id, CAST($baseMicro + ($dampNum * coalesce(m.s, 0)) // $dampDen AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id, sum(r.rank // d.d) AS s
          |    FROM edges e JOIN deg d ON e.src = d.src

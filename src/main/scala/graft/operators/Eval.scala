@@ -20,11 +20,18 @@ object Eval {
     * histogram (`groupBy(score)` — map-side combinable, one shuffle on
     * score), and only the HISTOGRAM goes through the global-order
     * cumulative window. The single-partition sort is over distinct
-    * score values, not rows — for a score rounded to 6 decimals in
-    * [0,1] that is ≤ 1e6+1 groups whatever the corpus size, so the
-    * window stage is O(distinct scores) and safe at 100 TB. (A raw
-    * unbounded-precision score column should be rounded/bucketed by
-    * the caller first; that is already how such scores are consumed.)
+    * score values, not rows — the O(distinct-scores) bound is
+    * ENFORCED here, not assumed of the caller: the score is rounded
+    * to `roundScoreTo` decimals (default 6) before the histogram, so
+    * a probability-like score in [0,1] yields ≤ 1e6+1 groups whatever
+    * the corpus size and the window stage is safe at 100 TB. Rounding
+    * an integral score is the identity (Spark keeps the type), so
+    * integer-scored callers are bit-unchanged. Pass
+    * `roundScoreTo = None` only when the score is KNOWN
+    * bounded-cardinality (integers, pre-bucketed) and the raw values
+    * must flow through untouched — with an unbounded-precision double
+    * that makes the histogram row-sized and funnels the input through
+    * one WindowExec partition.
     *
     * Exactness: with `r` the minimum rank of a tie group, `cnt` its
     * size, and `cumBefore` the rows strictly below it, each member's
@@ -42,8 +49,10 @@ object Eval {
     * Returns one row: (`npos`, `nneg`, `auc`). AUC is null when
     * either class is empty.
     */
-  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val hist = df.select(score.as("s"), label.cast("boolean").as("y"))
+  def aucExact(df: DataFrame, score: Column, label: Column,
+               roundScoreTo: Option[Int] = Some(6)): DataFrame = {
+    val s = roundScoreTo.fold(score)(d => round(score, d))
+    val hist = df.select(s.as("s"), label.cast("boolean").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"),

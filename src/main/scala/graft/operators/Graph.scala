@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import scala.reflect.ClassTag
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Link-graph analytics over a crawl: PageRank as the canonical
   * "which domains/pages carry authority" signal a web-corpus curation
@@ -25,11 +30,17 @@ import org.apache.spark.sql.functions._
   *   - **One shuffle pair per iteration**: join ranks to the
   *     degree-annotated edge list on `src`, aggregate contributions
   *     on `dst` (map-side partial agg), left-join back to the node
-  *     set. The edge list is degree-annotated ONCE and persisted;
-  *     per-iteration lineage is truncated with `localCheckpoint`
-  *     (or reliable checkpoints under `checkpointDir`, which a real
-  *     cluster wants for executor-loss recovery) — the
-  *     [[Dedup.connectedComponents]] idiom.
+  *     set. The edge list is degree-annotated ONCE and persisted.
+  *   - **One JOB per round barrier** ([[materializeFold]]): each
+  *     round's frame is materialized into a persisted InternalRow RDD
+  *     and any scalar the next step needs (HITS' renormalization max)
+  *     is folded over the SAME pass — not a checkpoint job followed
+  *     by a separate aggregate/broadcast job. The rebuilt frame keeps
+  *     the round's output partitioning (`LogicalRDD.fromDataset`, the
+  *     `Dataset.checkpoint` contract), so the next round's join does
+  *     not re-exchange it. Under `checkpointDir` the same pass also
+  *     writes a reliable checkpoint for executor-loss recovery on a
+  *     real cluster.
   *   - **Dangling mass evaporates** (nodes with no out-edges absorb
   *     rank but emit none). This is the common simplification in
   *     curation settings where rank is a relative ordering signal;
@@ -41,6 +52,27 @@ import org.apache.spark.sql.functions._
   * partitioning with the out-degree aggregation that follows it.
   */
 object Graph {
+
+  /** One-job round barrier for the iterative loops: materialize `df`
+    * into a persisted (optionally reliably-checkpointed) InternalRow
+    * RDD and fold `seq`/`comb` over the SAME action, so the per-round
+    * cost is one job — not a materialize job plus an aggregate job.
+    * Returns the rebuilt frame (output partitioning/ordering
+    * preserved), the cache handle for later `unpersist`, and the fold
+    * result. The fold only READS primitive columns, so the unsafe-row
+    * buffer reuse inside the scan is safe; the persisted copy is
+    * `_.copy()`-ed exactly as `Dataset.localCheckpoint` does. */
+  private def materializeFold[A: ClassTag](df: DataFrame, zero: A,
+      reliable: Boolean)(seq: (A, InternalRow) => A)(
+      comb: (A, A) => A): (DataFrame, RDD[InternalRow], A) = {
+    val cached = GraftSqlShim.toInternalRowRdd(df).map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // mark BEFORE the action: the checkpoint job then reads the
+    // just-persisted blocks instead of recomputing the round
+    if (reliable) cached.checkpoint()
+    val folded = cached.aggregate(zero)(seq, comb)
+    (GraftSqlShim.materializedFrom(df, cached), cached, folded)
+  }
 
   /** PageRank in integer micro-units. Returns (`node`, `rank_micro`)
     * for every node appearing as a source or destination.
@@ -61,6 +93,7 @@ object Graph {
       "damping must satisfy 0 <= dampNum <= dampDen")
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
     val microBase = 1000000L
     // base = (1-d)·1.0 in micro-units, exact: 1e6·(den-num) div den
     val baseMicro = microBase * (dampDen - dampNum) / dampDen
@@ -81,7 +114,7 @@ object Graph {
       .distinct().repartition(col("node")).persist()
 
     var ranks = nodes.withColumn("rank_micro", lit(microBase))
-    var prev: Option[DataFrame] = None
+    var prev: Option[RDD[InternalRow]] = None
     for (_ <- 1 to iters) {
       val contribs = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank_micro div outdeg").as("c"))
@@ -91,20 +124,18 @@ object Graph {
           (lit(baseMicro) +
             expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
             .as("rank_micro"))
-      // per-round lineage truncation, one materialization barrier per
-      // round — the measured local floor is ~0.39 s/round, and it is
-      // the two shuffle stages (not the barrier count: truncating
-      // every 2nd round measures the same), i.e. the iterative-
-      // algorithm floor the CC rounds also pay; at scale the
-      // data-proportional shuffle dominates it
-      val truncated =
-        if (checkpointDir.isDefined) next.checkpoint(eager = true)
-        else next.localCheckpoint(true)
+      // one materialization barrier (one JOB) per round; the measured
+      // local floor is the two shuffle stages, which at scale the
+      // data-proportional shuffle dominates
+      val (truncated, cache, _) =
+        materializeFold(next, 0L, reliable)((m, _) => m + 1L)(_ + _)
       prev.foreach(_.unpersist(false))
-      prev = Some(truncated)
+      prev = Some(cache)
       ranks = truncated
     }
-    // the final frame is checkpoint-backed; its inputs can go
+    // the final frame is cache/checkpoint-backed (its blocks stay
+    // resident — the retained-cache contract of an iterative result);
+    // its inputs can go
     ed.unpersist(false)
     nodes.unpersist(false)
     ranks
@@ -122,65 +153,84 @@ object Graph {
     * `x div ceil(max/1e6)` — a pure-integer stand-in for the usual
     * max-normalization that never multiplies (no overflow for any
     * corpus size: raw sums are bounded by n·1e6, never squared). The
-    * max is attached as a broadcast 1-row frame, not a driver
-    * action, so each half-step stays one job.
+    * max is folded out of the SAME job that materializes the raw
+    * half-step ([[materializeFold]]) and lands in the scaling
+    * projection as a literal — one job per half-step, no broadcast
+    * exchange, no second pass over the cache.
+    *
+    * The edge list is persisted TWICE, pre-partitioned on `src` and
+    * on `dst` — the half-steps alternate join keys, and without both
+    * orientations every half-step re-shuffles the (largest) edge side.
+    *
+    * @param checkpointDir reliable-checkpoint directory for
+    *   executor-loss recovery on a real cluster (same contract as
+    *   [[pageRank]]); default executor-local persisted blocks only.
     *
     * Returns (`node`, `auth_micro`, `hub_micro`) for every node.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int = 8): DataFrame = {
+           iters: Int = 8,
+           checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist()
+    val eBySrc = e.repartition(col("src")).persist()
+    val eByDst = e.repartition(col("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
 
-    // renormalize x -> x div ceil(max/1e6): the RAW frame is
-    // materialized ONCE (localCheckpoint), the max is a cheap agg
-    // over the cached blocks attached as a broadcast 1-row frame, and
-    // the scaled view is a narrow projection over the same cache —
-    // without the checkpoint-first step the broadcast's job and the
-    // consumer's job each recompute the whole half-step (measured 2×
-    // wall on the q_hits shape)
-    def rescale(raw: DataFrame, c: String): (DataFrame, DataFrame) = {
-      val t = raw.localCheckpoint(true)
-      val mx = t.agg(max(col(c)).as("__mx"))
-      val scaled = t.crossJoin(broadcast(mx))
-        .select(col("node"),
-          expr(s"$c div greatest(CAST(1 AS BIGINT), " +
-            s"(__mx + 999999) div 1000000)").as(c))
-      (scaled, t)
+    // renormalize x -> x div ceil(max/1e6): ONE job materializes the
+    // raw frame into a persisted RDD AND folds its max; the scaled
+    // view is a narrow projection over the same cache with the
+    // divisor as a literal
+    def rescale(raw: DataFrame, c: String): (DataFrame, RDD[InternalRow]) = {
+      val idx = raw.schema.fieldIndex(c)
+      val (t, cache, mx) = materializeFold(raw, Long.MinValue, reliable)(
+        (m, r) => if (r.isNullAt(idx)) m else math.max(m, r.getLong(idx)))(
+        math.max)
+      val divisor = math.max(1L, (mx + 999999L) / 1000000L)
+      (t.select(col("node"), expr(s"$c div ${divisor}L").as(c)), cache)
     }
 
     var hub = nodes.withColumn("hub_micro", lit(1000000L))
     var auth: DataFrame = null
-    var prev: List[DataFrame] = Nil
+    var prev: List[RDD[InternalRow]] = Nil
     for (_ <- 1 to iters) {
       val aRaw = nodes.join(
-          e.join(hub, e("src") === hub("node"))
+          eBySrc.join(hub, eBySrc("src") === hub("node"))
             .groupBy(col("dst")).agg(sum(col("hub_micro")).as("a_raw")),
           nodes("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("auth_micro"))
       val (aScaled, aCache) = rescale(aRaw, "auth_micro")
       auth = aScaled
       val hRaw = nodes.join(
-          e.join(auth, e("dst") === auth("node"))
+          eByDst.join(auth, eByDst("dst") === auth("node"))
             .groupBy(col("src")).agg(sum(col("auth_micro")).as("h_raw")),
           nodes("node") === col("src"), "left")
         .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("hub_micro"))
       val (hScaled, hCache) = rescale(hRaw, "hub_micro")
       hub = hScaled
+      // the PREVIOUS round's caches fed this round's (already
+      // materialized) half-steps; this round's pair must outlive the
+      // loop — the final result projects over them
       prev.foreach(_.unpersist(false))
       prev = List(aCache, hCache)
     }
-    val out = nodes
-      .join(auth, Seq("node"))
+    // every node appears exactly once in each scaled frame (the raw
+    // half-steps are nodes-left-joins), so the node set needs no
+    // third join; the output reads only the last two cached RDDs
+    val out = auth
       .join(hub, Seq("node"))
       .select(col("node"), col("auth_micro"), col("hub_micro"))
     e.unpersist(false)
+    eBySrc.unpersist(false)
+    eByDst.unpersist(false)
     nodes.unpersist(false)
     out
   }
@@ -201,7 +251,11 @@ object Graph {
     * (null for degree < 2).
     *
     * Input edges are symmetrized and deduplicated here; self-loops
-    * are dropped. Returns (node, degree, triangles, clustering). */
+    * are dropped. The (edge-sized) working caches are released before
+    * returning: the per-node result is materialized once
+    * ([[materializeFold]]) and the returned frame reads those blocks
+    * — the same retained-cache contract as the iterative results.
+    * Returns (node, degree, triangles, clustering). */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val raw = edges.select(col(aCol).cast("long").as("x"),
         col(bCol).cast("long").as("y"))
@@ -244,6 +298,12 @@ object Graph {
         when(col("degree") >= 2,
           (lit(2.0) * col("triangles").cast("double")) /
             (col("degree").cast("double") * (col("degree").cast("double") - 1.0))))
-    out
+    // node-sized result; materialize it so the edge-sized und/deg
+    // caches can be dropped instead of accumulating across calls
+    val (res, _, _) =
+      materializeFold(out, 0L, reliable = false)((m, _) => m + 1L)(_ + _)
+    und.unpersist(false)
+    deg.unpersist(false)
+    res
   }
 }

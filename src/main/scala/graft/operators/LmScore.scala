@@ -265,8 +265,15 @@ object LmScore {
           acc("doc_id") === col("__d") && acc("pos") === col("__p"))
           .select(acc("doc_id"), acc("pos"))
     }
+    // matching-doc-sized result; materialize it so the (corpus-sized)
+    // filtered-token cache can be released instead of accumulating
+    // across calls in a long-lived session (the returned frame reads
+    // its own checkpoint blocks — the retained-cache contract of the
+    // iterative/materialized results)
     val out = matched.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
     out
   }
 

@@ -43,6 +43,21 @@ object GraftSqlShim {
   def toInternalRowRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 
+  /** Rebuild a DataFrame over an already-computed InternalRow RDD of
+    * `origin`'s rows, PRESERVING the origin's physical output
+    * partitioning and ordering — the `Dataset.checkpoint` contract
+    * (`LogicalRDD.fromDataset`), so an iterative loop that re-joins
+    * the materialized round on the same key pays no extra exchange.
+    * The rdd must hold exactly the rows `origin` computes (e.g.
+    * `toInternalRowRdd(origin).map(_.copy()).persist()`). */
+  def materializedFrom(origin: DataFrame,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    val ds = origin.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, ds, isStreaming = false))
+  }
+
   /** The ACTIVE session's name resolver (case-insensitive unless
     * `spark.sql.caseSensitive`) — for parse-time name comparisons that
     * must agree with how the analyzer will later resolve the names. */

@@ -87,6 +87,26 @@ class GraphEvalSpec extends AnyFunSuite {
     assert(hubH > hub1, "farm page should out-hub the target page")
   }
 
+  test("hits: reliable checkpointDir path is bit-identical to the " +
+    "executor-local path") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val local = Graph.hits(edges, "src", "dst", iters = 3)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("hits-ckpt").toString
+    try {
+      val reliable = Graph.hits(edges, "src", "dst", iters = 3,
+          checkpointDir = Some(dir))
+        .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // ---- Graph.triangles -----------------------------------------------------
 
   test("triangles: hand-computed counts and clustering on K4 minus an edge") {
@@ -161,6 +181,31 @@ class GraphEvalSpec extends AnyFunSuite {
       yield (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
     val want = pairs.sum / (pos.size * neg.size)
     assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+  }
+
+  test("aucExact: default rounding bounds the histogram — raw " +
+    "full-precision doubles equal their pre-rounded-6dp twin, and " +
+    "roundScoreTo=None passes raw values through") {
+    val rows = (1 to 50).map { i =>
+      // full-precision irrational-ish scores: 1/3, 1/7 multiples
+      (i.toDouble / 3.0 + (i % 7).toDouble / 7.0, i % 3 == 0)
+    }
+    val df = rows.toDF("s", "y")
+    // the exact lowering Spark's Round uses on doubles
+    val dfPre = rows.map { case (s, y) =>
+      (java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), y)
+    }.toDF("s", "y")
+    val got = Eval.aucExact(df, col("s"), col("y")).head().getDouble(2)
+    val pre = Eval.aucExact(dfPre, col("s"), col("y"),
+      roundScoreTo = None).head().getDouble(2)
+    assert(got == pre)
+    // integral scores are bit-unchanged by the default rounding
+    val ints = Seq((1L, false), (1L, true), (2L, false), (2L, true))
+      .toDF("s", "y")
+    val a = Eval.aucExact(ints, col("s"), col("y")).head().getDouble(2)
+    val b = Eval.aucExact(ints, col("s"), col("y"), None).head().getDouble(2)
+    assert(a == b && a == 0.5)
   }
 
   test("aucExact: empty class yields null AUC") {

@@ -58,7 +58,11 @@ class LocalClusterSpec extends AnyFunSuite {
     // object (transient lazy lookup map) must rebuild per executor JVM
     "q_unigram_external",
     // round 13: integer-micro-unit graph iteration across executors
-    "q_pagerank")
+    "q_pagerank",
+    // round 14: the fused one-job round barrier (materializeFold —
+    // InternalRow aggregate closure + LogicalRDD.fromDataset rebuild)
+    // with the max-fold rescale path
+    "q_hits")
 
   /** Round-12 real-decode surface (imageio thumbnails, GIF codec
     * frames, javax.sound audio headers): mapPartitions closures over
