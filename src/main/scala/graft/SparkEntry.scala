@@ -436,6 +436,40 @@ object SparkEntry {
           col("content_length"))
     }),
 
+    // §2b (WARC→WET): HTTP response split INSIDE WARC response
+    // records — a crawl response payload is status line + headers +
+    // body, and the WET step needs them apart. One codegen projection
+    // (header scan on the latin-1 byte view, body sliced from RAW
+    // bytes), charset-aware text decode, extractHtmlText gated on the
+    // HTML media type. Four planted response shapes: utf-8 html,
+    // latin-1 text (non-ASCII round-trip), a duplicate-header 404
+    // with no charset, and a content-type-less BINARY body that must
+    // never reach a decoder
+    "q_warc_http" -> ((s, dir) => {
+      val out = dumpDir(dir) + "_warchttp"
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      src.repartition(4, col("doc_id")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.sources.WarcSource.writeWarc(f"$out/shard-$pid%02d.warc",
+            it.map(r => (s"http://corpus.local/doc/${r.getLong(0)}",
+              syntheticHttpPayload(r.getLong(0), r.getString(1)))))
+      }
+      val paths = (0 until 4).map(p => f"$out/shard-$p%02d.warc")
+      val warc = s.read.format("graft.sources.WarcDataSource")
+        .option("splitBytes", 8L << 10)
+        .load(paths: _*)
+      operators.WebClean.httpResponses(warc)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("status_code"), col("http_version"), col("content_type"),
+          col("charset"),
+          size(col("headers")).as("n_headers"),
+          length(col("body")).cast("bigint").as("body_len"),
+          col("body_text"), col("wet_text"))
+    }),
+
     // §2b (multimodal-corpus ingestion): WebDataset-layout tar
     // round-trip — customer rows written as grouped sample files
     // (<key>.txt + <key>.cls) into real ustar archives, read back
@@ -2299,6 +2333,37 @@ object SparkEntry {
     col("text"),
     lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
 
+  /** Deterministic HTTP response payload per document — shared shape
+    * between q_warc_http's Spark side and its oracle, keyed on
+    * doc_id % 4:
+    *  0: 200 `text/html; charset=utf-8`, two headers, HTML wrapper;
+    *  1: 200 `text/plain; charset=ISO-8859-1`, non-ASCII latin-1 body;
+    *  2: 404 `text/plain` (no charset), DUPLICATE X-Tag headers;
+    *  3: 200 with NO Content-Type and a binary (PNG-magic) body. */
+  private[graft] def syntheticHttpPayload(id: Long, text: String): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    (id % 4) match {
+      case 0 =>
+        val body = s"<html><body><p>$text</p></body></html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          "Server: graft\r\n\r\n").getBytes(ascii) ++ body
+      case 1 =>
+        val body = s"café résumé doc $id"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=ISO-8859-1\r\n\r\n")
+          .getBytes(ascii) ++ body
+      case 2 =>
+        val body = s"not found: $id".getBytes(ascii)
+        ("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
+          "X-Tag: a\r\nX-Tag: b\r\n\r\n").getBytes(ascii) ++ body
+      case _ =>
+        val body = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+          (id & 0xff).toByte, ((id >> 8) & 0xff).toByte, 0x00, 0xff.toByte)
+        ("HTTP/1.1 200 OK\r\nServer: graft\r\n\r\n").getBytes(ascii) ++ body
+    }
+  }
+
   /** Deterministic synthetic URL per document — shared shape between
     * q_url_parse's Spark side and its DuckDB oracle: scheme, optional
     * userinfo, optional www, multi-label hosts across plain and
@@ -3032,6 +3097,42 @@ object SparkEntry {
     "q_warc_gz" ->
       """SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS content_length
         |FROM documents""".stripMargin,
+
+    // the HTTP split inside the WARC round-trip: expected fields are a
+    // pure function of doc_id % 4 (the syntheticHttpPayload shape);
+    // body_len counts BYTES (strlen) for the utf-8 bodies and CHARS
+    // (length) for the latin-1 body — latin-1 is one byte per char;
+    // the WET column replays the q_html_extract chain on the r=0 page
+    "q_warc_http" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 4 AS r,
+        |    '<html><body><p>' || text || '</p></body></html>' AS html,
+        |    'café résumé doc ' || doc_id AS lat,
+        |    'not found: ' || doc_id AS nf
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END AS INT) AS status_code,
+        |  '1.1' AS http_version,
+        |  CASE r WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+        |         WHEN 2 THEN 'text/plain' END AS content_type,
+        |  CASE r WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1' END AS charset,
+        |  CAST(CASE r WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 1 END AS INT) AS n_headers,
+        |  CAST(CASE r WHEN 0 THEN strlen(html) WHEN 1 THEN length(lat)
+        |              WHEN 2 THEN strlen(nf) ELSE 8 END AS BIGINT) AS body_len,
+        |  CASE r WHEN 0 THEN html WHEN 1 THEN lat WHEN 2 THEN nf END AS body_text,
+        |  CASE WHEN r = 0 THEN
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |          '(?s)<!--.*?-->', '', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'))
+        |  END AS wet_text
+        |FROM p""".stripMargin,
 
     // the tar round-trip restores the projection: two sample files per
     // customer regrouped by the WebDataset key rule — the oracle is

@@ -42,6 +42,121 @@ object WebClean {
     trim(regexp_replace(entities, "[ \\t\\n\\x0b\\f\\r]+", " "))
   }
 
+  /** HTTP response split for WARC `response` records. A crawl WARC's
+    * `response` content is NOT the page: it is `status line CRLF
+    * header lines CRLF CRLF body`, and every WARC→WET pipeline first
+    * splits them, reads Content-Type/charset, and drops non-HTML
+    * before text extraction (reference surface: a CC response record
+    * per ISO 28500 §6.3 carries the full HTTP message). This is that
+    * split as ONE codegen projection over the binary payload — no
+    * UDF, no shuffle, fuses into the ingest scan at any corpus size.
+    *
+    * Mechanics: the payload is viewed through ISO-8859-1 (bytes map
+    * 1:1 to chars, so char positions ARE byte offsets); the header
+    * block is scanned on the string view and the body is sliced from
+    * the RAW bytes — bodies are routinely binary and must not pass
+    * through a lossy decode.
+    *
+    * Returns a struct:
+    *  - `status_code` INT / `http_version` STRING — null unless the
+    *    first line parses as `HTTP/x.y NNN`;
+    *  - `headers` ARRAY<STRUCT<name,value>> — names lowercased,
+    *    values trimmed after the FIRST colon (later colons belong to
+    *    the value); an ARRAY, not a map, because duplicate header
+    *    names are legal HTTP (Set-Cookie et al.);
+    *  - `content_type` STRING — lowercased media type before any `;`
+    *    parameter, null when the header is absent;
+    *  - `charset` STRING — lowercased `charset=` parameter, null when
+    *    absent;
+    *  - `body` BINARY — bytes after the first CRLFCRLF; a payload
+    *    with NO header terminator yields null status/headers and the
+    *    WHOLE payload as body (defensive: truncated records should
+    *    degrade to "unparsed bytes", not vanish). */
+  def parseHttpResponse(content: Column): Column = {
+    val s = decode(content, "ISO-8859-1")
+    val sep = locate("\r\n\r\n", s) // 1-based; 0 when absent
+    val head = when(sep > 0, s.substr(lit(1), sep - 1))
+    val statusLine = substring_index(head, "\r\n", 1)
+    val isHttp = statusLine.rlike("^HTTP/[0-9]+\\.[0-9]+ [0-9]{3}")
+    val httpVersion =
+      when(isHttp, regexp_extract(statusLine, "^HTTP/([0-9]+\\.[0-9]+)", 1))
+    val statusCode = when(isHttp,
+      regexp_extract(statusLine, "^HTTP/[0-9]+\\.[0-9]+ ([0-9]{3})", 1)
+        .cast("int"))
+    val lines = split(head, "\r\n")
+    val hdrLines = filter(
+      slice(lines, lit(2), greatest(size(lines) - 1, lit(0))),
+      l => instr(l, ":") > 0)
+    val headers = transform(hdrLines, l => struct(
+      lower(trim(substring_index(l, ":", 1))).as("name"),
+      trim(l.substr(instr(l, ":") + 1, length(l))).as("value")))
+    val ctRaw = get(filter(headers,
+      h => h.getField("name") === "content-type"), lit(0)).getField("value")
+    val mediaType = lower(trim(substring_index(ctRaw, ";", 1)))
+    val contentType = when(mediaType =!= "", mediaType)
+    val csRaw =
+      lower(regexp_extract(ctRaw, "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1))
+    val charset = when(csRaw =!= "", csRaw)
+    val body = when(sep > 0,
+        content.substr(sep + 4, length(content) - sep - lit(3)))
+      .otherwise(content)
+    struct(statusCode.as("status_code"), httpVersion.as("http_version"),
+      headers.as("headers"), contentType.as("content_type"),
+      charset.as("charset"), body.as("body"))
+  }
+
+  /** Charset-aware text decode of an HTTP body — only for declared
+    * text-bearing media types (binary bodies stay null; a CASE branch
+    * is evaluated per-row only when taken, so image bytes never reach
+    * a decoder). The charset whitelist covers essentially all crawl
+    * traffic: UTF-8 (the default when undeclared), latin-1 (also the
+    * stand-in for us-ascii — its byte-superset, so a lying
+    * ascii-declared page degrades instead of erroring), and
+    * windows-1252; anything else falls back to UTF-8, the WHATWG
+    * default. Spark 4's `decode` whitelists 7 charsets (no cp1252),
+    * so windows-1252 is expressed as its exact definition: a latin-1
+    * decode plus the 27-entry C1→glyph translate — the
+    * [[graft.functions.Normalize.cp1252Pairs]] table (the entire
+    * difference between the two charsets) applied in the decode
+    * direction. One codegen projection. */
+  def httpBodyText(contentType: Column, charset: Column,
+                   body: Column): Column = {
+    val textual = contentType.startsWith("text/") ||
+      contentType.isin("application/xhtml+xml", "application/json",
+        "application/xml")
+    val cs = lower(coalesce(charset, lit("utf-8")))
+    val c1 = graft.functions.Normalize.cp1252Pairs.map(_._2).mkString
+    val glyphs = graft.functions.Normalize.cp1252Pairs.map(_._1).mkString
+    when(textual,
+      when(cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1",
+          "us-ascii", "ascii"), decode(body, "ISO-8859-1"))
+        .when(cs.isin("windows-1252", "cp1252"),
+          translate(decode(body, "ISO-8859-1"), c1, glyphs))
+        .otherwise(decode(body, "UTF-8")))
+  }
+
+  /** The WARC→WET projection over a [[graft.sources.WarcSource]]
+    * frame: HTTP split + charset-aware `body_text` + `wet_text` (the
+    * [[extractHtmlText]] chain, HTML media types only — the
+    * "drop non-HTML before extraction" step every real pipeline
+    * runs). Adds columns; zero shuffles. */
+  def httpResponses(df: DataFrame,
+                    contentCol: String = "content"): DataFrame = {
+    val p = parseHttpResponse(col(contentCol))
+    df
+      .withColumn("status_code", p.getField("status_code"))
+      .withColumn("http_version", p.getField("http_version"))
+      .withColumn("headers", p.getField("headers"))
+      .withColumn("content_type", p.getField("content_type"))
+      .withColumn("charset", p.getField("charset"))
+      .withColumn("body", p.getField("body"))
+      .withColumn("body_text",
+        httpBodyText(col("content_type"), col("charset"), col("body")))
+      .withColumn("wet_text",
+        when(col("content_type").isin("text/html", "application/xhtml+xml"),
+          extractHtmlText(col("body_text"))))
+  }
+
   /** Case-insensitive whole-word blocklist hits: the count of
     * occurrences of any listed word (word-boundary anchored, so
     * "class" never matches a blocklisted "ass"). The alternation of

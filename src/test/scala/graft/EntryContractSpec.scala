@@ -38,6 +38,22 @@ class EntryContractSpec extends AnyFunSuite {
     assert(uncited.isEmpty, s"queries missing from SURVEY §2: $uncited")
   }
 
+  test("SURVEY.md §2 row labels are unique — the round-13 verdict found " +
+    "57f naming two different rows, which key-level pins cannot catch") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(
+      survey.indexOf("## §2 Operator inventory"),
+      survey.indexOf("## §3"))
+    // a table row's label is the first cell: "| 57f | ..."
+    val labels = "(?m)^\\| ([0-9]+[a-z0-9]*) \\|".r
+      .findAllMatchIn(s2).map(_.group(1)).toSeq
+    val dups = labels.groupBy(identity).collect {
+      case (l, occ) if occ.size > 1 => l
+    }
+    assert(dups.isEmpty, s"duplicate SURVEY §2 row labels: $dups")
+  }
+
   test("SURVEY.md §7 prose cites the CURRENT query count — the round-12 " +
     "verdict's prose drift, pinned mechanically like the §2 table") {
     val survey = new String(java.nio.file.Files.readAllBytes(

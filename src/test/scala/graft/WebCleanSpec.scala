@@ -247,6 +247,77 @@ class WebCleanSpec extends AnyFunSuite {
     assert(acCounts("", Seq("x")) == Seq(0L))
   }
 
+  // ---- parseHttpResponse / httpResponses ---------------------------------
+
+  private def http(payload: Array[Byte]) =
+    Seq(Tuple1(payload)).toDF("content")
+      .select(WebClean.parseHttpResponse($"content").as("p"))
+      .select($"p.status_code", $"p.http_version", $"p.headers",
+        $"p.content_type", $"p.charset", $"p.body")
+      .head()
+
+  test("parseHttpResponse: status line, headers (first-colon split, " +
+    "duplicates kept in order), content-type params, body bytes") {
+    val payload = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: http://example.com/a:b\r\n" +
+      "Content-Type: Text/HTML; charset=\"UTF-8\"; boundary=x\r\n" +
+      "Set-Cookie: a=1\r\n" +
+      "Set-Cookie: b=2\r\n" +
+      "\r\nhello").getBytes("ISO-8859-1")
+    val r = http(payload)
+    assert(r.getInt(0) == 301 && r.getString(1) == "1.1")
+    val hdrs = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(h => (h.getString(0), h.getString(1)))
+    assert(hdrs == Seq(
+      ("location", "http://example.com/a:b"), // value keeps later colons
+      ("content-type", "Text/HTML; charset=\"UTF-8\"; boundary=x"),
+      ("set-cookie", "a=1"), ("set-cookie", "b=2")))
+    assert(r.getString(3) == "text/html" && r.getString(4) == "utf-8")
+    assert(new String(r.getAs[Array[Byte]](5), "US-ASCII") == "hello")
+  }
+
+  test("parseHttpResponse: no CRLFCRLF terminator degrades to " +
+    "whole-payload body with null status/headers") {
+    val r = http("HTTP/1.1 200 OK\r\nTruncated: yes".getBytes("ISO-8859-1"))
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(new String(r.getAs[Array[Byte]](5), "ISO-8859-1")
+      .startsWith("HTTP/1.1 200 OK"))
+  }
+
+  test("parseHttpResponse: non-HTTP head yields null status but parsed " +
+    "headers; empty body allowed") {
+    val r = http("ICY 200 OK\r\nX-H: v\r\n\r\n".getBytes("ISO-8859-1"))
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val hdrs = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(h => (h.getString(0), h.getString(1)))
+    assert(hdrs == Seq(("x-h", "v")))
+    assert(r.getAs[Array[Byte]](5).length == 0)
+  }
+
+  test("httpResponses: charset-aware body_text (latin-1, cp1252, utf-8 " +
+    "default), binary body without content-type never decoded, and the " +
+    "WET step fires only for HTML") {
+    def payload(head: String, body: Array[Byte]) =
+      head.getBytes("ISO-8859-1") ++ body
+    val rows = Seq(
+      (1L, payload("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=iso-8859-1\r\n\r\n",
+        "café".getBytes("ISO-8859-1"))),
+      (2L, payload("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=windows-1252\r\n\r\n",
+        Array(0x93.toByte, 'q'.toByte, 0x94.toByte))), // cp1252 curly quotes
+      (3L, payload("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        "<p>café</p>".getBytes("UTF-8"))), // no charset -> utf-8
+      (4L, payload("HTTP/1.1 200 OK\r\n\r\n",
+        Array(0x89.toByte, 0xff.toByte, 0x00.toByte))) // binary, no CT
+    ).toDF("id", "content")
+    val got = WebClean.httpResponses(rows)
+      .select($"id", $"body_text", $"wet_text").orderBy("id").collect()
+    assert(got(0).getString(1) == "café" && got(0).isNullAt(2))
+    assert(got(1).getString(1) == "“q”" && got(1).isNullAt(2))
+    assert(got(2).getString(1) == "<p>café</p>")
+    assert(got(2).getString(2) == "café") // the WET extraction
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2))
+  }
+
   test("blocklistScan: signals, translate case folding, null text") {
     val docs = Seq((1L, "Spark IN the wINdow"), (2L, "nothing here"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
