@@ -67,7 +67,56 @@ object TarSource {
 
   /** A parsed ustar header (regular==true for typeflag '0'/NUL). */
   private[sources] case class TarHeader(name: String, size: Long,
-                                        regular: Boolean)
+                                        regular: Boolean, typeflag: Byte)
+
+  /** Per-FILE metadata typeflags: GNU long name ('L') / long linkname
+    * ('K') and the pax ('x') / old-draft ('X') extended header — each
+    * describes the NEXT entry, so meta + target form one logical UNIT
+    * for split ownership. (pax 'g' is global, not per-file.) */
+  private[sources] def isFileMeta(tf: Byte): Boolean =
+    tf == 'L'.toByte || tf == 'K'.toByte || tf == 'x'.toByte ||
+      tf == 'X'.toByte
+
+  /** Meta payloads are names/attribute records; anything bigger than
+    * this is a corrupt or adversarial archive, rejected loudly. */
+  private[sources] val MaxMetaBytes: Long = 1L << 20
+
+  /** Pax extended-header records: `"<len> <key>=<value>\n"` where
+    * `<len>` is the DECIMAL length of the whole record including
+    * itself (pax(1) / POSIX.1-2001). Malformed tails stop the parse
+    * (return what parsed); values are UTF-8 — the whole point of pax
+    * names. Later duplicates win, per the spec. */
+  private[sources] def parsePax(payload: Array[Byte]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < payload.length) {
+      var j = i
+      while (j < payload.length && payload(j) != ' '.toByte) j += 1
+      if (j == i || j >= payload.length) return out.toMap
+      val len =
+        try new String(payload, i, j - i, ascii).toInt
+        catch { case _: NumberFormatException => return out.toMap }
+      if (len <= j - i + 2 || i + len > payload.length ||
+          payload(i + len - 1) != '\n'.toByte) return out.toMap
+      val rec = new String(payload, j + 1, i + len - j - 2,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = rec.indexOf('=')
+      if (eq > 0) out(rec.substring(0, eq)) = rec.substring(eq + 1)
+      i += len
+    }
+    out.toMap
+  }
+
+  /** One pax record in the canonical encoding (length prefix counts
+    * itself — the standard fixed-point computation). */
+  private[graft] def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
+    var len = body.length + 1
+    while (len.toString.length + body.length != len)
+      len = len.toString.length + body.length
+    len.toString.getBytes(ascii) ++ body
+  }
 
   private def ascii = java.nio.charset.StandardCharsets.US_ASCII
 
@@ -164,7 +213,7 @@ object TarSource {
     val tf = b(156)
     // a directory's size field describes no payload bytes
     val regular = tf == '0'.toByte || tf == 0.toByte
-    Some(TarHeader(name, if (tf == '5'.toByte) 0L else size, regular))
+    Some(TarHeader(name, if (tf == '5'.toByte) 0L else size, regular, tf))
   }
 
   /** Write `entries` as one deterministic ustar archive (payload
@@ -181,6 +230,67 @@ object TarSource {
         if (rem != 0) out.write(pad, 0, BlockSize - rem)
       }
       out.write(pad); out.write(pad) // end-of-archive marker
+    } finally out.close()
+  }
+
+  /** Write `entries` the way GNU tar does for names the 100-byte ustar
+    * field cannot hold: an `L`-typeflag `././@LongLink` meta entry
+    * carries the full NUL-terminated name; the following regular
+    * header keeps a 100-byte truncation. Short names write exactly as
+    * [[writeTar]]. Fixture/staging writer for real-world WebDataset
+    * shards, which are routinely produced this way. */
+  def writeTarGnu(path: String, entries: Iterator[(String, Array[Byte])]): Unit =
+    writeTarMeta(path, entries) { (out, pad, name) =>
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (nb.length <= 100) name
+      else {
+        val payload = nb :+ 0.toByte
+        out.write(headerBlock("././@LongLink", payload.length,
+          typeflag = 'L'))
+        out.write(payload)
+        val rem = payload.length % BlockSize
+        if (rem != 0) out.write(pad, 0, BlockSize - rem)
+        new String(nb, 0, 100, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    }
+
+  /** Write `entries` the pax (POSIX.1-2001) way: an `x`-typeflag
+    * extended header with a `path=` record precedes any entry whose
+    * name overflows the ustar field. bsdtar/git-archive produce this
+    * layout. */
+  def writeTarPax(path: String, entries: Iterator[(String, Array[Byte])]): Unit =
+    writeTarMeta(path, entries) { (out, pad, name) =>
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (nb.length <= 100) name
+      else {
+        val payload = paxRecord("path", name)
+        out.write(headerBlock("PaxHeaders.0/entry", payload.length,
+          typeflag = 'x'))
+        out.write(payload)
+        val rem = payload.length % BlockSize
+        if (rem != 0) out.write(pad, 0, BlockSize - rem)
+        new String(nb, 0, 100, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    }
+
+  /** Shared writer core: `emitMeta` may write a meta entry for a name
+    * and returns the (possibly truncated) name the regular header
+    * carries. */
+  private def writeTarMeta(path: String,
+      entries: Iterator[(String, Array[Byte])])(
+      emitMeta: (java.io.OutputStream, Array[Byte], String) => String): Unit = {
+    val fs = new Path(path).getFileSystem(DumpSource.activeHadoopConf())
+    val out = fs.create(new Path(path), true)
+    try {
+      val pad = new Array[Byte](BlockSize)
+      entries.foreach { case (name, body) =>
+        val headerName = emitMeta(out, pad, name)
+        out.write(headerBlock(headerName, body.length))
+        out.write(body)
+        val rem = body.length % BlockSize
+        if (rem != 0) out.write(pad, 0, BlockSize - rem)
+      }
+      out.write(pad); out.write(pad)
     } finally out.close()
   }
 
@@ -271,6 +381,18 @@ class TarPartitionReader(part: TarFilePartition,
   private var in: DataInputStream = _
   private var row: InternalRow = _
   private var done = false
+  // GNU/pax long-name state: a meta entry ('L'/'K'/'x'/'X') and its
+  // target form one UNIT. `pendingName` carries the name the next
+  // entry must take; `inUnit` extends ownership past `limit` (the
+  // unit belongs to the range its FIRST meta starts in); `skipUnit`
+  // makes a resyncing reader consume-without-emitting a unit whose
+  // meta started before its range; `globalName` is the (vanishingly
+  // rare) pax 'g' path default — applied within this walk, documented
+  // as not propagated across split boundaries.
+  private var pendingName: Option[String] = None
+  private var globalName: Option[String] = None
+  private var inUnit = false
+  private var skipUnit = false
 
   { // resync to the first block-aligned valid header in range
     val aligned = (part.start + TarSource.BlockSize - 1) /
@@ -278,10 +400,46 @@ class TarPartitionReader(part: TarFilePartition,
     val startAt = if (aligned >= limit) -1L else findNextHeader(aligned)
     pos = startAt
     if (startAt >= 0) {
+      skipUnit = startAt > 0 && precededByFileMeta(startAt)
       val raw = fs.open(fsPath)
       if (startAt > 0) raw.seek(startAt)
       in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
     } else done = true
+  }
+
+  /** Does a valid per-file meta entry END exactly at `off`? Then the
+    * entry at `off` continues a unit owned by an earlier range (had
+    * the meta started at/after this range's aligned start, the resync
+    * scan would have found IT first). Checked over a bounded backward
+    * window — meta payloads are capped at [[TarSource.MaxMetaBytes]],
+    * but names/records are block-scale; 64 blocks (32 KiB) of lookback
+    * covers any real archive. Same validated-header posture as the
+    * forward resync (a payload forging a checksum-valid meta header at
+    * exactly the right offset is the shared documented limit). */
+  private def precededByFileMeta(off: Long): Boolean = {
+    val maxBlocks = 64
+    val winStart = math.max(0L, off - TarSource.BlockSize.toLong * (maxBlocks + 1))
+    val winLen = (off - winStart).toInt
+    if (winLen < TarSource.BlockSize) return false
+    val buf = new Array[Byte](winLen)
+    val scan = fs.open(fsPath)
+    try { scan.seek(winStart); scan.readFully(buf) } finally scan.close()
+    var k = 0
+    while (k <= maxBlocks) {
+      val s = off - TarSource.BlockSize.toLong * (k + 1)
+      if (s < winStart) return false
+      val rel = (s - winStart).toInt
+      val block = java.util.Arrays.copyOfRange(buf, rel,
+        rel + TarSource.BlockSize)
+      TarSource.parseHeader(block) match {
+        case Some(h) if TarSource.isFileMeta(h.typeflag) &&
+            (h.size + TarSource.BlockSize - 1) / TarSource.BlockSize == k =>
+          return true
+        case _ =>
+      }
+      k += 1
+    }
+    false
   }
 
   /** First 512-aligned offset at/after `from` whose block validates as
@@ -304,9 +462,39 @@ class TarPartitionReader(part: TarFilePartition,
     } finally scan.close()
   }
 
+  private def readPayload(size: Long, padded: Long, entryStart: Long): Array[Byte] = {
+    val body = new Array[Byte](size.toInt)
+    try {
+      in.readFully(body)
+      var skip = padded - size
+      while (skip > 0) {
+        val n = in.skip(skip)
+        if (n <= 0) throw new EOFException()
+        skip -= n
+      }
+    } catch { case _: EOFException => throw new IOException(
+      s"truncated tar: entry at $entryStart in ${part.path} " +
+        s"declares $size payload bytes past EOF") }
+    body
+  }
+
+  private def skipPayload(padded: Long, entryStart: Long): Unit = {
+    var skip = padded
+    while (skip > 0) {
+      val n = in.skip(skip)
+      if (n <= 0) throw new IOException(
+        s"truncated tar: cannot skip entry at $entryStart in ${part.path}")
+      skip -= n
+    }
+  }
+
   @annotation.tailrec
   final override def next(): Boolean = {
-    if (done || pos >= limit) return false
+    // ownership: entries starting in [start, limit) — except a UNIT
+    // (meta chain + target) belongs wholly to the range its first
+    // meta starts in, so keep walking past `limit` while inside one
+    // (`inUnit`) and keep consuming a foreign unit's tail (`skipUnit`)
+    if (done || (pos >= limit && !inUnit && !skipUnit)) return false
     val block = new Array[Byte](TarSource.BlockSize)
     try in.readFully(block)
     catch { case _: EOFException => done = true; return false }
@@ -323,30 +511,53 @@ class TarPartitionReader(part: TarFilePartition,
         val padded = (h.size + TarSource.BlockSize - 1) /
           TarSource.BlockSize * TarSource.BlockSize
         pos = entryStart + TarSource.BlockSize + padded
-        if (h.regular) {
-          val body = new Array[Byte](h.size.toInt)
-          try {
-            in.readFully(body)
-            var skip = padded - h.size
-            while (skip > 0) {
-              val n = in.skip(skip)
-              if (n <= 0) throw new EOFException()
-              skip -= n
-            }
-          } catch { case _: EOFException => throw new IOException(
-            s"truncated tar: entry at $entryStart in ${part.path} " +
-              s"declares ${h.size} payload bytes past EOF") }
-          row = InternalRow(
-            pathUtf8, entryStart, UTF8String.fromString(h.name), h.size, body)
-          true
-        } else { // directory/link/special: skip payload (if any), continue
-          var skip = padded
-          while (skip > 0) {
-            val n = in.skip(skip)
-            if (n <= 0) throw new IOException(
-              s"truncated tar: cannot skip entry at $entryStart in ${part.path}")
-            skip -= n
+        if (TarSource.isFileMeta(h.typeflag)) {
+          // GNU long-(link)name / pax per-file attributes: consume the
+          // payload and CARRY it to the next entry instead of emitting
+          // a literal "@LongLink" sample
+          if (h.size > TarSource.MaxMetaBytes) throw new IOException(
+            s"tar meta entry at $entryStart in ${part.path} declares " +
+              s"${h.size} bytes (cap ${TarSource.MaxMetaBytes})")
+          val body = readPayload(h.size, padded, entryStart)
+          if (!skipUnit) h.typeflag.toChar match {
+            case 'L' =>
+              var end = 0
+              while (end < body.length && body(end) != 0) end += 1
+              pendingName = Some(new String(body, 0, end,
+                java.nio.charset.StandardCharsets.UTF_8))
+            case 'x' | 'X' =>
+              TarSource.parsePax(body).get("path")
+                .foreach(p => pendingName = Some(p))
+            case _ => // 'K' long linkname: linknames are not emitted
           }
+          inUnit = true
+          next()
+        } else if (h.typeflag == 'g'.toByte) {
+          // pax GLOBAL header: standalone (neither opens nor closes a
+          // unit); a path= default applies to this walk's remainder
+          if (h.size > TarSource.MaxMetaBytes) throw new IOException(
+            s"tar meta entry at $entryStart in ${part.path} declares " +
+              s"${h.size} bytes (cap ${TarSource.MaxMetaBytes})")
+          val body = readPayload(h.size, padded, entryStart)
+          if (!skipUnit) TarSource.parsePax(body).get("path")
+            .foreach(p => globalName = Some(p))
+          next()
+        } else if (h.regular) {
+          if (skipUnit) { // a foreign unit's target: consume, don't emit
+            skipPayload(padded, entryStart)
+            skipUnit = false; inUnit = false; pendingName = None
+            next()
+          } else {
+            val body = readPayload(h.size, padded, entryStart)
+            val name = pendingName.orElse(globalName).getOrElse(h.name)
+            pendingName = None; inUnit = false
+            row = InternalRow(
+              pathUtf8, entryStart, UTF8String.fromString(name), h.size, body)
+            true
+          }
+        } else { // directory/link/special: closes any unit, not emitted
+          skipPayload(padded, entryStart)
+          pendingName = None; inUnit = false; skipUnit = false
           next()
         }
     }

@@ -110,6 +110,90 @@ class TarSourceSpec extends AnyFunSuite {
     assert(samples("train/001/a")._2 == "textA2")
   }
 
+  test("GNU @LongLink and pax path= long names: the meta entry is " +
+    "consumed and its name applied to the next entry — no literal " +
+    "@LongLink/PaxHeaders samples — and tarSamples groups by the " +
+    "FULL name") {
+    val dir = tmpDir()
+    val longA = "very/deep/" + ("d" * 120) + "/sample-one.txt"
+    val longB = "very/deep/" + ("d" * 120) + "/sample-one.cls"
+    val entries = Seq(
+      (longA, "alpha".getBytes(UTF_8)),
+      ("short.txt", "s".getBytes(UTF_8)),
+      (longB, "beta".getBytes(UTF_8)))
+    TarSource.writeTarGnu(s"$dir/gnu.tar", entries.iterator)
+    TarSource.writeTarPax(s"$dir/pax.tar", entries.iterator)
+    for (f <- Seq("gnu.tar", "pax.tar")) {
+      val got = readTar(Seq(s"$dir/$f"))
+        .select($"name", $"payload".cast("string"))
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(("short.txt", "s"), (longB, "beta"),
+        (longA, "alpha")), s"in $f")
+      // > 100 chars survived intact
+      assert(got.exists(_._1.length > 100))
+    }
+    // WebDataset grouping keys on the carried full name
+    val samples = TarSource.tarSamples(readTar(Seq(s"$dir/gnu.tar")))
+      .orderBy("sample_key")
+      .select($"sample_key", map_keys($"members"))
+      .as[(String, Seq[String])].collect().toSeq
+    assert(samples.map(_._1) == Seq("short",
+      "very/deep/" + ("d" * 120) + "/sample-one"))
+    assert(samples(1)._2.sorted == Seq("cls", "txt"))
+  }
+
+  test("a long-name unit straddling split boundaries is owned exactly " +
+    "once: split union == unsplit for every split size (GNU and pax)") {
+    val dir = tmpDir()
+    // many long-named entries with varied payload sizes so unit
+    // boundaries land at all positions relative to the split grid
+    val entries = (0 until 80).map { i =>
+      val name =
+        if (i % 3 == 0) s"deep/${"n" * (90 + i % 40)}/k$i.bin"
+        else s"plain/k$i.bin"
+      (name, ("p" * (i % 1100 + 3) + s"|$i").getBytes(UTF_8))
+    }
+    TarSource.writeTarGnu(s"$dir/g.tar", entries.iterator)
+    TarSource.writeTarPax(s"$dir/p.tar", entries.iterator)
+    for (f <- Seq("g.tar", "p.tar")) {
+      val whole = readTar(Seq(s"$dir/$f"))
+        .select($"entry_offset", $"name", $"payload".cast("string"))
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(whole.map(_._2).sorted == entries.map(_._1).sorted, s"in $f")
+      for (sb <- Seq(512L, 1024L, 2048L, 4096L)) {
+        val split = readTar(Seq(s"$dir/$f"), splitBytes = sb)
+          .select($"entry_offset", $"name", $"payload".cast("string"))
+          .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+        assert(split == whole, s"in $f at splitBytes=$sb")
+      }
+    }
+  }
+
+  test("pax 'g' global header is consumed, never emitted; a global " +
+    "path= applies only where no per-file name overrides") {
+    val dir = tmpDir()
+    // hand-assemble: ['g' global][file a][x path= meta][file b]
+    val gRec = TarSource.paxRecord("comment", "release-fixture")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(TarSource.headerBlock("pax_global_header", gRec.length,
+      typeflag = 'g'))
+    out.write(gRec); out.write(new Array[Byte](512 - gRec.length % 512))
+    out.write(TarSource.headerBlock("a.txt", 2))
+    out.write("aa".getBytes(UTF_8)); out.write(new Array[Byte](510))
+    val xRec = TarSource.paxRecord("path", "renamed/long-b.txt")
+    out.write(TarSource.headerBlock("PaxHeaders.0/b", xRec.length,
+      typeflag = 'x'))
+    out.write(xRec); out.write(new Array[Byte](512 - xRec.length % 512))
+    out.write(TarSource.headerBlock("b.txt", 2))
+    out.write("bb".getBytes(UTF_8)); out.write(new Array[Byte](510))
+    out.write(new Array[Byte](1024))
+    Files.write(Paths.get(s"$dir/gx.tar"), out.toByteArray)
+    val got = readTar(Seq(s"$dir/gx.tar"))
+      .select($"name", $"payload".cast("string"))
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a.txt", "aa"), ("renamed/long-b.txt", "bb")))
+  }
+
   test("directory entries are skipped, prefix-field names are honored, " +
     "and truncated archives fail loudly") {
     val dir = tmpDir()
