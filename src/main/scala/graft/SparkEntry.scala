@@ -2220,6 +2220,17 @@ object SparkEntry {
       Unigram.encodeDocs(docs, "doc_id", "text", vocab, unkMicro = -2500000L)
     }),
 
+    // §2b-57i: unigram-LM hard-EM training rounds (Viterbi E-step +
+    // counted-ML M-step, driver-applied like trainLogReg) — each
+    // round's DP runs once per DISTINCT word; the single float op per
+    // round (ln) rides the pinned Spark-log/DuckDB-ln parity, and the
+    // integer micro-nat scores make round-2 segmentation replay exact
+    "q_unigram_em" -> ((s, dir) => {
+      val words = Bpe.wordCounts(t(s, dir, "documents"), "text")
+      val seed = Unigram.collectVocab(Unigram.seedVocab(words, topK = 200))
+      Unigram.emRounds(words, seed, unkMicro = -2500000L, rounds = 2)
+    }),
+
     // §2b-57h: the same encode under a PUBLISHED-FORMAT vocabulary —
     // the bundled SentencePiece TSV dump imports via exact scaled-
     // decimal parsing (the merges.txt interop pattern)
@@ -5865,6 +5876,10 @@ object SparkEntry {
          |${sqlUnigramDpCtes(-2500000L, maxPiece = 4, maxW = 16)},
          |$sqlUnigramDocAssembly""".stripMargin,
 
+    // two namespaced DP replays chained through the ln-re-estimated
+    // vocabularies; see sqlUnigramEmOracle
+    "q_unigram_em" -> sqlUnigramEmOracle,
+
     // §2b-70: Mann-Whitney AUC over the per-distinct-score histogram;
     // 2·avgrank = 2·cum_before + cnt + 1 keeps everything integral
     // until the one final division
@@ -6092,40 +6107,75 @@ object SparkEntry {
     * `maxW` must cover the corpus (max ASCII token is 8 at every sf;
     * a longer word would drop out of `enc` and fail the compare
     * LOUDLY, not silently). */
-  private def sqlUnigramDpCtes(unkMicro: Long, maxPiece: Int, maxW: Int): String = {
+  private def sqlUnigramDpCtes(unkMicro: Long, maxPiece: Int, maxW: Int,
+      sfx: String = "", piecesCte: String = "pieces"): String = {
     val head =
-      "dp0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, " +
+      s"dp${sfx}0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, " +
         "CAST(NULL AS INT) AS bp FROM words)"
     val rounds = (1 to maxW).map { i =>
-      s"""cand$i AS (
+      s"""cand$sfx$i AS (
          |  SELECT d.w,
          |    d.score + CASE WHEN p.lp IS NOT NULL THEN p.lp
          |                   WHEN $i - d.pos = 1 THEN CAST($unkMicro AS BIGINT)
          |                   ELSE NULL END AS cand,
          |    d.pos AS j
-         |  FROM dp${i - 1} d
-         |  LEFT JOIN pieces p ON p.piece = substr(d.w, d.pos + 1, $i - d.pos)
+         |  FROM dp$sfx${i - 1} d
+         |  LEFT JOIN $piecesCte p ON p.piece = substr(d.w, d.pos + 1, $i - d.pos)
          |  WHERE length(d.w) >= $i AND d.pos >= $i - $maxPiece AND d.pos < $i),
-         |dp$i AS MATERIALIZED (
-         |  SELECT w, pos, score, bp FROM dp${i - 1}
+         |dp$sfx$i AS MATERIALIZED (
+         |  SELECT w, pos, score, bp FROM dp$sfx${i - 1}
          |  UNION ALL
          |  SELECT w, $i AS pos, cand AS score, CAST(j AS INT) AS bp FROM (
          |    SELECT w, cand, j,
          |      row_number() OVER (PARTITION BY w ORDER BY cand DESC, j) AS rn
-         |    FROM cand$i WHERE cand IS NOT NULL) q WHERE rn = 1)""".stripMargin
+         |    FROM cand$sfx$i WHERE cand IS NOT NULL) q WHERE rn = 1)""".stripMargin
     }
     val tail =
-      s"""walk AS (
-         |  SELECT w, pos, bp FROM dp$maxW WHERE pos = length(w) AND pos > 0
+      s"""walk$sfx AS (
+         |  SELECT w, pos, bp FROM dp$sfx$maxW WHERE pos = length(w) AND pos > 0
          |  UNION ALL
-         |  SELECT d.w, d.pos, d.bp FROM walk k JOIN dp$maxW d
+         |  SELECT d.w, d.pos, d.bp FROM walk$sfx k JOIN dp$sfx$maxW d
          |    ON d.w = k.w AND d.pos = k.bp WHERE k.bp > 0),
-         |segs AS (SELECT w, pos, substr(w, bp + 1, pos - bp) AS piece FROM walk),
-         |enc AS MATERIALIZED (
+         |segs$sfx AS (SELECT w, pos, substr(w, bp + 1, pos - bp) AS piece FROM walk$sfx),
+         |enc$sfx AS MATERIALIZED (
          |  SELECT w, string_agg(piece, ' ' ORDER BY pos) AS seg,
          |         count(*) AS n
-         |  FROM segs GROUP BY w)""".stripMargin
+         |  FROM segs$sfx GROUP BY w)""".stripMargin
     (head +: rounds :+ tail).mkString(",\n")
+  }
+
+  /** q_unigram_em oracle: two hard-EM rounds, each a full namespaced
+    * DP replay under that round's vocabulary — round 1 under the seed
+    * scores, round 2 under `floor(1e6·ln(cnt/total))` re-estimates
+    * (DuckDB `ln` / Spark `log`, the pinned-parity pair); the final
+    * SELECT is round 2's M-step. In-vocab filtering is the join to
+    * the round's pieces relation (an unknown-character fallback
+    * carries no mass). */
+  private def sqlUnigramEmOracle: String = {
+    def mStep(countsCte: String): String =
+      s"SELECT piece, cnt, CAST(floor(ln(CAST(cnt AS DOUBLE) / " +
+        s"(SELECT sum(cnt) FROM $countsCte)) * 1000000) AS BIGINT) AS lp_micro " +
+        s"FROM $countsCte"
+    def counts(sfx: String, piecesCte: String): String =
+      s"""SELECT s.piece, CAST(sum(w.cnt) AS BIGINT) AS cnt
+         |  FROM segs$sfx s JOIN words w ON w.w = s.w
+         |  JOIN $piecesCte p ON p.piece = s.piece
+         |  GROUP BY s.piece""".stripMargin
+    s"""WITH RECURSIVE
+       |$sqlUnigramWordsCte,
+       |$sqlUnigramSeedCte,
+       |pieces_r1 AS (SELECT piece, lp_micro AS lp FROM seeds),
+       |${sqlUnigramDpCtes(-2500000L, maxPiece = 4, maxW = 16,
+          sfx = "_a", piecesCte = "pieces_r1")},
+       |counts_r1 AS MATERIALIZED (
+       |${counts("_a", "pieces_r1")}),
+       |pieces_r2 AS MATERIALIZED (
+       |  SELECT piece, lp_micro AS lp FROM (${mStep("counts_r1")}) m),
+       |${sqlUnigramDpCtes(-2500000L, maxPiece = 4, maxW = 16,
+          sfx = "_b", piecesCte = "pieces_r2")},
+       |counts_r2 AS MATERIALIZED (
+       |${counts("_b", "pieces_r2")})
+       |${mStep("counts_r2")}""".stripMargin
   }
 
   /** Doc-level reassembly for the unigram encode oracles — the

@@ -23,10 +23,12 @@ import graft.plans.UnigramExpression
   *
   * [[seedVocab]] is the EM INITIALIZATION of unigram training (the
   * frequent-substring seed lattice, scored by a deterministic
-  * frequency-rewarding length-penalized surrogate); full EM
-  * iterations are out of scope — production vocabularies arrive via
-  * [[parseSpVocabText]] (the published SentencePiece TSV dump format)
-  * exactly as BPE's arrive via merges.txt. */
+  * frequency-rewarding length-penalized surrogate); [[emRounds]] runs
+  * the training loop itself (hard-EM with the Viterbi E-step
+  * approximation, driver-applied rounds). Production vocabularies can
+  * still arrive pre-trained via [[parseSpVocabText]] (the published
+  * SentencePiece TSV dump format) exactly as BPE's arrive via
+  * merges.txt. */
 object Unigram {
 
   /** One vocabulary entry: piece + log-probability in micro-nats. */
@@ -106,6 +108,61 @@ object Unigram {
           transform(sort_array(collect_list(struct(col("__pos"), col("__seg")))),
             p => p.getField("__seg"))), " ").as("encoded"),
         sum(size(col("__seg"))).as("n_subwords"))
+  }
+
+  /** Hard-EM (Viterbi-EM) vocabulary training rounds — the Kudo 2018
+    * loop with the standard Viterbi E-step approximation (the
+    * SentencePiece `--use_all_vocab`-free core, minus the pruning
+    * schedule): each round segments every DISTINCT word under the
+    * current vocabulary (one codegen DP call per word — the
+    * [[encodeDocs]] kernel), counts pieces weighted by word frequency
+    * (map-combined agg over the Heaps-sublinear word table — the
+    * corpus itself is never re-scanned inside the loop), and
+    * re-estimates `lp = floor(1e6 · ln(cnt/total))` micro-nats.
+    * Rounds are driver-applied like `Classify.trainLogReg`: the
+    * vocabulary (tokenizer-artifact-sized, ≤ topK rows) is collected
+    * between rounds; pieces the Viterbi never uses drop out (the
+    * likelihood-neutral part of SentencePiece's pruning).
+    *
+    * Exactness: within a round everything is integer except the
+    * single `ln` per piece, computed by the SAME expression in Spark
+    * and the oracle (`floor(ln(cnt/total)·1e6)` — the BM25/bigram-NLL
+    * ln-parity contract); scores then feed the next round's pure-Long
+    * DP, so segmentations replay exactly.
+    *
+    * Hard-EM monotonicity: the Viterbi segmentation's training
+    * log-likelihood is non-decreasing round over round (each E-step
+    * picks the argmax segmentation under the current probabilities;
+    * each M-step is the ML estimate for the chosen segmentation) —
+    * spec-pinned along with a hand-computed redistribution case.
+    *
+    * Returns the final round's (piece, cnt, lp_micro). */
+  def emRounds(words: DataFrame, seed: Seq[Piece], unkMicro: Long,
+               rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val w = words.persist()
+    var vocab = seed
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val v = vocabOf(vocab, unkMicro)
+      val inVocab = vocab.map(_.piece)
+      val segs = w.select(col("cnt"),
+        explode(UnigramExpression.unigramEncode(col("w"), v)).as("piece"))
+      // in-vocab pieces only: an unknown-character fallback is not a
+      // vocabulary event and carries no probability mass
+      val counts = segs.where(col("piece").isInCollection(inVocab))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("n"))
+      out = counts.crossJoin(broadcast(total))
+        .select(col("piece"), col("cnt"),
+          floor(log(col("cnt").cast("double") / col("n").cast("double"))
+            * lit(1000000.0)).cast("long").as("lp_micro"))
+      if (r < rounds) vocab = collectVocab(out)
+    }
+    // vocab-sized result; materialize it so the word cache releases
+    val res = out.localCheckpoint(true)
+    w.unpersist(false)
+    res
   }
 
   /** Parse a SentencePiece vocabulary dump (the `spm_export_vocab` /

@@ -101,6 +101,64 @@ class UnigramSpec extends AnyFunSuite {
       s"vocab should broadcast:\n$plan")
   }
 
+  // ---- emRounds (hard-EM / Viterbi-EM) -----------------------------------
+
+  /** Optimal Viterbi log-likelihood of a word table under a vocab, in
+    * nats (Σ cnt · score/1e6) — the kernel's own segmentation scored
+    * by the same vocab, so this IS the hard-EM objective. */
+  private def trainLL(words: Seq[(String, Long)], pieces: Seq[Piece],
+                      unk: Long): Double = {
+    val v = Unigram.vocabOf(pieces, unk)
+    val lp = pieces.map(p => p.piece -> p.lpMicro).toMap
+    words.map { case (w, cnt) =>
+      val s = seg(w, pieces, unk)
+        .map(p => lp.getOrElse(p, unk)).sum
+      cnt.toDouble * s / 1e6
+    }.sum
+  }
+
+  test("emRounds: hand-computed mass redistribution — an unused seed " +
+    "piece drops out and the survivor re-estimates to ln(1)=0") {
+    val words = Seq(("abab", 4L), ("ab", 2L)).toDF("w", "cnt")
+    // seed: "ab" cheap, "abab" expensive -> round-1 Viterbi uses only
+    // "ab" (ab+ab = -0.2 beats abab = -3.0); "abab" gets zero count
+    // and drops; "ab" holds ALL the mass -> lp = floor(1e6·ln(1)) = 0
+    val seed = Seq(Piece("ab", -100000L), Piece("abab", -3000000L))
+    val got = Unigram.emRounds(words, seed, unkMicro = -2500000L, rounds = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("ab", 10L, 0L)))
+  }
+
+  test("emRounds: hard-EM training likelihood is non-decreasing round " +
+    "over round, and the trained vocab beats the round-1 estimate on " +
+    "HELD-OUT words") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val train = docs.where($"doc_id" % 2 === 0)
+    val heldout = docs.where($"doc_id" % 2 =!= 0)
+    val trainWords = Bpe.wordCounts(train, "text")
+    val heldWords = Bpe.wordCounts(heldout, "text")
+      .as[(String, Long)].collect().toSeq
+    val unk = -2500000L
+    val seed = Unigram.collectVocab(Unigram.seedVocab(trainWords, topK = 200))
+    val em1 = Unigram.collectVocab(
+      Unigram.emRounds(trainWords, seed, unk, rounds = 1))
+    val em2 = Unigram.collectVocab(
+      Unigram.emRounds(trainWords, seed, unk, rounds = 2))
+    val trainSeq = trainWords.as[(String, Long)].collect().toSeq
+    // monotonicity on the training objective (EM guarantee; em1/em2
+    // are both PROPER ln(cnt/total) probability vocabs — the seed's
+    // surrogate scores are not a likelihood and are not compared)
+    val ll1 = trainLL(trainSeq, em1, unk)
+    val ll2 = trainLL(trainSeq, em2, unk)
+    assert(ll2 >= ll1 - 1e-9, s"training LL decreased: $ll1 -> $ll2")
+    // the trained vocab generalizes: held-out NLL does not get worse,
+    // and the round moved the estimates (not a fixed point of the seed)
+    val h1 = -trainLL(heldWords, em1, unk)
+    val h2 = -trainLL(heldWords, em2, unk)
+    assert(h2 <= h1 + 1e-9, s"held-out NLL got worse: $h1 -> $h2")
+    assert(em1.toSet != seed.toSet, "EM round left the seed unchanged")
+  }
+
   test("seeded-vocab encode improves compression over all-unknown " +
     "(sanity of the surrogate scores)") {
     val docs = Seq((1L, "window window stream customer")).toDF("doc_id", "text")
