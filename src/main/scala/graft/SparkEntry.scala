@@ -1478,6 +1478,16 @@ object SparkEntry {
       Classify.langIdArgmax(t(s, dir, "documents"), "doc_id", "text", models)
     }),
 
+    // §2b-24c: language ID under a PUBLISHED fastText model — the
+    // bundled `fasttext dump` sample imports via per-label
+    // linearization (weight = input_w · output_l landed in the word's
+    // kernel bucket; the merges.txt/ARPA/SPM interop pattern on the
+    // classifier side), then the same one-scan argmax as q_lang_id2
+    "q_lang_id3" -> ((s, dir) =>
+      Classify.langIdArgmax(t(s, dir, "documents"), "doc_id", "text",
+        Classify.loadFastTextResource("/graft/fasttext_lid_sample.txt",
+          numBuckets = 1024))),
+
     // §2b-25: quality scoring + doc stats
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -2525,6 +2535,54 @@ object SparkEntry {
     * 1024-bucket id (HUGEINT mod 2^64; 1024 divides 2^64, so the
     * unsigned modulus equals the kernel's signed floorMod). Used by
     * the q_classifier_score oracle's feature hashing. */
+  /** q_lang_id3 oracle: the fastText sample dump parsed by the SAME
+    * import the Spark side runs (the merges.txt resource-at-
+    * construction pattern; weights are dyadic-grid doubles so the
+    * rendered literals round-trip exactly), nonzero per-bucket
+    * weights as sparse VALUES densified to the 1024-slot list per
+    * label, then the q_lang_id2 scoring replay with tie-break on the
+    * model INDEX (= the Spark side's earliest-model-wins fold). */
+  private def qLangId3Oracle: String = {
+    val models = graft.operators.Classify
+      .loadFastTextResource("/graft/fasttext_lid_sample.txt", numBuckets = 1024)
+    val sparse = models.zipWithIndex.flatMap { case ((lang, w), i) =>
+      w.zipWithIndex.collect { case (v, b) if v != 0.0 =>
+        s"('$lang', $i, $b, CAST($v AS DOUBLE))" }
+    }.mkString(", ")
+    val idx = models.zipWithIndex
+      .map { case ((lang, _), i) => s"('$lang', $i)" }.mkString(", ")
+    s"""WITH sw(lang, idx, b, w) AS (VALUES $sparse),
+       |ml(lang, idx) AS (VALUES $idx),
+       |wl AS MATERIALIZED (
+       |  SELECT m.lang, m.idx, list(coalesce(s.w, 0.0) ORDER BY rb.b) AS ws
+       |  FROM ml m CROSS JOIN range(0, 1024) rb(b)
+       |  LEFT JOIN sw s ON s.lang = m.lang AND s.b = rb.b
+       |  GROUP BY m.lang, m.idx),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, flatten(list_transform(range(1, len(t)+1), i ->
+       |    CASE WHEN i = 1 THEN [${sqlFnvBucket("t[i]")}]
+       |    ELSE [${sqlFnvBucket("concat(t[i-1], ' ', t[i])")},
+       |          ${sqlFnvBucket("t[i]")}] END)) AS fs
+       |  FROM toks),
+       |scored AS (
+       |  SELECT f.doc_id, wl.lang, wl.idx,
+       |    CASE WHEN len(f.fs) = 0 THEN 0.0
+       |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(f.fs, x -> wl.ws[CAST(x AS INT) + 1])),
+       |      (a, v) -> a + v) END AS logit
+       |  FROM feats f CROSS JOIN wl),
+       |ranked AS (
+       |  SELECT doc_id, lang, logit,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY logit DESC, idx) AS rn
+       |  FROM scored)
+       |SELECT doc_id, lang AS lang_pred, round(logit, 6) AS logit
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   private def sqlFnvBucket(x: String): String =
     s"CAST(list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
       s"list_transform(range(1, length($x)+1), " +
@@ -4587,6 +4645,10 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, lang AS lang_pred, round(logit, 6) AS logit
          |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // the fastText-import twin: weights come from the parsed bundled
+    // dump (see qLangId3Oracle), scoring replay identical
+    "q_lang_id3" -> qLangId3Oracle,
 
     // DSIR: the q_classifier_score feature replay feeds two bucket
     // counts (target = lang 'en', raw = all); λ(b) is the add-1

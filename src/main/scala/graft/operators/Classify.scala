@@ -183,6 +183,102 @@ object Classify {
     } finally { base.unpersist(); () }
   }
 
+  /** Import a PUBLISHED fastText supervised model — the `fasttext
+    * dump` text format (sections `args` / `dict` / `input` / `output`
+    * concatenated, each preceded by its section-name line, exactly as
+    * the four dump invocations emit them) — LINEARIZED onto the
+    * hashed-gram kernel, the classifier-side analog of the
+    * merges.txt / ARPA / SentencePiece-vocab interop family.
+    *
+    * fastText's supervised score is bilinear: logit_l = output_l ·
+    * mean(input_w over tokens). Per LABEL that collapses to a linear
+    * model over tokens — weight(l, w) = input_w · output_l — so the
+    * import precomputes those dot products and lands each dict word's
+    * weight in its [[TextHash.hashGramLogit]] unigram bucket
+    * (floorMod(fnv64(word), numBuckets)). Inference is then the
+    * existing [[langIdArgmax]] scan, bit-replayable like every other
+    * imported model. Two documented deviations from fastText's own
+    * scoring, neither affecting argmax: the 1/tokenCount scaling is
+    * dropped (common to all labels), and the kernel's bigram features
+    * contribute whatever mass hash collisions put in their buckets —
+    * the hashing-trick contract of the surface.
+    *
+    * Supported subset, enforced LOUDLY: word-feature models only
+    * (`minn`/`maxn` 0 — subword char-n-gram models like lid.176 use
+    * fastText's OWN subword hash, a different kernel; re-dump with
+    * `-minn 0 -maxn 0` or retrain word-level) and `wordNgrams` ≤ 1
+    * (fastText word-bigrams hash into ITS bucket range). Labels drop
+    * the `__label__` prefix. Returns (label, weights) in the model's
+    * own label order, ready for [[langIdArgmax]]. */
+  def parseFastTextDump(text: String,
+                        numBuckets: Int = 1024): Seq[(String, Array[Double])] = {
+    val lines = text.linesIterator.map(_.replaceAll("\r$", "")).toVector
+    val sectionNames = Set("args", "dict", "input", "output")
+    val starts = lines.zipWithIndex
+      .collect { case (l, i) if sectionNames(l.trim) => (l.trim, i) }
+    require(starts.map(_._1).toSet == sectionNames,
+      s"dump must contain all of $sectionNames; found ${starts.map(_._1)}")
+    val sections: Map[String, Vector[String]] =
+      starts.zipWithIndex.map { case ((name, from), si) =>
+        val until = if (si + 1 < starts.length) starts(si + 1)._2
+                    else lines.length
+        name -> lines.slice(from + 1, until).filter(_.trim.nonEmpty)
+      }.toMap
+    val args = sections("args")
+      .map(_.trim.split("\\s+")).collect { case Array(k, v) => k -> v }.toMap
+    val dim = args.getOrElse("dim",
+      sys.error("args section must declare dim")).toInt
+    require(args.getOrElse("minn", "0").toInt == 0 &&
+      args.getOrElse("maxn", "0").toInt == 0,
+      "subword (char n-gram) fastText models are not importable onto " +
+        "the word-hashing kernel; re-dump with -minn 0 -maxn 0")
+    require(args.getOrElse("wordNgrams", "1").toInt <= 1,
+      "wordNgrams > 1 uses fastText's own bucket hashing; import " +
+        "supports unigram-word models")
+    val dict = sections("dict").map(_.trim.split("\\s+"))
+    dict.foreach(p => require(p.length == 3,
+      s"dict line must be '<token> <count> <type>': ${p.mkString(" ")}"))
+    val words = dict.filter(_(2) == "word").map(_(0))
+    val labels = dict.filter(_(2) == "label")
+      .map(_(0).stripPrefix("__label__"))
+    require(labels.nonEmpty, "model has no labels")
+    def matrix(name: String, atLeast: Int): Vector[Array[Double]] = {
+      val rows = sections(name).map(_.trim.split("\\s+").map(_.toDouble))
+      require(rows.length >= atLeast,
+        s"$name matrix has ${rows.length} rows, need >= $atLeast")
+      rows.foreach(r => require(r.length == dim,
+        s"$name row has ${r.length} values, dim is $dim"))
+      rows
+    }
+    val input = matrix("input", words.length)
+    val output = matrix("output", labels.length)
+    require(output.length == labels.length,
+      s"output matrix has ${output.length} rows for ${labels.length} labels")
+    labels.zipWithIndex.map { case (label, li) =>
+      val w = new Array[Double](numBuckets)
+      words.zipWithIndex.foreach { case (word, wi) =>
+        val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = java.lang.Math.floorMod(
+          TextHash.fnv64(bytes, 0, bytes.length), numBuckets.toLong).toInt
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += input(wi)(k) * output(li)(k); k += 1 }
+        w(b) += d
+      }
+      label -> w
+    }.toSeq
+  }
+
+  /** [[parseFastTextDump]] over a bundled classpath resource. */
+  def loadFastTextResource(path: String,
+                           numBuckets: Int = 1024): Seq[(String, Array[Double])] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"resource not found: $path")
+    try parseFastTextDump(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8), numBuckets)
+    finally in.close()
+  }
+
   /** Score documents with a hashed unigram+bigram linear model:
     * (id, logit rounded to 6, keep = raw logit > `threshold`). The
     * keep decision compares the UNROUNDED logit, which is

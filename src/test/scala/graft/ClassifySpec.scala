@@ -152,4 +152,83 @@ class ClassifySpec extends AnyFunSuite {
     assert(nonZero.forall(v => v == -0.05 || v == -0.1))
     assert(nonZero.map(v => math.round(v / -0.05)).sum === 3L)
   }
+
+  // ---- parseFastTextDump (published-model import) ------------------------
+
+  /** A hand-built `fasttext dump` for three fake languages with
+    * disjoint vocabularies: input_w is the one-hot of the word's
+    * language, output_l the one-hot of the label, so the linearized
+    * weight is exactly 1.0 for own-language words and 0.0 otherwise. */
+  private def fakeDump(vocab: Map[String, Seq[String]]): String = {
+    val langs = vocab.keys.toSeq.sorted
+    val dictWords = langs.flatMap(l => vocab(l).map(w => (w, l)))
+    val dim = langs.length
+    def oneHot(i: Int) =
+      (0 until dim).map(k => if (k == i) "1.0" else "0.0").mkString(" ")
+    "args\n" + s"dim $dim\nminn 0\nmaxn 0\nwordNgrams 1\nbucket 0\n" +
+      "dict\n" +
+      dictWords.map { case (w, _) => s"$w 10 word" }.mkString("\n") + "\n" +
+      langs.map(l => s"__label__$l 0 label").mkString("\n") + "\n" +
+      "input\n" +
+      dictWords.map { case (_, l) => oneHot(langs.indexOf(l)) }
+        .mkString("\n") + "\n" +
+      "output\n" + langs.indices.map(oneHot).mkString("\n") + "\n"
+  }
+
+  test("parseFastTextDump: sections parse, labels drop the __label__ " +
+    "prefix, weights land in the kernel's unigram buckets, and the " +
+    "unsupported-subset guards are loud") {
+    val vocab = Map(
+      "aa" -> Seq("alpha", "apple", "anchor"),
+      "bb" -> Seq("birch", "bottle", "barrel"))
+    val models = Classify.parseFastTextDump(fakeDump(vocab), 1024)
+    assert(models.map(_._1) == Seq("aa", "bb"))
+    // each label's weights: 1.0 at its own words' buckets, 0 elsewhere
+    models.foreach { case (lang, w) =>
+      assert(w.count(_ != 0.0) == 3, s"$lang nonzero count")
+      vocab(lang).foreach { word =>
+        val bytes = word.getBytes("UTF-8")
+        val b = java.lang.Math.floorMod(
+          graft.functions.TextHash.fnv64(bytes, 0, bytes.length), 1024L).toInt
+        assert(w(b) == 1.0, s"$lang/$word bucket $b")
+      }
+    }
+    // subword models are rejected loudly, not silently mis-imported
+    val sub = fakeDump(vocab).replace("minn 0", "minn 2")
+    val e = intercept[IllegalArgumentException] {
+      Classify.parseFastTextDump(sub, 1024) }
+    assert(e.getMessage.contains("subword"))
+    val ng = fakeDump(vocab).replace("wordNgrams 1", "wordNgrams 2")
+    assert(intercept[IllegalArgumentException] {
+      Classify.parseFastTextDump(ng, 1024) }
+      .getMessage.contains("wordNgrams"))
+    intercept[IllegalArgumentException] {
+      Classify.parseFastTextDump("args\ndim 2\ndict\ninput\n", 1024) }
+  }
+
+  test("imported fastText model matches trainLangId predictions on " +
+    "planted multilingual holdout (the interop accuracy contract)") {
+    val vocab = Map(
+      "aa" -> Seq("alpha", "apple", "anchor", "arrow", "atlas"),
+      "bb" -> Seq("birch", "bottle", "barrel", "bridge", "bronze"),
+      "cc" -> Seq("cedar", "copper", "circle", "candle", "canyon"))
+    val imported = Classify.parseFastTextDump(fakeDump(vocab), 1024)
+    val train = vocab.toSeq.flatMap { case (lang, words) =>
+      (1 to 30).map(i => (s"${words.mkString(" ")} token$i", lang))
+    }.toDF("text", "lang")
+    val trained = Classify.trainLangId(train, "text", "lang",
+      numBuckets = 1024, iters = 5, lr = 0.05)
+    val holdout = Seq(
+      (1L, "anchor atlas alpha unseen"),
+      (2L, "bronze bridge barrel unseen"),
+      (3L, "candle canyon copper unseen"),
+      (4L, "apple arrow birch alpha")) // majority aa
+      .toDF("doc_id", "text")
+    def preds(models: Seq[(String, Array[Double])]) =
+      Classify.langIdArgmax(holdout, "doc_id", "text", models)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(1L -> "aa", 2L -> "bb", 3L -> "cc", 4L -> "aa")
+    assert(preds(imported) == want, "imported model mispredicts")
+    assert(preds(trained) == want, "trained baseline mispredicts")
+  }
 }
