@@ -1679,6 +1679,30 @@ object SparkEntry {
         "doc_id", "dhash", maxHamming = 3)
     }),
 
+    // §2b-28f: the APPLIED image near-dup policy — the q_neardup_prune
+    // composition for images: dHash signatures → Hamming-LSH candidate
+    // pairs (exact recall at the 4-block/≤3-bit setting) → connected
+    // components → keep each cluster's canonical (minimum-id) image.
+    // The labels frame is (id, canonical) only — payload bytes never
+    // move until the final semi-join, the 100 TB shape.
+    "q_image_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "imgvariant").as("text"))
+      val media = docs.unionByName(mutated).select(col("doc_id"),
+        lit("image").as("media_type"), col("text").cast("binary").as("payload"),
+        lit(64).as("declared_w"), lit(64).as("declared_h"))
+      val sigs = Multimodal.stubImageDhashes(s, media).toDF()
+      val pairs = NearDup.hammingPairs(sigs, "doc_id", "dhash", maxHamming = 3)
+      val labels = Dedup.connectedComponents(sigs.select(col("doc_id")),
+        pairs, "doc_id", "id_a", "id_b")
+      val canon = labels.filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"))
+      media.join(canon, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("bigint").as("n_bytes"))
+    }),
+
     // §2b-25e: one-pass table profiling (row/non-null/exact-distinct
     // counts — the validation step before any training-data ingest)
     "q_profile" -> ((s, dir) =>
@@ -2472,6 +2496,41 @@ object SparkEntry {
     * ">900 s killed" BASELINE rows. Materialized, the fixpoint
     * iterates over a ~10k-row edge table and the whole oracle runs
     * in ~50 s single-threaded at sf0.1 (measured, duckdb 1.0.0). */
+  /** dHash-signature CTE chain shared by q_image_neardup and
+    * q_image_prune: the first-word-mutated planted-pair corpus, the
+    * stubDhash64 replay (72-cell FNV "gray" grid → 8×9 row-neighbor
+    * comparisons → signed 64-bit fold), ending in `sig(doc_id,
+    * dhash)` over `corpus(doc_id, text)`. */
+  private val sqlImageDhashSigCtes: String =
+    """corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'imgvariant') FROM documents),
+      |tl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM corpus),
+      |grid AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN len(toks) = 0 THEN CAST(0 AS HUGEINT) ELSE
+      |      list_reduce(
+      |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |          list_transform(range(1, length(toks[(i % len(toks)) + 1]) + 1),
+      |            j -> CAST(unicode(substr(toks[(i % len(toks)) + 1], j, 1)) AS HUGEINT))),
+      |        (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
+      |                    % CAST('18446744073709551616' AS HUGEINT)) % 256 END AS gray
+      |  FROM tl, range(0, 72) r(i)),
+      |g AS (SELECT doc_id, list(gray ORDER BY i) AS gl FROM grid GROUP BY doc_id),
+      |u AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN gl[(b // 8) * 9 + (b % 8) + 2] > gl[(b // 8) * 9 + (b % 8) + 1]
+      |      THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS uh
+      |  FROM g, range(0, 64) r(b) GROUP BY doc_id),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(uh - CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+      |      THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+      |  FROM u)""".stripMargin
+
   private val sqlSimhashClustersCte: String =
     """WITH RECURSIVE corpus AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents
@@ -4811,38 +4870,30 @@ object SparkEntry {
     // at hamming <= 3, so the bucket join must equal the all-pairs
     // filter — same contract as q_simhash_pairs).
     "q_image_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'imgvariant') FROM documents),
-        |tl AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |  FROM corpus),
-        |grid AS (
-        |  SELECT doc_id, i,
-        |    CASE WHEN len(toks) = 0 THEN CAST(0 AS HUGEINT) ELSE
-        |      list_reduce(
-        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |          list_transform(range(1, length(toks[(i % len(toks)) + 1]) + 1),
-        |            j -> CAST(unicode(substr(toks[(i % len(toks)) + 1], j, 1)) AS HUGEINT))),
-        |        (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT))
-        |                    % CAST('18446744073709551616' AS HUGEINT)) % 256 END AS gray
-        |  FROM tl, range(0, 72) r(i)),
-        |g AS (SELECT doc_id, list(gray ORDER BY i) AS gl FROM grid GROUP BY doc_id),
-        |u AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN gl[(b // 8) * 9 + (b % 8) + 2] > gl[(b // 8) * 9 + (b % 8) + 1]
-        |      THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS uh
-        |  FROM g, range(0, 64) r(b) GROUP BY doc_id),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(uh - CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
-        |      THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
-        |  FROM u)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+      (s"WITH $sqlImageDhashSigCtes\n" +
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
+
+    // the same signature chain, then the reachability fixpoint and the
+    // min-id retention — the q_neardup_prune policy replay for images
+    "q_image_prune" ->
+      (s"WITH RECURSIVE $sqlImageDhashSigCtes,\n" +
+        """prs AS MATERIALIZED (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+          |edges AS MATERIALIZED (
+          |  SELECT id_a AS x, id_b AS y FROM prs
+          |  UNION ALL SELECT id_b, id_a FROM prs),
+          |cc(id, comp) AS (
+          |  SELECT doc_id, doc_id FROM corpus
+          |  UNION
+          |  SELECT e.y, cc.comp FROM cc JOIN edges e ON cc.id = e.x),
+          |labels AS (SELECT id, min(comp) AS m FROM cc GROUP BY id)
+          |SELECT c.doc_id, CAST(strlen(c.text) AS BIGINT) AS n_bytes
+          |FROM corpus c JOIN labels l ON c.doc_id = l.id AND l.id = l.m""".stripMargin),
 
     "q_fingerprint" ->
       """WITH toks AS (
