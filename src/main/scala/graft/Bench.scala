@@ -59,6 +59,13 @@ object Bench {
     // alphabetically-first query doesn't absorb one-time session cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // optional subset capture (scale-point sweeps, e.g. the sf3 table
+    // in BASELINE.md): SPARK_GRAFT_ONLY=q_a,q_b limits both passes to
+    // the named queries; unset = the full per-round contract
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def selected(n: String): Boolean = only.isEmpty || only(n)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -87,11 +94,15 @@ object Bench {
     // line instead of a trio member keeps min-of-samples honest — the
     // cost can neither vanish (cached re-samples) nor be triple-counted.
     var ccLabelsSec = 0.0
+    val ccTrio = Set("q_cluster_best", "q_dedup_clusters", "q_neardup_prune")
     SparkEntry.withClusterLabelSharing(spark, sfDir) {
-    val ccT0 = System.nanoTime()
-    SparkEntry.primeClusterLabels(spark, sfDir)
-    ccLabelsSec = (System.nanoTime() - ccT0) / 1e9
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    if (only.isEmpty || only.exists(ccTrio)) {
+      val ccT0 = System.nanoTime()
+      SparkEntry.primeClusterLabels(spark, sfDir)
+      ccLabelsSec = (System.nanoTime() - ccT0) / 1e9
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).foreach { case (name, fn) =>
       try {
         // ambient host load (driver runs tests/judge JVMs concurrently)
         // inflates single runs 2-7×, and two rounds running it produced
@@ -134,7 +145,7 @@ object Bench {
     // overhead that pass 1 pays 50×. A concurrent failure surfaces
     // (pass 1 already proved each query runs alone).
     val okNames = SparkEntry.queries.keys.toSeq
-      .filter(n => !failed.contains(n) && !counterExamples(n))
+      .filter(n => selected(n) && !failed.contains(n) && !counterExamples(n))
       .sortBy(n => -timings.getOrElse(n, 0.0))
     val parallelism = math.min(12, math.max(1, okNames.size))
     // min of two makespans: a 12-way one-shot makespan is exposed to

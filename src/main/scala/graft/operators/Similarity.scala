@@ -183,7 +183,13 @@ object Similarity {
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray))
 
     (0 until iters).foreach { _ =>
-      val assigned = c.select(nearestCell(col("v"), cents).as("cell"),
+      // the argmax kernel must land BELOW the explode: a single select
+      // would put it in the Project ABOVE the extracted Generate and
+      // recompute the nlist-centroid scan once per EXPLODED row — dim×
+      // the work (measured 35.7 s → 1.5 s at sf3/nlist=938)
+      val withCell = c.select(nearestCell(col("v"), cents).as("cell"),
+        col("v"))
+      val assigned = withCell.select(col("cell"),
         posexplode(col("v")).as(Seq("dim", "x")))
       val means = assigned.groupBy(col("cell"), col("dim"))
         .agg(avg(col("x")).as("m"))
@@ -869,9 +875,11 @@ object Similarity {
       initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
     (0 until iters).foreach { _ =>
       val sCol = (col("dim") / lit(dsub)).cast("int")
+      // kernel BELOW the explode (the trainQuantizer lesson): one
+      // select would re-encode the vector once per exploded dimension
       val means = c
-        .select(pqEncode(col("v"), books).as("codes"),
-          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(pqEncode(col("v"), books).as("codes"), col("v"))
+        .select(col("codes"), posexplode(col("v")).as(Seq("dim", "x")))
         .select(sCol.as("s"),
           element_at(col("codes"), sCol + 1).as("j"),
           col("dim"), col("x"))
@@ -1056,8 +1064,9 @@ object Similarity {
     import graft.plans.VecExpressions.nearestCell
     val dim = cents(0).length
     val rows = corpus.select(col(vecCol).cast("array<double>").as("v"))
-      .select(nearestCell(col("v"), cents).as("cell"),
-        posexplode(col("v")).as(Seq("d", "x")))
+      // kernel BELOW the explode (the trainQuantizer lesson)
+      .select(nearestCell(col("v"), cents).as("cell"), col("v"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
       .collect()
     val out = Array.fill(cents.length)(new Array[Double](dim))
