@@ -2049,6 +2049,47 @@ object SparkEntry {
       operators.WebClean.blocklistSignals(t(s, dir, "documents"),
         "doc_id", "text", blocklistWords)),
 
+    // §2b-60b: anchor-href link extraction (the WAT-records step) —
+    // both quote styles, case-insensitive attr, document-order pos,
+    // relative links dropped; the planted page exercises each case
+    "q_link_extract" -> ((s, dir) =>
+      operators.WebClean.extractLinks(
+        t(s, dir, "documents").select(col("doc_id"), linkPage.as("html")),
+        "doc_id", "html")),
+
+    // §2b-69d: the COMPOSED domain-rank pipeline — extract links,
+    // roll both endpoints up to registrable sites, PageRank the
+    // domain graph: the crawl-pipeline composition the graph family
+    // exists for (until now its edge list was synthesized directly).
+    // Sites become stable integer ids via fnv64 (the integer
+    // iteration's key type); the name join-back is a ~|sites|-row
+    // frame. 5 rounds, the oracle replays every stage.
+    "q_domain_rank" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), syntheticUrl.as("src_url"),
+          linkPage.as("html"))
+      val links = operators.WebClean.extractLinks(pages, "doc_id", "html")
+      val srcSite = operators.WebClean.urlSite(
+        operators.WebClean.urlHost(col("src_url")))
+      val dstSite = operators.WebClean.urlSite(
+        operators.WebClean.urlHost(col("url")))
+      val sedges = pages.select(col("doc_id"), srcSite.as("src_site"))
+        .join(links, "doc_id")
+        .select(col("src_site"), dstSite.as("dst_site"))
+        .where(col("src_site") =!= "" && col("dst_site") =!= "")
+      val edges = sedges.select(
+        HashExpressions.fnv64(col("src_site")).as("src"),
+        HashExpressions.fnv64(col("dst_site")).as("dst"))
+      val names = sedges.select(col("src_site").as("site"))
+        .union(sedges.select(col("dst_site")))
+        .distinct()
+        .select(col("site"), HashExpressions.fnv64(col("site")).as("node"))
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .join(names, Seq("node"))
+        .select(col("site"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("site")).limit(50)
+    }),
+
     // §2b-62: URL parse (host + registrable-site heuristic) — the key
     // extraction every domain-level policy (caps, blocklists,
     // stratification) joins on; URLs synthesized with www/userinfo/
@@ -2425,6 +2466,24 @@ object SparkEntry {
     when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
     lit("/p/"), col("doc_id").cast("string"), lit("?ref=rss#top"))
 
+  /** Deterministic HTML page with planted ANCHORS per document —
+    * shared shape between q_link_extract / q_domain_rank and their
+    * oracles: a double-quoted absolute link, a single-quoted
+    * uppercase-attr www link, a RELATIVE link (must be dropped), and
+    * a second absolute link with query+fragment. */
+  private def linkPage: Column = concat(
+    lit("<html><body><p>"), col("text"), lit("</p>"),
+    lit("<a href=\"http://u"), pmod(col("doc_id"), lit(7)).cast("string"),
+    lit(".host"), pmod(col("doc_id"), lit(13)).cast("string"),
+    lit(".com/p/"), col("doc_id").cast("string"), lit("\">x</a>"),
+    lit("<A HREF='https://www.hub"), pmod(col("doc_id"), lit(5)).cast("string"),
+    lit(".example.org/dir/'>y</A>"),
+    lit("<a href=\"/relative/"), col("doc_id").cast("string"),
+    lit("\">rel</a>"),
+    lit("<a href=\"http://u"), pmod(col("doc_id") + 1, lit(7)).cast("string"),
+    lit(".host"), pmod(col("doc_id") + 1, lit(13)).cast("string"),
+    lit(".com/q?a=1#f\">z</a></body></html>"))
+
   /** Deterministic MESSY synthetic URL per document — shared shape
     * between q_url_canon's Spark side and its oracle: mixed-case
     * scheme/host, default and non-default ports on both schemes,
@@ -2653,6 +2712,57 @@ object SparkEntry {
     * UNREDUCED — the full unsigned 64-bit hash as HUGEINT. Used where
     * an oracle needs the hash's high bits (`// 2048` = the kernel's
     * `>>> 11` top-53-bit uniform), not a bucket id. */
+  /** [[sqlFnvRaw]] folded to Spark's SIGNED Long (the Fnv64
+    * expression's output) — the sig-CTE two's-complement fold. */
+  private def sqlFnvSigned(x: String): String =
+    s"CAST(${sqlFnvRaw(x)} - CASE WHEN ${sqlFnvRaw(x)} >= " +
+      s"CAST('9223372036854775808' AS HUGEINT) THEN $sqlMod " +
+      s"ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+
+  /** DuckDB replay of [[graft.operators.WebClean.urlHost]]. */
+  private def sqlHostOf(url: String): String =
+    s"regexp_replace(regexp_extract(lower($url), " +
+      s"'^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([a-z0-9.-]+)', 1), " +
+      s"'^www\\.', '')"
+
+  /** DuckDB replay of [[graft.operators.WebClean.urlSite]] over an
+    * already-computed host expression. */
+  private def sqlSiteOf(host: String): String =
+    s"CASE WHEN regexp_matches($host, " +
+      s"'\\.(co|ac|gov|com|org|net)\\.(uk|au|nz|jp|br|in)$$') " +
+      s"THEN regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1) " +
+      s"ELSE regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) END"
+
+  /** The [[linkPage]] synthesis as SQL — shared by the link-extraction
+    * oracles. */
+  private val sqlLinkPage: String =
+    """'<html><body><p>' || text || '</p>' ||
+      |'<a href="http://u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
+      |  '.com/p/' || doc_id || '">x</a>' ||
+      |'<A HREF=''https://www.hub' || (doc_id % 5) ||
+      |  '.example.org/dir/''>y</A>' ||
+      |'<a href="/relative/' || doc_id || '">rel</a>' ||
+      |'<a href="http://u' || ((doc_id + 1) % 7) || '.host' ||
+      |  ((doc_id + 1) % 13) || '.com/q?a=1#f">z</a></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
+  /** Link-extraction CTE chain shared by q_link_extract /
+    * q_domain_rank: `pages(doc_id, html)` → `items(doc_id, pos, url)`
+    * (pos 0-based over ALL hrefs, then the absolute-http filter). */
+  private val sqlLinkItemsCtes: String =
+    s"""pages AS (SELECT doc_id, $sqlLinkPage AS html FROM documents),
+       |ex AS (
+       |  SELECT doc_id, regexp_extract_all(html,
+       |    '(?i)<a[^>]*href\\s*=\\s*("[^"]*"|''[^'']*'')', 1) AS qs
+       |  FROM pages),
+       |items AS (
+       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |    substr(qs[i], 2, length(qs[i]) - 2) AS url
+       |  FROM ex, unnest(generate_series(1, len(qs))) AS g(i)),
+       |abslinks AS (
+       |  SELECT doc_id, pos, url FROM items
+       |  WHERE regexp_matches(lower(url), '^https?://'))""".stripMargin
+
   private def sqlFnvRaw(x: String): String =
     s"list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
       s"list_transform(range(1, length($x)+1), " +
@@ -5515,6 +5625,54 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '(?i)\b(spam|casino|lottery|the)\b')) = 0 AS kept
         |FROM documents""".stripMargin,
 
+    // identical regexp_extract_all + quote-strip + absolute filter;
+    // pos is the ordinality over ALL hrefs (the relative link holds a
+    // position even though it is dropped)
+    "q_link_extract" ->
+      s"""WITH $sqlLinkItemsCtes
+         |SELECT doc_id, pos, url FROM abslinks""".stripMargin,
+
+    // the composed crawl chain: extraction → host/site rollup (the
+    // q_url_parse replay) → DISTINCT site pairs → fnv64 node ids →
+    // the shared PageRank rounds → name join-back, top 50
+    "q_domain_rank" -> {
+      val srcUrl =
+        """'https://' ||
+          |CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+          |CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+          |'u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
+          |CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+          |     WHEN doc_id % 3 = 1 THEN '.org' ELSE '.com' END ||
+          |CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+          |'/p/' || doc_id || '?ref=rss#top'"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH $sqlLinkItemsCtes,
+         |ss AS (
+         |  SELECT doc_id, ${sqlSiteOf(sqlHostOf(s"($srcUrl)"))} AS src_site
+         |  FROM documents),
+         |ds AS (
+         |  SELECT doc_id, ${sqlSiteOf(sqlHostOf("url"))} AS dst_site
+         |  FROM abslinks),
+         |sedges AS MATERIALIZED (
+         |  SELECT src_site, dst_site FROM ss JOIN ds USING (doc_id)
+         |  WHERE src_site <> '' AND dst_site <> ''),
+         |pairs AS (SELECT DISTINCT src_site, dst_site FROM sedges),
+         |edges AS MATERIALIZED (
+         |  SELECT ${sqlFnvSigned("src_site")} AS src,
+         |         ${sqlFnvSigned("dst_site")} AS dst
+         |  FROM pairs),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |${sqlPageRankRounds(5)},
+         |names AS (
+         |  SELECT site, ${sqlFnvSigned("site")} AS id FROM (
+         |    SELECT DISTINCT src_site AS site FROM sedges
+         |    UNION SELECT DISTINCT dst_site FROM sedges) u)
+         |SELECT n.site, r.rank AS rank_micro
+         |FROM r5 r JOIN names n ON n.id = r.id
+         |ORDER BY rank_micro DESC, site LIMIT 50""".stripMargin
+    },
+
     "q_url_parse" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -6088,16 +6246,19 @@ object SparkEntry {
       |nodes AS MATERIALIZED (
       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges)""".stripMargin
 
-  private def sqlPageRankOracle(iters: Int,
+  /** The PageRank round CTEs (deg, r0, r1..rN) over upstream
+    * `edges(src, dst)` (already DISTINCT) and `nodes(id)` CTEs — the
+    * damping literals are DERIVED from the same parameters the Spark
+    * side passes to Graph.pageRank (base = 1e6·(den−num)//den exactly
+    * as pageRank computes baseMicro), so changing the operator
+    * parameters cannot silently diverge an oracle. Composable:
+    * q_pagerank runs it over the synthetic ring+hub+stride graph,
+    * q_domain_rank over the extracted-link domain graph. */
+  private def sqlPageRankRounds(iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L): String = {
-    // the damping literals are DERIVED from the same parameters the
-    // Spark side passes to Graph.pageRank — base = 1e6·(den−num)//den
-    // exactly as pageRank computes baseMicro — so changing the bench
-    // parameters cannot silently diverge the oracle
     val baseMicro = 1000000L * (dampDen - dampNum) / dampDen
     val head =
-      s"""WITH $sqlLinkGraphCtes,
-         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      s"""deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
@@ -6108,10 +6269,14 @@ object SparkEntry {
          |                 JOIN r${i - 1} r ON r.id = e.src
          |    GROUP BY e.dst) m ON n.id = m.id)""".stripMargin
     }
-    (head +: rounds).mkString(",\n") +
-      s"\nSELECT id AS node, rank AS rank_micro FROM r$iters" +
-      "\nORDER BY rank_micro DESC, node LIMIT 100"
+    (head +: rounds).mkString(",\n")
   }
+
+  private def sqlPageRankOracle(iters: Int): String =
+    s"""WITH $sqlLinkGraphCtes,
+       |${sqlPageRankRounds(iters)}
+       |SELECT id AS node, rank AS rank_micro FROM r$iters
+       |ORDER BY rank_micro DESC, node LIMIT 100""".stripMargin
 
   /** q_hits oracle: `iters` unrolled (authority, hub) half-step pairs;
     * each half-step is a Long-sum aggregation then the pure-integer

@@ -208,6 +208,27 @@ object WebClean {
       .withColumn("flagged", col("hits_total") > 0L)
   }
 
+  /** Anchor-href extraction — the LINK-GRAPH input step of a crawl
+    * pipeline (what Common Crawl publishes as WAT link records, and
+    * what [[graft.operators.Graph.pageRank]]/hits consume after the
+    * host/site rollup): every `<a ... href="...">` / `href='...'`
+    * target in document order, attribute name case-insensitive, both
+    * quote styles. `pos` is the anchor's 0-based index among ALL
+    * extracted hrefs; only ABSOLUTE http(s) targets survive the
+    * filter (relative resolution needs a base-URL join — out of
+    * scope here, as in WAT's `url` field consumers). One RE2-safe
+    * `regexp_extract_all` + a narrow explode; zero shuffles, fuses
+    * into the scan at any corpus size. */
+  def extractLinks(df: DataFrame, idCol: String,
+                   htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(htmlCol),
+          lit("(?i)<a[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*')"), lit(1)))
+          .as(Seq("pos", "q")))
+      .select(col(idCol), col("pos"),
+        expr("substring(q, 2, length(q) - 2)").as("url"))
+      .where(lower(col("url")).rlike("^https?://"))
+
   /** Lowercased host of a URL: authority after `scheme://`, userinfo
     * stripped, stopping at port / path / query / fragment; a leading
     * `www.` removed. Empty string when nothing URL-shaped matches. */

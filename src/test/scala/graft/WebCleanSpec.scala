@@ -247,6 +247,30 @@ class WebCleanSpec extends AnyFunSuite {
     assert(acCounts("", Seq("x")) == Seq(0L))
   }
 
+  test("extractLinks: both quote styles, case-insensitive attr, " +
+    "document-order pos, relative/mailto dropped, attrs before href ok") {
+    val html = """<html><body>
+      |<a class="x" href="http://a.example/1">1</a>
+      |<A HREF='https://b.example/2?q=1#f'>2</A>
+      |<a href="/relative">r</a>
+      |<a href='mailto:x@example.org'>m</a>
+      |<a name="anchor-without-href">n</a>
+      |<a href="HTTPS://C.example/3">3</a>
+      |</body></html>""".stripMargin
+    val got = WebClean.extractLinks(
+        Seq((7L, html)).toDF("id", "html"), "id", "html")
+      .orderBy("pos").select($"pos", $"url")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq(
+      (0, "http://a.example/1"),
+      (1, "https://b.example/2?q=1#f"),
+      // pos 2 = relative (dropped), pos 3 = mailto (dropped)
+      (4, "HTTPS://C.example/3")))
+    // no anchors -> no rows; null html -> no rows
+    assert(WebClean.extractLinks(Seq((1L, "<p>none</p>"))
+      .toDF("id", "html"), "id", "html").count() == 0)
+  }
+
   // ---- parseHttpResponse / httpResponses ---------------------------------
 
   private def http(payload: Array[Byte]) =
