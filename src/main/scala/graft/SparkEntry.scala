@@ -2090,6 +2090,30 @@ object SparkEntry {
         .orderBy(col("rank_micro").desc, col("site")).limit(50)
     }),
 
+    // §2b-62c: robots.txt parse + URL admission (RFC 9309 core) — the
+    // crawl-admission dim: declarative group/rule parse (windows +
+    // aggs, no UDF), rules compiled to anchored regexes (* / trailing
+    // $ / metachar escapes), longest-match precedence with allow
+    // winning ties, broadcast-joined to the corpus URLs on site. Four
+    // planted bodies exercise group fallback, specific-agent
+    // override, wildcards, and the $ anchor
+    "q_robots_filter" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), syntheticUrl.as("url"))
+        .withColumn("site", operators.WebClean.urlSite(
+          operators.WebClean.urlHost(col("url"))))
+      val body = robotsBodies.zipWithIndex.foldLeft(lit(null: String)) {
+        case (acc, (b, i)) =>
+          when(pmod(HashExpressions.fnv64(col("site")), lit(4L)) === i,
+            lit(b)).otherwise(acc)
+      }
+      val robots = urls.select(col("site")).distinct()
+        .withColumn("txt", body)
+      val rules = operators.WebClean.robotsRules(robots, "site", "txt",
+        agent = "graftbot")
+      operators.WebClean.robotsAllowed(urls, rules, "doc_id", "url", "site")
+    }),
+
     // §2b-62: URL parse (host + registrable-site heuristic) — the key
     // extraction every domain-level policy (caps, blocklists,
     // stratification) joins on; URLs synthesized with www/userinfo/
@@ -2719,6 +2743,96 @@ object SparkEntry {
       s"CAST('9223372036854775808' AS HUGEINT) THEN $sqlMod " +
       s"ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
 
+  /** q_robots_filter oracle: synthesis (bodies from [[robotsBodies]]
+    * keyed by fnv64(site)%4), the declarative parse (line split,
+    * UA-run-start group window, agent sets, specific-vs-* selection),
+    * the identical regex compilation, and the longest-match decision
+    * as a max over (spec, allow, rule) structs. */
+  private def qRobotsFilterOracle: String = {
+    val bodies = robotsBodies.zipWithIndex.map { case (b, i) =>
+      s"WHEN $i THEN '${b.replace("'", "''")}'"
+    }.mkString(" ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://' ||
+       |    CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+       |    'u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+       |         WHEN doc_id % 3 = 1 THEN '.org' ELSE '.com' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+       |    '/p/' || doc_id || '?ref=rss#top' AS url
+       |  FROM documents),
+       |us AS (SELECT doc_id, url,
+       |  ${sqlSiteOf(sqlHostOf("url"))} AS site FROM u),
+       |rb AS (
+       |  SELECT site, CASE CAST(${sqlFnvRaw("site")} % 4 AS INT)
+       |    $bodies END AS txt
+       |  FROM (SELECT DISTINCT site FROM us)),
+       |rlines AS (
+       |  SELECT site, i AS pos,
+       |    trim(regexp_replace(regexp_replace(parts[i], '\\r$$', ''),
+       |      '#.*$$', '')) AS line
+       |  FROM (SELECT site, string_split(txt, chr(10)) AS parts FROM rb),
+       |       unnest(generate_series(1, len(parts))) g(i)),
+       |tagged AS (
+       |  SELECT site, pos, line,
+       |    regexp_matches(lower(line), '^user-agent\\s*:') AS is_ua,
+       |    CASE WHEN regexp_matches(lower(line), '^allow\\s*:') THEN 'allow'
+       |         WHEN regexp_matches(lower(line), '^disallow\\s*:') THEN 'disallow'
+       |    END AS kind,
+       |    trim(substr(line, instr(line, ':') + 1)) AS val
+       |  FROM rlines),
+       |marks AS (
+       |  SELECT *, CASE WHEN is_ua AND NOT coalesce(
+       |      lag(is_ua) OVER (PARTITION BY site ORDER BY pos), false)
+       |    THEN 1 ELSE 0 END AS ua_start
+       |  FROM tagged),
+       |grp AS (
+       |  SELECT *, sum(ua_start)
+       |    OVER (PARTITION BY site ORDER BY pos
+       |          ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM marks),
+       |agents AS (
+       |  SELECT site, g, list(DISTINCT lower(val)) AS uas
+       |  FROM grp WHERE is_ua GROUP BY site, g),
+       |rules0 AS (
+       |  SELECT r.site, r.kind = 'allow' AS allow, r.val AS rule_path,
+       |    length(r.val) AS spec,
+       |    list_contains(a.uas, 'graftbot') AS specific,
+       |    list_contains(a.uas, '*') AS wild
+       |  FROM grp r JOIN agents a USING (site, g)
+       |  WHERE r.kind IS NOT NULL AND length(r.val) > 0),
+       |hs AS (SELECT site, max(CASE WHEN specific THEN 1 ELSE 0 END) AS has_spec
+       |       FROM rules0 GROUP BY site),
+       |rrules AS (
+       |  SELECT r.site, r.allow, r.rule_path, r.spec,
+       |    '^' || replace(regexp_replace(
+       |      CASE WHEN r.rule_path LIKE '%$$'
+       |        THEN substr(r.rule_path, 1, length(r.rule_path) - 1)
+       |        ELSE r.rule_path END,
+       |      '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+       |      || CASE WHEN r.rule_path LIKE '%$$' THEN '$$' ELSE '' END AS pattern
+       |  FROM rules0 r JOIN hs USING (site)
+       |  WHERE (has_spec = 1 AND specific) OR (has_spec = 0 AND wild)),
+       |paths AS (
+       |  SELECT doc_id, site,
+       |    CASE WHEN p = '' THEN '/' ELSE p END AS path
+       |  FROM (SELECT doc_id, site, regexp_extract(url,
+       |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p FROM us)),
+       |cand AS (
+       |  SELECT p.doc_id, p.site, p.path,
+       |    CASE WHEN r.pattern IS NOT NULL AND regexp_matches(p.path, r.pattern)
+       |      THEN {'spec': r.spec, 'a': CAST(r.allow AS INT),
+       |            'rule_path': r.rule_path} END AS m
+       |  FROM paths p LEFT JOIN rrules r ON p.site = r.site),
+       |w AS (SELECT doc_id, site, path, max(m) AS win
+       |      FROM cand GROUP BY doc_id, site, path)
+       |SELECT doc_id, site, path,
+       |  coalesce(win.a = 1, true) AS allowed, win.rule_path AS rule
+       |FROM w""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.operators.WebClean.urlHost]]. */
   private def sqlHostOf(url: String): String =
     s"regexp_replace(regexp_extract(lower($url), " +
@@ -2732,6 +2846,19 @@ object SparkEntry {
       s"'\\.(co|ac|gov|com|org|net)\\.(uk|au|nz|jp|br|in)$$') " +
       s"THEN regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1) " +
       s"ELSE regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) END"
+
+  /** The four planted robots.txt bodies q_robots_filter assigns to
+    * sites by fnv64(site) % 4 — shared verbatim between the Spark
+    * synthesis and the oracle. Coverage: group fallback to `*` with a
+    * longest-match allow override + empty Disallow + comment + unknown
+    * directive (0); a specific-agent group that blocks everything
+    * while the `*` group allows (1); `*` wildcards mid-rule (2); a
+    * combined `*`-and-`$`-anchor rule with an escaped `?` (3). */
+  private val robotsBodies: Seq[String] = Seq(
+    "User-agent: *\nDisallow: /p/\nAllow: /p/1*\nDisallow:\n# note\nCrawl-delay: 5",
+    "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow:",
+    "User-agent: *\nDisallow: /*?ref=*\nAllow: /p/",
+    "User-agent: *\nDisallow: /p/*3?ref=rss$")
 
   /** The [[linkPage]] synthesis as SQL — shared by the link-extraction
     * oracles. */
@@ -5624,6 +5751,13 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '(?i)\b(spam|casino|lottery|the)\b')) AS INT) AS hits,
         |  len(regexp_extract_all(text, '(?i)\b(spam|casino|lottery|the)\b')) = 0 AS kept
         |FROM documents""".stripMargin,
+
+    // full RFC-9309 replay: line/group parse as windows, group
+    // selection (specific beats *), regex compilation of each rule
+    // (identical escape class / '*'→'.*' / trailing-$ handling), and
+    // the longest-match max-struct decision; bodies rendered from the
+    // SAME robotsBodies list
+    "q_robots_filter" -> qRobotsFilterOracle,
 
     // identical regexp_extract_all + quote-strip + absolute filter;
     // pos is the ordinality over ALL hrefs (the relative link holds a

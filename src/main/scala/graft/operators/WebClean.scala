@@ -263,6 +263,107 @@ object WebClean {
     df.select(col(idCol), host.as("host"), urlSite(host).as("site"))
   }
 
+  /** robots.txt parsing (RFC 9309 core) — the crawl-admission dim a
+    * pipeline applies before (re)fetching or before keeping fetched
+    * pages whose robots later said no. The whole parse is declarative
+    * (split/window/agg — no UDF), so it runs AS the dim-prep join
+    * side at any site count:
+    *
+    *  - lines: `\r` and `#`-comments stripped, trimmed;
+    *  - GROUPS: a maximal run of `User-agent:` lines owns the rules
+    *    until the next run (the running-count-of-run-starts window);
+    *  - group selection: exact-token agent match (case-insensitive)
+    *    when the site has any such group, else the `*` groups —
+    *    multiple matched groups combine (RFC 9309 §2.2.1); UA prefix
+    *    matching beyond the exact token is not implemented
+    *    (documented subset);
+    *  - rules: `Allow:` / `Disallow:` with non-empty paths (an empty
+    *    `Disallow:` imposes nothing); specificity = rule OCTET length
+    *    (RFC §2.2.2);
+    *  - each rule is compiled to the equivalent anchored regex —
+    *    metacharacters escaped, `*` → `.*`, a TRAILING `$` kept as
+    *    the end anchor — which is exactly the RFC matcher and
+    *    replayable by any regex engine.
+    *
+    * Returns one row per applicable rule:
+    * (site, allow, path, spec, pattern). */
+  def robotsRules(robots: DataFrame, siteCol: String, txtCol: String,
+                  agent: String = "*"): DataFrame = {
+    val lines = robots.select(col(siteCol).as("site"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("site"), col("pos"),
+        trim(regexp_replace(regexp_replace(col("raw"), "\\r$", ""),
+          "#.*$", "")).as("line"))
+    val value =
+      trim(expr("substring(line, instr(line, ':') + 1, length(line))"))
+    val tagged = lines
+      .withColumn("is_ua", lower(col("line")).rlike("^user-agent\\s*:"))
+      .withColumn("ua", when(col("is_ua"), lower(value)))
+      .withColumn("kind",
+        when(lower(col("line")).rlike("^allow\\s*:"), lit("allow"))
+          .when(lower(col("line")).rlike("^disallow\\s*:"), lit("disallow")))
+      .withColumn("path", when(col("kind").isNotNull, value))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("site")).orderBy(col("pos"))
+    val grouped = tagged
+      .withColumn("ua_start", (col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("grp", sum(col("ua_start")).over(w))
+    val agents = grouped.where(col("is_ua"))
+      .groupBy(col("site"), col("grp"))
+      .agg(collect_set(col("ua")).as("uas"))
+    val rules = grouped
+      .where(col("kind").isNotNull && length(col("path")) > 0)
+      .join(agents, Seq("site", "grp"))
+      .withColumn("specific", array_contains(col("uas"),
+        lit(agent.toLowerCase(java.util.Locale.ROOT))))
+      .withColumn("wild", array_contains(col("uas"), lit("*")))
+    val hasSpecific = rules.groupBy(col("site"))
+      .agg(max(col("specific").cast("int")).as("has_spec"))
+    val ends = col("path").endsWith("$")
+    val body = when(ends,
+        expr("substring(path, 1, length(path) - 1)")).otherwise(col("path"))
+    val esc = regexp_replace(body,
+      "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    val pattern = concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+      when(ends, lit("$")).otherwise(lit("")))
+    rules.join(hasSpecific, "site")
+      .where((col("has_spec") === 1 && col("specific")) ||
+             (col("has_spec") === 0 && col("wild")))
+      .select(col("site"), (col("kind") === "allow").as("allow"),
+        col("path"), length(col("path")).as("spec"), pattern.as("pattern"))
+  }
+
+  /** Robots admission verdict per URL: join the (small, broadcast)
+    * rule dim on `site`, match rules against the URL's path+query
+    * (fragment excluded — it never reaches the server), and decide by
+    * the RFC longest-match rule — highest specificity wins, an
+    * allow/disallow TIE goes to allow, and a URL no rule matches is
+    * allowed. Returns the input plus (path, allowed, rule) where
+    * `rule` is the winning rule's path (null when none matched). */
+  def robotsAllowed(urls: DataFrame, rules: DataFrame, idCol: String,
+                    urlCol: String, siteCol: String): DataFrame = {
+    val r = rules.select(col("site").as(siteCol), col("allow"),
+      col("path").as("rule_path"), col("spec"), col("pattern"))
+    val rawPath = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val withPath = urls.withColumn("path",
+      when(rawPath === "", lit("/")).otherwise(rawPath))
+    withPath.join(broadcast(r), Seq(siteCol), "left")
+      // the winner is the max (spec, allowFlag, rule) struct over the
+      // MATCHED rules: longest rule first, allow beating disallow on
+      // equal length — exactly RFC 9309 §2.2.2's precedence
+      .withColumn("m",
+        when(col("pattern").isNotNull && expr("path RLIKE pattern"),
+          struct(col("spec"), col("allow").cast("int").as("a"),
+            col("rule_path"))))
+      .groupBy(col(idCol), col(siteCol), col("path"))
+      .agg(max(col("m")).as("win"))
+      .select(col(idCol), col(siteCol), col("path"),
+        coalesce(col("win.a") === 1, lit(true)).as("allowed"),
+        col("win.rule_path").as("rule"))
+  }
+
   /** URL canonicalization — the URL-DEDUP KEY step of a crawl
     * pipeline (Common-Crawl-style corpora carry the same page under
     * fragment/tracking-param/case/port variants; URL-level dedup

@@ -169,6 +169,45 @@ class TarSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL-PRODUCER parity: archives written by system GNU tar " +
+    "(--format=gnu and --format=posix) with >100-char paths read back " +
+    "with full names and exact payloads, split and unsplit") {
+    import scala.sys.process._
+    val dir = tmpDir()
+    val tree = s"$dir/tree"
+    val deep = "deep/" + ("d" * 120)
+    Files.createDirectories(Paths.get(s"$tree/$deep"))
+    val names = Seq(s"$deep/sample-a.txt", s"$deep/sample-a.cls", "short.txt")
+    names.zipWithIndex.foreach { case (n, i) =>
+      Files.write(Paths.get(s"$tree/$n"), s"payload-$i".getBytes(UTF_8)) }
+    val variants = Seq(
+      ("gnu.tar", Seq("tar", "--format=gnu")),
+      ("pax.tar", Seq("tar", "--format=posix")))
+    for ((f, cmd) <- variants) {
+      val rc = Process(cmd ++ Seq("-cf", s"$dir/$f") ++ names,
+        new java.io.File(tree)).!
+      assert(rc == 0, s"$cmd failed")
+      for (sb <- Seq(0L, 1024L)) {
+        val got = readTar(Seq(s"$dir/$f"), splitBytes = sb)
+          .select($"name", $"payload".cast("string"))
+          .as[(String, String)].collect().sortBy(_._1).toSeq
+        // GNU tar may emit the deep directories as entries (skipped);
+        // regular files must come back with FULL names and payloads
+        assert(got == Seq(
+          (s"$deep/sample-a.cls", "payload-1"),
+          (s"$deep/sample-a.txt", "payload-0"),
+          ("short.txt", "payload-2")), s"in $f at splitBytes=$sb")
+      }
+      // and the WebDataset regrouping keys on the carried full name
+      val samples = TarSource.tarSamples(readTar(Seq(s"$dir/$f")))
+        .orderBy("sample_key")
+        .select($"sample_key", map_keys($"members"))
+        .as[(String, Seq[String])].collect().toSeq
+      assert(samples.map(_._1) == Seq(s"$deep/sample-a", "short"), s"in $f")
+      assert(samples(0)._2.sorted == Seq("cls", "txt"), s"in $f")
+    }
+  }
+
   test("pax 'g' global header is consumed, never emitted; a global " +
     "path= applies only where no per-file name overrides") {
     val dir = tmpDir()

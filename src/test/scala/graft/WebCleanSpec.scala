@@ -342,6 +342,49 @@ class WebCleanSpec extends AnyFunSuite {
     assert(got(3).isNullAt(1) && got(3).isNullAt(2))
   }
 
+  // ---- robotsRules / robotsAllowed ---------------------------------------
+
+  test("robots: group selection (specific beats *), longest-match " +
+    "precedence, allow wins ties, wildcards and $ anchor, empty " +
+    "Disallow ignored, no-rule default allow") {
+    val robots = Seq(
+      // specific group blocks /private; * group would block everything
+      ("a.com", "User-agent: megabot\nUser-agent: graftbot\n" +
+        "Disallow: /private\n# c\nUser-agent: *\nDisallow: /"),
+      // fallback to *: longest-match allow override + empty disallow
+      ("b.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow:"),
+      // wildcard + $ anchor; tie-break allow-vs-disallow at equal length
+      ("c.com", "User-agent: *\nDisallow: /x*y$\nAllow: /a/b\nDisallow: /a/c"),
+      // no group for us at all (other agent only)
+      ("d.com", "User-agent: serpbot\nDisallow: /")
+    ).toDF("site", "txt")
+    val rules = WebClean.robotsRules(robots, "site", "txt", "graftbot")
+    val urls = Seq(
+      (1L, "http://a.com/private/x", "a.com"),  // specific disallow
+      (2L, "http://a.com/public", "a.com"),     // specific group, no match
+      (3L, "http://b.com/p/no", "b.com"),       // /p disallow
+      (4L, "http://b.com/p/ok/1", "b.com"),     // allow override (longer)
+      (5L, "http://c.com/xAAy", "c.com"),       // * + $ anchor hits
+      (6L, "http://c.com/xAAyz", "c.com"),      // $ anchor misses
+      (7L, "http://d.com/anything", "d.com"),   // no applicable group
+      (8L, "http://c.com/a/b", "c.com")         // allow matches, disallow doesn't
+    ).toDF("doc_id", "url", "site")
+    val got = WebClean.robotsAllowed(urls, rules, "doc_id", "url", "site")
+      .select($"doc_id", $"allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true, 7L -> true, 8L -> true))
+    // the compiled patterns escape metachars: '.' in a rule is literal
+    val dot = WebClean.robotsRules(
+      Seq(("e.com", "User-agent: *\nDisallow: /a.b")).toDF("site", "txt"),
+      "site", "txt", "graftbot")
+    val v = WebClean.robotsAllowed(
+      Seq((1L, "http://e.com/aXb", "e.com"),
+          (2L, "http://e.com/a.b", "e.com")).toDF("doc_id", "url", "site"),
+      dot, "doc_id", "url", "site")
+      .select($"doc_id", $"allowed").as[(Long, Boolean)].collect().toMap
+    assert(v == Map(1L -> true, 2L -> false))
+  }
+
   test("blocklistScan: signals, translate case folding, null text") {
     val docs = Seq((1L, "Spark IN the wINdow"), (2L, "nothing here"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
