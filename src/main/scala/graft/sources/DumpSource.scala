@@ -257,13 +257,23 @@ class DumpMicroBatchStream(paths: Seq[String],
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  /** Overridable hooks so format twins (the streaming WARC source)
+    * reuse the offset/admission machinery with their own listing
+    * rule, partition type, and reader. */
+  protected def listFiles(dir: String): Seq[String] =
+    DumpSource.listDateOrdered(dir).reverse // oldest -> newest
+  protected def partitionFor(path: String): InputPartition =
+    DumpFilePartition(path)
+  protected def readerFactory(): PartitionReaderFactory =
+    new DumpReaderFactory(conf)
+
   /** paths = a single directory (the streaming layout) or an explicit
     * file list (then the "stream" is that fixed list, oldest-first). */
   private def currentFiles(): Seq[String] = paths match {
     case Seq(single) =>
       val fs = new Path(single).getFileSystem(conf.value)
       if (fs.getFileStatus(new Path(single)).isDirectory)
-        DumpSource.listDateOrdered(single).reverse // oldest -> newest
+        listFiles(single)
       else paths
     case _ => paths
   }
@@ -336,12 +346,11 @@ class DumpMicroBatchStream(paths: Seq[String],
             (if (s > 0 && s <= files.length) s", position $s is '${baseName(files(s - 1))}'" else "") +
             "); a shard older than already-processed dates arrived late")
     }
-    files.slice(s, e)
-      .map(p => DumpFilePartition(p): InputPartition).toArray
+    files.slice(s, e).map(partitionFor).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DumpReaderFactory(conf)
+    readerFactory()
 }
 
 /** Offset = how many files of the date-sorted listing are processed,

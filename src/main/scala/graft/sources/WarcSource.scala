@@ -257,7 +257,8 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"graft_warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // capture the session's Hadoop conf ON THE DRIVER (executors have
     // no active session; a bare Configuration drops store credentials)
@@ -274,8 +275,44 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
             .map(sp => sp: InputPartition)).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new WarcReaderFactory(conf)
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new WarcMicroBatchStream(paths, conf,
+          Option(options.get("maxfilespertrigger")).map(_.toInt))
     }
   }
+}
+
+/** Streaming twin of the WARC ingestion — the crawl-folder layout
+  * where new `.warc` / `.warc.gz` shards land continuously (a Common
+  * Crawl segment drop): the folder is the unbounded source, each
+  * micro-batch is the newly-arrived shards (one partition per file),
+  * exactly-once via the checkpointed file-count offset. Reuses the
+  * dump stream's offset/admission machinery ([[DumpMicroBatchStream]]
+  * — `maxFilesPerTrigger` caps catch-up batches, Trigger.AvailableNow
+  * freezes the listing, the append-only guard fails loudly on a shard
+  * sorting before committed ones) with the WARC listing rule:
+  * lexicographic name order over `*.warc` / `*.warc.gz` (crawl shard
+  * names sort — the CC segment convention). */
+class WarcMicroBatchStream(paths: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends DumpMicroBatchStream(paths, conf, maxFilesPerTrigger) {
+
+  override protected def listFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf.value)
+    fs.listStatus(p).map(_.getPath.toString)
+      .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
+      .sortBy(f => new Path(f).getName)
+      .toSeq
+  }
+
+  override protected def partitionFor(path: String): InputPartition =
+    WarcFilePartition(path, 0L, Long.MaxValue, path.endsWith(".gz"))
+
+  override protected def readerFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(conf)
 }
 
 /** One read task: records of `path` STARTING in [start, end); `gz`

@@ -186,4 +186,48 @@ class WarcSourceSpec extends AnyFunSuite {
       readWarc(Seq(s"$dir/junk.warc")).collect()
     }
   }
+
+  test("streaming: a growing crawl folder (mixed .warc/.warc.gz) is " +
+    "consumed exactly once across restarts, bounded by " +
+    "maxFilesPerTrigger under AvailableNow") {
+    val root = tmpDir()
+    val dir = s"$root/crawl"
+    Files.createDirectories(Paths.get(dir))
+    val ckpt = s"$root/_ckpt"
+    val sink = s"$root/out"
+    WarcSource.writeWarc(s"$dir/seg-00001.warc",
+      Iterator(("http://s/1", "one".getBytes(UTF_8)),
+               ("http://s/2", "two".getBytes(UTF_8))))
+    WarcSource.writeWarcGz(s"$dir/seg-00002.warc.gz",
+      Iterator(("http://s/3", "three".getBytes(UTF_8))))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.WarcDataSource")
+        .option("maxFilesPerTrigger", 1)
+        .load(dir)
+        .select($"path", $"target_uri", $"content".cast("string").as("body"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    runOnce()
+    val first = spark.read.parquet(sink)
+      .select($"target_uri", $"body").as[(String, String)].collect().sorted
+    assert(first.toSeq == Seq(("http://s/1", "one"), ("http://s/2", "two"),
+      ("http://s/3", "three")))
+
+    // a new shard lands; the restart processes ONLY it (checkpointed
+    // offset), and the lexicographic listing keeps committed order
+    WarcSource.writeWarc(s"$dir/seg-00003.warc",
+      Iterator(("http://s/4", "four".getBytes(UTF_8))))
+    runOnce()
+    val second = spark.read.parquet(sink)
+      .select($"target_uri", $"body").as[(String, String)].collect()
+    assert(second.length == 4)
+    assert(second.count(_._1 == "http://s/4") == 1)
+  }
 }
