@@ -2090,6 +2090,18 @@ object SparkEntry {
         .orderBy(col("rank_micro").desc, col("site")).limit(50)
     }),
 
+    // §2b-62d: meta-robots directives — the IN-PAGE admission signal
+    // next to robots.txt: planted tags cover both attribute orders,
+    // both quote styles, uppercase, the `none` alias, explicit
+    // index,follow, and a missing tag
+    "q_meta_robots" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), metaRobotsPage.as("html"))
+        .select(col("doc_id"),
+          operators.WebClean.metaRobots(col("html")).as("mr"))
+        .select(col("doc_id"), col("mr.noindex").as("noindex"),
+          col("mr.nofollow").as("nofollow"))),
+
     // §2b-62c: robots.txt parse + URL admission (RFC 9309 core) — the
     // crawl-admission dim: declarative group/rule parse (windows +
     // aggs, no UDF), rules compiled to anchored regexes (* / trailing
@@ -2846,6 +2858,22 @@ object SparkEntry {
       s"'\\.(co|ac|gov|com|org|net)\\.(uk|au|nz|jp|br|in)$$') " +
       s"THEN regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1) " +
       s"ELSE regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) END"
+
+  /** Planted meta-robots page per document (doc_id % 5) — shared
+    * shape with the q_meta_robots oracle: double-quoted
+    * name-then-content (0), single-quoted content-then-name (1),
+    * UPPERCASE `NONE` (2), no tag (3), explicit index,follow (4). */
+  private def metaRobotsPage: Column = concat(
+    lit("<html><head>"),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        lit("<meta content='nofollow' name='robots'>"))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        lit("<META NAME=\"ROBOTS\" CONTENT=\"NONE\">"))
+      .when(pmod(col("doc_id"), lit(5)) === 3, lit(""))
+      .otherwise(lit("<meta name=\"robots\" content=\"index,follow\">")),
+    lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
 
   /** The four planted robots.txt bodies q_robots_filter assigns to
     * sites by fnv64(site) % 4 — shared verbatim between the Spark
@@ -5750,6 +5778,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '(?i)\b(spam|casino|lottery|the)\b')) AS INT) AS hits,
         |  len(regexp_extract_all(text, '(?i)\b(spam|casino|lottery|the)\b')) = 0 AS kept
+        |FROM documents""".stripMargin,
+
+    // the INDEPENDENT truth table for the planted residues — stronger
+    // than a regex replay: noindex for the planted-noindex (0) and
+    // `none` (2) pages, nofollow for (1) and (2), nothing for the
+    // tagless (3) and explicit index,follow (4) pages
+    "q_meta_robots" ->
+      """SELECT doc_id,
+        |  doc_id % 5 IN (0, 2) AS noindex,
+        |  doc_id % 5 IN (1, 2) AS nofollow
         |FROM documents""".stripMargin,
 
     // full RFC-9309 replay: line/group parse as windows, group

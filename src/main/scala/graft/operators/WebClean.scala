@@ -263,6 +263,33 @@ object WebClean {
     df.select(col(idCol), host.as("host"), urlSite(host).as("site"))
   }
 
+  /** Meta-robots directives — the IN-PAGE counterpart of robots.txt
+    * (a page the crawler was allowed to fetch can still say
+    * `noindex`, and corpus pipelines drop such pages): the `content`
+    * of any `<meta name="robots" ...>` tag, attribute order EITHER
+    * way (both occur in the wild), case-insensitive, token list split
+    * on commas with whitespace ignored; `none` implies both noindex
+    * and nofollow (the published directive semantics). Returns a
+    * struct (noindex, nofollow); a page without the tag — or with
+    * explicit `index,follow` — is (false, false). One codegen
+    * projection, zero shuffles. */
+  def metaRobots(html: Column): Column = {
+    val h = lower(html)
+    val c1 = regexp_extract(h,
+      "<meta[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*" +
+        "content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val c2 = regexp_extract(h,
+      "<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+        "name\\s*=\\s*[\"']robots[\"']", 1)
+    val toks = split(regexp_replace(when(c1 =!= "", c1).otherwise(c2),
+      "[ \\t\\n\\x0b\\f\\r]+", ""), ",")
+    struct(
+      (array_contains(toks, "noindex") || array_contains(toks, "none"))
+        .as("noindex"),
+      (array_contains(toks, "nofollow") || array_contains(toks, "none"))
+        .as("nofollow"))
+  }
+
   /** robots.txt parsing (RFC 9309 core) — the crawl-admission dim a
     * pipeline applies before (re)fetching or before keeping fetched
     * pages whose robots later said no. The whole parse is declarative
