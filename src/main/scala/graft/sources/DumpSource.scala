@@ -267,6 +267,13 @@ class DumpMicroBatchStream(paths: Seq[String],
   protected def readerFactory(): PartitionReaderFactory =
     new DumpReaderFactory(conf)
 
+  /** What the append-only ordering contract IS for this source — the
+    * guard error below quotes it, so format twins with a different
+    * listing rule (lexicographic WARC/tar names vs dump dates) report
+    * their own contract instead of a misleading dump-date message. */
+  protected def orderingContract: String =
+    "a shard older than already-processed dates arrived late"
+
   /** paths = a single directory (the streaming layout) or an explicit
     * file list (then the "stream" is that fixed list, oldest-first). */
   private def currentFiles(): Seq[String] = paths match {
@@ -344,7 +351,7 @@ class DumpMicroBatchStream(paths: Seq[String],
             s"last '$committed') no longer matches the date-sorted listing " +
             s"(${files.length} files" +
             (if (s > 0 && s <= files.length) s", position $s is '${baseName(files(s - 1))}'" else "") +
-            "); a shard older than already-processed dates arrived late")
+            s"); $orderingContract")
     }
     files.slice(s, e).map(partitionFor).toArray
   }

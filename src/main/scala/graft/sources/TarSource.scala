@@ -331,7 +331,8 @@ class TarTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"graft_tar(${paths.mkString(",")})"
   override def schema(): StructType = TarSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // session Hadoop conf captured ON THE DRIVER (see WarcTable)
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -347,8 +348,51 @@ class TarTable(paths: Seq[String]) extends Table with SupportsRead {
             .map(sp => sp: InputPartition)).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new TarReaderFactory(conf)
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new TarMicroBatchStream(paths, conf,
+          Option(options.get("maxfilespertrigger")).map(_.toInt))
     }
   }
+}
+
+/** Streaming twin of the tar ingestion — the WebDataset shard-folder
+  * layout where new `.tar` shards land continuously (the multimodal
+  * analog of the crawl WARC folder): the folder is the unbounded
+  * source, each micro-batch is the newly-arrived shards (one
+  * partition per whole file — a landing shard is the atomic unit;
+  * sub-file splitting stays a batch-read concern), exactly-once via
+  * the checkpointed file-count offset. Reuses the dump stream's
+  * offset/admission machinery ([[DumpMicroBatchStream]] —
+  * `maxFilesPerTrigger` caps catch-up batches, Trigger.AvailableNow
+  * freezes the listing, the append-only guard fails loudly on a shard
+  * sorting before committed ones) with the WebDataset listing rule:
+  * lexicographic name order over `*.tar` (shard names sort — the
+  * `shard-000000.tar` convention). */
+class TarMicroBatchStream(paths: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends DumpMicroBatchStream(paths, conf, maxFilesPerTrigger) {
+
+  override protected def listFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf.value)
+    fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".tar"))
+      .sortBy(f => new Path(f).getName)
+      .toSeq
+  }
+
+  override protected def partitionFor(path: String): InputPartition =
+    TarFilePartition(path, 0L, Long.MaxValue)
+
+  override protected def readerFactory(): PartitionReaderFactory =
+    new TarReaderFactory(conf)
+
+  override protected def orderingContract: String =
+    "a shard sorting lexicographically before already-processed names " +
+      "arrived late (WebDataset shard folders must be append-only in " +
+      "name order)"
 }
 
 /** One read task: entries of `path` STARTING in [start, end). */
@@ -410,14 +454,21 @@ class TarPartitionReader(part: TarFilePartition,
   /** Does a valid per-file meta entry END exactly at `off`? Then the
     * entry at `off` continues a unit owned by an earlier range (had
     * the meta started at/after this range's aligned start, the resync
-    * scan would have found IT first). Checked over a bounded backward
-    * window — meta payloads are capped at [[TarSource.MaxMetaBytes]],
-    * but names/records are block-scale; 64 blocks (32 KiB) of lookback
-    * covers any real archive. Same validated-header posture as the
-    * forward resync (a payload forging a checksum-valid meta header at
-    * exactly the right offset is the shared documented limit). */
+    * scan would have found IT first). Checked over a backward window
+    * sized to [[TarSource.MaxMetaBytes]] — the SAME bound the walk
+    * enforces on meta payloads — so every meta the reader would accept
+    * is also detectable at a split boundary (a lookback narrower than
+    * the payload cap would let an oversized-but-accepted meta split
+    * into silent duplicate emission: full-name unit from the owning
+    * range PLUS a truncated-ustar-name re-emit from the next). One
+    * ~1 MiB backward read per split resync. Same validated-header
+    * posture as the forward resync (a payload forging a checksum-valid
+    * meta header at exactly the right offset is the shared documented
+    * limit). */
   private def precededByFileMeta(off: Long): Boolean = {
-    val maxBlocks = 64
+    val maxBlocks =
+      ((TarSource.MaxMetaBytes + TarSource.BlockSize - 1) /
+        TarSource.BlockSize).toInt
     val winStart = math.max(0L, off - TarSource.BlockSize.toLong * (maxBlocks + 1))
     val winLen = (off - winStart).toInt
     if (winLen < TarSource.BlockSize) return false

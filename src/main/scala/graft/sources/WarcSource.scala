@@ -313,6 +313,10 @@ class WarcMicroBatchStream(paths: Seq[String],
 
   override protected def readerFactory(): PartitionReaderFactory =
     new WarcReaderFactory(conf)
+
+  override protected def orderingContract: String =
+    "a shard sorting lexicographically before already-processed names " +
+      "arrived late (WARC folders must be append-only in name order)"
 }
 
 /** One read task: records of `path` STARTING in [start, end); `gz`

@@ -272,4 +272,53 @@ class TarSourceSpec extends AnyFunSuite {
       readTar(Seq(s"$dir/junk.tar")).count()
     }
   }
+
+  test("streaming: a growing WebDataset shard folder is consumed " +
+    "exactly once across restarts, bounded by maxFilesPerTrigger under " +
+    "AvailableNow, and batch == stream on the same shards") {
+    val root = tmpDir()
+    val dir = s"$root/shards"
+    Files.createDirectories(Paths.get(dir))
+    val ckpt = s"$root/_ckpt"
+    val sink = s"$root/out"
+    TarSource.writeTar(s"$dir/shard-000000.tar",
+      Iterator(("a/k0.txt", "zero".getBytes(UTF_8)),
+               ("a/k1.txt", "one".getBytes(UTF_8))))
+    TarSource.writeTar(s"$dir/shard-000001.tar",
+      Iterator(("a/k2.txt", "two".getBytes(UTF_8))))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.TarDataSource")
+        .option("maxFilesPerTrigger", 1)
+        .load(dir)
+        .select($"path", $"name", $"payload".cast("string").as("body"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    runOnce()
+    val first = spark.read.parquet(sink)
+      .select($"name", $"body").as[(String, String)].collect().sorted
+    assert(first.toSeq == Seq(("a/k0.txt", "zero"), ("a/k1.txt", "one"),
+      ("a/k2.txt", "two")))
+    // stream output == the batch read of the same shards
+    val batch = readTar(Seq(s"$dir/shard-000000.tar", s"$dir/shard-000001.tar"))
+      .select($"name", $"payload".cast("string")).as[(String, String)]
+      .collect().sorted.toSeq
+    assert(first.toSeq == batch)
+
+    // a new shard lands; the restart processes ONLY it (checkpointed
+    // offset), and the lexicographic listing keeps committed order
+    TarSource.writeTar(s"$dir/shard-000002.tar",
+      Iterator(("a/k3.txt", "three".getBytes(UTF_8))))
+    runOnce()
+    val second = spark.read.parquet(sink)
+      .select($"name", $"body").as[(String, String)].collect()
+    assert(second.length == 4)
+    assert(second.count(_._1 == "a/k3.txt") == 1)
+  }
 }
