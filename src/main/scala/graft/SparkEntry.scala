@@ -2092,8 +2092,9 @@ object SparkEntry {
 
     // §2b-62d: meta-robots directives — the IN-PAGE admission signal
     // next to robots.txt: planted tags cover both attribute orders,
-    // both quote styles, uppercase, the `none` alias, explicit
-    // index,follow, and a missing tag
+    // both quote styles, UNQUOTED values, uppercase, the `none`
+    // alias, split directives across TWO tags (must union), explicit
+    // index,follow, a missing tag, and a non-robots meta decoy
     "q_meta_robots" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), metaRobotsPage.as("html"))
@@ -2102,13 +2103,17 @@ object SparkEntry {
         .select(col("doc_id"), col("mr.noindex").as("noindex"),
           col("mr.nofollow").as("nofollow"))),
 
-    // §2b-62c: robots.txt parse + URL admission (RFC 9309 core) — the
+    // §2b-62c: robots.txt parse + URL admission (RFC 9309) — the
     // crawl-admission dim: declarative group/rule parse (windows +
-    // aggs, no UDF), rules compiled to anchored regexes (* / trailing
-    // $ / metachar escapes), longest-match precedence with allow
-    // winning ties, broadcast-joined to the corpus URLs on site. Four
-    // planted bodies exercise group fallback, specific-agent
-    // override, wildcards, and the $ anchor
+    // aggs, no UDF), most-specific-agent PREFIX selection (§2.2.1)
+    // decided from the group frame (an empty-Disallow group still
+    // claims the agent), rules compiled to anchored regexes (* /
+    // trailing $ / metachar escapes), longest-match precedence with
+    // allow winning ties, broadcast-joined to the corpus URLs on
+    // site. Eight planted bodies exercise group fallback,
+    // specific-agent override, wildcards, the $ anchor, prefix and
+    // longer-than-agent tokens, most-specific precedence, and the
+    // empty-Disallow claimed group
     "q_robots_filter" -> ((s, dir) => {
       val urls = t(s, dir, "documents")
         .select(col("doc_id"), syntheticUrl.as("url"))
@@ -2116,8 +2121,8 @@ object SparkEntry {
           operators.WebClean.urlHost(col("url"))))
       val body = robotsBodies.zipWithIndex.foldLeft(lit(null: String)) {
         case (acc, (b, i)) =>
-          when(pmod(HashExpressions.fnv64(col("site")), lit(4L)) === i,
-            lit(b)).otherwise(acc)
+          when(pmod(HashExpressions.fnv64(col("site")),
+            lit(robotsBodies.length.toLong)) === i, lit(b)).otherwise(acc)
       }
       val robots = urls.select(col("site")).distinct()
         .withColumn("txt", body)
@@ -2756,10 +2761,12 @@ object SparkEntry {
       s"ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
 
   /** q_robots_filter oracle: synthesis (bodies from [[robotsBodies]]
-    * keyed by fnv64(site)%4), the declarative parse (line split,
-    * UA-run-start group window, agent sets, specific-vs-* selection),
-    * the identical regex compilation, and the longest-match decision
-    * as a max over (spec, allow, rule) structs. */
+    * keyed by fnv64(site) % bodies.length), the declarative parse
+    * (line split, UA-run-start group window, per-group agent tokens,
+    * RFC §2.2.1 most-specific-PREFIX selection decided from the agent
+    * frame with `*` only when no token prefix-matches), the identical
+    * regex compilation, and the longest-match decision as a max over
+    * (spec, allow, rule) structs. */
   private def qRobotsFilterOracle: String = {
     val bodies = robotsBodies.zipWithIndex.map { case (b, i) =>
       s"WHEN $i THEN '${b.replace("'", "''")}'"
@@ -2778,7 +2785,7 @@ object SparkEntry {
        |us AS (SELECT doc_id, url,
        |  ${sqlSiteOf(sqlHostOf("url"))} AS site FROM u),
        |rb AS (
-       |  SELECT site, CASE CAST(${sqlFnvRaw("site")} % 4 AS INT)
+       |  SELECT site, CASE CAST(${sqlFnvRaw("site")} % ${robotsBodies.length} AS INT)
        |    $bodies END AS txt
        |  FROM (SELECT DISTINCT site FROM us)),
        |rlines AS (
@@ -2806,17 +2813,27 @@ object SparkEntry {
        |          ROWS UNBOUNDED PRECEDING) AS g
        |  FROM marks),
        |agents AS (
-       |  SELECT site, g, list(DISTINCT lower(val)) AS uas
-       |  FROM grp WHERE is_ua GROUP BY site, g),
+       |  SELECT DISTINCT site, g, lower(val) AS ua
+       |  FROM grp WHERE is_ua),
+       |agm AS (
+       |  SELECT site, g, ua,
+       |    ua <> '*' AND starts_with('graftbot', ua) AS m_spec
+       |  FROM agents),
+       |best AS (
+       |  SELECT site, max(length(ua)) AS best_len
+       |  FROM agm WHERE m_spec GROUP BY site),
+       |sel AS (
+       |  SELECT DISTINCT a.site, a.g
+       |  FROM agm a JOIN best b ON a.site = b.site
+       |  WHERE a.m_spec AND length(a.ua) = b.best_len
+       |  UNION
+       |  SELECT site, g FROM agm
+       |  WHERE ua = '*' AND site NOT IN (SELECT site FROM best)),
        |rules0 AS (
        |  SELECT r.site, r.kind = 'allow' AS allow, r.val AS rule_path,
-       |    length(r.val) AS spec,
-       |    list_contains(a.uas, 'graftbot') AS specific,
-       |    list_contains(a.uas, '*') AS wild
-       |  FROM grp r JOIN agents a USING (site, g)
+       |    length(r.val) AS spec
+       |  FROM grp r JOIN sel USING (site, g)
        |  WHERE r.kind IS NOT NULL AND length(r.val) > 0),
-       |hs AS (SELECT site, max(CASE WHEN specific THEN 1 ELSE 0 END) AS has_spec
-       |       FROM rules0 GROUP BY site),
        |rrules AS (
        |  SELECT r.site, r.allow, r.rule_path, r.spec,
        |    '^' || replace(regexp_replace(
@@ -2825,8 +2842,7 @@ object SparkEntry {
        |        ELSE r.rule_path END,
        |      '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'), '*', '.*')
        |      || CASE WHEN r.rule_path LIKE '%$$' THEN '$$' ELSE '' END AS pattern
-       |  FROM rules0 r JOIN hs USING (site)
-       |  WHERE (has_spec = 1 AND specific) OR (has_spec = 0 AND wild)),
+       |  FROM rules0 r),
        |paths AS (
        |  SELECT doc_id, site,
        |    CASE WHEN p = '' THEN '/' ELSE p END AS path
@@ -2859,34 +2875,58 @@ object SparkEntry {
       s"THEN regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1) " +
       s"ELSE regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) END"
 
-  /** Planted meta-robots page per document (doc_id % 5) — shared
+  /** Planted meta-robots page per document (doc_id % 8) — shared
     * shape with the q_meta_robots oracle: double-quoted
     * name-then-content (0), single-quoted content-then-name (1),
-    * UPPERCASE `NONE` (2), no tag (3), explicit index,follow (4). */
+    * UPPERCASE `NONE` (2), no tag (3), explicit index,follow (4),
+    * TWO separate tags whose directives must union (5), an UNQUOTED
+    * content value (6), and an unquoted comma-list in content-first
+    * order (7). A `<meta name="viewport" content="nofollow-like">`
+    * decoy rides on every page (must never match). */
   private def metaRobotsPage: Column = concat(
-    lit("<html><head>"),
-    when(pmod(col("doc_id"), lit(5)) === 0,
+    lit("<html><head><meta name=\"viewport\" content=\"width=1\">"),
+    when(pmod(col("doc_id"), lit(8)) === 0,
       lit("<meta name=\"robots\" content=\"noindex, follow\">"))
-      .when(pmod(col("doc_id"), lit(5)) === 1,
+      .when(pmod(col("doc_id"), lit(8)) === 1,
         lit("<meta content='nofollow' name='robots'>"))
-      .when(pmod(col("doc_id"), lit(5)) === 2,
+      .when(pmod(col("doc_id"), lit(8)) === 2,
         lit("<META NAME=\"ROBOTS\" CONTENT=\"NONE\">"))
-      .when(pmod(col("doc_id"), lit(5)) === 3, lit(""))
+      .when(pmod(col("doc_id"), lit(8)) === 3, lit(""))
+      .when(pmod(col("doc_id"), lit(8)) === 5,
+        lit("<meta name=\"robots\" content=\"noindex\">" +
+          "<meta name=\"robots\" content=\"nofollow\">"))
+      .when(pmod(col("doc_id"), lit(8)) === 6,
+        lit("<meta name=robots content=noindex>"))
+      .when(pmod(col("doc_id"), lit(8)) === 7,
+        lit("<meta content=noindex,nofollow name=robots>"))
       .otherwise(lit("<meta name=\"robots\" content=\"index,follow\">")),
     lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
 
-  /** The four planted robots.txt bodies q_robots_filter assigns to
-    * sites by fnv64(site) % 4 — shared verbatim between the Spark
-    * synthesis and the oracle. Coverage: group fallback to `*` with a
-    * longest-match allow override + empty Disallow + comment + unknown
-    * directive (0); a specific-agent group that blocks everything
-    * while the `*` group allows (1); `*` wildcards mid-rule (2); a
-    * combined `*`-and-`$`-anchor rule with an escaped `?` (3). */
+  /** The eight planted robots.txt bodies q_robots_filter assigns to
+    * sites by fnv64(site) % 8 (8 divides 2^64, so the oracle's
+    * unsigned HUGEINT modulus equals Spark's signed pmod) — shared
+    * verbatim between the Spark synthesis and the oracle. Coverage:
+    * group fallback to `*` with a longest-match allow override +
+    * empty Disallow + comment + unknown directive (0); a
+    * specific-agent group that blocks everything while the `*` group
+    * allows (1); `*` wildcards mid-rule (2); a combined
+    * `*`-and-`$`-anchor rule with an escaped `?` (3); RFC §2.2.1
+    * most-specific-agent precedence — the exact `graftbot` token must
+    * beat the shorter `graft` prefix group (4); a matched group whose
+    * only directive is an empty `Disallow:` — default allow, must NOT
+    * fall back to the blocking `*` group (5); selection via PREFIX
+    * token alone (`graft` matches agent `graftbot`) (6); a token
+    * LONGER than the agent (`graftbotx`) must not match — falls back
+    * to `*` (7). */
   private val robotsBodies: Seq[String] = Seq(
     "User-agent: *\nDisallow: /p/\nAllow: /p/1*\nDisallow:\n# note\nCrawl-delay: 5",
     "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow:",
     "User-agent: *\nDisallow: /*?ref=*\nAllow: /p/",
-    "User-agent: *\nDisallow: /p/*3?ref=rss$")
+    "User-agent: *\nDisallow: /p/*3?ref=rss$",
+    "User-agent: graft\nDisallow: /p/\n\nUser-agent: graftbot\nAllow: /\n\nUser-agent: *\nDisallow: /",
+    "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /",
+    "User-agent: graft\nDisallow: /p/\n\nUser-agent: *\nAllow: /",
+    "User-agent: graftbotx\nDisallow: /\n\nUser-agent: *\nDisallow: /p/9*")
 
   /** The [[linkPage]] synthesis as SQL — shared by the link-extraction
     * oracles. */
@@ -5781,13 +5821,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // the INDEPENDENT truth table for the planted residues — stronger
-    // than a regex replay: noindex for the planted-noindex (0) and
-    // `none` (2) pages, nofollow for (1) and (2), nothing for the
+    // than a regex replay: noindex for the planted-noindex (0),
+    // `none` (2), two-tag-union (5), unquoted (6) and unquoted-list
+    // (7) pages; nofollow for (1), (2), (5) and (7); nothing for the
     // tagless (3) and explicit index,follow (4) pages
     "q_meta_robots" ->
       """SELECT doc_id,
-        |  doc_id % 5 IN (0, 2) AS noindex,
-        |  doc_id % 5 IN (1, 2) AS nofollow
+        |  doc_id % 8 IN (0, 2, 5, 6, 7) AS noindex,
+        |  doc_id % 8 IN (1, 2, 5, 7) AS nofollow
         |FROM documents""".stripMargin,
 
     // full RFC-9309 replay: line/group parse as windows, group

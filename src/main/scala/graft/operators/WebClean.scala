@@ -266,23 +266,33 @@ object WebClean {
   /** Meta-robots directives — the IN-PAGE counterpart of robots.txt
     * (a page the crawler was allowed to fetch can still say
     * `noindex`, and corpus pipelines drop such pages): the `content`
-    * of any `<meta name="robots" ...>` tag, attribute order EITHER
-    * way (both occur in the wild), case-insensitive, token list split
-    * on commas with whitespace ignored; `none` implies both noindex
-    * and nofollow (the published directive semantics). Returns a
-    * struct (noindex, nofollow); a page without the tag — or with
-    * explicit `index,follow` — is (false, false). One codegen
-    * projection, zero shuffles. */
+    * of EVERY `<meta name="robots" ...>` tag on the page (real pages
+    * carry split directives — one noindex tag and a separate nofollow
+    * tag — and the published semantics union them), attribute order
+    * either way, case-insensitive, values double-quoted,
+    * single-quoted, or UNQUOTED (`content=noindex` — HTML allows it
+    * and crawl pages use it; an unquoted value runs to the next
+    * whitespace or `>`); token lists split on commas with whitespace
+    * ignored, unioned across all matched tags; `none` implies both
+    * noindex and nofollow. Returns a struct (noindex, nofollow); a
+    * page without the tag — or with explicit `index,follow` — is
+    * (false, false). One codegen-expression projection (the array
+    * lambdas run over per-page tag lists, not corpus rows), zero
+    * shuffles. */
   def metaRobots(html: Column): Column = {
     val h = lower(html)
-    val c1 = regexp_extract(h,
-      "<meta[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*" +
-        "content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-    val c2 = regexp_extract(h,
-      "<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
-        "name\\s*=\\s*[\"']robots[\"']", 1)
-    val toks = split(regexp_replace(when(c1 =!= "", c1).otherwise(c2),
-      "[ \\t\\n\\x0b\\f\\r]+", ""), ",")
+    // attribute value: "..." | '...' | unquoted-run (no ws, no '>',
+    // not starting with a quote)
+    val v = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+    val nameRobots = "name\\s*=\\s*[\"']?robots\\b[\"']?"
+    val c1 = regexp_extract_all(h,
+      lit("<meta[^>]*" + nameRobots + "[^>]*content\\s*=\\s*" + v), lit(1))
+    val c2 = regexp_extract_all(h,
+      lit("<meta[^>]*content\\s*=\\s*" + v + "[^>]*" + nameRobots), lit(1))
+    val vals = transform(concat(c1, c2), x =>
+      when(x.rlike("^[\"']"), x.substr(lit(2), length(x) - 2)).otherwise(x))
+    val toks = flatten(transform(vals, x =>
+      split(regexp_replace(x, "[ \\t\\n\\x0b\\f\\r]+", ""), ",")))
     struct(
       (array_contains(toks, "noindex") || array_contains(toks, "none"))
         .as("noindex"),
@@ -299,11 +309,17 @@ object WebClean {
     *  - lines: `\r` and `#`-comments stripped, trimmed;
     *  - GROUPS: a maximal run of `User-agent:` lines owns the rules
     *    until the next run (the running-count-of-run-starts window);
-    *  - group selection: exact-token agent match (case-insensitive)
-    *    when the site has any such group, else the `*` groups —
-    *    multiple matched groups combine (RFC 9309 §2.2.1); UA prefix
-    *    matching beyond the exact token is not implemented
-    *    (documented subset);
+    *  - group selection per RFC 9309 §2.2.1: a group's user-agent
+    *    token matches when it is a case-insensitive PREFIX of the
+    *    crawler's product token (the `googlebot` group matches agent
+    *    `googlebot-news`); among matching tokens the LONGEST (most
+    *    specific) wins, and every group carrying a winning token
+    *    combines. Only when NO token prefix-matches do the `*` groups
+    *    apply. Selection is decided from the GROUPS themselves, not
+    *    from their path-bearing rules — a matched group whose sole
+    *    directive is an empty `Disallow:` (RFC allow-all) still
+    *    claims the agent, yielding zero applicable rules (default
+    *    allow), never a fallback to `*`;
     *  - rules: `Allow:` / `Disallow:` with non-empty paths (an empty
     *    `Disallow:` imposes nothing); specificity = rule OCTET length
     *    (RFC §2.2.2);
@@ -336,17 +352,32 @@ object WebClean {
       .withColumn("ua_start", (col("is_ua") &&
         !coalesce(lag(col("is_ua"), 1).over(w), lit(false))).cast("int"))
       .withColumn("grp", sum(col("ua_start")).over(w))
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // one row per (site, grp, ua); `m_spec` marks tokens that
+    // prefix-match the crawler's product token (RFC §2.2.1 — `*` is
+    // the fallback, never a prefix match)
     val agents = grouped.where(col("is_ua"))
-      .groupBy(col("site"), col("grp"))
-      .agg(collect_set(col("ua")).as("uas"))
+      .select(col("site"), col("grp"), col("ua"))
+      .distinct()
+      .withColumn("m_spec",
+        col("ua") =!= "*" && lit(agentLc).startsWith(col("ua")))
+    // most-specific match per site = the longest prefix-matching token
+    val best = agents.where(col("m_spec"))
+      .groupBy(col("site")).agg(max(length(col("ua"))).as("best_len"))
+    // selected groups: every group carrying a longest-match token; on
+    // sites with no match, every `*` group. Decided from the AGENTS
+    // frame, so a selected group with no path-bearing rules still
+    // suppresses the `*` fallback (default allow, not * rules).
+    val selSpec = agents.where(col("m_spec")).join(best, "site")
+      .where(length(col("ua")) === col("best_len"))
+      .select(col("site"), col("grp"))
+    val selWild = agents.where(col("ua") === "*")
+      .join(best, Seq("site"), "left_anti")
+      .select(col("site"), col("grp"))
+    val selected = selSpec.union(selWild).distinct()
     val rules = grouped
       .where(col("kind").isNotNull && length(col("path")) > 0)
-      .join(agents, Seq("site", "grp"))
-      .withColumn("specific", array_contains(col("uas"),
-        lit(agent.toLowerCase(java.util.Locale.ROOT))))
-      .withColumn("wild", array_contains(col("uas"), lit("*")))
-    val hasSpecific = rules.groupBy(col("site"))
-      .agg(max(col("specific").cast("int")).as("has_spec"))
+      .join(selected, Seq("site", "grp"))
     val ends = col("path").endsWith("$")
     val body = when(ends,
         expr("substring(path, 1, length(path) - 1)")).otherwise(col("path"))
@@ -354,9 +385,7 @@ object WebClean {
       "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
     val pattern = concat(lit("^"), replace(esc, lit("*"), lit(".*")),
       when(ends, lit("$")).otherwise(lit("")))
-    rules.join(hasSpecific, "site")
-      .where((col("has_spec") === 1 && col("specific")) ||
-             (col("has_spec") === 0 && col("wild")))
+    rules
       .select(col("site"), (col("kind") === "allow").as("allow"),
         col("path"), length(col("path")).as("spec"), pattern.as("pattern"))
   }

@@ -356,7 +356,19 @@ class WebCleanSpec extends AnyFunSuite {
       // wildcard + $ anchor; tie-break allow-vs-disallow at equal length
       ("c.com", "User-agent: *\nDisallow: /x*y$\nAllow: /a/b\nDisallow: /a/c"),
       // no group for us at all (other agent only)
-      ("d.com", "User-agent: serpbot\nDisallow: /")
+      ("d.com", "User-agent: serpbot\nDisallow: /"),
+      // RFC §2.2.1 most-specific-agent: the exact token beats the
+      // shorter prefix token; the prefix group's rules must NOT apply
+      ("e2.com", "User-agent: graft\nDisallow: /p\n\n" +
+        "User-agent: graftbot\nAllow: /\n\nUser-agent: *\nDisallow: /"),
+      // selection via PREFIX alone ('graft' matches agent 'graftbot')
+      ("f.com", "User-agent: graft\nDisallow: /p\n\nUser-agent: *\nAllow: /"),
+      // a token LONGER than the agent is not a prefix — falls to *
+      ("g.com", "User-agent: graftbotx\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /q"),
+      // a matched group whose only directive is an empty Disallow
+      // claims the agent: default allow, NEVER the blocking * group
+      ("h.com", "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /")
     ).toDF("site", "txt")
     val rules = WebClean.robotsRules(robots, "site", "txt", "graftbot")
     val urls = Seq(
@@ -367,12 +379,18 @@ class WebCleanSpec extends AnyFunSuite {
       (5L, "http://c.com/xAAy", "c.com"),       // * + $ anchor hits
       (6L, "http://c.com/xAAyz", "c.com"),      // $ anchor misses
       (7L, "http://d.com/anything", "d.com"),   // no applicable group
-      (8L, "http://c.com/a/b", "c.com")         // allow matches, disallow doesn't
+      (8L, "http://c.com/a/b", "c.com"),        // allow matches, disallow doesn't
+      (9L, "http://e2.com/p/x", "e2.com"),      // exact beats prefix: allowed
+      (10L, "http://f.com/p/x", "f.com"),       // prefix group's disallow
+      (11L, "http://f.com/ok", "f.com"),        // prefix group, no match
+      (12L, "http://g.com/q/1", "g.com"),       // longer token no match -> *
+      (13L, "http://h.com/anything", "h.com")   // empty-Disallow claim
     ).toDF("doc_id", "url", "site")
     val got = WebClean.robotsAllowed(urls, rules, "doc_id", "url", "site")
       .select($"doc_id", $"allowed").as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
-      5L -> false, 6L -> true, 7L -> true, 8L -> true))
+      5L -> false, 6L -> true, 7L -> true, 8L -> true, 9L -> true,
+      10L -> false, 11L -> true, 12L -> false, 13L -> true))
     // the compiled patterns escape metachars: '.' in a rule is literal
     val dot = WebClean.robotsRules(
       Seq(("e.com", "User-agent: *\nDisallow: /a.b")).toDF("site", "txt"),
@@ -383,6 +401,33 @@ class WebCleanSpec extends AnyFunSuite {
       dot, "doc_id", "url", "site")
       .select($"doc_id", $"allowed").as[(Long, Boolean)].collect().toMap
     assert(v == Map(1L -> true, 2L -> false))
+  }
+
+  test("metaRobots: multi-tag union, unquoted values, both attribute " +
+    "orders, none alias, non-robots decoy never matches") {
+    val pages = Seq(
+      // split directives across two tags: both must surface
+      (1L, "<meta name=\"robots\" content=\"noindex\">" +
+        "<meta name=\"robots\" content=\"nofollow\">"),
+      // unquoted name and content values
+      (2L, "<meta name=robots content=noindex>"),
+      // unquoted comma-list, content-first attribute order
+      (3L, "<meta content=noindex,nofollow name=robots>"),
+      // decoy metas only: viewport + a robots-valued OTHER name
+      (4L, "<meta name=\"viewport\" content=\"noindex\">" +
+        "<meta name=\"author\" content=\"nofollow\">"),
+      // none alias, uppercase, single quotes
+      (5L, "<META NAME='ROBOTS' CONTENT='NONE'>"),
+      // explicit index,follow stays all-false
+      (6L, "<meta name=robots content=\"index, follow\">")
+    ).toDF("id", "html")
+    val got = pages.select($"id", WebClean.metaRobots($"html").as("m"))
+      .select($"id", $"m.noindex", $"m.nofollow")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(got == Map(1L -> (true, true), 2L -> (true, false),
+      3L -> (true, true), 4L -> (false, false), 5L -> (true, true),
+      6L -> (false, false)))
   }
 
   test("blocklistScan: signals, translate case folding, null text") {
