@@ -2050,17 +2050,22 @@ object SparkEntry {
         "doc_id", "text", blocklistWords)),
 
     // §2b-60b: anchor-href link extraction (the WAT-records step) —
-    // both quote styles, case-insensitive attr, document-order pos,
-    // relative links dropped; the planted page exercises each case
+    // both quote styles PLUS unquoted values, case-insensitive attr,
+    // tag-anchored (<area>/data-href decoys must not match),
+    // document-order pos, and RELATIVE hrefs resolved against the
+    // page URL (RFC 3986 merge + dot-segment normalization); the
+    // planted page exercises every case
     "q_link_extract" -> ((s, dir) =>
       operators.WebClean.extractLinks(
-        t(s, dir, "documents").select(col("doc_id"), linkPage.as("html")),
-        "doc_id", "html")),
+        t(s, dir, "documents").select(col("doc_id"),
+          syntheticUrl.as("src_url"), linkPage.as("html")),
+        "doc_id", "html", baseUrlCol = Some("src_url"))),
 
-    // §2b-69d: the COMPOSED domain-rank pipeline — extract links,
-    // roll both endpoints up to registrable sites, PageRank the
-    // domain graph: the crawl-pipeline composition the graph family
-    // exists for (until now its edge list was synthesized directly).
+    // §2b-69d: the COMPOSED domain-rank pipeline — extract links
+    // (relative hrefs resolved against the page URL, so the edge set
+    // is the full anchor graph, not just absolute targets), roll both
+    // endpoints up to registrable sites, PageRank the domain graph:
+    // the crawl-pipeline composition the graph family exists for.
     // Sites become stable integer ids via fnv64 (the integer
     // iteration's key type); the name join-back is a ~|sites|-row
     // frame. 5 rounds, the oracle replays every stage.
@@ -2068,7 +2073,8 @@ object SparkEntry {
       val pages = t(s, dir, "documents")
         .select(col("doc_id"), syntheticUrl.as("src_url"),
           linkPage.as("html"))
-      val links = operators.WebClean.extractLinks(pages, "doc_id", "html")
+      val links = operators.WebClean.extractLinks(pages, "doc_id", "html",
+        baseUrlCol = Some("src_url"))
       val srcSite = operators.WebClean.urlSite(
         operators.WebClean.urlHost(col("src_url")))
       val dstSite = operators.WebClean.urlSite(
@@ -2509,21 +2515,38 @@ object SparkEntry {
 
   /** Deterministic HTML page with planted ANCHORS per document —
     * shared shape between q_link_extract / q_domain_rank and their
-    * oracles: a double-quoted absolute link, a single-quoted
-    * uppercase-attr www link, a RELATIVE link (must be dropped), and
-    * a second absolute link with query+fragment. */
+    * oracles. In document order: a double-quoted absolute link (0), a
+    * single-quoted uppercase-attr www link (1), a ROOT-RELATIVE link
+    * (2 — resolves against the page URL), a second absolute link with
+    * query+fragment (3), an UNQUOTED absolute href (4), a dot-segment
+    * relative link (5 — `../up/…` must normalize), a query-only
+    * reference (6 — replaces the base query), a protocol-relative
+    * link (7 — takes the base scheme), and a fragment-only self-link
+    * (8 — holds its pos but yields no row). Two DECOYS that must
+    * never extract: an `<area href>` (tag anchor) and a
+    * `<a data-href>` (attribute boundary). */
   private def linkPage: Column = concat(
     lit("<html><body><p>"), col("text"), lit("</p>"),
+    lit("<area href=\"http://decoy.example.net/a\">"),
     lit("<a href=\"http://u"), pmod(col("doc_id"), lit(7)).cast("string"),
     lit(".host"), pmod(col("doc_id"), lit(13)).cast("string"),
     lit(".com/p/"), col("doc_id").cast("string"), lit("\">x</a>"),
     lit("<A HREF='https://www.hub"), pmod(col("doc_id"), lit(5)).cast("string"),
     lit(".example.org/dir/'>y</A>"),
+    lit("<a data-href=\"http://decoy2.example.net/b\">no</a>"),
     lit("<a href=\"/relative/"), col("doc_id").cast("string"),
     lit("\">rel</a>"),
     lit("<a href=\"http://u"), pmod(col("doc_id") + 1, lit(7)).cast("string"),
     lit(".host"), pmod(col("doc_id") + 1, lit(13)).cast("string"),
-    lit(".com/q?a=1#f\">z</a></body></html>"))
+    lit(".com/q?a=1#f\">z</a>"),
+    lit("<a href=http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+    lit(".example.net/lib.js>u</a>"),
+    lit("<a href=\"../up/"), pmod(col("doc_id"), lit(9)).cast("string"),
+    lit("\">d</a>"),
+    lit("<a href=\"?page=2\">q</a>"),
+    lit("<a href=\"//mirror"), pmod(col("doc_id"), lit(3)).cast("string"),
+    lit(".example.com/m\">p</a>"),
+    lit("<a href=\"#sec\">s</a></body></html>"))
 
   /** Deterministic MESSY synthetic URL per document — shared shape
     * between q_url_canon's Spark side and its oracle: mixed-case
@@ -2932,30 +2955,99 @@ object SparkEntry {
     * oracles. */
   private val sqlLinkPage: String =
     """'<html><body><p>' || text || '</p>' ||
+      |'<area href="http://decoy.example.net/a">' ||
       |'<a href="http://u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
       |  '.com/p/' || doc_id || '">x</a>' ||
       |'<A HREF=''https://www.hub' || (doc_id % 5) ||
       |  '.example.org/dir/''>y</A>' ||
+      |'<a data-href="http://decoy2.example.net/b">no</a>' ||
       |'<a href="/relative/' || doc_id || '">rel</a>' ||
       |'<a href="http://u' || ((doc_id + 1) % 7) || '.host' ||
-      |  ((doc_id + 1) % 13) || '.com/q?a=1#f">z</a></body></html>'"""
+      |  ((doc_id + 1) % 13) || '.com/q?a=1#f">z</a>' ||
+      |'<a href=http://cdn' || (doc_id % 5) || '.example.net/lib.js>u</a>' ||
+      |'<a href="../up/' || (doc_id % 9) || '">d</a>' ||
+      |'<a href="?page=2">q</a>' ||
+      |'<a href="//mirror' || (doc_id % 3) || '.example.com/m">p</a>' ||
+      |'<a href="#sec">s</a></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
+  /** The [[syntheticUrl]] synthesis as SQL — the page URL the
+    * link-extraction oracles resolve relative hrefs against. */
+  private val sqlSyntheticUrl: String =
+    """'https://' ||
+      |CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+      |CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+      |'u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
+      |CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+      |     WHEN doc_id % 3 = 1 THEN '.org' ELSE '.com' END ||
+      |CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+      |'/p/' || doc_id || '?ref=rss#top'"""
       .stripMargin.replace("\n", " ")
 
   /** Link-extraction CTE chain shared by q_link_extract /
-    * q_domain_rank: `pages(doc_id, html)` → `items(doc_id, pos, url)`
-    * (pos 0-based over ALL hrefs, then the absolute-http filter). */
+    * q_domain_rank: `pages(doc_id, base_url, html)` → extracted hrefs
+    * (the [[graft.operators.WebClean.hrefPattern]] regex verbatim,
+    * conditional quote strip) → the RFC 3986 resolution replay
+    * (DuckDB lateral column aliases walk the same merge/dot-segment
+    * chain as [[graft.operators.WebClean.resolveUrl]], 'g'-flagged
+    * replaces == Spark's replace-all) → `abslinks(doc_id, pos, url)`
+    * (pos 0-based over ALL hrefs, then the http(s) filter). */
   private val sqlLinkItemsCtes: String =
-    s"""pages AS (SELECT doc_id, $sqlLinkPage AS html FROM documents),
+    s"""pages AS (SELECT doc_id, $sqlSyntheticUrl AS base_url,
+       |  $sqlLinkPage AS html FROM documents),
        |ex AS (
-       |  SELECT doc_id, regexp_extract_all(html,
-       |    '(?i)<a[^>]*href\\s*=\\s*("[^"]*"|''[^'']*'')', 1) AS qs
+       |  SELECT doc_id, base_url, regexp_extract_all(html,
+       |    '(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>"''][^\\s>]*)',
+       |    1) AS qs
        |  FROM pages),
        |items AS (
-       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-       |    substr(qs[i], 2, length(qs[i]) - 2) AS url
+       |  SELECT doc_id, base_url, CAST(i - 1 AS INT) AS pos,
+       |    CASE WHEN regexp_matches(qs[i], '^["'']')
+       |      THEN substr(qs[i], 2, length(qs[i]) - 2) ELSE qs[i] END AS href
        |  FROM ex, unnest(generate_series(1, len(qs))) AS g(i)),
+       |res AS (
+       |  SELECT doc_id, pos,
+       |    trim(href) AS h,
+       |    regexp_extract(base_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS sch,
+       |    regexp_extract(base_url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+       |    regexp_extract(base_url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath,
+       |    CASE WHEN bpath = '' THEN '/' ELSE bpath END AS por,
+       |    CASE WHEN bpath = '' THEN '/'
+       |      ELSE regexp_replace(bpath, '[^/]*$$', '') END AS bdir,
+       |    CASE
+       |      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
+       |      WHEN sch = '' THEN NULL
+       |      WHEN h LIKE '//%' THEN sch || ':' || h
+       |      WHEN h LIKE '/%' THEN sch || '://' || auth || h
+       |      WHEN h LIKE '?%' THEN sch || '://' || auth || por || h
+       |      WHEN h = '' OR h LIKE '#%' THEN NULL
+       |      ELSE sch || '://' || auth || bdir || h END AS merged,
+       |    regexp_extract(merged, '^([^?#]*)', 1) AS pre,
+       |    substr(merged, length(pre) + 1) AS post,
+       |    regexp_extract(merged,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS hier,
+       |    substr(pre, length(hier) + 1) AS path0,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(path0,
+       |      '/\\./', '/', 'g'), '/\\./', '/', 'g'), '/\\./', '/', 'g'),
+       |      '/\\.$$', '/') AS nodot,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(nodot,
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/')
+       |      AS noup,
+       |    regexp_replace(noup, '^/\\.\\.$$', '/') AS npath,
+       |    CASE WHEN merged IS NULL THEN NULL
+       |      WHEN hier = '' THEN merged
+       |      ELSE hier || npath || post END AS url
+       |  FROM items),
        |abslinks AS (
-       |  SELECT doc_id, pos, url FROM items
+       |  SELECT doc_id, pos, url FROM res
        |  WHERE regexp_matches(lower(url), '^https?://'))""".stripMargin
 
   private def sqlFnvRaw(x: String): String =
@@ -5838,30 +5930,23 @@ object SparkEntry {
     // SAME robotsBodies list
     "q_robots_filter" -> qRobotsFilterOracle,
 
-    // identical regexp_extract_all + quote-strip + absolute filter;
-    // pos is the ordinality over ALL hrefs (the relative link holds a
-    // position even though it is dropped)
+    // identical regexp_extract_all (tag-anchored, three value forms)
+    // + conditional quote-strip + RFC 3986 resolution replay +
+    // http(s) filter; pos is the ordinality over ALL hrefs (the
+    // fragment-only link holds a position even though it is dropped)
     "q_link_extract" ->
       s"""WITH $sqlLinkItemsCtes
          |SELECT doc_id, pos, url FROM abslinks""".stripMargin,
 
-    // the composed crawl chain: extraction → host/site rollup (the
-    // q_url_parse replay) → DISTINCT site pairs → fnv64 node ids →
-    // the shared PageRank rounds → name join-back, top 50
+    // the composed crawl chain: extraction + relative resolution →
+    // host/site rollup (the q_url_parse replay) → DISTINCT site pairs
+    // → fnv64 node ids → the shared PageRank rounds → name join-back,
+    // top 50
     "q_domain_rank" -> {
-      val srcUrl =
-        """'https://' ||
-          |CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
-          |CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
-          |'u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
-          |CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
-          |     WHEN doc_id % 3 = 1 THEN '.org' ELSE '.com' END ||
-          |CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
-          |'/p/' || doc_id || '?ref=rss#top'"""
-          .stripMargin.replace("\n", " ")
       s"""WITH $sqlLinkItemsCtes,
          |ss AS (
-         |  SELECT doc_id, ${sqlSiteOf(sqlHostOf(s"($srcUrl)"))} AS src_site
+         |  SELECT doc_id,
+         |    ${sqlSiteOf(sqlHostOf(s"($sqlSyntheticUrl)"))} AS src_site
          |  FROM documents),
          |ds AS (
          |  SELECT doc_id, ${sqlSiteOf(sqlHostOf("url"))} AS dst_site

@@ -208,26 +208,114 @@ object WebClean {
       .withColumn("flagged", col("hits_total") > 0L)
   }
 
+  /** The anchor-href pattern [[extractLinks]] and its oracles share:
+    * the tag name is ANCHORED (`<a` must be followed by whitespace —
+    * `<area>`, `<article href=...>`, `<audio>` must not match) and
+    * `href` must be preceded by whitespace (the greedy `[^>]*\s`
+    * guarantees the char before `href` is a space char, so
+    * `data-href="..."` never matches — RE2 has no lookbehind, this is
+    * the lookbehind-free equivalent); values are double-quoted,
+    * single-quoted, or UNQUOTED (run to the next whitespace / `>`). */
+  private[graft] val hrefPattern: String =
+    "(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*" +
+      "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+
+  /** RFC 3986 §5 reference resolution as a zero-shuffle Column chain —
+    * the step that turns raw anchor hrefs into link-graph edges
+    * (relative hrefs are the MAJORITY of real anchors; dropping them
+    * wholesale mis-shapes any real link graph):
+    *
+    *  - absolute references (any `scheme:` prefix) pass through;
+    *  - `//authority/...` takes the base scheme;
+    *  - `/rooted` takes the base scheme://authority;
+    *  - `?query` replaces the base query (base path kept);
+    *  - empty and `#fragment`-only references are SELF-links — null
+    *    here, since a link graph wants no self-edge from them;
+    *  - anything else merges with the base path's directory
+    *    (everything through the last `/`);
+    *  - dot segments are then normalized on the path part (`/./` and
+    *    `/seg/../` collapse, leading `/../` clamps to root) to a
+    *    bounded depth of 4 — RFC remove_dot_segments is a loop, and a
+    *    fixed unrolling keeps the chain replayable in any SQL engine;
+    *    residues deeper than 4 levels survive (documented bound, not
+    *    silent truncation: they stay visibly `/../` in the output).
+    *
+    * Null when `base` is null / not absolute-hierarchical (no
+    * `scheme://`) and the reference is not itself absolute. */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val auth = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val basePath = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathOrRoot = when(basePath === "", lit("/")).otherwise(basePath)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val hasBase = scheme =!= ""
+    val merged =
+      when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(!hasBase, lit(null))
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(scheme, lit("://"), auth, h))
+        .when(h.startsWith("?"), concat(scheme, lit("://"), auth,
+          pathOrRoot, h))
+        .when(h === "" || h.startsWith("#"), lit(null))
+        .otherwise(concat(scheme, lit("://"), auth, baseDir, h))
+    // dot-segment normalization on the PATH substring only: the
+    // query/fragment may legally contain '/..' and must pass through,
+    // and the authority must be out of reach (a leading '/../' next
+    // to 'scheme://host' would otherwise let the up-segment regex eat
+    // the host). Non-hierarchical absolute refs (mailto:) untouched.
+    val pre = regexp_extract(merged, "^([^?#]*)", 1)
+    val post = substr(merged, length(pre) + lit(1), length(merged))
+    val hier = regexp_extract(merged, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val path0 = substr(pre, length(hier) + lit(1), length(pre))
+    val noDot1 = (1 to 3).foldLeft(path0)((p, _) =>
+      regexp_replace(p, "/\\./", "/"))
+    val noDot = regexp_replace(noDot1, "/\\.$", "/")
+    val noUp = (1 to 4).foldLeft(noDot)((p, _) =>
+      regexp_replace(regexp_replace(regexp_replace(p,
+        "^/\\.\\./", "/"), "/[^/]+/\\.\\./", "/"), "/[^/]+/\\.\\.$", "/"))
+    val normPath = regexp_replace(noUp, "^/\\.\\.$", "/")
+    when(merged.isNull, lit(null))
+      .when(hier === "", merged)
+      .otherwise(concat(hier, normPath, post))
+  }
+
   /** Anchor-href extraction — the LINK-GRAPH input step of a crawl
     * pipeline (what Common Crawl publishes as WAT link records, and
     * what [[graft.operators.Graph.pageRank]]/hits consume after the
-    * host/site rollup): every `<a ... href="...">` / `href='...'`
-    * target in document order, attribute name case-insensitive, both
-    * quote styles. `pos` is the anchor's 0-based index among ALL
-    * extracted hrefs; only ABSOLUTE http(s) targets survive the
-    * filter (relative resolution needs a base-URL join — out of
-    * scope here, as in WAT's `url` field consumers). One RE2-safe
+    * host/site rollup): every `<a ... href=...>` target in document
+    * order — attribute name case-insensitive, both quote styles plus
+    * unquoted values, tag-anchored so `<area>`/`<article>` and
+    * `data-href` never produce false rows ([[hrefPattern]]). With
+    * `baseUrlCol` set, each href is RESOLVED against the page URL
+    * ([[resolveUrl]]), so relative links — the majority of real
+    * anchors — become edges too; without it only absolute targets
+    * survive. `pos` is the anchor's 0-based index among ALL extracted
+    * hrefs (a dropped fragment-only link still holds its position);
+    * only http(s) targets survive the final filter. One RE2-safe
     * `regexp_extract_all` + a narrow explode; zero shuffles, fuses
     * into the scan at any corpus size. */
-  def extractLinks(df: DataFrame, idCol: String,
-                   htmlCol: String): DataFrame =
-    df.select(col(idCol),
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
+                   baseUrlCol: Option[String] = None): DataFrame = {
+    val raw = df.select(col(idCol),
+        baseUrlCol.map(col).getOrElse(lit(null)).as("__base"),
         posexplode(regexp_extract_all(col(htmlCol),
-          lit("(?i)<a[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*')"), lit(1)))
+          lit(hrefPattern), lit(1)))
           .as(Seq("pos", "q")))
       .select(col(idCol), col("pos"),
-        expr("substring(q, 2, length(q) - 2)").as("url"))
+        when(col("q").rlike("^[\"']"),
+          expr("substring(q, 2, length(q) - 2)")).otherwise(col("q"))
+          .as("href"),
+        col("__base"))
+    val url = baseUrlCol match {
+      case Some(_) => resolveUrl(col("__base"), col("href"))
+      case None => col("href")
+    }
+    raw.select(col(idCol), col("pos"), url.as("url"))
       .where(lower(col("url")).rlike("^https?://"))
+  }
 
   /** Lowercased host of a URL: authority after `scheme://`, userinfo
     * stripped, stopping at port / path / query / fragment; a leading

@@ -247,8 +247,9 @@ class WebCleanSpec extends AnyFunSuite {
     assert(acCounts("", Seq("x")) == Seq(0L))
   }
 
-  test("extractLinks: both quote styles, case-insensitive attr, " +
-    "document-order pos, relative/mailto dropped, attrs before href ok") {
+  test("extractLinks: both quote styles + unquoted, case-insensitive " +
+    "attr, document-order pos, relative/mailto dropped without a base, " +
+    "attrs before href ok, <area>/data-href decoys never match") {
     val html = """<html><body>
       |<a class="x" href="http://a.example/1">1</a>
       |<A HREF='https://b.example/2?q=1#f'>2</A>
@@ -256,6 +257,10 @@ class WebCleanSpec extends AnyFunSuite {
       |<a href='mailto:x@example.org'>m</a>
       |<a name="anchor-without-href">n</a>
       |<a href="HTTPS://C.example/3">3</a>
+      |<a href=http://d.example/4>4</a>
+      |<area href="http://decoy.example/x">
+      |<article href="http://decoy.example/y">t</article>
+      |<a data-href="http://decoy.example/z">z</a>
       |</body></html>""".stripMargin
     val got = WebClean.extractLinks(
         Seq((7L, html)).toDF("id", "html"), "id", "html")
@@ -264,11 +269,56 @@ class WebCleanSpec extends AnyFunSuite {
     assert(got == Seq(
       (0, "http://a.example/1"),
       (1, "https://b.example/2?q=1#f"),
-      // pos 2 = relative (dropped), pos 3 = mailto (dropped)
-      (4, "HTTPS://C.example/3")))
+      // pos 2 = relative (dropped: no base), pos 3 = mailto (dropped)
+      (4, "HTTPS://C.example/3"),
+      (5, "http://d.example/4")))
     // no anchors -> no rows; null html -> no rows
     assert(WebClean.extractLinks(Seq((1L, "<p>none</p>"))
       .toDF("id", "html"), "id", "html").count() == 0)
+  }
+
+  test("extractLinks with a base URL resolves relative hrefs (RFC 3986 " +
+    "merge, dot-segment normalization, protocol-relative, query-only, " +
+    "fragment-only self-link dropped)") {
+    val html = """<a href="/rooted">a</a>
+      |<a href="sibling.html">b</a>
+      |<a href="../up/x">c</a>
+      |<a href="?page=2">d</a>
+      |<a href="//other.example/m">e</a>
+      |<a href="#frag">f</a>
+      |<a href="./same/./y">g</a>
+      |<a href="http://abs.example/z">h</a>""".stripMargin
+    val got = WebClean.extractLinks(
+        Seq((1L, "http://base.example:8080/dir/sub/page.html?old=1#top", html))
+          .toDF("id", "base", "html"),
+        "id", "html", baseUrlCol = Some("base"))
+      .orderBy("pos").select($"pos", $"url")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq(
+      (0, "http://base.example:8080/rooted"),
+      (1, "http://base.example:8080/dir/sub/sibling.html"),
+      (2, "http://base.example:8080/dir/up/x"),
+      (3, "http://base.example:8080/dir/sub/page.html?page=2"),
+      (4, "http://other.example/m"),
+      // pos 5 = fragment-only self-link, dropped
+      (6, "http://base.example:8080/dir/sub/same/y"),
+      (7, "http://abs.example/z")))
+    // null base: relative links drop, absolute ones survive
+    val nb = WebClean.extractLinks(
+        Seq((1L, null.asInstanceOf[String],
+          "<a href=\"/r\">r</a><a href=\"http://abs.example/z\">z</a>"))
+          .toDF("id", "base", "html"),
+        "id", "html", baseUrlCol = Some("base"))
+      .select($"pos", $"url").as[(Int, String)].collect().toSeq
+    assert(nb == Seq((1, "http://abs.example/z")))
+    // leading ../ beyond root clamps; deep chains normalize to depth 4
+    val deep = WebClean.extractLinks(
+        Seq((1L, "http://b.example/d1/d2/page",
+          "<a href=\"../../../clamped\">c</a>"))
+          .toDF("id", "base", "html"),
+        "id", "html", baseUrlCol = Some("base"))
+      .select($"url").as[String].collect().toSeq
+    assert(deep == Seq("http://b.example/clamped"))
   }
 
   // ---- parseHttpResponse / httpResponses ---------------------------------
