@@ -2042,6 +2042,18 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         operators.WebClean.extractHtmlText(htmlPage).as("clean_text"))),
 
+    // §2b-60c: MAIN-CONTENT extraction (jusText-lite) — block-level
+    // length/link-density classification between the WET text step
+    // and the quality battery: the planted page carries a link-dense
+    // nav, a short header, two long article paragraphs (the main
+    // content), a share bar dropped by link density, and an
+    // anchor-only footer; one codegen kernel per row
+    "q_main_content" -> ((s, dir) =>
+      operators.WebClean.mainContent(
+        t(s, dir, "documents").select(col("doc_id"),
+          mainContentPage.as("html")),
+        "doc_id", "html")),
+
     // §2b-61: blocklist word filter (C4 §2.2 "bad words" policy) —
     // whole-word case-insensitive hits + keep verdict; "the" rides in
     // the list so the synthetic corpus demonstrably produces hits
@@ -2950,6 +2962,64 @@ object SparkEntry {
     "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /",
     "User-agent: graft\nDisallow: /p/\n\nUser-agent: *\nAllow: /",
     "User-agent: graftbotx\nDisallow: /\n\nUser-agent: *\nDisallow: /p/9*")
+
+  /** Planted main-content page per document — shared shape with the
+    * q_main_content oracle: a link-dense nav list (each item short AND
+    * anchor-only), a short header, TWO long article paragraphs (the
+    * main content a correct extraction keeps), a share bar whose
+    * visible text is long enough but majority-anchor (dropped by link
+    * density, not length), an anchor-only footer, plus title/style
+    * blocks the pre-strip and length rule must exclude. */
+  private def mainContentPage: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style type=\"text/css\">p { color: red; }</style>" +
+      "</head><body>" +
+      "<nav><ul><li><a href=\"/\">Home</a></li>" +
+      "<li><a href=\"/about\">About us</a></li>" +
+      "<li><a href=\"/contact\">Contact</a></li></ul></nav>" +
+      "<header><h1>Site "),
+    pmod(col("doc_id"), lit(7)).cast("string"),
+    lit(" news</h1></header><article><p>"), col("text"),
+    lit("</p><p>Continued coverage of the story: "), col("text"),
+    lit("</p></article>" +
+      "<div class=\"share\">Share this article with your friends: " +
+      "<a href=\"/fb\">Facebook page</a> <a href=\"/tw\">Twitter feed</a> " +
+      "<a href=\"/nl\">Email newsletter</a></div>" +
+      "<footer><a href=\"/t\">Terms of service</a> " +
+      "<a href=\"/p\">Privacy policy</a> " +
+      "<a href=\"/i\">Imprint notice</a></footer></body></html>"))
+
+  /** The [[mainContentPage]] synthesis as SQL. */
+  private val sqlMainContentPage: String =
+    """'<html><head><title>Doc ' || doc_id ||
+      |'</title><style type="text/css">p { color: red; }</style>' ||
+      |'</head><body>' ||
+      |'<nav><ul><li><a href="/">Home</a></li>' ||
+      |'<li><a href="/about">About us</a></li>' ||
+      |'<li><a href="/contact">Contact</a></li></ul></nav>' ||
+      |'<header><h1>Site ' || (doc_id % 7) ||
+      |' news</h1></header><article><p>' || text ||
+      |'</p><p>Continued coverage of the story: ' || text ||
+      |'</p></article>' ||
+      |'<div class="share">Share this article with your friends: ' ||
+      |'<a href="/fb">Facebook page</a> <a href="/tw">Twitter feed</a> ' ||
+      |'<a href="/nl">Email newsletter</a></div>' ||
+      |'<footer><a href="/t">Terms of service</a> ' ||
+      |'<a href="/p">Privacy policy</a> ' ||
+      |'<a href="/i">Imprint notice</a></footer></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB replay of [[graft.functions.WebText]]'s `visible()` —
+    * tags→space, the five core entities (&amp; last), whitespace
+    * collapse, trim. */
+  private def sqlVisibleOf(x: String): String =
+    s"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(replace(
+       |    regexp_replace($x, '(?s)<[^>]*>', ' ', 'g'),
+       |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |  '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))""".stripMargin
+      .replace("\n", " ")
 
   /** The [[linkPage]] synthesis as SQL — shared by the link-extraction
     * oracles. */
@@ -5905,6 +5975,46 @@ object SparkEntry {
         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |    '[ \t\n\x0b\f\r]+', ' ', 'g')) AS clean_text
         |FROM page""".stripMargin,
+
+    // the identical chain, block by block: the same pre-strip, the
+    // same block-tag split (WebText.BlockTagRegex spliced verbatim),
+    // the same visible-text and anchor-text derivations, the same
+    // length/link-density rule (integer compares), string_agg in
+    // block order == the kernel's document-order join
+    "q_main_content" ->
+      s"""WITH page AS (
+         |  SELECT doc_id, $sqlMainContentPage AS h FROM documents),
+         |pre AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+         |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
+         |    '(?s)<!--.*?-->', '', 'g') AS p
+         |  FROM page),
+         |blk AS (
+         |  SELECT doc_id, i, bs[i] AS b
+         |  FROM (SELECT doc_id, regexp_split_to_array(p,
+         |          '${graft.functions.WebText.BlockTagRegex}') AS bs
+         |        FROM pre),
+         |       unnest(generate_series(1, len(bs))) g(i)),
+         |vis AS (
+         |  SELECT doc_id, i,
+         |    ${sqlVisibleOf("b")} AS t,
+         |    ${sqlVisibleOf(
+      // coalesce: DuckDB's array_to_string over an EMPTY list is NULL,
+      // which would poison the density compare for anchor-free blocks
+      "coalesce(array_to_string(regexp_extract_all(b, " +
+        "'(?is)<a(\\s[^>]*)?>(.*?)</a>', 2), ' '), '')")}
+         |      AS a
+         |  FROM blk),
+         |cls AS (
+         |  SELECT doc_id, i, t,
+         |    length(t) >= 25 AND 2 * length(a) <= length(t) AS good
+         |  FROM vis WHERE t <> '')
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+         |  CAST(count(*) FILTER (WHERE good) AS INT) AS n_good,
+         |  coalesce(string_agg(CASE WHEN good THEN t END, chr(10)
+         |    ORDER BY i), '') AS main_text
+         |FROM cls GROUP BY doc_id""".stripMargin,
 
     "q_word_filter" ->
       """SELECT doc_id,

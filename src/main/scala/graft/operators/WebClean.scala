@@ -157,6 +157,25 @@ object WebClean {
           extractHtmlText(col("body_text"))))
   }
 
+  /** MAIN-CONTENT extraction (jusText-lite, [[graft.functions.WebText
+    * .mainContent]]): block-segmented length/link-density
+    * classification between the WET text step and the quality battery
+    * — nav/footer/menu blocks drop by layout signals the line-level
+    * C4 rules and whole-page extraction cannot see. Composes after
+    * [[httpResponses]] on the raw HTML (`body_text` for HTML media
+    * types), BEFORE [[extractHtmlText]]-style whole-page flattening.
+    * Returns (id, n_blocks, n_good, main_text); one codegen kernel
+    * projection, zero shuffles. */
+  def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
+                  minChars: Int = 25): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.plans.WebTextExpressions
+          .mainContent(col(htmlCol), minChars).as("__mc"))
+      .select(col(idCol), col("__mc.n_blocks").as("n_blocks"),
+        col("__mc.n_good").as("n_good"),
+        col("__mc.main_text").as("main_text"))
+
   /** Case-insensitive whole-word blocklist hits: the count of
     * occurrences of any listed word (word-boundary anchored, so
     * "class" never matches a blocklisted "ass"). The alternation of

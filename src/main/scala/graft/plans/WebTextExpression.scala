@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Main-content extraction kernel ([[graft.functions.WebText
+  * .mainContent]]) as a codegen expression: block-segmented
+  * length/link-density classification in ONE kernel call per row —
+  * the block explode→per-block-regex→re-agg formulation would shuffle
+  * the corpus by ~block count and run its regexes as CodegenFallback
+  * lambdas; this stays a narrow projection inside the scan's
+  * whole-stage span. Returns struct(n_blocks INT, n_good INT,
+  * main_text STRING). */
+case class MainContent(child: Expression, minChars: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_blocks", IntegerType, nullable = false),
+    StructField("n_good", IntegerType, nullable = false),
+    StructField("main_text", StringType, nullable = false)))
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"main_content requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.WebText.mainContent(v.asInstanceOf[UTF8String], minChars)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WebText.mainContent($c, $minChars)")
+  override protected def withNewChildInternal(newChild: Expression): MainContent =
+    copy(child = newChild)
+  override def prettyName: String = "main_content"
+}
+
+object WebTextExpressions {
+  /** Main-content extraction over a string column. */
+  def mainContent(c: Column, minChars: Int = 25): Column =
+    GraftSqlShim.column(MainContent(GraftSqlShim.expression(c), minChars))
+}

@@ -480,6 +480,51 @@ class WebCleanSpec extends AnyFunSuite {
       6L -> (false, false)))
   }
 
+  test("mainContent: link-dense nav/footer and short blocks drop, long " +
+    "low-density article blocks survive in document order") {
+    val long1 = "This is the first long paragraph of genuine article " +
+      "content that easily clears the minimum length threshold."
+    val long2 = "A second paragraph of real content follows with more " +
+      "than enough characters to be kept as well."
+    val html =
+      "<html><head><title>T</title><style>p{}</style></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About</a></li></ul></nav>" +
+        s"<article><p>$long1</p><p>$long2</p></article>" +
+        // long enough but majority-anchor -> dropped by link density
+        "<div>Share or forward this: " +
+        "<a href=\"/fb\">The Facebook page</a> " +
+        "<a href=\"/tw\">The Twitter feed</a> " +
+        "<a href=\"/nl\">The Email newsletter</a></div>" +
+        "<footer><a href=\"/t\">Terms of service</a> " +
+        "<a href=\"/p\">Privacy policy</a></footer></body></html>"
+    val got = WebClean.mainContent(
+        Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .select($"n_blocks", $"n_good", $"main_text")
+      .as[(Int, Int, String)].collect().head
+    // nonempty blocks: title, Home, About, long1, long2, share, footer
+    assert(got._1 == 7)
+    assert(got._2 == 2)
+    assert(got._3 == long1 + "\n" + long2)
+    // a block kept despite containing SOME anchor text (low density)
+    val mixed = "<p>An otherwise long and healthy paragraph of article " +
+      "text that happens to contain one small <a href=\"/x\">link</a> " +
+      "inside it and must still be kept.</p>"
+    val g2 = WebClean.mainContent(
+        Seq((1L, mixed)).toDF("id", "html"), "id", "html")
+      .select($"n_good").as[Int].collect().head
+    assert(g2 == 1)
+    // entities decode, script contents never leak
+    val ent = "<p>Tom &amp; Jerry stay friends for a very long time " +
+      "indeed &lt;3 and this block is long enough.</p>" +
+      "<script>var x = 'this long script body must never appear';</script>"
+    val g3 = WebClean.mainContent(
+        Seq((1L, ent)).toDF("id", "html"), "id", "html")
+      .select($"main_text").as[String].collect().head
+    assert(g3.contains("Tom & Jerry") && g3.contains("<3"))
+    assert(!g3.contains("script body"))
+  }
+
   test("blocklistScan: signals, translate case folding, null text") {
     val docs = Seq((1L, "Spark IN the wINdow"), (2L, "nothing here"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
