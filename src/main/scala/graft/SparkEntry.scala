@@ -1488,6 +1488,18 @@ object SparkEntry {
         Classify.loadFastTextResource("/graft/fasttext_lid_sample.txt",
           numBuckets = 1024))),
 
+    // §2b-24d: language ID under a SUBWORD fastText model (the
+    // lid.176 class) — char-n-gram features via fastText's OWN
+    // sign-extended FNV-1a-32 hash, factored bilinear scoring in one
+    // codegen kernel (plans.FastTextArgmax); the bundled dump's
+    // exact-dyadic weights make the score — and the oracle's
+    // per-feature linearized replay, a different association order —
+    // bit-exact
+    "q_lang_id4" -> ((s, dir) =>
+      Classify.fastTextArgmax(t(s, dir, "documents"), "doc_id", "text",
+        Classify.loadFastTextSubwordResource(
+          "/graft/fasttext_subword_sample.txt"))),
+
     // §2b-25: quality scoring + doc stats
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -2783,6 +2795,84 @@ object SparkEntry {
       s"j -> CAST(unicode(substr($x, j, 1)) AS HUGEINT))), " +
       s"(acc, ch) -> (xor(acc, ch) * CAST('1099511628211' AS HUGEINT)) % $sqlMod) " +
       s"% 1024 AS BIGINT)"
+
+  /** fastText's FNV-1a-32 ([[graft.functions.FastText.hash32]]) as a
+    * DuckDB fold over CODE POINTS — equal to the byte fold for the
+    * ASCII corpus+vocab the oracle runs on (the standing fnv-oracle
+    * assumption; the kernel itself is byte-exact incl. the int8_t
+    * sign extension, spec-pinned on multi-byte UTF-8). BIGINT is
+    * safe: acc < 2^32, acc·16777619 < 2^56. */
+  private def sqlFnv32(x: String): String =
+    s"list_reduce(list_prepend(CAST(2166136261 AS BIGINT), " +
+      s"list_transform(range(1, length($x)+1), " +
+      s"j -> CAST(unicode(substr($x, j, 1)) AS BIGINT))), " +
+      s"(acc, ch) -> (xor(acc, ch) * 16777619) % 4294967296)"
+
+  /** q_lang_id4 oracle: the subword sample dump parsed by the SAME
+    * import the Spark side runs, then a per-(label, feature-id)
+    * LINEARIZED replay — weight(l, fid) = input_fid · output_l as
+    * sparse VALUES — over the token feature ids: dict word id (when
+    * in vocab) plus every char [minn, maxn]-gram of `<tok>` hashed by
+    * [[sqlFnv32]] into `nwords + h % bucket`. The sample's
+    * exact-dyadic weights make this association order and the
+    * kernel's factored order bit-identical. Docs with no tokens keep
+    * a NULL row via the final left join (the kernel's null
+    * contract). The n==1 boundary-gram exclusion is irrelevant here
+    * (sample minn = 2) and omitted from the replay. */
+  private def qLangId4Oracle: String = {
+    val m = graft.operators.Classify
+      .loadFastTextSubwordResource("/graft/fasttext_subword_sample.txt")
+    val sparse = m.labels.indices.flatMap { li =>
+      (0 until (m.nwords + m.bucket)).flatMap { fid =>
+        var d = 0.0
+        var k = 0
+        while (k < m.dim) { d += m.input(fid)(k) * m.output(li)(k); k += 1 }
+        if (d != 0.0) Some(s"($li, $fid, CAST($d AS DOUBLE))") else None
+      }
+    }.mkString(", ")
+    val dictVals = m.words.zipWithIndex
+      .map { case (w, i) => s"('$w', $i)" }.mkString(", ")
+    val labVals = m.labels.zipWithIndex
+      .map { case (l, i) => s"('$l', $i)" }.mkString(", ")
+    s"""WITH dict(word, wid) AS (VALUES $dictVals),
+       |lab(lang, idx) AS (VALUES $labVals),
+       |sw(idx, fid, w) AS (VALUES $sparse),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+       |ng AS (
+       |  SELECT doc_id, tk,
+       |    list_filter(
+       |      flatten(list_transform(range(1, length(w2) + 1), i ->
+       |        list_transform(range(${m.minn}, ${m.maxn} + 1), n ->
+       |          CASE WHEN i + n - 1 <= length(w2)
+       |            THEN substr(w2, i, n) END))),
+       |      g -> g IS NOT NULL) AS grams
+       |  FROM (SELECT doc_id, tk, '<' || tk || '>' AS w2 FROM tok)),
+       |tokf AS (
+       |  SELECT g.doc_id,
+       |    (CASE WHEN d.wid IS NOT NULL THEN [CAST(d.wid AS BIGINT)]
+       |      ELSE CAST([] AS BIGINT[]) END) ||
+       |    list_transform(g.grams,
+       |      x -> ${m.nwords} + ${sqlFnv32("x")} % ${m.bucket}) AS fids
+       |  FROM ng g LEFT JOIN dict d ON g.tk = d.word),
+       |occ AS (SELECT doc_id, unnest(fids) AS fid FROM tokf),
+       |scored AS (
+       |  SELECT o.doc_id, l.lang, l.idx,
+       |    coalesce(sum(s.w), 0.0) AS logit
+       |  FROM occ o CROSS JOIN lab l
+       |  LEFT JOIN sw s ON s.idx = l.idx AND s.fid = o.fid
+       |  GROUP BY o.doc_id, l.lang, l.idx),
+       |ranked AS (
+       |  SELECT doc_id, lang, logit,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY logit DESC, idx) AS rn
+       |  FROM scored)
+       |SELECT d.doc_id, r.lang AS lang_pred, round(r.logit, 6) AS logit
+       |FROM documents d
+       |LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1""".stripMargin
+  }
 
   /** The same byte-level FNV-1a fold as [[sqlFnvBucket]] but
     * UNREDUCED — the full unsigned 64-bit hash as HUGEINT. Used where
@@ -5175,6 +5265,10 @@ object SparkEntry {
     // the fastText-import twin: weights come from the parsed bundled
     // dump (see qLangId3Oracle), scoring replay identical
     "q_lang_id3" -> qLangId3Oracle,
+
+    // the subword-import twin: sparse per-label linearized weights
+    // from the parsed bundled dump + fastText's own char-n-gram hash
+    "q_lang_id4" -> qLangId4Oracle,
 
     // DSIR: the q_classifier_score feature replay feeds two bucket
     // counts (target = lang 'en', raw = all); λ(b) is the add-1

@@ -210,8 +210,18 @@ object Classify {
     * (fastText word-bigrams hash into ITS bucket range). Labels drop
     * the `__label__` prefix. Returns (label, weights) in the model's
     * own label order, ready for [[langIdArgmax]]. */
-  def parseFastTextDump(text: String,
-                        numBuckets: Int = 1024): Seq[(String, Array[Double])] = {
+  /** Parsed `fasttext dump` text: args map, (word, label) dict, and
+    * the input/output matrices — the section walk shared by the
+    * word-level ([[parseFastTextDump]]) and subword
+    * ([[parseFastTextSubwordDump]]) imports. */
+  private case class FastTextDump(args: Map[String, String],
+                                  words: Vector[String],
+                                  labels: Vector[String],
+                                  dim: Int,
+                                  input: Vector[Array[Double]],
+                                  output: Vector[Array[Double]])
+
+  private def parseDumpSections(text: String): FastTextDump = {
     val lines = text.linesIterator.map(_.replaceAll("\r$", "")).toVector
     val sectionNames = Set("args", "dict", "input", "output")
     val starts = lines.zipWithIndex
@@ -228,13 +238,9 @@ object Classify {
       .map(_.trim.split("\\s+")).collect { case Array(k, v) => k -> v }.toMap
     val dim = args.getOrElse("dim",
       sys.error("args section must declare dim")).toInt
-    require(args.getOrElse("minn", "0").toInt == 0 &&
-      args.getOrElse("maxn", "0").toInt == 0,
-      "subword (char n-gram) fastText models are not importable onto " +
-        "the word-hashing kernel; re-dump with -minn 0 -maxn 0")
     require(args.getOrElse("wordNgrams", "1").toInt <= 1,
-      "wordNgrams > 1 uses fastText's own bucket hashing; import " +
-        "supports unigram-word models")
+      "wordNgrams > 1 uses fastText's own word-bigram bucket hashing; " +
+        "import supports unigram-word models")
     val dict = sections("dict").map(_.trim.split("\\s+"))
     dict.foreach(p => require(p.length == 3,
       s"dict line must be '<token> <count> <type>': ${p.mkString(" ")}"))
@@ -254,19 +260,56 @@ object Classify {
     val output = matrix("output", labels.length)
     require(output.length == labels.length,
       s"output matrix has ${output.length} rows for ${labels.length} labels")
-    labels.zipWithIndex.map { case (label, li) =>
+    FastTextDump(args, words, labels, dim, input, output)
+  }
+
+  def parseFastTextDump(text: String,
+                        numBuckets: Int = 1024): Seq[(String, Array[Double])] = {
+    val d = parseDumpSections(text)
+    require(d.args.getOrElse("minn", "0").toInt == 0 &&
+      d.args.getOrElse("maxn", "0").toInt == 0,
+      "subword (char n-gram) fastText models use fastText's own subword " +
+        "hash, not the word-hashing kernel — import them with " +
+        "parseFastTextSubwordDump / fastTextArgmax instead")
+    d.labels.zipWithIndex.map { case (label, li) =>
       val w = new Array[Double](numBuckets)
-      words.zipWithIndex.foreach { case (word, wi) =>
+      d.words.zipWithIndex.foreach { case (word, wi) =>
         val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val b = java.lang.Math.floorMod(
           TextHash.fnv64(bytes, 0, bytes.length), numBuckets.toLong).toInt
-        var d = 0.0
+        var dd = 0.0
         var k = 0
-        while (k < dim) { d += input(wi)(k) * output(li)(k); k += 1 }
-        w(b) += d
+        while (k < d.dim) { dd += d.input(wi)(k) * d.output(li)(k); k += 1 }
+        w(b) += dd
       }
       label -> w
     }.toSeq
+  }
+
+  /** Import a SUBWORD (char n-gram) fastText supervised model — the
+    * lid.176 class the word-level import loudly rejects — from the
+    * same `fasttext dump` text format. The input section must carry
+    * the full `nwords + bucket` rows (word rows first, then the
+    * n-gram bucket rows — exactly what `fasttext dump model.bin
+    * input` emits); inference runs the factored bilinear kernel
+    * ([[graft.functions.FastText.argmax]] — see its doc for the
+    * feature rules, the sign-extended FNV-1a-32 subword hash, and the
+    * two documented score deviations). */
+  def parseFastTextSubwordDump(text: String)
+      : graft.functions.FastText.FastTextModel = {
+    val d = parseDumpSections(text)
+    val minn = d.args.getOrElse("minn", "0").toInt
+    val maxn = d.args.getOrElse("maxn", "0").toInt
+    require(minn > 0 && maxn >= minn,
+      s"parseFastTextSubwordDump needs a subword model (minn > 0); " +
+        s"got minn=$minn maxn=$maxn — word-level models import with " +
+        "parseFastTextDump")
+    val bucket = d.args.getOrElse("bucket",
+      sys.error("args section must declare bucket for a subword model")).toInt
+    graft.functions.FastText.FastTextModel(
+      labels = d.labels.toArray, words = d.words.toArray,
+      input = d.input.toArray, output = d.output.toArray,
+      dim = d.dim, minn = minn, maxn = maxn, bucket = bucket)
   }
 
   /** [[parseFastTextDump]] over a bundled classpath resource. */
@@ -277,6 +320,33 @@ object Classify {
     try parseFastTextDump(new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8), numBuckets)
     finally in.close()
+  }
+
+  /** [[parseFastTextSubwordDump]] over a bundled classpath resource. */
+  def loadFastTextSubwordResource(path: String)
+      : graft.functions.FastText.FastTextModel = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"resource not found: $path")
+    try parseFastTextSubwordDump(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Language ID under an imported SUBWORD fastText model: ONE
+    * [[graft.plans.FastTextArgmax]] kernel call per row inside the
+    * scan projection — no explode, no shuffle, the model broadcast
+    * once per executor. Returns (id, lang_pred, logit rounded to 6);
+    * both null for rows with no feature ids (empty text). */
+  def fastTextArgmax(docs: DataFrame, idCol: String, textCol: String,
+                     model: graft.functions.FastText.FastTextModel): DataFrame = {
+    val labelArr = array(model.labels.toSeq.map(lit): _*)
+    docs
+      .select(col(idCol),
+        graft.plans.FastTextExpressions
+          .fastTextArgmax(col(textCol), model).as("__r"))
+      .select(col(idCol),
+        get(labelArr, col("__r.idx")).as("lang_pred"),
+        round(col("__r.logit"), 6).as("logit"))
   }
 
   /** Score documents with a hashed unigram+bigram linear model:

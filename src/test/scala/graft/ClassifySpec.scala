@@ -231,4 +231,144 @@ class ClassifySpec extends AnyFunSuite {
     assert(preds(imported) == want, "imported model mispredicts")
     assert(preds(trained) == want, "trained baseline mispredicts")
   }
+
+  // ---- subword fastText (FastText.argmax kernel) --------------------------
+
+  /** Independent FNV-1a-32 with int8_t sign extension, in BigInt
+    * arithmetic — a different code path than FastText.hash32. */
+  private def refHash32(s: String): Long = {
+    var h = BigInt(2166136261L)
+    s.getBytes("UTF-8").foreach { b =>
+      val signed = BigInt(b.toInt) // sign-extended
+      val asU32 = if (signed < 0) signed + BigInt(2).pow(32) else signed
+      h = (h ^ asU32) * 16777619 % BigInt(2).pow(32)
+    }
+    h.toLong
+  }
+
+  test("FastText.hash32 is fastText's sign-extending FNV-1a-32 — " +
+    "BigInt cross-check incl. multi-byte UTF-8 (the int8_t sign " +
+    "extension flips high bits for bytes >= 0x80)") {
+    for (s <- Seq("a", "ab", "<the>", "héllo", "中文", "naïve", "", "<中>")) {
+      val b = s.getBytes("UTF-8")
+      assert(graft.functions.FastText.hash32(b, 0, b.length) == refHash32(s),
+        s"hash mismatch for '$s'")
+    }
+    // the sign extension MATTERS: a plain unsigned-byte fold differs
+    val e = "é".getBytes("UTF-8")
+    var plain = 2166136261L
+    e.foreach { b => plain = ((plain ^ (b & 0xff)) * 16777619) % (1L << 32) }
+    assert(graft.functions.FastText.hash32(e, 0, e.length) != plain)
+  }
+
+  test("FastText.subwordIds walks char-aligned byte n-grams of <word> " +
+    "with the n==1 boundary exclusion, exactly computeSubwords") {
+    def grams(word: String, minn: Int, maxn: Int): Seq[String] = {
+      // independent char-stepping reimplementation over code points
+      val w = "<" + word + ">"
+      val cps = w.codePoints().toArray
+      (for {
+        i <- cps.indices
+        n <- minn to maxn
+        if i + n <= cps.length
+        if !(n == 1 && (i == 0 || i + n == cps.length))
+      } yield new String(cps, i, n)).toSeq
+    }
+    def kernelIds(word: String, minn: Int, maxn: Int, bucket: Int): Seq[Int] = {
+      val m = graft.functions.FastText.FastTextModel(
+        labels = Array("x"), words = Array.empty,
+        input = Array.fill(bucket)(Array(0.0)),
+        output = Array(Array(0.0)),
+        dim = 1, minn = minn, maxn = maxn, bucket = bucket)
+      val out = new java.util.ArrayList[Integer]()
+      graft.functions.FastText.subwordIds(word, m, out)
+      (0 until out.size()).map(out.get(_).toInt)
+    }
+    for ((word, minn, maxn) <- Seq(("ab", 1, 2), ("the", 2, 3),
+        ("é中x", 1, 3), ("a", 1, 2))) {
+      val expect = grams(word, minn, maxn).map { g =>
+        (refHash32(g) % 64L).toInt }
+      assert(kernelIds(word, minn, maxn, 64) == expect,
+        s"subwords differ for '$word' [$minn,$maxn]")
+    }
+    // the hand-pinned boundary case: "<ab>" minn=1 maxn=2
+    assert(grams("ab", 1, 2) == Seq("<a", "a", "ab", "b", "b>"))
+  }
+
+  test("FastText.argmax matches an independent plain-Scala scorer " +
+    "(factored vs linearized association orders, dyadic weights) incl. " +
+    "UTF-8 tokens, OOV-only docs, and the empty-text null") {
+    val words = Array("alpha", "birch", "中文")
+    val labels = Array("aa", "bb")
+    val dim = 3
+    val bucket = 16
+    def dy(i: Int, j: Int): Double = (((i * 31 + j * 7) % 17) - 8) / 8.0
+    val input = Array.tabulate(words.length + bucket, dim)(dy)
+    val output = Array.tabulate(labels.length, dim)((l, d) => dy(l + 50, d))
+    val m = graft.functions.FastText.FastTextModel(
+      labels, words, input, output, dim, minn = 2, maxn = 3, bucket = bucket)
+    def refPredict(text: String): Option[(String, Double)] = {
+      val fids = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        .flatMap { tok =>
+          val wid = words.indexOf(tok)
+          val out = new java.util.ArrayList[Integer]()
+          graft.functions.FastText.subwordIds(tok, m, out)
+          val sub = (0 until out.size()).map(out.get(_).toInt)
+          (if (wid >= 0) Seq(wid) else Seq.empty) ++ sub
+        }
+      if (fids.isEmpty) None
+      else Some(labels.zipWithIndex.map { case (l, li) =>
+        // LINEARIZED order: sum over fids of (input · output_l)
+        val z = fids.map(f =>
+          (0 until dim).map(d => input(f)(d) * output(li)(d)).sum).sum
+        (l, z)
+        // maxBy keeps the FIRST max -> lowest label index on ties,
+        // the kernel's tie-break
+      }.maxBy(_._2))
+    }
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha birch alpha"),
+      (2L, "中文 naïve héllo"),         // OOV multi-byte only
+      (3L, "zzz qqq unseen words"),     // OOV ASCII only
+      (4L, ""),                          // no tokens -> null
+      (5L, "birch 中文")
+    ).toDF("doc_id", "text")
+    val got = Classify.fastTextArgmax(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getDouble(2)))).toMap
+    for (id <- Seq(1L, 2L, 3L, 5L)) {
+      val text = docs.where($"doc_id" === id).select("text").as[String].head()
+      val Some((lang, z)) = refPredict(text)
+      assert(got(id)._1 == lang, s"doc $id lang")
+      assert(got(id)._2 ==
+        BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"doc $id logit")
+    }
+    assert(got(4L) == null, "empty text must yield null prediction")
+  }
+
+  test("parseFastTextSubwordDump: bundled resource imports (labels, " +
+    "matrix shapes), predictions are deterministic, and the guards " +
+    "route word-level models back") {
+    val m = Classify.loadFastTextSubwordResource(
+      "/graft/fasttext_subword_sample.txt")
+    assert(m.labels.toSeq == Seq("de", "en", "fr"))
+    assert(m.nwords == 12 && m.bucket == 32 && m.dim == 4)
+    assert(m.minn == 2 && m.maxn == 3)
+    assert(m.input.length == 44 && m.output.length == 3)
+    import spark.implicits._
+    val docs = Seq((1L, "the query table"), (2L, "spark group window"))
+      .toDF("doc_id", "text")
+    val p1 = Classify.fastTextArgmax(docs, "doc_id", "text", m).collect()
+    val p2 = Classify.fastTextArgmax(docs, "doc_id", "text", m).collect()
+    assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+    assert(p1.forall(r => Seq("de", "en", "fr").contains(r.getString(1))))
+    // a word-level dump routes back to parseFastTextDump, loudly
+    val wordLevel = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/fasttext_lid_sample.txt")).mkString
+    val e = intercept[IllegalArgumentException] {
+      Classify.parseFastTextSubwordDump(wordLevel) }
+    assert(e.getMessage.contains("parseFastTextDump"))
+  }
 }
