@@ -53,6 +53,43 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Rows per task the iterative loops aim for when right-sizing
+    * their shuffle width: frames are (id, long) pairs, so ~128k rows
+    * ≈ 2-3 MB per task — enough work to amortize task launch, small
+    * enough to stay far from spill. */
+  private val LoopRowsPerTask: Long = 131072L
+
+  /** Right-size the per-round shuffle width to the frame the loop
+    * actually moves. The iterative loops' stages are EXCHANGE-FREE by
+    * design (both join sides pre-partitioned, the round barrier
+    * preserves partitioning), which means AQE never gets a shuffle to
+    * coalesce — width is locked at whatever the initial repartition
+    * chose, and the default width runs node-sized frames (100k–1.5M
+    * rows) through 10-30 rounds of mostly-empty tasks: a pure
+    * scheduling floor at local scale. Width ∝ rows fixes the floor
+    * while keeping the 100 TB path: a 10B-edge graph with the session
+    * default at cluster width keeps that width (the min), and the
+    * count that sizes it is one cheap job over the already-persisted
+    * edge frame. */
+  private def loopWidth(spark: org.apache.spark.sql.SparkSession,
+                        rows: Long): Int = {
+    val dflt = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(dflt,
+      ((rows + LoopRowsPerTask - 1) / LoopRowsPerTask).toInt))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `w` so the
+    * loop's INTERNAL exchanges (the per-round partial-agg shuffle)
+    * match the pre-partitioned caches' width — restored after, so
+    * queries planned outside the loop are untouched. */
+  private def withShuffleWidth[A](spark: org.apache.spark.sql.SparkSession,
+                                  w: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, w.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** One-job round barrier for the iterative loops: materialize `df`
     * into a persisted (optionally reliably-checkpointed) InternalRow
     * RDD and fold `seq`/`comb` over the SAME action, so the per-round
@@ -101,41 +138,48 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct().persist()
+    // the loop width derives from the edge count (the largest frame
+    // any round moves); the count doubles as the cache warm-up
+    val w = loopWidth(spark, e.count())
     // out-degree rides every edge row; annotate once, persist — the
     // loop below re-reads this frame `iters` times. Pre-partitioned
     // on the per-round join key so only the (much smaller) rank frame
     // moves each iteration, not the edge list.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    val ed = e.join(deg, "src").repartition(w, col("src")).persist()
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().repartition(col("node")).persist()
+      .distinct().repartition(w, col("node")).persist()
 
     var ranks = nodes.withColumn("rank_micro", lit(microBase))
     var prev: Option[RDD[InternalRow]] = None
-    for (_ <- 1 to iters) {
-      val contribs = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("dst"), expr("rank_micro div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      val next = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(baseMicro) +
-            expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
-            .as("rank_micro"))
-      // one materialization barrier (one JOB) per round; the measured
-      // local floor is the two shuffle stages, which at scale the
-      // data-proportional shuffle dominates
-      val (truncated, cache, _) =
-        materializeFold(next, 0L, reliable)((m, _) => m + 1L)(_ + _)
-      prev.foreach(_.unpersist(false))
-      prev = Some(cache)
-      ranks = truncated
+    withShuffleWidth(spark, w) {
+      for (_ <- 1 to iters) {
+        val contribs = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("rank_micro div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        val next = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (lit(baseMicro) +
+              expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
+              .as("rank_micro"))
+        // one materialization barrier (one JOB) per round; the
+        // per-round stages are w-wide (loopWidth), so the local floor
+        // is task-count-proportional to the DATA, not to the default
+        // shuffle width
+        val (truncated, cache, _) =
+          materializeFold(next, 0L, reliable)((m, _) => m + 1L)(_ + _)
+        prev.foreach(_.unpersist(false))
+        prev = Some(cache)
+        ranks = truncated
+      }
     }
     // the final frame is cache/checkpoint-backed (its blocks stay
     // resident — the retained-cache contract of an iterative result);
     // its inputs can go
+    e.unpersist(false)
     ed.unpersist(false)
     nodes.unpersist(false)
     ranks
@@ -179,11 +223,13 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist()
-    val eBySrc = e.repartition(col("src")).persist()
-    val eByDst = e.repartition(col("dst")).persist()
+    // loop width from the edge count (see loopWidth); count warms e
+    val w = loopWidth(spark, e.count())
+    val eBySrc = e.repartition(w, col("src")).persist()
+    val eByDst = e.repartition(w, col("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().persist()
+      .distinct().repartition(w, col("node")).persist()
 
     // renormalize x -> x div ceil(max/1e6): ONE job materializes the
     // raw frame into a persisted RDD AND folds its max; the scaled
@@ -201,26 +247,28 @@ object Graph {
     var hub = nodes.withColumn("hub_micro", lit(1000000L))
     var auth: DataFrame = null
     var prev: List[RDD[InternalRow]] = Nil
-    for (_ <- 1 to iters) {
-      val aRaw = nodes.join(
-          eBySrc.join(hub, eBySrc("src") === hub("node"))
-            .groupBy(col("dst")).agg(sum(col("hub_micro")).as("a_raw")),
-          nodes("node") === col("dst"), "left")
-        .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("auth_micro"))
-      val (aScaled, aCache) = rescale(aRaw, "auth_micro")
-      auth = aScaled
-      val hRaw = nodes.join(
-          eByDst.join(auth, eByDst("dst") === auth("node"))
-            .groupBy(col("src")).agg(sum(col("auth_micro")).as("h_raw")),
-          nodes("node") === col("src"), "left")
-        .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("hub_micro"))
-      val (hScaled, hCache) = rescale(hRaw, "hub_micro")
-      hub = hScaled
-      // the PREVIOUS round's caches fed this round's (already
-      // materialized) half-steps; this round's pair must outlive the
-      // loop — the final result projects over them
-      prev.foreach(_.unpersist(false))
-      prev = List(aCache, hCache)
+    withShuffleWidth(spark, w) {
+      for (_ <- 1 to iters) {
+        val aRaw = nodes.join(
+            eBySrc.join(hub, eBySrc("src") === hub("node"))
+              .groupBy(col("dst")).agg(sum(col("hub_micro")).as("a_raw")),
+            nodes("node") === col("dst"), "left")
+          .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("auth_micro"))
+        val (aScaled, aCache) = rescale(aRaw, "auth_micro")
+        auth = aScaled
+        val hRaw = nodes.join(
+            eByDst.join(auth, eByDst("dst") === auth("node"))
+              .groupBy(col("src")).agg(sum(col("auth_micro")).as("h_raw")),
+            nodes("node") === col("src"), "left")
+          .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("hub_micro"))
+        val (hScaled, hCache) = rescale(hRaw, "hub_micro")
+        hub = hScaled
+        // the PREVIOUS round's caches fed this round's (already
+        // materialized) half-steps; this round's pair must outlive the
+        // loop — the final result projects over them
+        prev.foreach(_.unpersist(false))
+        prev = List(aCache, hCache)
+      }
     }
     // every node appears exactly once in each scaled frame (the raw
     // half-steps are nodes-left-joins), so the node set needs no

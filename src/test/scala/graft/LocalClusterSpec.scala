@@ -62,7 +62,11 @@ class LocalClusterSpec extends AnyFunSuite {
     // round 14: the fused one-job round barrier (materializeFold —
     // InternalRow aggregate closure + LogicalRDD.fromDataset rebuild)
     // with the max-fold rescale path
-    "q_hits")
+    "q_hits",
+    // round 15: the subword fastText model reference object (input/
+    // output matrices + transient lazy wordIds map) rebuilt per
+    // executor JVM, and the main-content struct kernel
+    "q_lang_id4", "q_main_content")
 
   /** Round-12 real-decode surface (imageio thumbnails, GIF codec
     * frames, javax.sound audio headers): mapPartitions closures over
