@@ -2142,6 +2142,20 @@ object SparkEntry {
         .select(col("doc_id"), col("mr.noindex").as("noindex"),
           col("mr.nofollow").as("nofollow"))),
 
+    // §2b-62e: X-Robots-Tag header directives — the HTTP-header
+    // counterpart of meta robots (CDN-level and non-HTML admission):
+    // planted header arrays cover plain, list, scoped-to-us,
+    // scoped-to-other, the unavailable_after colon trap, `none`,
+    // multi-header union, absence, and a decoy header name
+    "q_xrobots" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), xRobotsHeaders.as("headers"))
+        .select(col("doc_id"),
+          operators.WebClean.xRobotsTag(col("headers"), agent = "graftbot")
+            .as("xr"))
+        .select(col("doc_id"), col("xr.noindex").as("noindex"),
+          col("xr.nofollow").as("nofollow"))),
+
     // §2b-62c: robots.txt parse + URL admission (RFC 9309) — the
     // crawl-admission dim: declarative group/rule parse (windows +
     // aggs, no UDF), most-specific-agent PREFIX selection (§2.2.1)
@@ -2557,9 +2571,20 @@ object SparkEntry {
     * link (7 — takes the base scheme), and a fragment-only self-link
     * (8 — holds its pos but yields no row). Two DECOYS that must
     * never extract: an `<area href>` (tag anchor) and a
-    * `<a data-href>` (attribute boundary). */
+    * `<a data-href>` (attribute boundary). doc_id%6==0 pages carry a
+    * ROOT-RELATIVE `<base href="/bd/sub/">` (itself resolved against
+    * the page URL, then overriding it for every relative anchor) and
+    * doc_id%6==3 pages an ABSOLUTE http `<base>` on another host —
+    * root-relative links must take ITS authority and
+    * protocol-relative links ITS scheme. */
   private def linkPage: Column = concat(
-    lit("<html><body><p>"), col("text"), lit("</p>"),
+    lit("<html>"),
+    when(pmod(col("doc_id"), lit(6)) === 0,
+      lit("<head><base href=\"/bd/sub/\"></head>"))
+      .when(pmod(col("doc_id"), lit(6)) === 3,
+        lit("<head><base href='http://basehost.example.org/x/'></head>"))
+      .otherwise(lit("")),
+    lit("<body><p>"), col("text"), lit("</p>"),
     lit("<area href=\"http://decoy.example.net/a\">"),
     lit("<a href=\"http://u"), pmod(col("doc_id"), lit(7)).cast("string"),
     lit(".host"), pmod(col("doc_id"), lit(13)).cast("string"),
@@ -3009,6 +3034,31 @@ object SparkEntry {
       s"THEN regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1) " +
       s"ELSE regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) END"
 
+  /** Planted X-Robots-Tag header arrays per document (doc_id % 8) —
+    * shared shape with the q_xrobots truth-table oracle: plain
+    * noindex (0), a comma list (1), scoped to OUR agent (2), scoped
+    * to another agent — must not apply (3), the `unavailable_after:`
+    * colon trap — a directive, not a scope (4), `NONE` uppercase (5),
+    * TWO headers whose directives union (6), no robots header (7).
+    * A `server` header and an `x-powered-by` decoy ride on every row. */
+  private def xRobotsHeaders: Column = {
+    def hdr(n: String, v: Column) =
+      struct(lit(n).as("name"), v.as("value"))
+    val xrt = (v: Column) => hdr("x-robots-tag", v)
+    val m = pmod(col("doc_id"), lit(8))
+    val base = Seq(hdr("server", lit("graft")),
+      hdr("x-powered-by", lit("noindex")))
+    concat(array(base: _*),
+      when(m === 0, array(xrt(lit("noindex"))))
+        .when(m === 1, array(xrt(lit("noarchive, nofollow"))))
+        .when(m === 2, array(xrt(lit("graftbot: noindex"))))
+        .when(m === 3, array(xrt(lit("otherbot: noindex"))))
+        .when(m === 4, array(xrt(lit("unavailable_after: 2026-01-01"))))
+        .when(m === 5, array(xrt(lit("NONE"))))
+        .when(m === 6, array(xrt(lit("noindex")), xrt(lit("nofollow"))))
+        .otherwise(array().cast("array<struct<name:string,value:string>>")))
+  }
+
   /** Planted meta-robots page per document (doc_id % 8) — shared
     * shape with the q_meta_robots oracle: double-quoted
     * name-then-content (0), single-quoted content-then-name (1),
@@ -3123,7 +3173,12 @@ object SparkEntry {
   /** The [[linkPage]] synthesis as SQL — shared by the link-extraction
     * oracles. */
   private val sqlLinkPage: String =
-    """'<html><body><p>' || text || '</p>' ||
+    """'<html>' ||
+      |CASE WHEN doc_id % 6 = 0 THEN '<head><base href="/bd/sub/"></head>'
+      |     WHEN doc_id % 6 = 3
+      |       THEN '<head><base href=''http://basehost.example.org/x/''></head>'
+      |     ELSE '' END ||
+      |'<body><p>' || text || '</p>' ||
       |'<area href="http://decoy.example.net/a">' ||
       |'<a href="http://u' || (doc_id % 7) || '.host' || (doc_id % 13) ||
       |  '.com/p/' || doc_id || '">x</a>' ||
@@ -3161,9 +3216,72 @@ object SparkEntry {
     * chain as [[graft.operators.WebClean.resolveUrl]], 'g'-flagged
     * replaces == Spark's replace-all) → `abslinks(doc_id, pos, url)`
     * (pos 0-based over ALL hrefs, then the http(s) filter). */
+  /** The RFC 3986 resolution replay as a lateral-column-alias SELECT
+    * fragment (DuckDB evaluates each alias once per row — the same
+    * bound-step discipline as `WebClean.resolveUrl`): resolves `href`
+    * against `base`, emitting every intermediate with prefix `p` and
+    * the result as `${p}url`. Used TWICE by the link oracles: once
+    * per page for the `<base href>` element, once per anchor. */
+  private def sqlResolveCols(p: String, base: String, href: String): String =
+    s"""trim($href) AS ${p}h,
+       |    regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS ${p}sch,
+       |    regexp_extract($base,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS ${p}auth,
+       |    regexp_extract($base,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS ${p}bpath,
+       |    CASE WHEN ${p}bpath = '' THEN '/' ELSE ${p}bpath END AS ${p}por,
+       |    CASE WHEN ${p}bpath = '' THEN '/'
+       |      ELSE regexp_replace(${p}bpath, '[^/]*$$', '') END AS ${p}bdir,
+       |    CASE
+       |      WHEN regexp_matches(${p}h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN ${p}h
+       |      WHEN ${p}sch = '' THEN NULL
+       |      WHEN ${p}h LIKE '//%' THEN ${p}sch || ':' || ${p}h
+       |      WHEN ${p}h LIKE '/%' THEN ${p}sch || '://' || ${p}auth || ${p}h
+       |      WHEN ${p}h LIKE '?%'
+       |        THEN ${p}sch || '://' || ${p}auth || ${p}por || ${p}h
+       |      WHEN ${p}h = '' OR ${p}h LIKE '#%' THEN NULL
+       |      ELSE ${p}sch || '://' || ${p}auth || ${p}bdir || ${p}h
+       |    END AS ${p}merged,
+       |    regexp_extract(${p}merged, '^([^?#]*)', 1) AS ${p}pre,
+       |    substr(${p}merged, length(${p}pre) + 1) AS ${p}post,
+       |    regexp_extract(${p}merged,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS ${p}hier,
+       |    substr(${p}pre, length(${p}hier) + 1) AS ${p}path0,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(${p}path0,
+       |      '/\\./', '/', 'g'), '/\\./', '/', 'g'), '/\\./', '/', 'g'),
+       |      '/\\.$$', '/') AS ${p}nodot,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(${p}nodot,
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
+       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/')
+       |      AS ${p}noup,
+       |    regexp_replace(${p}noup, '^/\\.\\.$$', '/') AS ${p}npath,
+       |    CASE WHEN ${p}merged IS NULL THEN NULL
+       |      WHEN ${p}hier = '' THEN ${p}merged
+       |      ELSE ${p}hier || ${p}npath || ${p}post END AS ${p}url""".stripMargin
+
   private val sqlLinkItemsCtes: String =
-    s"""pages AS (SELECT doc_id, $sqlSyntheticUrl AS base_url,
+    s"""rawpages AS (SELECT doc_id, $sqlSyntheticUrl AS page_url,
        |  $sqlLinkPage AS html FROM documents),
+       |pb AS (
+       |  SELECT doc_id, page_url, html,
+       |    regexp_extract(html,
+       |      '(?i)<base\\s(?:[^>]*\\s)?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>"''][^\\s>]*)',
+       |      1) AS bh0,
+       |    CASE WHEN regexp_matches(bh0, '^["'']')
+       |      THEN substr(bh0, 2, length(bh0) - 2) ELSE bh0 END AS bh
+       |  FROM rawpages),
+       |pe AS (
+       |  SELECT doc_id, page_url, html,
+       |    ${sqlResolveCols("b_", "page_url", "bh")}
+       |  FROM pb),
+       |pages AS (
+       |  SELECT doc_id, coalesce(b_url, page_url) AS base_url, html
+       |  FROM pe),
        |ex AS (
        |  SELECT doc_id, base_url, regexp_extract_all(html,
        |    '(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>"''][^\\s>]*)',
@@ -3176,44 +3294,7 @@ object SparkEntry {
        |  FROM ex, unnest(generate_series(1, len(qs))) AS g(i)),
        |res AS (
        |  SELECT doc_id, pos,
-       |    trim(href) AS h,
-       |    regexp_extract(base_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS sch,
-       |    regexp_extract(base_url,
-       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-       |    regexp_extract(base_url,
-       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath,
-       |    CASE WHEN bpath = '' THEN '/' ELSE bpath END AS por,
-       |    CASE WHEN bpath = '' THEN '/'
-       |      ELSE regexp_replace(bpath, '[^/]*$$', '') END AS bdir,
-       |    CASE
-       |      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
-       |      WHEN sch = '' THEN NULL
-       |      WHEN h LIKE '//%' THEN sch || ':' || h
-       |      WHEN h LIKE '/%' THEN sch || '://' || auth || h
-       |      WHEN h LIKE '?%' THEN sch || '://' || auth || por || h
-       |      WHEN h = '' OR h LIKE '#%' THEN NULL
-       |      ELSE sch || '://' || auth || bdir || h END AS merged,
-       |    regexp_extract(merged, '^([^?#]*)', 1) AS pre,
-       |    substr(merged, length(pre) + 1) AS post,
-       |    regexp_extract(merged,
-       |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS hier,
-       |    substr(pre, length(hier) + 1) AS path0,
-       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(path0,
-       |      '/\\./', '/', 'g'), '/\\./', '/', 'g'), '/\\./', '/', 'g'),
-       |      '/\\.$$', '/') AS nodot,
-       |    regexp_replace(regexp_replace(regexp_replace(
-       |    regexp_replace(regexp_replace(regexp_replace(
-       |    regexp_replace(regexp_replace(regexp_replace(
-       |    regexp_replace(regexp_replace(regexp_replace(nodot,
-       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
-       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
-       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/'),
-       |      '^/\\.\\./', '/'), '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/')
-       |      AS noup,
-       |    regexp_replace(noup, '^/\\.\\.$$', '/') AS npath,
-       |    CASE WHEN merged IS NULL THEN NULL
-       |      WHEN hier = '' THEN merged
-       |      ELSE hier || npath || post END AS url
+       |    ${sqlResolveCols("", "base_url", "href")}
        |  FROM items),
        |abslinks AS (
        |  SELECT doc_id, pos, url FROM res
@@ -6134,6 +6215,17 @@ object SparkEntry {
       """SELECT doc_id,
         |  doc_id % 8 IN (0, 2, 5, 6, 7) AS noindex,
         |  doc_id % 8 IN (1, 2, 5, 7) AS nofollow
+        |FROM documents""".stripMargin,
+
+    // the INDEPENDENT truth table for the planted header residues:
+    // noindex for plain (0), scoped-to-us (2), none (5), and the
+    // two-header union (6); nofollow for the list (1), none (5), and
+    // the union (6); nothing for scoped-to-other (3), the
+    // unavailable_after trap (4), and absence (7)
+    "q_xrobots" ->
+      """SELECT doc_id,
+        |  doc_id % 8 IN (0, 2, 5, 6) AS noindex,
+        |  doc_id % 8 IN (1, 5, 6) AS nofollow
         |FROM documents""".stripMargin,
 
     // full RFC-9309 replay: line/group parse as windows, group

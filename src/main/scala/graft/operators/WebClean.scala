@@ -239,6 +239,13 @@ object WebClean {
     "(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*" +
       "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
 
+  /** The `<base href>` element pattern — same tag-anchor and value
+    * forms as [[hrefPattern]]; only the FIRST match counts (the HTML
+    * spec's rule for multiple base elements). */
+  private[graft] val baseHrefPattern: String =
+    "(?i)<base\\s(?:[^>]*\\s)?href\\s*=\\s*" +
+      "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+
   /** RFC 3986 §5 reference resolution as a zero-shuffle Column chain —
     * the step that turns raw anchor hrefs into link-graph edges
     * (relative hrefs are the MAJORITY of real anchors; dropping them
@@ -346,12 +353,30 @@ object WebClean {
     * hrefs (a dropped fragment-only link still holds its position);
     * only http(s) targets survive the final filter. One RE2-safe
     * `regexp_extract_all` + a narrow explode; zero shuffles, fuses
-    * into the scan at any corpus size. */
+    * into the scan at any corpus size.
+    *
+    * A page's FIRST `<base href>` element overrides the page URL as
+    * the resolution base (the HTML contract real crawl pages rely
+    * on), itself resolved against the page URL first — base hrefs may
+    * be relative. Derived per PAGE, before the anchor explode, so the
+    * base resolution costs once per document, not per link. */
   def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
                    baseUrlCol: Option[String] = None): DataFrame = {
-    val raw = df.select(col(idCol),
-        baseUrlCol.map(col).getOrElse(lit(null)).as("__base"),
-        posexplode(regexp_extract_all(col(htmlCol),
+    val basePrep: DataFrame = baseUrlCol match {
+      case Some(bc) =>
+        val bh0 = regexp_extract(col(htmlCol), baseHrefPattern, 1)
+        val bh = when(bh0.rlike("^[\"']"),
+          bh0.substr(lit(2), length(bh0) - 2)).otherwise(bh0)
+        val pages = df.select(col(idCol), col(htmlCol).as("__html"),
+          col(bc).as("__page"), bh.as("__bh"))
+        resolveUrl(pages, "__page", "__bh", "__eff")
+          .withColumn("__base", coalesce(col("__eff"), col("__page")))
+      case None =>
+        df.select(col(idCol), col(htmlCol).as("__html"),
+          lit(null).as("__base"))
+    }
+    val raw = basePrep.select(col(idCol), col("__base"),
+        posexplode(regexp_extract_all(col("__html"),
           lit(hrefPattern), lit(1)))
           .as(Seq("pos", "q")))
       .select(col(idCol), col("pos"),
@@ -450,6 +475,49 @@ object WebClean {
       when(x.rlike("^[\"']"), x.substr(lit(2), length(x) - 2)).otherwise(x))
     val toks = flatten(transform(vals, x =>
       split(regexp_replace(x, "[ \\t\\n\\x0b\\f\\r]+", ""), ",")))
+    struct(
+      (array_contains(toks, "noindex") || array_contains(toks, "none"))
+        .as("noindex"),
+      (array_contains(toks, "nofollow") || array_contains(toks, "none"))
+        .as("nofollow"))
+  }
+
+  /** Directive tokens X-Robots-Tag defines (the published set) — a
+    * leading `token:` prefix that is NOT one of these is a USER-AGENT
+    * scope (`X-Robots-Tag: googlebot: noindex`); `unavailable_after:
+    * <date>` is the directive that makes naive colon-splitting wrong. */
+  private val XRobotsDirectives = Seq("all", "noindex", "nofollow", "none",
+    "noarchive", "nosnippet", "notranslate", "noimageindex",
+    "indexifembedded", "max-snippet", "max-image-preview",
+    "max-video-preview", "unavailable_after")
+
+  /** X-Robots-Tag directives — the HTTP-HEADER counterpart of
+    * [[metaRobots]] (servers set it for non-HTML responses and at the
+    * CDN layer; a corpus pipeline honors either source): every
+    * `X-Robots-Tag` header in the [[parseHttpResponse]] headers array
+    * (names arrive lowercased there), token lists split on commas and
+    * UNIONED across headers, `none` implying noindex+nofollow. An
+    * optional leading `token:` prefix that is not a known directive
+    * name is a USER-AGENT scope: its directives apply only when the
+    * scope equals `agent` (exact token, case-insensitive — the
+    * documented subset; `unavailable_after: <date>` parses as the
+    * directive it is, never as a scope). Returns struct (noindex,
+    * nofollow); one projection over the per-row headers array, zero
+    * shuffles. */
+  def xRobotsTag(headers: Column, agent: String = ""): Column = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val vals = filter(headers, h => h.getField("name") === "x-robots-tag")
+    val toks = flatten(transform(vals, h => {
+      val v = trim(lower(h.getField("value")))
+      val pfx = regexp_extract(v, "^([a-z0-9_.-]+)\\s*:", 1)
+      val isScope = pfx =!= "" && !pfx.isin(XRobotsDirectives: _*)
+      val body = when(isScope,
+        trim(v.substr(instr(v, ":") + 1, length(v)))).otherwise(v)
+      val applies = !isScope || pfx === lit(agentLc)
+      when(applies,
+        split(regexp_replace(body, "[ \\t\\n\\x0b\\f\\r]+", ""), ","))
+        .otherwise(array())
+    }))
     struct(
       (array_contains(toks, "noindex") || array_contains(toks, "none"))
         .as("noindex"),

@@ -321,6 +321,43 @@ class WebCleanSpec extends AnyFunSuite {
     assert(deep == Seq("http://b.example/clamped"))
   }
 
+  test("extractLinks honors the FIRST <base href> element: relative " +
+    "bases resolve against the page URL first, absolute bases replace " +
+    "scheme+authority, pages without one keep the page URL") {
+    val rows = Seq(
+      // root-relative base element
+      (1L, "http://h.example/p/page.html",
+        "<head><base href=\"/bd/sub/\"></head>" +
+          "<a href=\"x.html\">a</a><a href=\"/rooted\">b</a>"),
+      // RELATIVE base element (resolves against the page dir first)
+      (2L, "http://h.example/p/q/page.html",
+        "<head><base href=\"../b2/\"></head><a href=\"y\">c</a>"),
+      // absolute base on another host; protocol-relative link takes
+      // ITS scheme, root-relative ITS authority
+      (3L, "https://h.example/p/",
+        "<head><base href='http://other.example/x/'></head>" +
+          "<a href=\"/r\">d</a><a href=\"//m.example/z\">e</a>"),
+      // a SECOND base element must be ignored (first wins)
+      (4L, "http://h.example/p/",
+        "<base href=\"/first/\"><base href=\"/second/\">" +
+          "<a href=\"f\">f</a>"),
+      // no base element -> page URL
+      (5L, "http://h.example/p/page.html", "<a href=\"g\">g</a>")
+    ).toDF("id", "page", "html")
+    val got = WebClean.extractLinks(rows, "id", "html",
+        baseUrlCol = Some("page"))
+      .orderBy($"id", $"pos").select($"id", $"url")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "http://h.example/bd/sub/x.html"),
+      (1L, "http://h.example/rooted"),
+      (2L, "http://h.example/p/b2/y"),
+      (3L, "http://other.example/r"),
+      (3L, "http://m.example/z"),
+      (4L, "http://h.example/first/f"),
+      (5L, "http://h.example/p/g")))
+  }
+
   // ---- parseHttpResponse / httpResponses ---------------------------------
 
   private def http(payload: Array[Byte]) =
@@ -523,6 +560,32 @@ class WebCleanSpec extends AnyFunSuite {
       .select($"main_text").as[String].collect().head
     assert(g3.contains("Tom & Jerry") && g3.contains("<3"))
     assert(!g3.contains("script body"))
+  }
+
+  test("xRobotsTag: multi-header union, agent scoping, the " +
+    "unavailable_after colon trap, decoy header names") {
+    val mk = (vs: Seq[(String, String)]) => vs.map { case (n, v) => (n, v) }
+    val rows = Seq(
+      (1L, Seq("x-robots-tag" -> "noindex")),
+      (2L, Seq("x-robots-tag" -> "noarchive, NOFOLLOW")),
+      (3L, Seq("x-robots-tag" -> "graftbot: noindex")),   // scoped to us
+      (4L, Seq("x-robots-tag" -> "otherbot: noindex")),   // not us
+      (5L, Seq("x-robots-tag" -> "unavailable_after: 2026-01-01")),
+      (6L, Seq("x-robots-tag" -> "noindex",
+               "x-robots-tag" -> "nofollow")),            // union
+      (7L, Seq("x-powered-by" -> "noindex")),             // decoy name
+      (8L, Seq("x-robots-tag" -> "none"))
+    ).map { case (id, hs) => (id, mk(hs)) }.toDF("id", "headers")
+    val got = rows.select($"id",
+        WebClean.xRobotsTag($"headers".cast(
+          "array<struct<name:string,value:string>>"), agent = "graftbot")
+          .as("x"))
+      .select($"id", $"x.noindex", $"x.nofollow")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(got == Map(1L -> (true, false), 2L -> (false, true),
+      3L -> (true, false), 4L -> (false, false), 5L -> (false, false),
+      6L -> (true, true), 7L -> (false, false), 8L -> (true, true)))
   }
 
   test("blocklistScan: signals, translate case folding, null text") {
