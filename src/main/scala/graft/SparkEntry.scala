@@ -2515,14 +2515,18 @@ object SparkEntry {
 
   /** Deterministic HTTP response payload per document — shared shape
     * between q_warc_http's Spark side and its oracle, keyed on
-    * doc_id % 4:
+    * doc_id % 6:
     *  0: 200 `text/html; charset=utf-8`, two headers, HTML wrapper;
     *  1: 200 `text/plain; charset=ISO-8859-1`, non-ASCII latin-1 body;
     *  2: 404 `text/plain` (no charset), DUPLICATE X-Tag headers;
-    *  3: 200 with NO Content-Type and a binary (PNG-magic) body. */
+    *  3: 200 with NO Content-Type and a binary (PNG-magic) body;
+    *  4: 200 `text/html` with NO header charset — the in-body
+    *     `<meta charset="iso-8859-1">` must be SNIFFED (latin-1 é);
+    *  5: 200 `text/html`, no header charset, the http-equiv meta form
+    *     declaring windows-1252 (cp1252 curly quotes in the body). */
   private[graft] def syntheticHttpPayload(id: Long, text: String): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    (id % 4) match {
+    (id % 6) match {
       case 0 =>
         val body = s"<html><body><p>$text</p></body></html>"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -2537,10 +2541,23 @@ object SparkEntry {
         val body = s"not found: $id".getBytes(ascii)
         ("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
           "X-Tag: a\r\nX-Tag: b\r\n\r\n").getBytes(ascii) ++ body
-      case _ =>
+      case 3 =>
         val body = Array[Byte](0x89.toByte, 'P', 'N', 'G',
           (id & 0xff).toByte, ((id >> 8) & 0xff).toByte, 0x00, 0xff.toByte)
         ("HTTP/1.1 200 OK\r\nServer: graft\r\n\r\n").getBytes(ascii) ++ body
+      case 4 =>
+        val body = ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+          s"<body><p>café doc $id</p></body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes(ascii) ++ body
+      case _ =>
+        val body = ("<html><head><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=windows-1252\"></head>" +
+          s"<body><p>“quoted” doc $id</p></body></html>")
+          .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes(ascii) ++ body
     }
   }
 
@@ -3874,27 +3891,43 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // the HTTP split inside the WARC round-trip: expected fields are a
-    // pure function of doc_id % 4 (the syntheticHttpPayload shape);
+    // pure function of doc_id % 6 (the syntheticHttpPayload shape);
     // body_len counts BYTES (strlen) for the utf-8 bodies and CHARS
     // (length) for the latin-1 body — latin-1 is one byte per char;
     // the WET column replays the q_html_extract chain on the r=0 page
+    // residues 4/5 pin the WHATWG meta-charset PRESCAN: no header
+    // charset, the in-body declaration decides the decode; their
+    // body_text/wet_text expectations are hand-written literals (an
+    // independent expectation, not a chain replay), and body_len
+    // prices the single-byte latin-1/cp1252 encodings against the
+    // multi-byte UTF-8 strlen
     "q_warc_http" ->
       """WITH p AS (
-        |  SELECT doc_id, doc_id % 4 AS r,
+        |  SELECT doc_id, doc_id % 6 AS r,
         |    '<html><body><p>' || text || '</p></body></html>' AS html,
         |    'café résumé doc ' || doc_id AS lat,
-        |    'not found: ' || doc_id AS nf
+        |    'not found: ' || doc_id AS nf,
+        |    '<html><head><meta charset="iso-8859-1"></head><body><p>café doc '
+        |      || doc_id || '</p></body></html>' AS sniffed_lat,
+        |    '<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1252"></head><body><p>“quoted” doc '
+        |      || doc_id || '</p></body></html>' AS sniffed_cp
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END AS INT) AS status_code,
         |  '1.1' AS http_version,
         |  CASE r WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
-        |         WHEN 2 THEN 'text/plain' END AS content_type,
+        |         WHEN 2 THEN 'text/plain' WHEN 4 THEN 'text/html'
+        |         WHEN 5 THEN 'text/html' END AS content_type,
         |  CASE r WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1' END AS charset,
         |  CAST(CASE r WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 1 END AS INT) AS n_headers,
         |  CAST(CASE r WHEN 0 THEN strlen(html) WHEN 1 THEN length(lat)
-        |              WHEN 2 THEN strlen(nf) ELSE 8 END AS BIGINT) AS body_len,
-        |  CASE r WHEN 0 THEN html WHEN 1 THEN lat WHEN 2 THEN nf END AS body_text,
+        |              WHEN 2 THEN strlen(nf)
+        |              WHEN 4 THEN strlen(sniffed_lat) - 1
+        |              WHEN 5 THEN strlen(sniffed_cp) - 4
+        |              ELSE 8 END AS BIGINT) AS body_len,
+        |  CASE r WHEN 0 THEN html WHEN 1 THEN lat WHEN 2 THEN nf
+        |         WHEN 4 THEN sniffed_lat WHEN 5 THEN sniffed_cp
+        |  END AS body_text,
         |  CASE WHEN r = 0 THEN
         |    trim(regexp_replace(
         |      replace(replace(replace(replace(replace(replace(
@@ -3906,6 +3939,8 @@ object SparkEntry {
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |      '[ \t\n\x0b\f\r]+', ' ', 'g'))
+        |  WHEN r = 4 THEN 'café doc ' || doc_id
+        |  WHEN r = 5 THEN '“quoted” doc ' || doc_id
         |  END AS wet_text
         |FROM p""".stripMargin,
 

@@ -108,23 +108,33 @@ object WebClean {
   /** Charset-aware text decode of an HTTP body — only for declared
     * text-bearing media types (binary bodies stay null; a CASE branch
     * is evaluated per-row only when taken, so image bytes never reach
-    * a decoder). The charset whitelist covers essentially all crawl
-    * traffic: UTF-8 (the default when undeclared), latin-1 (also the
-    * stand-in for us-ascii — its byte-superset, so a lying
-    * ascii-declared page degrades instead of erroring), and
-    * windows-1252; anything else falls back to UTF-8, the WHATWG
-    * default. Spark 4's `decode` whitelists 7 charsets (no cp1252),
-    * so windows-1252 is expressed as its exact definition: a latin-1
-    * decode plus the 27-entry C1→glyph translate — the
-    * [[graft.functions.Normalize.cp1252Pairs]] table (the entire
-    * difference between the two charsets) applied in the decode
-    * direction. One codegen projection. */
+    * a decoder). Charset precedence is the WHATWG order real pages
+    * require: the TRANSPORT-layer declaration (Content-Type charset
+    * param) wins; absent that, the in-body `<meta charset=…>` /
+    * `<meta http-equiv … content="…charset=…">` declaration is
+    * SNIFFED from the first 1024 bytes (the WHATWG prescan window,
+    * viewed through latin-1 so bytes map 1:1 — one regex covers both
+    * meta forms because both carry a `charset=` token); absent both,
+    * UTF-8. The charset whitelist covers essentially all crawl
+    * traffic: UTF-8, latin-1 (also the stand-in for us-ascii — its
+    * byte-superset, so a lying ascii-declared page degrades instead
+    * of erroring), and windows-1252; anything else falls back to
+    * UTF-8, the WHATWG default. Spark 4's `decode` whitelists 7
+    * charsets (no cp1252), so windows-1252 is expressed as its exact
+    * definition: a latin-1 decode plus the 27-entry C1→glyph
+    * translate — the [[graft.functions.Normalize.cp1252Pairs]] table
+    * (the entire difference between the two charsets) applied in the
+    * decode direction. One codegen projection. */
   def httpBodyText(contentType: Column, charset: Column,
                    body: Column): Column = {
+    val prescan = decode(substring(body, 1, 1024), "ISO-8859-1")
+    val sniffedRaw = lower(regexp_extract(prescan,
+      "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1))
+    val sniffed = when(sniffedRaw =!= "", sniffedRaw)
     val textual = contentType.startsWith("text/") ||
       contentType.isin("application/xhtml+xml", "application/json",
         "application/xml")
-    val cs = lower(coalesce(charset, lit("utf-8")))
+    val cs = lower(coalesce(charset, sniffed, lit("utf-8")))
     val c1 = graft.functions.Normalize.cp1252Pairs.map(_._2).mkString
     val glyphs = graft.functions.Normalize.cp1252Pairs.map(_._1).mkString
     when(textual,

@@ -418,7 +418,18 @@ class WebCleanSpec extends AnyFunSuite {
       (3L, payload("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
         "<p>café</p>".getBytes("UTF-8"))), // no charset -> utf-8
       (4L, payload("HTTP/1.1 200 OK\r\n\r\n",
-        Array(0x89.toByte, 0xff.toByte, 0x00.toByte))) // binary, no CT
+        Array(0x89.toByte, 0xff.toByte, 0x00.toByte))), // binary, no CT
+      // WHATWG prescan: no header charset, in-body meta declares it
+      (5L, payload("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        "<meta charset=\"iso-8859-1\"><p>café</p>"
+          .getBytes("ISO-8859-1"))),
+      (6L, payload("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+          "charset=windows-1252\"><p>“q”</p>")
+          .getBytes("windows-1252"))),
+      // the header charset WINS over a contradicting in-body meta
+      (7L, payload("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n",
+        "<meta charset=\"iso-8859-1\"><p>café</p>".getBytes("UTF-8")))
     ).toDF("id", "content")
     val got = WebClean.httpResponses(rows)
       .select($"id", $"body_text", $"wet_text").orderBy("id").collect()
@@ -427,6 +438,9 @@ class WebCleanSpec extends AnyFunSuite {
     assert(got(2).getString(1) == "<p>café</p>")
     assert(got(2).getString(2) == "café") // the WET extraction
     assert(got(3).isNullAt(1) && got(3).isNullAt(2))
+    assert(got(4).getString(2) == "café")   // sniffed latin-1
+    assert(got(5).getString(2) == "“q”")    // sniffed cp1252, http-equiv
+    assert(got(6).getString(2) == "café")   // header beats meta
   }
 
   // ---- robotsRules / robotsAllowed ---------------------------------------
