@@ -440,11 +440,13 @@ object SparkEntry {
     // records — a crawl response payload is status line + headers +
     // body, and the WET step needs them apart. One codegen projection
     // (header scan on the latin-1 byte view, body sliced from RAW
-    // bytes), charset-aware text decode, extractHtmlText gated on the
-    // HTML media type. Four planted response shapes: utf-8 html,
-    // latin-1 text (non-ASCII round-trip), a duplicate-header 404
-    // with no charset, and a content-type-less BINARY body that must
-    // never reach a decoder
+    // bytes), charset-aware text decode with the WHATWG meta-charset
+    // prescan, extractHtmlText gated on the HTML media type. Six
+    // planted response shapes: utf-8 html, latin-1 text (non-ASCII
+    // round-trip), a duplicate-header 404 with no charset, a
+    // content-type-less BINARY body that must never reach a decoder,
+    // and two SNIFFED-charset pages (meta charset latin-1, http-equiv
+    // cp1252)
     "q_warc_http" -> ((s, dir) => {
       val out = dumpDir(dir) + "_warchttp"
       val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -468,6 +470,35 @@ object SparkEntry {
           size(col("headers")).as("n_headers"),
           length(col("body")).cast("bigint").as("body_len"),
           col("body_text"), col("wet_text"))
+    }),
+
+    // §2b-30h: WET export — the WARC→WET OUTPUT side: the extracted
+    // text corpus written as `conversion` records (WARC-Type
+    // conversion, Content-Type text/plain, WARC-Refers-To
+    // cross-referencing the response record's id) and split-read back
+    // by the same WARC reader — WET files ARE WARC files; the
+    // physical write+read round-trip caveat family
+    "q_wet_export" -> ((s, dir) => {
+      val out = dumpDir(dir) + "_wet"
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      src.repartition(4, col("doc_id")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.sources.WarcSource.writeWet(f"$out/wet-$pid%02d.warc",
+            it.map(r => (s"http://corpus.local/doc/${r.getLong(0)}",
+              r.getString(1))))
+      }
+      val paths = (0 until 4).map(p => f"$out/wet-$p%02d.warc")
+      s.read.format("graft.sources.WarcDataSource")
+        .option("splitBytes", 4L << 10)
+        .load(paths: _*)
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("warc_type"),
+          col("content").cast("string").as("text"),
+          col("content_length"))
     }),
 
     // §2b (multimodal-corpus ingestion): WebDataset-layout tar
@@ -3943,6 +3974,13 @@ object SparkEntry {
         |  WHEN r = 5 THEN '“quoted” doc ' || doc_id
         |  END AS wet_text
         |FROM p""".stripMargin,
+
+    // the WET round-trip restores the projection with the conversion
+    // type and the utf-8 byte length (the q_warc_ingest caveat shape)
+    "q_wet_export" ->
+      """SELECT doc_id, 'conversion' AS warc_type, text,
+        |  CAST(strlen(text) AS BIGINT) AS content_length
+        |FROM documents""".stripMargin,
 
     // the tar round-trip restores the projection: two sample files per
     // customer regrouped by the WebDataset key rule — the oracle is

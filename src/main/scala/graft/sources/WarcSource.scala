@@ -95,6 +95,41 @@ object WarcSource {
     } finally out.close()
   }
 
+  /** Write WET-layout `conversion` records (the published WARC→WET
+    * output format: ISO 28500 records whose payload is the EXTRACTED
+    * text, `WARC-Type: conversion`, `Content-Type: text/plain`,
+    * `WARC-Refers-To` naming the response record the text derives
+    * from — the refers-to id uses the SAME fnv64-of-uri derivation
+    * [[writeWarc]] assigns response records, so a WET shard written
+    * beside a response shard cross-references it). `records` =
+    * (target URI, extracted text); text is UTF-8 encoded, the WET
+    * convention. Readable back by the ordinary WARC reader/stream
+    * (WET files ARE WARC files). */
+  def writeWet(path: String, records: Iterator[(String, String)],
+               date: String = "2014-01-01T00:00:00Z"): Unit = {
+    val fs = new Path(path).getFileSystem(DumpSource.activeHadoopConf())
+    val out = fs.create(new Path(path), true)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    try records.foreach { case (uri, text) =>
+      val id = java.lang.Long.toHexString(
+        graft.functions.TextHash.fnv64(uri.getBytes(ascii), 0, uri.length))
+      val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val header =
+        s"WARC/1.0\r\n" +
+          s"WARC-Type: conversion\r\n" +
+          s"WARC-Record-ID: <urn:graft:wet:$id>\r\n" +
+          s"WARC-Refers-To: <urn:graft:$id>\r\n" +
+          s"WARC-Date: $date\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Type: text/plain\r\n" +
+          s"Content-Length: ${body.length}\r\n" +
+          "\r\n"
+      out.write(header.getBytes(ascii))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes(ascii))
+    } finally out.close()
+  }
+
   /** Cut one file into [start, end) ranges of ~`splitBytes`; ranges
     * tile the file exactly and need no index — readers resync on the
     * record magic (plain) or the gzip member magic (.warc.gz). */

@@ -187,6 +187,33 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("WET export: conversion records round-trip through the WARC " +
+    "reader, carry Content-Type/Refers-To headers, and the refers-to " +
+    "id matches the response record the same URI would get") {
+    val dir = tmpDir()
+    WarcSource.writeWet(s"$dir/a.warc.wet",
+      Iterator(("http://s/1", "extracted text one"),
+               ("http://s/2", "café extracted two")))
+    val got = spark.read.format("graft.sources.WarcDataSource")
+      .load(s"$dir/a.warc.wet")
+      .select($"warc_type", $"target_uri", $"content".cast("string"),
+        $"record_id")
+      .as[(String, String, String, String)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq("conversion", "conversion"))
+    assert(got.map(_._3).toSeq ==
+      Seq("extracted text one", "café extracted two"))
+    assert(got.forall(_._4.startsWith("<urn:graft:wet:")))
+    // raw header block: WET layout fields present, and Refers-To ==
+    // the id writeWarc derives for the same URI's response record
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/a.warc.wet")), "ISO-8859-1")
+    assert(raw.contains("Content-Type: text/plain"))
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val id1 = java.lang.Long.toHexString(graft.functions.TextHash.fnv64(
+      "http://s/1".getBytes(ascii), 0, "http://s/1".length))
+    assert(raw.contains(s"WARC-Refers-To: <urn:graft:$id1>"))
+  }
+
   test("streaming: a growing crawl folder (mixed .warc/.warc.gz) is " +
     "consumed exactly once across restarts, bounded by " +
     "maxFilesPerTrigger under AvailableNow") {
