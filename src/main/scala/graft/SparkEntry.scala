@@ -2215,6 +2215,24 @@ object SparkEntry {
       operators.WebClean.robotsAllowed(urls, rules, "doc_id", "url", "site")
     }),
 
+    // §2b-62f: robots.txt politeness + discovery directives — the
+    // two non-rule signals the same file carries: global Sitemap URLs
+    // (frontier seed discovery) and the selected group's Crawl-delay
+    // (most-specific-agent precedence shared with q_robots_filter;
+    // minimum of applicable values, try_cast null on garbage)
+    "q_robots_meta" -> ((s, dir) => {
+      val sites = t(s, dir, "documents")
+        .select(operators.WebClean.urlSite(operators.WebClean.urlHost(
+          syntheticUrl)).as("site")).distinct()
+      val body = robotsBodies.zipWithIndex.foldLeft(lit(null: String)) {
+        case (acc, (b, i)) =>
+          when(pmod(HashExpressions.fnv64(col("site")),
+            lit(robotsBodies.length.toLong)) === i, lit(b)).otherwise(acc)
+      }
+      operators.WebClean.robotsDirectives(
+        sites.withColumn("txt", body), "site", "txt", agent = "graftbot")
+    }),
+
     // §2b-62: URL parse (host + registrable-site heuristic) — the key
     // extraction every domain-level policy (caps, blocklists,
     // stratification) joins on; URLs synthesized with www/userinfo/
@@ -2974,11 +2992,15 @@ object SparkEntry {
     * frame with `*` only when no token prefix-matches), the identical
     * regex compilation, and the longest-match decision as a max over
     * (spec, allow, rule) structs. */
-  private def qRobotsFilterOracle: String = {
+  /** The robots parse + §2.2.1 selection CTE chain shared by the
+    * q_robots_filter and q_robots_meta oracles: synthesis (`u`/`us`),
+    * body assignment (`rb`), line/group parse (`rlines`→`grp`), agent
+    * tokens + prefix selection (`agents`→`sel(site, g)`). */
+  private def sqlRobotsCommonCtes: String = {
     val bodies = robotsBodies.zipWithIndex.map { case (b, i) =>
       s"WHEN $i THEN '${b.replace("'", "''")}'"
     }.mkString(" ")
-    s"""WITH u AS (
+    s"""u AS (
        |  SELECT doc_id,
        |    'https://' ||
        |    CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
@@ -3035,7 +3057,11 @@ object SparkEntry {
        |  WHERE a.m_spec AND length(a.ua) = b.best_len
        |  UNION
        |  SELECT site, g FROM agm
-       |  WHERE ua = '*' AND site NOT IN (SELECT site FROM best)),
+       |  WHERE ua = '*' AND site NOT IN (SELECT site FROM best))""".stripMargin
+  }
+
+  private def qRobotsFilterOracle: String = {
+    s"""WITH $sqlRobotsCommonCtes,
        |rules0 AS (
        |  SELECT r.site, r.kind = 'allow' AS allow, r.val AS rule_path,
        |    length(r.val) AS spec
@@ -3067,6 +3093,29 @@ object SparkEntry {
        |  coalesce(win.a = 1, true) AS allowed, win.rule_path AS rule
        |FROM w""".stripMargin
   }
+
+  /** q_robots_meta oracle: the shared parse/selection chain, then the
+    * global Sitemap harvest (count + lexicographic min) and the
+    * selected groups' minimum Crawl-delay (TRY_CAST == the operator's
+    * try_cast null-on-garbage contract). */
+  private def qRobotsMetaOracle: String =
+    s"""WITH $sqlRobotsCommonCtes,
+       |sm AS (
+       |  SELECT site, CAST(count(*) AS INT) AS n_sitemaps,
+       |    min(val) AS first_sitemap
+       |  FROM grp WHERE regexp_matches(lower(line), '^sitemap\\s*:')
+       |  GROUP BY site),
+       |cd AS (
+       |  SELECT g2.site, min(TRY_CAST(g2.val AS DOUBLE)) AS crawl_delay
+       |  FROM grp g2 JOIN sel ON g2.site = sel.site AND g2.g = sel.g
+       |  WHERE regexp_matches(lower(g2.line), '^crawl-delay\\s*:')
+       |  GROUP BY g2.site),
+       |sites AS (SELECT DISTINCT site FROM us)
+       |SELECT s.site, cd.crawl_delay,
+       |  coalesce(sm.n_sitemaps, 0) AS n_sitemaps, sm.first_sitemap
+       |FROM sites s
+       |LEFT JOIN cd ON cd.site = s.site
+       |LEFT JOIN sm ON sm.site = s.site""".stripMargin
 
   /** DuckDB replay of [[graft.operators.WebClean.urlHost]]. */
   private def sqlHostOf(url: String): String =
@@ -3149,14 +3198,24 @@ object SparkEntry {
     * fall back to the blocking `*` group (5); selection via PREFIX
     * token alone (`graft` matches agent `graftbot`) (6); a token
     * LONGER than the agent (`graftbotx`) must not match — falls back
-    * to `*` (7). */
+    * to `*` (7). Non-rule directives ride several bodies for
+    * q_robots_meta and are INVISIBLE to the rule parse: a `*`-group
+    * Crawl-delay + a global Sitemap (0), group-scoped Crawl-delays
+    * where the SELECTED group's value must win (9 in the `graft`
+    * prefix group vs 2.5 in the exact `graftbot` group — 4), two
+    * Sitemap lines (5), and neither on the rest. */
   private val robotsBodies: Seq[String] = Seq(
-    "User-agent: *\nDisallow: /p/\nAllow: /p/1*\nDisallow:\n# note\nCrawl-delay: 5",
+    "User-agent: *\nDisallow: /p/\nAllow: /p/1*\nDisallow:\n# note\n" +
+      "Crawl-delay: 5\nSitemap: https://s0.example.org/map1.xml",
     "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow:",
     "User-agent: *\nDisallow: /*?ref=*\nAllow: /p/",
     "User-agent: *\nDisallow: /p/*3?ref=rss$",
-    "User-agent: graft\nDisallow: /p/\n\nUser-agent: graftbot\nAllow: /\n\nUser-agent: *\nDisallow: /",
-    "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /",
+    "User-agent: graft\nDisallow: /p/\nCrawl-delay: 9\n\n" +
+      "User-agent: graftbot\nAllow: /\nCrawl-delay: 2.5\n\n" +
+      "User-agent: *\nDisallow: /",
+    "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n" +
+      "Sitemap: https://s5.example.org/b.xml\n" +
+      "Sitemap: https://s5.example.org/a.xml",
     "User-agent: graft\nDisallow: /p/\n\nUser-agent: *\nAllow: /",
     "User-agent: graftbotx\nDisallow: /\n\nUser-agent: *\nDisallow: /p/9*")
 
@@ -6307,6 +6366,10 @@ object SparkEntry {
     // the longest-match max-struct decision; bodies rendered from the
     // SAME robotsBodies list
     "q_robots_filter" -> qRobotsFilterOracle,
+
+    // the same parse/selection chain harvesting the non-rule
+    // directives: global sitemaps, selected-group crawl-delay
+    "q_robots_meta" -> qRobotsMetaOracle,
 
     // identical regexp_extract_all (tag-anchored, three value forms)
     // + conditional quote-strip + RFC 3986 resolution replay +

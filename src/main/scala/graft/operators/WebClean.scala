@@ -565,8 +565,13 @@ object WebClean {
     *
     * Returns one row per applicable rule:
     * (site, allow, path, spec, pattern). */
-  def robotsRules(robots: DataFrame, siteCol: String, txtCol: String,
-                  agent: String = "*"): DataFrame = {
+  /** The robots.txt line/group parse shared by [[robotsRules]] and
+    * [[robotsDirectives]]: one row per line with (site, pos, line,
+    * is_ua, ua, kind, path, value, grp) — `value` is the raw text
+    * after the first `:` (any directive's argument, case preserved),
+    * `grp` the UA-run group index. */
+  private def robotsGrouped(robots: DataFrame, siteCol: String,
+                            txtCol: String): DataFrame = {
     val lines = robots.select(col(siteCol).as("site"),
         posexplode(split(col(txtCol), "\n")).as(Seq("pos", "raw")))
       .select(col("site"), col("pos"),
@@ -581,12 +586,22 @@ object WebClean {
         when(lower(col("line")).rlike("^allow\\s*:"), lit("allow"))
           .when(lower(col("line")).rlike("^disallow\\s*:"), lit("disallow")))
       .withColumn("path", when(col("kind").isNotNull, value))
+      .withColumn("value", value)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("site")).orderBy(col("pos"))
-    val grouped = tagged
+    tagged
       .withColumn("ua_start", (col("is_ua") &&
         !coalesce(lag(col("is_ua"), 1).over(w), lit(false))).cast("int"))
       .withColumn("grp", sum(col("ua_start")).over(w))
+  }
+
+  /** RFC 9309 §2.2.1 group selection over a [[robotsGrouped]] frame:
+    * the (site, grp) pairs whose directives apply to `agent` —
+    * most-specific prefix-matching token, `*` groups only when no
+    * token prefix-matches. Decided from the AGENTS frame, so a
+    * selected group with no path-bearing rules still suppresses the
+    * `*` fallback (default allow, not `*` rules). */
+  private def robotsSelected(grouped: DataFrame, agent: String): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // one row per (site, grp, ua); `m_spec` marks tokens that
     // prefix-match the crawler's product token (RFC §2.2.1 — `*` is
@@ -599,17 +614,19 @@ object WebClean {
     // most-specific match per site = the longest prefix-matching token
     val best = agents.where(col("m_spec"))
       .groupBy(col("site")).agg(max(length(col("ua"))).as("best_len"))
-    // selected groups: every group carrying a longest-match token; on
-    // sites with no match, every `*` group. Decided from the AGENTS
-    // frame, so a selected group with no path-bearing rules still
-    // suppresses the `*` fallback (default allow, not * rules).
     val selSpec = agents.where(col("m_spec")).join(best, "site")
       .where(length(col("ua")) === col("best_len"))
       .select(col("site"), col("grp"))
     val selWild = agents.where(col("ua") === "*")
       .join(best, Seq("site"), "left_anti")
       .select(col("site"), col("grp"))
-    val selected = selSpec.union(selWild).distinct()
+    selSpec.union(selWild).distinct()
+  }
+
+  def robotsRules(robots: DataFrame, siteCol: String, txtCol: String,
+                  agent: String = "*"): DataFrame = {
+    val grouped = robotsGrouped(robots, siteCol, txtCol)
+    val selected = robotsSelected(grouped, agent)
     val rules = grouped
       .where(col("kind").isNotNull && length(col("path")) > 0)
       .join(selected, Seq("site", "grp"))
@@ -653,6 +670,43 @@ object WebClean {
       .select(col(idCol), col(siteCol), col("path"),
         coalesce(col("win.a") === 1, lit(true)).as("allowed"),
         col("win.rule_path").as("rule"))
+  }
+
+  /** robots.txt POLITENESS + DISCOVERY directives — the two non-rule
+    * signals a crawl pipeline harvests from the same file: `Sitemap:`
+    * URLs (the sitemaps.org extension — GLOBAL per the protocol,
+    * independent of user-agent groups; the crawl frontier's seed
+    * discovery channel) and `Crawl-delay:` (the de-facto politeness
+    * directive — GROUP-scoped like rules, so the value is read from
+    * the groups RFC 9309 §2.2.1 selects for `agent`, most-specific
+    * prefix precedence included; several applicable values take the
+    * MINIMUM — the conservative politeness choice — and a
+    * non-numeric value yields null via the cast). Returns one row per
+    * input site: (site, crawl_delay DOUBLE nullable, n_sitemaps,
+    * first_sitemap nullable — the lexicographic min, deterministic).
+    * Same declarative parse frame as [[robotsRules]]; everything is
+    * per-site metadata-sized. */
+  def robotsDirectives(robots: DataFrame, siteCol: String, txtCol: String,
+                       agent: String = "*"): DataFrame = {
+    val grouped = robotsGrouped(robots, siteCol, txtCol)
+    val selected = robotsSelected(grouped, agent)
+    val sm = grouped
+      .where(lower(col("line")).rlike("^sitemap\\s*:"))
+      .groupBy(col("site"))
+      .agg(count(lit(1)).cast("int").as("n_sitemaps"),
+        min(col("value")).as("first_sitemap"))
+    val cd = grouped
+      .where(lower(col("line")).rlike("^crawl-delay\\s*:"))
+      .join(selected, Seq("site", "grp"))
+      .groupBy(col("site"))
+      // try_cast: a malformed delay is null, never an ANSI cast error
+      .agg(min(expr("try_cast(value AS DOUBLE)")).as("crawl_delay"))
+    robots.select(col(siteCol).as("site")).distinct()
+      .join(cd, Seq("site"), "left")
+      .join(sm, Seq("site"), "left")
+      .select(col("site"), col("crawl_delay"),
+        coalesce(col("n_sitemaps"), lit(0)).as("n_sitemaps"),
+        col("first_sitemap"))
   }
 
   /** URL canonicalization — the URL-DEDUP KEY step of a crawl

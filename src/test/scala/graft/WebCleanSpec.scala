@@ -504,6 +504,32 @@ class WebCleanSpec extends AnyFunSuite {
     assert(v == Map(1L -> true, 2L -> false))
   }
 
+  test("robotsDirectives: global sitemaps, selected-group crawl-delay " +
+    "(prefix precedence), minimum of applicable values, try_cast " +
+    "garbage to null") {
+    val robots = Seq(
+      // sitemaps are global; delay in the * group applies to us
+      ("a.com", "Sitemap: https://a.com/s2.xml\nUser-agent: *\n" +
+        "Disallow: /x\nCrawl-delay: 4\nSitemap: https://a.com/s1.xml"),
+      // the SELECTED (exact) group's delay wins over the prefix group's
+      ("b.com", "User-agent: graft\nCrawl-delay: 9\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 2.5\n\nUser-agent: *\n" +
+        "Crawl-delay: 1"),
+      // garbage delay -> null, not an ANSI cast error
+      ("c.com", "User-agent: *\nCrawl-delay: soon"),
+      // nothing at all
+      ("d.com", "User-agent: *\nDisallow:")
+    ).toDF("site", "txt")
+    val got = WebClean.robotsDirectives(robots, "site", "txt", "graftbot")
+      .orderBy("site")
+      .as[(String, Option[Double], Int, Option[String])].collect().toSeq
+    assert(got == Seq(
+      ("a.com", Some(4.0), 2, Some("https://a.com/s1.xml")),
+      ("b.com", Some(2.5), 0, None),
+      ("c.com", None, 0, None),
+      ("d.com", None, 0, None)))
+  }
+
   test("metaRobots: multi-tag union, unquoted values, both attribute " +
     "orders, none alias, non-robots decoy never matches") {
     val pages = Seq(
