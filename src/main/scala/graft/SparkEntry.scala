@@ -2918,7 +2918,11 @@ object SparkEntry {
     * kernel's factored order bit-identical. Docs with no tokens keep
     * a NULL row via the final left join (the kernel's null
     * contract). The n==1 boundary-gram exclusion is irrelevant here
-    * (sample minn = 2) and omitted from the replay. */
+    * (sample minn = 2) and omitted from the replay. When the dict
+    * carries `</s>`, the kernel appends its word id to EVERY line
+    * (Dictionary::getLine) — replayed as one extra occ row per doc;
+    * the literal-`</s>`-token line truncation is not replayed (the
+    * synthetic corpus carries no such token). */
   private def qLangId4Oracle: String = {
     val m = graft.operators.Classify
       .loadFastTextSubwordResource("/graft/fasttext_subword_sample.txt")
@@ -2957,7 +2961,11 @@ object SparkEntry {
        |    list_transform(g.grams,
        |      x -> ${m.nwords} + ${sqlFnv32("x")} % ${m.bucket}) AS fids
        |  FROM ng g LEFT JOIN dict d ON g.tk = d.word),
-       |occ AS (SELECT doc_id, unnest(fids) AS fid FROM tokf),
+       |occ AS (SELECT doc_id, unnest(fids) AS fid FROM tokf${
+           if (m.eosId >= 0)
+             s"\n       UNION ALL SELECT doc_id, CAST(${m.eosId} AS BIGINT)" +
+               " AS fid FROM documents"
+           else ""}),
        |scored AS (
        |  SELECT o.doc_id, l.lang, l.idx,
        |    coalesce(sum(s.w), 0.0) AS logit
@@ -3162,10 +3170,15 @@ object SparkEntry {
     * UPPERCASE `NONE` (2), no tag (3), explicit index,follow (4),
     * TWO separate tags whose directives must union (5), an UNQUOTED
     * content value (6), and an unquoted comma-list in content-first
-    * order (7). A `<meta name="viewport" content="nofollow-like">`
-    * decoy rides on every page (must never match). */
+    * order (7). TWO decoys ride on every page (must never match): a
+    * non-robots `<meta name="viewport">` tag, and a
+    * `data-name="robots" data-content=...` tag — the unanchored-
+    * attribute trap (a regex without the whitespace anchor reads the
+    * data-* attributes as the real ones and plants false
+    * directives). */
   private def metaRobotsPage: Column = concat(
-    lit("<html><head><meta name=\"viewport\" content=\"width=1\">"),
+    lit("<html><head><meta name=\"viewport\" content=\"width=1\">" +
+      "<meta data-name=\"robots\" data-content=\"noindex,nofollow\">"),
     when(pmod(col("doc_id"), lit(8)) === 0,
       lit("<meta name=\"robots\" content=\"noindex, follow\">"))
       .when(pmod(col("doc_id"), lit(8)) === 1,

@@ -35,12 +35,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *    [[hash32]] reproduces it bit-exactly), bucket id = nwords +
   *    (h mod bucket) on the UNSIGNED value.
   *
+  * EOS semantics follow `Dictionary::getLine` exactly: when `</s>`
+  * is in the dict, its word id is appended to every line's feature
+  * ids (fastText's readWord emits EOS at end-of-line, and its
+  * precomputed subwords are the word id ALONE — initNgrams skips
+  * char n-grams for EOS), so each line gains the EOS input row in
+  * the hidden sum — dropping it would shift every logit by the
+  * label-DEPENDENT constant output_l · input_EOS and can flip
+  * argmax, especially on short texts. A literal `</s>` token inside
+  * the text TERMINATES the line (getLine breaks at EOS after adding
+  * its word id), so trailing tokens are ignored; a dict without
+  * `</s>` contributes nothing (computeSubwords is skipped for EOS).
+  *
   * Documented deviations, neither affecting argmax: the 1/nIds mean
   * scaling is dropped (common to all labels — the same contract as
-  * the word-level import), and no EOS token is appended. Ties break
-  * to the LOWEST label index (deterministic, matching the argmax
-  * fold of `Classify.langIdArgmax`). A row with zero feature ids
-  * (no tokens) yields null. */
+  * the word-level import), and each ROW is scored as ONE line
+  * (embedded newlines are plain whitespace; fastText's per-line
+  * prediction would score only the first line of a multi-line row).
+  * Ties break to the LOWEST label index (deterministic, matching the
+  * argmax fold of `Classify.langIdArgmax`). A row with zero feature
+  * ids (no tokens and no in-dict EOS) yields null. */
 object FastText {
 
   /** The imported model as one serializable reference object.
@@ -71,7 +85,17 @@ object FastText {
       while (i < words.length) { m.put(words(i), i); i += 1 }
       m
     }
+    /** Word id of the EOS token `</s>` when the dict carries it
+      * (published models do — fastText adds EOS at dict init), else
+      * -1. Appended to every line's features per Dictionary::getLine. */
+    @transient lazy val eosId: Int = {
+      val v = wordIds.get(Eos)
+      if (v == null) -1 else v.intValue()
+    }
   }
+
+  /** fastText's EOS token (Dictionary::EOS). */
+  val Eos = "</s>"
 
   /** fastText's `Dictionary::hash`: FNV-1a-32 where each byte is
     * sign-extended before the XOR (`uint32_t(int8_t(str[i]))`) —
@@ -124,19 +148,30 @@ object FastText {
     val ids = new java.util.ArrayList[Integer](64)
     val toks = TokenWs.split(text.toString)
     var ti = 0
-    while (ti < toks.length) {
+    var sawEos = false
+    while (ti < toks.length && !sawEos) {
       val tok = toks(ti)
       if (tok.nonEmpty) {
-        val wid = m.wordIds.get(tok)
-        if (wid != null) {
-          ids.add(wid)
-          if (m.maxn > 0) subwordIds(tok, m, ids)
-        } else if (m.maxn > 0) {
-          subwordIds(tok, m, ids)
+        if (tok == Eos) {
+          // getLine: EOS adds its word id alone (no char n-grams —
+          // initNgrams skips them for EOS) and TERMINATES the line
+          if (m.eosId >= 0) ids.add(m.eosId)
+          sawEos = true
+        } else {
+          val wid = m.wordIds.get(tok)
+          if (wid != null) {
+            ids.add(wid)
+            if (m.maxn > 0) subwordIds(tok, m, ids)
+          } else if (m.maxn > 0) {
+            subwordIds(tok, m, ids)
+          }
         }
       }
       ti += 1
     }
+    // end-of-line EOS, exactly once per line (readWord emits it at
+    // the newline unless a literal </s> token already closed the line)
+    if (!sawEos && m.eosId >= 0) ids.add(m.eosId)
     if (ids.isEmpty) return null
     val hidden = new Array[Double](m.dim)
     var k = 0

@@ -81,7 +81,17 @@ object Graph {
   /** Run `body` with `spark.sql.shuffle.partitions` set to `w` so the
     * loop's INTERNAL exchanges (the per-round partial-agg shuffle)
     * match the pre-partitioned caches' width — restored after, so
-    * queries planned outside the loop are untouched. */
+    * queries planned AFTER the loop are untouched. The override is
+    * SESSION-scoped, not thread-scoped: a query planned CONCURRENTLY
+    * on the same SparkSession from another thread inherits the
+    * narrowed width for its own shuffles while the loop runs (a
+    * conf-based scope is what keeps the loop's map-side partial
+    * aggregation — an explicit repartition below the agg would drop
+    * the combine and push edge-count rows through every round's
+    * exchange). Multi-tenant callers should run graph loops on a
+    * session no concurrent planner shares; the engine's own entry
+    * points (SparkEntry/Verify/Bench) plan queries sequentially per
+    * session, where the restore makes the override invisible. */
   private def withShuffleWidth[A](spark: org.apache.spark.sql.SparkSession,
                                   w: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"

@@ -476,11 +476,14 @@ object WebClean {
     // attribute value: "..." | '...' | unquoted-run (no ws, no '>',
     // not starting with a quote)
     val v = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
-    val nameRobots = "name\\s*=\\s*[\"']?robots\\b[\"']?"
+    // attribute names are WHITESPACE-anchored (the hrefPattern rule):
+    // without the \s, 'data-name="robots"' / 'data-content=...'
+    // match as the real attributes and plant false directives
+    val nameRobots = "\\sname\\s*=\\s*[\"']?robots\\b[\"']?"
     val c1 = regexp_extract_all(h,
-      lit("<meta[^>]*" + nameRobots + "[^>]*content\\s*=\\s*" + v), lit(1))
+      lit("<meta[^>]*" + nameRobots + "[^>]*\\scontent\\s*=\\s*" + v), lit(1))
     val c2 = regexp_extract_all(h,
-      lit("<meta[^>]*content\\s*=\\s*" + v + "[^>]*" + nameRobots), lit(1))
+      lit("<meta[^>]*\\scontent\\s*=\\s*" + v + "[^>]*" + nameRobots), lit(1))
     val vals = transform(concat(c1, c2), x =>
       when(x.rlike("^[\"']"), x.substr(lit(2), length(x) - 2)).otherwise(x))
     val toks = flatten(transform(vals, x =>

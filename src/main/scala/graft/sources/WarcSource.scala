@@ -79,8 +79,13 @@ object WarcSource {
     val out = fs.create(new Path(path), true)
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     try records.foreach { case (uri, body) =>
+      // hash over the ENCODED array's own length: a non-ASCII char
+      // encodes as one '?' byte, so uri.length (chars) can exceed the
+      // byte count and read past the array (non-BMP chars: surrogate
+      // PAIR -> one byte)
+      val uriBytes = uri.getBytes(ascii)
       val id = java.lang.Long.toHexString(
-        graft.functions.TextHash.fnv64(uri.getBytes(ascii), 0, uri.length))
+        graft.functions.TextHash.fnv64(uriBytes, 0, uriBytes.length))
       val header =
         s"WARC/1.0\r\n" +
           s"WARC-Type: $warcType\r\n" +
@@ -111,8 +116,12 @@ object WarcSource {
     val out = fs.create(new Path(path), true)
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     try records.foreach { case (uri, text) =>
+      // encoded-length fnv64, the writeWarc derivation — BOTH writers
+      // must agree byte-for-byte or the Refers-To cross-reference
+      // breaks (and chars-vs-bytes mismatch overran the array)
+      val uriBytes = uri.getBytes(ascii)
       val id = java.lang.Long.toHexString(
-        graft.functions.TextHash.fnv64(uri.getBytes(ascii), 0, uri.length))
+        graft.functions.TextHash.fnv64(uriBytes, 0, uriBytes.length))
       val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val header =
         s"WARC/1.0\r\n" +
@@ -184,8 +193,11 @@ object WarcSource {
   private def recordBytes(uri: String, body: Array[Byte], date: String,
                           warcType: String): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    // encoded-length fnv64 (see writeWarc): chars != bytes for
+    // non-ASCII URIs under the lossy ASCII encode
+    val uriBytes = uri.getBytes(ascii)
     val id = java.lang.Long.toHexString(
-      graft.functions.TextHash.fnv64(uri.getBytes(ascii), 0, uri.length))
+      graft.functions.TextHash.fnv64(uriBytes, 0, uriBytes.length))
     val header =
       s"WARC/1.0\r\n" +
         s"WARC-Type: $warcType\r\n" +

@@ -348,6 +348,74 @@ class ClassifySpec extends AnyFunSuite {
     assert(got(4L) == null, "empty text must yield null prediction")
   }
 
+  test("FastText.argmax EOS semantics follow Dictionary::getLine: " +
+    "the in-dict </s> word id joins every line's hidden sum (and can " +
+    "flip argmax on short texts), EOS gets NO char n-grams, a literal " +
+    "</s> token truncates the line, and a dict without </s> is " +
+    "unchanged incl. the empty-text null") {
+    val labels = Array("aa", "bb")
+    val dim = 2
+    val bucket = 8
+    // words: one ordinary word + EOS; weights chosen so that WITHOUT
+    // the EOS row "alpha..." scores toward aa, but the EOS input row
+    // is strongly bb-aligned and flips short texts
+    val words = Array("alpha", "</s>")
+    val input = Array.tabulate(words.length + bucket, dim) { (i, d) =>
+      if (i == 1) { if (d == 0) -4.0 else 4.0 }     // EOS row: bb-aligned
+      else (((i * 13 + d * 5) % 9) - 4) / 4.0
+    }
+    val output = Array(Array(1.0, 0.0), Array(0.0, 1.0)) // aa = dim0, bb = dim1
+    val m = graft.functions.FastText.FastTextModel(
+      labels, words, input, output, dim, minn = 2, maxn = 3, bucket = bucket)
+    assert(m.eosId == 1)
+    def hidden(fids: Seq[Int]): Array[Double] = {
+      val h = new Array[Double](dim)
+      fids.foreach(f => (0 until dim).foreach(d => h(d) += input(f)(d)))
+      h
+    }
+    def score(text: String): (String, Double) = {
+      val r = graft.functions.FastText.argmax(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), m)
+      (labels(r.getInt(0)), r.getDouble(1))
+    }
+    def subs(tok: String): Seq[Int] = {
+      val out = new java.util.ArrayList[Integer]()
+      graft.functions.FastText.subwordIds(tok, m, out)
+      (0 until out.size()).map(out.get(_).toInt)
+    }
+    // empty text: EOS alone (fastText predicts on just the EOS row)
+    val hEmpty = hidden(Seq(1))
+    assert(score("") == ("bb", hEmpty(1)), "empty line = EOS-only features")
+    // ordinary text: word id + subwords + EOS appended once at the end
+    val hAlpha = hidden(Seq(0) ++ subs("alpha") ++ Seq(1))
+    val expAlpha = if (hAlpha(0) >= hAlpha(1)) ("aa", hAlpha(0))
+                   else ("bb", hAlpha(1))
+    assert(score("alpha") == expAlpha)
+    // the EOS row CAN flip argmax: same text without EOS goes the
+    // other way (this is the published-semantics divergence the fix
+    // closes — the shift is label-dependent, output_l . input_EOS)
+    val hNoEos = hidden(Seq(0) ++ subs("alpha"))
+    assert((hNoEos(0) >= hNoEos(1)) != (hAlpha(0) >= hAlpha(1)),
+      "fixture must exercise an argmax flip")
+    // literal </s> token: word id only (no char n-grams of '</s>'),
+    // and the line TRUNCATES — trailing tokens contribute nothing
+    assert(score("alpha </s> alpha alpha") == expAlpha,
+      "line must truncate at the literal EOS token")
+    assert(score("</s> alpha") == ("bb", hEmpty(1)),
+      "leading EOS closes the line before any other token")
+    // dict WITHOUT </s>: behavior unchanged, empty text stays null
+    val m2 = graft.functions.FastText.FastTextModel(
+      labels, Array("alpha"), input.take(1 + bucket), output,
+      dim, minn = 2, maxn = 3, bucket = bucket)
+    assert(m2.eosId == -1)
+    assert(graft.functions.FastText.argmax(
+      org.apache.spark.unsafe.types.UTF8String.fromString(""), m2) == null)
+    assert(graft.functions.FastText.argmax(
+      org.apache.spark.unsafe.types.UTF8String.fromString("</s>"), m2) == null,
+      "an out-of-dict literal </s> contributes nothing (computeSubwords " +
+        "is skipped for EOS)")
+  }
+
   test("parseFastTextSubwordDump: bundled resource imports (labels, " +
     "matrix shapes), predictions are deterministic, and the guards " +
     "route word-level models back") {

@@ -214,6 +214,32 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(raw.contains(s"WARC-Refers-To: <urn:graft:$id1>"))
   }
 
+  test("writeWet/writeWarc/writeWarcGz survive non-ASCII URIs: the " +
+    "record id hashes the ENCODED byte array by its own length (a " +
+    "non-BMP char ASCII-encodes as ONE '?' byte, shorter than its " +
+    "TWO chars — hashing uri.length chars overran the array), and " +
+    "the wet/response ids still cross-reference") {
+    val dir = tmpDir()
+    val uri = "http://s/😀/café" // emoji (non-BMP) + é
+    WarcSource.writeWarc(s"$dir/nb.warc",
+      Iterator((uri, "body".getBytes(UTF_8))))
+    WarcSource.writeWarcGz(s"$dir/nb.warc.gz",
+      Iterator((uri, "body".getBytes(UTF_8))))
+    WarcSource.writeWet(s"$dir/nb.warc.wet", Iterator((uri, "text")))
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val b = uri.getBytes(ascii)
+    assert(b.length < uri.length, "fixture must be lossy under ASCII")
+    val id = java.lang.Long.toHexString(
+      graft.functions.TextHash.fnv64(b, 0, b.length))
+    val wet = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/nb.warc.wet")), "ISO-8859-1")
+    assert(wet.contains(s"WARC-Record-ID: <urn:graft:wet:$id>"))
+    assert(wet.contains(s"WARC-Refers-To: <urn:graft:$id>"))
+    val warc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/nb.warc")), "ISO-8859-1")
+    assert(warc.contains(s"WARC-Record-ID: <urn:graft:$id>"))
+  }
+
   test("streaming: a growing crawl folder (mixed .warc/.warc.gz) is " +
     "consumed exactly once across restarts, bounded by " +
     "maxFilesPerTrigger under AvailableNow") {

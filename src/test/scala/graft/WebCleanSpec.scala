@@ -546,7 +546,11 @@ class WebCleanSpec extends AnyFunSuite {
       // none alias, uppercase, single quotes
       (5L, "<META NAME='ROBOTS' CONTENT='NONE'>"),
       // explicit index,follow stays all-false
-      (6L, "<meta name=robots content=\"index, follow\">")
+      (6L, "<meta name=robots content=\"index, follow\">"),
+      // data-* attribute decoys: without the whitespace anchor these
+      // match as name=/content= and plant false directives
+      (7L, "<meta data-name=\"robots\" data-content=\"noindex\">" +
+        "<meta data-content=\"nofollow\" data-name=\"robots\">")
     ).toDF("id", "html")
     val got = pages.select($"id", WebClean.metaRobots($"html").as("m"))
       .select($"id", $"m.noindex", $"m.nofollow")
@@ -554,7 +558,7 @@ class WebCleanSpec extends AnyFunSuite {
       .map { case (k, a, b) => k -> (a, b) }.toMap
     assert(got == Map(1L -> (true, true), 2L -> (true, false),
       3L -> (true, true), 4L -> (false, false), 5L -> (true, true),
-      6L -> (false, false)))
+      6L -> (false, false), 7L -> (false, false)))
   }
 
   test("mainContent: link-dense nav/footer and short blocks drop, long " +
