@@ -2553,14 +2553,27 @@ object SparkEntry {
   }
 
   /** Deterministic HTML page wrapping each document — shared shape
-    * between q_html_extract's Spark side and its DuckDB oracle. */
+    * between q_html_extract's Spark side and its DuckDB oracle. The
+    * second div plants the character-reference battery: decimal /
+    * lower-hex / upper-hex-marker numeric refs, an HTML5 C1 remap
+    * (`&#151;` = em dash via windows-1252), the three invalid-value
+    * classes (zero, beyond U+10FFFF, a surrogate — all U+FFFD), a
+    * truncated semicolon-less ref that stays literal, a
+    * double-escaped `&amp;#777;` that decodes to LITERAL `&#777;`,
+    * an unknown name that stays literal, and two beyond-core named
+    * entities. Every reference is disjoint in the planted text, so
+    * the oracle replays the one-pass kernel as ordered literal
+    * replaces (`&amp;#777;` before `&amp;`). */
   private def htmlPage: Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
     lit("</title><style type=\"text/css\">p { color: red; }</style>"),
     lit("<script>if (1 < 2) { var x = \"&amp;\"; }</script></head>"),
     lit("<body><!-- strip me --><h1>Title</h1><p class=\"main\">"),
     col("text"),
-    lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+    lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</div>"),
+    lit("<div>caf&#233; r&#xE9;sum&#xE9; curly&#X2019; dash&#151; " +
+      "nul&#0; big&#x110000; sur&#xD800; trunc&#12 dbl&amp;#777; " +
+      "unk&unknown; acc&eacute;nt ell&hellip;</div></body></html>"))
 
   /** Deterministic HTTP response payload per document — shared shape
     * between q_warc_http's Spark side and its oracle, keyed on
@@ -6280,9 +6293,12 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
 
-    // the identical page synthesis + the identical regex/replace chain
-    // (RE2-safe patterns, inline (?is) flags, 'g' for replace-all);
-    // &amp; decodes LAST so literal "&amp;lt;" renders as "&lt;"
+    // the identical page synthesis + the identical regex chain; the
+    // one-pass entity kernel replays as ordered literal replaces over
+    // the PLANTED references (all disjoint): the double-escaped
+    // '&amp;#777;' first (its output '&#777;' matches no later rule),
+    // numeric/named refs via chr(), '&amp;' LAST so literal
+    // "&amp;lt;" renders as "&lt;"
     "q_html_extract" ->
       """WITH page AS (
         |  SELECT doc_id,
@@ -6290,16 +6306,27 @@ object SparkEntry {
         |    '</title><style type="text/css">p { color: red; }</style>' ||
         |    '<script>if (1 < 2) { var x = "&amp;"; }</script></head>' ||
         |    '<body><!-- strip me --><h1>Title</h1><p class="main">' || text ||
-        |    '</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>' AS h
+        |    '</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</div>' ||
+        |    '<div>caf&#233; r&#xE9;sum&#xE9; curly&#X2019; dash&#151; ' ||
+        |    'nul&#0; big&#x110000; sur&#xD800; trunc&#12 dbl&amp;#777; ' ||
+        |    'unk&unknown; acc&eacute;nt ell&hellip;</div></body></html>' AS h
         |  FROM documents)
         |SELECT doc_id,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(
         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
         |        '(?is)<script[^>]*>.*?</script>', '', 'g'),
         |        '(?is)<style[^>]*>.*?</style>', '', 'g'),
         |        '(?s)<!--.*?-->', '', 'g'),
         |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '&amp;#777;', '&#777;'),
+        |      '&#233;', chr(233)), '&#xE9;', chr(233)),
+        |      '&#X2019;', chr(8217)), '&#151;', chr(8212)),
+        |      '&#0;', chr(65533)), '&#x110000;', chr(65533)),
+        |      '&#xD800;', chr(65533)),
+        |      '&eacute;', chr(233)), '&hellip;', chr(8230)),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |    '[ \t\n\x0b\f\r]+', ' ', 'g')) AS clean_text

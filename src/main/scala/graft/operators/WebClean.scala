@@ -22,24 +22,32 @@ object WebClean {
     *  2. comments removed;
     *  3. every remaining tag becomes a space (block boundaries must
     *     not glue words together);
-    *  4. the five core entities decoded — `&amp;` LAST, so literal
-    *     `&amp;lt;` correctly becomes `&lt;` text instead of `<`;
+    *  4. character references decoded ([[graft.functions
+    *     .HtmlEntities]]: numeric `&#D;`/`&#xH;` with the HTML5
+    *     value rules, the HTML4 named set + apos; ONE left-to-right
+    *     pass, so literal `&amp;lt;` correctly becomes `&lt;` text
+    *     instead of `<` — `&#8217;`-class references are ubiquitous
+    *     in CMS output and used to survive into wet_text, dedup keys,
+    *     and n-gram features);
     *  5. whitespace runs collapsed to single spaces, ends trimmed
-    *     (explicit class: Java \s and RE2 \s disagree on \x0b).
+    *     (explicit class: Java \s and RE2 \s disagree on \x0b) —
+    *     AFTER entity decode, so `&#10;`-style refs collapse too; the
+    *     class includes U+00A0, so `&nbsp;`/`&#160;` (and raw NBSP
+    *     bytes) normalize to plain spaces like every WET pipeline
+    *     emits (the oracle's literal `'&nbsp;' -> ' '` replace models
+    *     the same decode→collapse composition).
     *
     * One projection, zero shuffles; at 100 TB this fuses into the
-    * ingest scan. Chained literal `replace` and RE2-safe
-    * `regexp_replace` replay verbatim in the oracle. */
+    * ingest scan. RE2-safe `regexp_replace` steps replay verbatim in
+    * the oracle; the entity pass replays as literal `replace`/chr()
+    * of each PLANTED reference (the corpus carries no ambient `&`). */
   def extractHtmlText(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
-    val entities = replace(replace(replace(replace(replace(replace(noTags,
-      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
-      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
-    trim(regexp_replace(entities, "[ \\t\\n\\x0b\\f\\r]+", " "))
+    val entities = graft.plans.WebTextExpressions.htmlEntityDecode(noTags)
+    trim(regexp_replace(entities, "[ \\t\\n\\x0b\\f\\r\\xA0]+", " "))
   }
 
   /** HTTP response split for WARC `response` records. A crawl WARC's

@@ -36,8 +36,37 @@ case class MainContent(child: Expression, minChars: Int)
   override def prettyName: String = "main_content"
 }
 
+/** HTML character-reference decode ([[graft.functions.HtmlEntities
+  * .decode]]) as a codegen expression: numeric `&#D;`/`&#xH;` refs
+  * decode to arbitrary code points, which no built-in chain can
+  * express (Spark's `chr` is Latin-1-only), and the chained-replace
+  * formulation re-scans the string once per named entity — this is
+  * ONE pass per row inside the scan's whole-stage span. */
+case class HtmlEntityDecode(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"html_entity_decode requires string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HtmlEntities.decode(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlEntities.decode($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlEntityDecode =
+    copy(child = newChild)
+  override def prettyName: String = "html_entity_decode"
+}
+
 object WebTextExpressions {
   /** Main-content extraction over a string column. */
   def mainContent(c: Column, minChars: Int = 25): Column =
     GraftSqlShim.column(MainContent(GraftSqlShim.expression(c), minChars))
+
+  /** HTML character-reference decode over a string column. */
+  def htmlEntityDecode(c: Column): Column =
+    GraftSqlShim.column(HtmlEntityDecode(GraftSqlShim.expression(c)))
 }

@@ -43,6 +43,54 @@ class WebCleanSpec extends AnyFunSuite {
     assert(extract("  a \n\t b  \r\n c  ") == "a b c")
   }
 
+  test("extractHtmlText decodes numeric character references: decimal, " +
+    "hex (either marker case), the HTML5 C1→cp1252 remap, and " +
+    "whitespace-producing refs collapse") {
+    assert(extract("caf&#233; r&#xE9;sum&#XE9;") == "café résumé")
+    assert(extract("curly&#8217;s &#x2019;") == "curly’s ’")
+    // HTML5 numeric rule: 0x80-0x9F go through windows-1252 —
+    // &#151; is an em dash in every browser, not a C1 control
+    assert(extract("a&#151;b") == "a—b")
+    assert(extract("a&#145;x&#146;") == "a‘x’")
+    // undefined cp1252 slots stay identity; the C1 control survives
+    // (0x81 is not in the whitespace-collapse class)
+    assert(extract("a&#129;b") == "ab")
+    // newline/tab refs decode then COLLAPSE with the whitespace pass
+    assert(extract("a&#10;&#9;b") == "a b")
+    // NBSP — named, numeric, or a raw U+00A0 byte — normalizes to a
+    // plain space (the collapse class includes \xA0)
+    assert(extract("a&nbsp;&#160;&#xA0;b") == "a b")
+    assert(extract("a b   c") == "a b c")
+  }
+
+  test("extractHtmlText numeric refs: invalid values become U+FFFD, " +
+    "truncated/overlong runs stay literal, double-escapes single-pass") {
+    assert(extract("x&#0;y") == "x�y")
+    assert(extract("x&#xD800;y &#xDFFF;") == "x�y �")
+    assert(extract("x&#x110000;y &#1114112;") == "x�y �")
+    assert(extract("max&#x10FFFF;") == "max" + new String(Character.toChars(0x10FFFF)))
+    // no semicolon -> literal, incl. at end-of-string
+    assert(extract("x&#12 y") == "x&#12 y")
+    assert(extract("x&#xE9") == "x&#xE9")
+    // digit run past the cap (8 dec / 6 hex) -> literal
+    assert(extract("x&#123456789;") == "x&#123456789;")
+    assert(extract("x&#x1234567;") == "x&#x1234567;")
+    // single pass: &amp;#233; is the LITERAL text &#233;
+    assert(extract("x&amp;#233;y") == "x&#233;y")
+    assert(extract("&amp;amp;") == "&amp;")
+  }
+
+  test("extractHtmlText named references: HTML4 set + apos, " +
+    "case-sensitive, unknown names and bare ampersands stay literal") {
+    assert(extract("acc&eacute;nt &Eacute; &hellip; &mdash; &euro;100")
+      == "accént É … — €100")
+    assert(extract("&alpha;&Omega; &apos;q&apos;") == "αΩ 'q'")
+    // case-SENSITIVE: &EACUTE; is not an entity
+    assert(extract("&EACUTE; &unknown; &x;") == "&EACUTE; &unknown; &x;")
+    assert(extract("a & b &c") == "a & b &c")
+    assert(extract("&eacute") == "&eacute") // missing semicolon
+  }
+
   test("blocklistHits counts whole words only, case-insensitively") {
     val df = Seq(
       ("the THE The theater", 3L), // "theater" must NOT match "the"
