@@ -441,12 +441,14 @@ object SparkEntry {
     // body, and the WET step needs them apart. One codegen projection
     // (header scan on the latin-1 byte view, body sliced from RAW
     // bytes), charset-aware text decode with the WHATWG meta-charset
-    // prescan, extractHtmlText gated on the HTML media type. Six
+    // prescan, extractHtmlText gated on the HTML media type. Nine
     // planted response shapes: utf-8 html, latin-1 text (non-ASCII
     // round-trip), a duplicate-header 404 with no charset, a
     // content-type-less BINARY body that must never reach a decoder,
-    // and two SNIFFED-charset pages (meta charset latin-1, http-equiv
-    // cp1252)
+    // two SNIFFED-charset pages (meta charset latin-1, http-equiv
+    // cp1252), a header-declared Shift_JIS page and a meta-sniffed
+    // gb2312 page (the JVM-charset kernel under the WHATWG remaps),
+    // and an UNKNOWN-label page that must fall back to utf-8
     "q_warc_http" -> ((s, dir) => {
       val out = dumpDir(dir) + "_warchttp"
       val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2577,7 +2579,7 @@ object SparkEntry {
 
   /** Deterministic HTTP response payload per document — shared shape
     * between q_warc_http's Spark side and its oracle, keyed on
-    * doc_id % 6:
+    * doc_id % 9:
     *  0: 200 `text/html; charset=utf-8`, two headers, HTML wrapper;
     *  1: 200 `text/plain; charset=ISO-8859-1`, non-ASCII latin-1 body;
     *  2: 404 `text/plain` (no charset), DUPLICATE X-Tag headers;
@@ -2585,10 +2587,19 @@ object SparkEntry {
     *  4: 200 `text/html` with NO header charset — the in-body
     *     `<meta charset="iso-8859-1">` must be SNIFFED (latin-1 é);
     *  5: 200 `text/html`, no header charset, the http-equiv meta form
-    *     declaring windows-1252 (cp1252 curly quotes in the body). */
+    *     declaring windows-1252 (cp1252 curly quotes in the body);
+    *  6: 200 `text/html; charset=shift_jis`, Japanese body encoded
+    *     windows-31j (the charset WHATWG maps the label to — the
+    *     planted characters are in the plain Shift_JIS repertoire, so
+    *     the bytes are identical either way);
+    *  7: 200 `text/html`, no header charset, `<meta charset="gb2312">`
+    *     SNIFFED and decoded as GBK (the WHATWG remap), Chinese body;
+    *  8: 200 `text/plain; charset=x-bogus` — an UNKNOWN label whose
+    *     utf-8 body (non-ASCII included) must decode through the
+    *     WHATWG-default fallback. */
   private[graft] def syntheticHttpPayload(id: Long, text: String): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    (id % 6) match {
+    (id % 9) match {
       case 0 =>
         val body = s"<html><body><p>$text</p></body></html>"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -2613,12 +2624,28 @@ object SparkEntry {
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
         ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
           .getBytes(ascii) ++ body
-      case _ =>
+      case 5 =>
         val body = ("<html><head><meta http-equiv=\"Content-Type\" " +
           "content=\"text/html; charset=windows-1252\"></head>" +
           s"<body><p>“quoted” doc $id</p></body></html>")
           .getBytes(java.nio.charset.Charset.forName("windows-1252"))
         ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes(ascii) ++ body
+      case 6 =>
+        val body = s"<html><body><p>こんにちは doc $id 日本語</p></body></html>"
+          .getBytes(java.nio.charset.Charset.forName("windows-31j"))
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n\r\n")
+          .getBytes(ascii) ++ body
+      case 7 =>
+        val body = ("<html><head><meta charset=\"gb2312\"></head>" +
+          s"<body><p>中文 doc $id 测试</p></body></html>")
+          .getBytes(java.nio.charset.Charset.forName("GBK"))
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes(ascii) ++ body
+      case _ =>
+        val body = s"fallback ✓ doc $id"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=x-bogus\r\n\r\n")
           .getBytes(ascii) ++ body
     }
   }
@@ -4007,7 +4034,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // the HTTP split inside the WARC round-trip: expected fields are a
-    // pure function of doc_id % 6 (the syntheticHttpPayload shape);
+    // pure function of doc_id % 9 (the syntheticHttpPayload shape);
     // body_len counts BYTES (strlen) for the utf-8 bodies and CHARS
     // (length) for the latin-1 body — latin-1 is one byte per char;
     // the WET column replays the q_html_extract chain on the r=0 page
@@ -4016,33 +4043,52 @@ object SparkEntry {
     // body_text/wet_text expectations are hand-written literals (an
     // independent expectation, not a chain replay), and body_len
     // prices the single-byte latin-1/cp1252 encodings against the
-    // multi-byte UTF-8 strlen
+    // multi-byte UTF-8 strlen. Residues 6/7 pin the JVM-charset
+    // kernel: a header-declared shift_jis page and a meta-SNIFFED
+    // gb2312 page whose CJK bodies are hand-written utf-8 literals;
+    // their body_len recovers the 2-byte-per-CJK-char encoded size
+    // from the utf-8 literal (each CJK char is 3 utf-8 bytes but 1
+    // char, so encoded = strlen - (strlen-length)/2). Residue 8 pins
+    // the fallback: an unknown x-bogus label decodes as utf-8
     "q_warc_http" ->
       """WITH p AS (
-        |  SELECT doc_id, doc_id % 6 AS r,
+        |  SELECT doc_id, doc_id % 9 AS r,
         |    '<html><body><p>' || text || '</p></body></html>' AS html,
         |    'café résumé doc ' || doc_id AS lat,
         |    'not found: ' || doc_id AS nf,
         |    '<html><head><meta charset="iso-8859-1"></head><body><p>café doc '
         |      || doc_id || '</p></body></html>' AS sniffed_lat,
         |    '<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1252"></head><body><p>“quoted” doc '
-        |      || doc_id || '</p></body></html>' AS sniffed_cp
+        |      || doc_id || '</p></body></html>' AS sniffed_cp,
+        |    '<html><body><p>こんにちは doc ' || doc_id
+        |      || ' 日本語</p></body></html>' AS sj,
+        |    '<html><head><meta charset="gb2312"></head><body><p>中文 doc '
+        |      || doc_id || ' 测试</p></body></html>' AS gb,
+        |    'fallback ✓ doc ' || doc_id AS fb
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END AS INT) AS status_code,
         |  '1.1' AS http_version,
         |  CASE r WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
         |         WHEN 2 THEN 'text/plain' WHEN 4 THEN 'text/html'
-        |         WHEN 5 THEN 'text/html' END AS content_type,
-        |  CASE r WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1' END AS charset,
+        |         WHEN 5 THEN 'text/html' WHEN 6 THEN 'text/html'
+        |         WHEN 7 THEN 'text/html' WHEN 8 THEN 'text/plain'
+        |  END AS content_type,
+        |  CASE r WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |         WHEN 6 THEN 'shift_jis' WHEN 8 THEN 'x-bogus'
+        |  END AS charset,
         |  CAST(CASE r WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 1 END AS INT) AS n_headers,
         |  CAST(CASE r WHEN 0 THEN strlen(html) WHEN 1 THEN length(lat)
         |              WHEN 2 THEN strlen(nf)
         |              WHEN 4 THEN strlen(sniffed_lat) - 1
         |              WHEN 5 THEN strlen(sniffed_cp) - 4
+        |              WHEN 6 THEN strlen(sj) - (strlen(sj) - length(sj)) // 2
+        |              WHEN 7 THEN strlen(gb) - (strlen(gb) - length(gb)) // 2
+        |              WHEN 8 THEN strlen(fb)
         |              ELSE 8 END AS BIGINT) AS body_len,
         |  CASE r WHEN 0 THEN html WHEN 1 THEN lat WHEN 2 THEN nf
         |         WHEN 4 THEN sniffed_lat WHEN 5 THEN sniffed_cp
+        |         WHEN 6 THEN sj WHEN 7 THEN gb WHEN 8 THEN fb
         |  END AS body_text,
         |  CASE WHEN r = 0 THEN
         |    trim(regexp_replace(
@@ -4057,6 +4103,8 @@ object SparkEntry {
         |      '[ \t\n\x0b\f\r]+', ' ', 'g'))
         |  WHEN r = 4 THEN 'café doc ' || doc_id
         |  WHEN r = 5 THEN '“quoted” doc ' || doc_id
+        |  WHEN r = 6 THEN 'こんにちは doc ' || doc_id || ' 日本語'
+        |  WHEN r = 7 THEN '中文 doc ' || doc_id || ' 测试'
         |  END AS wet_text
         |FROM p""".stripMargin,
 

@@ -123,16 +123,26 @@ object WebClean {
     * SNIFFED from the first 1024 bytes (the WHATWG prescan window,
     * viewed through latin-1 so bytes map 1:1 — one regex covers both
     * meta forms because both carry a `charset=` token); absent both,
-    * UTF-8. The charset whitelist covers essentially all crawl
-    * traffic: UTF-8, latin-1 (also the stand-in for us-ascii — its
-    * byte-superset, so a lying ascii-declared page degrades instead
-    * of erroring), and windows-1252; anything else falls back to
-    * UTF-8, the WHATWG default. Spark 4's `decode` whitelists 7
-    * charsets (no cp1252), so windows-1252 is expressed as its exact
-    * definition: a latin-1 decode plus the 27-entry C1→glyph
-    * translate — the [[graft.functions.Normalize.cp1252Pairs]] table
-    * (the entire difference between the two charsets) applied in the
-    * decode direction. One codegen projection. */
+    * UTF-8. Decode routing: the three charsets that dominate crawl
+    * traffic stay built-in codegen fast paths — UTF-8, latin-1 (also
+    * the stand-in for us-ascii — its byte-superset, so a lying
+    * ascii-declared page degrades instead of erroring), and
+    * windows-1252, which Spark 4's 7-charset `decode` whitelist lacks
+    * and is therefore expressed as its exact definition: a latin-1
+    * decode plus the 27-entry C1→glyph translate ([[graft.functions
+    * .Normalize.cp1252Pairs]], the entire difference between the two
+    * charsets) applied in the decode direction. EVERY other declared
+    * label — Shift_JIS, EUC-JP/KR, GBK, Big5, KOI8, the windows-125x
+    * / iso-8859-x families — routes through the JVM-charset kernel
+    * ([[graft.plans.CharsetDecode]]) under the WHATWG label remaps
+    * (`shift_jis`→windows-31j, `gb2312`→GBK, `euc-kr`→windows-949,
+    * `big5`→Big5-HKSCS — the supersets browsers actually decode
+    * with); a label neither the alias table nor the JVM knows yields
+    * null there and coalesces to UTF-8, the WHATWG default —
+    * previously those pages ALL fell to utf-8 and mojibaked, which
+    * poisoned lang-ID and quality signals downstream. One codegen
+    * projection either way; the CASE evaluates the kernel only for
+    * rows that reach its branch. */
   def httpBodyText(contentType: Column, charset: Column,
                    body: Column): Column = {
     val prescan = decode(substring(body, 1, 1024), "ISO-8859-1")
@@ -150,7 +160,10 @@ object WebClean {
           "us-ascii", "ascii"), decode(body, "ISO-8859-1"))
         .when(cs.isin("windows-1252", "cp1252"),
           translate(decode(body, "ISO-8859-1"), c1, glyphs))
-        .otherwise(decode(body, "UTF-8")))
+        .when(cs.isin("utf-8", "utf8"), decode(body, "UTF-8"))
+        .otherwise(coalesce(
+          graft.plans.WebTextExpressions.charsetDecode(body, cs),
+          decode(body, "UTF-8"))))
   }
 
   /** The WARC→WET projection over a [[graft.sources.WarcSource]]

@@ -61,6 +61,39 @@ case class HtmlEntityDecode(child: Expression)
   override def prettyName: String = "html_entity_decode"
 }
 
+/** Legacy-charset decode ([[graft.functions.Charsets.decode]]) as a
+  * codegen expression: Spark 4's `decode` whitelists 7 charsets, so
+  * Shift_JIS / EUC-KR / GBK / Big5 pages (several % of the web;
+  * dominant in the JP/KR/CN crawl segments) cannot decode through the
+  * built-in — they would mojibake and poison lang-ID and quality
+  * signals downstream. The charset LABEL is a per-row column (each
+  * page declares its own); the result is NULL for labels neither the
+  * WHATWG alias table nor the JVM knows, so the caller coalesces to
+  * the WHATWG UTF-8 default as an explicit, testable fallback. */
+case class CharsetDecode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = {
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"charset_decode requires (binary, string), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+  override def nullSafeEval(body: Any, label: Any): Any =
+    graft.functions.Charsets.decode(
+      body.asInstanceOf[Array[Byte]], label.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, l) =>
+      s"""${ev.value} = graft.functions.Charsets.decode($b, $l);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharsetDecode =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "charset_decode"
+}
+
 object WebTextExpressions {
   /** Main-content extraction over a string column. */
   def mainContent(c: Column, minChars: Int = 25): Column =
@@ -69,4 +102,10 @@ object WebTextExpressions {
   /** HTML character-reference decode over a string column. */
   def htmlEntityDecode(c: Column): Column =
     GraftSqlShim.column(HtmlEntityDecode(GraftSqlShim.expression(c)))
+
+  /** Legacy-charset decode of a binary column under a per-row label
+    * column; null when the label is unknown. */
+  def charsetDecode(body: Column, label: Column): Column =
+    GraftSqlShim.column(CharsetDecode(
+      GraftSqlShim.expression(body), GraftSqlShim.expression(label)))
 }

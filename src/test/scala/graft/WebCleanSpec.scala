@@ -491,6 +491,78 @@ class WebCleanSpec extends AnyFunSuite {
     assert(got(6).getString(2) == "café")   // header beats meta
   }
 
+  test("httpResponses: legacy CJK charsets decode through the JVM kernel " +
+    "under the WHATWG label remaps; unknown labels fall back to utf-8; " +
+    "malformed bytes degrade to U+FFFD") {
+    def payload(cs: String, body: Array[Byte]) =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=$cs\r\n\r\n"
+        .getBytes("ISO-8859-1") ++ body
+    val rows = Seq(
+      // shift_jis label decodes as windows-31j (the WHATWG mapping)
+      (1L, payload("shift_jis", "こんにちは 日本語".getBytes("windows-31j"))),
+      // ...including the CP932 extension rows plain Shift_JIS lacks
+      (2L, payload("sjis", "①㈱".getBytes("windows-31j"))),
+      (3L, payload("euc-jp", "日本語テスト".getBytes("EUC-JP"))),
+      // euc-kr IS windows-949: 똠 is a UHC extension syllable outside
+      // KS X 1001 that plain EUC-KR cannot encode
+      (4L, payload("euc-kr", "한국어 똠".getBytes("x-windows-949"))),
+      (5L, payload("ks_c_5601-1987", "한글".getBytes("x-windows-949"))),
+      // gb2312 label gets the GBK superset decode: 镕 is GBK-only
+      (6L, payload("gb2312", "中文 镕".getBytes("GBK"))),
+      (7L, payload("gb18030", "中文𠀀".getBytes("GB18030"))), // 4-byte form
+      (8L, payload("big5", "中文字".getBytes("Big5"))),
+      // WHATWG big5 includes HKSCS (lead bytes plain Big5 leaves out)
+      (9L, payload("big5", "香港嘅".getBytes("Big5-HKSCS"))),
+      (10L, payload("koi8-r", "Привет".getBytes("KOI8-R"))),
+      (11L, payload("windows-1251", "Привет".getBytes("windows-1251"))),
+      (12L, payload("tis-620", "ไทย".getBytes("x-windows-874"))),
+      (13L, payload("iso-2022-jp", "日本".getBytes("ISO-2022-JP"))),
+      // unknown label: utf-8 body must survive via the WHATWG default
+      (14L, payload("x-bogus", "fallback ✓".getBytes("UTF-8"))),
+      // malformed under the declared charset: replacement, not error
+      (15L, payload("shift_jis", Array(0x82.toByte))), // dangling lead
+      (16L, payload("utf-16le", "hi".getBytes("UTF-16LE")))
+    ).toDF("id", "content")
+    val got = WebClean.httpResponses(rows)
+      .select($"id", $"body_text").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "こんにちは 日本語")
+    assert(got(2L) == "①㈱")
+    assert(got(3L) == "日本語テスト")
+    assert(got(4L) == "한국어 똠")
+    assert(got(5L) == "한글")
+    assert(got(6L) == "中文 镕")
+    assert(got(7L) == "中文𠀀")
+    assert(got(8L) == "中文字")
+    assert(got(9L) == "香港嘅")
+    assert(got(10L) == "Привет")
+    assert(got(11L) == "Привет")
+    assert(got(12L) == "ไทย")
+    assert(got(13L) == "日本")
+    assert(got(14L) == "fallback ✓")
+    assert(got(15L) == "�")
+    assert(got(16L) == "hi")
+  }
+
+  test("Charsets.forLabel: WHATWG remaps, JVM passthrough, unknown null") {
+    import graft.functions.Charsets
+    assert(Charsets.forLabel("shift_jis").name == "windows-31j")
+    assert(Charsets.forLabel("ms_kanji").name == "windows-31j")
+    assert(Charsets.forLabel("gb2312").name == "GBK")
+    assert(Charsets.forLabel("euc-kr").name == "x-windows-949")
+    assert(Charsets.forLabel("big5").name == "Big5-HKSCS")
+    assert(Charsets.forLabel("unicode").name == "UTF-16LE")
+    // JVM passthrough for families the alias table does not list
+    assert(Charsets.forLabel("iso-8859-2").name == "ISO-8859-2")
+    assert(Charsets.forLabel("windows-1250").name == "windows-1250")
+    // a REAL ascii label is a positive hit, not the negative marker
+    assert(Charsets.forLabel("us-ascii") != null)
+    // unknown and illegal labels yield null (twice: the cached path)
+    assert(Charsets.forLabel("x-bogus") == null)
+    assert(Charsets.forLabel("x-bogus") == null)
+    assert(Charsets.forLabel("not a charset!") == null)
+  }
+
   // ---- robotsRules / robotsAllowed ---------------------------------------
 
   test("robots: group selection (specific beats *), longest-match " +
