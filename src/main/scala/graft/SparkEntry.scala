@@ -2235,6 +2235,25 @@ object SparkEntry {
         sites.withColumn("txt", body), "site", "txt", agent = "graftbot")
     }),
 
+    // §2b-62g: sitemap XML parsing — the consumer of the Sitemap:
+    // URLs q_robots_meta harvests: <urlset> page entries (depth 0)
+    // plus one level of <sitemapindex> recursion over children
+    // present in the fetched frame (depth 1); entity-escaped and
+    // whitespace-padded locs, a loc-less decoy that holds its pos, a
+    // garbage priority that nulls out, and an unfetched index child
+    // that yields nothing (synthesis: sitemapXml, doc_id % 3)
+    "q_sitemap_parse" -> ((s, dir) => {
+      val fetched = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("sitemap_url", sitemapUrl)
+        .withColumn("xml", sitemapXml)
+      operators.WebClean.sitemapFrontier(fetched, "sitemap_url", "xml")
+        .select(
+          regexp_extract(col("root_sitemap"), "/sm/([0-9]+)\\.xml$", 1)
+            .cast("bigint").as("root_doc"),
+          col("depth"), col("pos"), col("url"), col("lastmod"),
+          col("changefreq"), col("priority"))
+    }),
+
     // §2b-62: URL parse (host + registrable-site heuristic) — the key
     // extraction every domain-level policy (caps, blocklists,
     // stratification) joins on; URLs synthesized with www/userinfo/
@@ -2683,6 +2702,55 @@ object SparkEntry {
     * doc_id%6==3 pages an ABSOLUTE http `<base>` on another host —
     * root-relative links must take ITS authority and
     * protocol-relative links ITS scheme. */
+  /** Deterministic sitemap URL per document — the key the
+    * q_sitemap_parse index entries reference fetched children by. */
+  private def sitemapUrl: Column =
+    concat(lit("https://smhost.example.com/sm/"),
+      col("doc_id").cast("string"), lit(".xml"))
+
+  /** Deterministic sitemap XML per document — shared shape between
+    * q_sitemap_parse's Spark side and its DuckDB oracle, keyed on
+    * doc_id % 3:
+    *  0: a `<urlset>` with four `<url>` blocks — an entity-escaped
+    *     loc (`&amp;`) with whitespace padding + all optional fields,
+    *     a numeric-ref loc (`&#47;`) with a datetime lastmod, a
+    *     loc-LESS decoy that must drop but hold its pos, and a
+    *     garbage (non-numeric) priority that must null out;
+    *  1: a `<sitemapindex>` referencing the sitemaps of docs id-1 and
+    *     id+2 (both ≡ 0 mod 3 — fetched urlsets when in range) plus
+    *     an UNFETCHED child that must yield nothing;
+    *  2: a minimal one-entry `<urlset>`. */
+  private def sitemapXml: Column = {
+    val site = concat(lit("https://site"), col("doc_id").cast("string"),
+      lit(".example.com"))
+    when(pmod(col("doc_id"), lit(3)) === 0, concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<url><loc> "), site,
+      lit("/p/0?a=1&amp;b=2 </loc><lastmod>2025-06-15</lastmod>" +
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+        "<url><loc>"), site,
+      lit("/p/1&#47;x</loc>" +
+        "<lastmod>2024-03-01T12:30:00+00:00</lastmod></url>" +
+        "<url><lastmod>2020-01-01</lastmod></url>" +
+        "<url><loc>"), site,
+      lit("/p/2</loc><priority>bogus</priority></url></urlset>")))
+      .when(pmod(col("doc_id"), lit(3)) === 1, concat(
+        lit("<sitemapindex " +
+          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<sitemap><loc>https://smhost.example.com/sm/"),
+        (col("doc_id") - 1).cast("string"),
+        lit(".xml</loc><lastmod>2025-01-02</lastmod></sitemap>" +
+          "<sitemap><loc>https://smhost.example.com/sm/"),
+        (col("doc_id") + 2).cast("string"),
+        lit(".xml</loc></sitemap><sitemap>" +
+          "<loc>https://unfetched.example.com/other.xml</loc>" +
+          "</sitemap></sitemapindex>")))
+      .otherwise(concat(
+        lit("<urlset><url><loc>"), site,
+        lit("/only</loc></url></urlset>")))
+  }
+
   private def linkPage: Column = concat(
     lit("<html>"),
     when(pmod(col("doc_id"), lit(6)) === 0,
@@ -6458,6 +6526,72 @@ object SparkEntry {
     // the same parse/selection chain harvesting the non-rule
     // directives: global sitemaps, selected-group crawl-delay
     "q_robots_meta" -> qRobotsMetaOracle,
+
+    // the identical sitemap synthesis + block extraction replay:
+    // <url>/<sitemap> blocks via the same tag-anchored regexes, pos
+    // over the concatenated block order (urls first — one kind per
+    // valid doc), the entity decode replayed as literal replaces of
+    // the PLANTED references, loc-less blocks dropped AFTER pos
+    // assignment, numeric-guarded priority cast, and the one-level
+    // index recursion as a self-join through the fetched frame
+    "q_sitemap_parse" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 3 AS r,
+        |    'https://smhost.example.com/sm/' || doc_id || '.xml' AS sitemap_url,
+        |    'https://site' || doc_id || '.example.com' AS site
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, sitemap_url,
+        |    CASE r WHEN 0 THEN
+        |      '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        |      || '<url><loc> ' || site || '/p/0?a=1&amp;b=2 </loc><lastmod>2025-06-15</lastmod><changefreq>daily</changefreq><priority>0.8</priority></url>'
+        |      || '<url><loc>' || site || '/p/1&#47;x</loc><lastmod>2024-03-01T12:30:00+00:00</lastmod></url>'
+        |      || '<url><lastmod>2020-01-01</lastmod></url>'
+        |      || '<url><loc>' || site || '/p/2</loc><priority>bogus</priority></url></urlset>'
+        |    WHEN 1 THEN
+        |      '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        |      || '<sitemap><loc>https://smhost.example.com/sm/' || (doc_id - 1) || '.xml</loc><lastmod>2025-01-02</lastmod></sitemap>'
+        |      || '<sitemap><loc>https://smhost.example.com/sm/' || (doc_id + 2) || '.xml</loc></sitemap>'
+        |      || '<sitemap><loc>https://unfetched.example.com/other.xml</loc></sitemap></sitemapindex>'
+        |    ELSE '<urlset><url><loc>' || site || '/only</loc></url></urlset>'
+        |    END AS xml
+        |  FROM f),
+        |bl AS (
+        |  SELECT doc_id, sitemap_url,
+        |    regexp_extract_all(xml, '(?is)<url\b[^>]*>(.*?)</url\s*>', 1) AS us,
+        |    regexp_extract_all(xml, '(?is)<sitemap\b[^>]*>(.*?)</sitemap\s*>', 1) AS ss
+        |  FROM fx),
+        |eu AS (
+        |  SELECT doc_id, sitemap_url, CAST(i - 1 AS INT) AS pos,
+        |    'url' AS kind, us[i] AS b
+        |  FROM bl, unnest(generate_series(1, len(us))) AS g(i)
+        |  UNION ALL
+        |  SELECT doc_id, sitemap_url, CAST(len(us) + i - 1 AS INT) AS pos,
+        |    'sitemap' AS kind, ss[i] AS b
+        |  FROM bl, unnest(generate_series(1, len(ss))) AS g(i)),
+        |ee AS (
+        |  SELECT doc_id, sitemap_url, pos, kind,
+        |    NULLIF(regexp_extract(b, '(?is)<loc\b[^>]*>\s*(.*?)\s*</loc\s*>', 1), '') AS loc0,
+        |    replace(replace(loc0, '&#47;', '/'), '&amp;', '&') AS loc,
+        |    NULLIF(regexp_extract(b, '(?is)<lastmod\b[^>]*>\s*(.*?)\s*</lastmod\s*>', 1), '') AS lastmod,
+        |    NULLIF(regexp_extract(b, '(?is)<changefreq\b[^>]*>\s*(.*?)\s*</changefreq\s*>', 1), '') AS changefreq,
+        |    NULLIF(regexp_extract(b, '(?is)<priority\b[^>]*>\s*(.*?)\s*</priority\s*>', 1), '') AS p0,
+        |    CASE WHEN regexp_matches(p0, '^[0-9]+(\.[0-9]+)?$')
+        |      THEN CAST(p0 AS DOUBLE) END AS priority
+        |  FROM eu),
+        |e2 AS (SELECT * FROM ee WHERE loc IS NOT NULL),
+        |d0 AS (
+        |  SELECT CAST(regexp_extract(sitemap_url, '/sm/([0-9]+)\.xml$', 1) AS BIGINT) AS root_doc,
+        |    CAST(0 AS INT) AS depth, pos, loc AS url, lastmod, changefreq, priority
+        |  FROM e2 WHERE kind = 'url'),
+        |d1 AS (
+        |  SELECT CAST(regexp_extract(e.sitemap_url, '/sm/([0-9]+)\.xml$', 1) AS BIGINT) AS root_doc,
+        |    CAST(1 AS INT) AS depth, c.pos, c.loc AS url, c.lastmod,
+        |    c.changefreq, c.priority
+        |  FROM e2 e
+        |  JOIN fx f2 ON e.kind = 'sitemap' AND e.loc = f2.sitemap_url
+        |  JOIN e2 c ON c.doc_id = f2.doc_id AND c.kind = 'url')
+        |SELECT * FROM d0 UNION ALL SELECT * FROM d1""".stripMargin,
 
     // identical regexp_extract_all (tag-anchored, three value forms)
     // + conditional quote-strip + RFC 3986 resolution replay +

@@ -798,6 +798,117 @@ object WebClean {
     * oracle. Returns (id, host, site, suffix); `site` is NULL when the
     * host is itself a public suffix (nothing registrable to key on),
     * and both are NULL when nothing URL-shaped matched. */
+  /** Sitemap XML parsing (sitemaps.org protocol: `<urlset>` documents
+    * list page URLs, `<sitemapindex>` documents list child sitemaps —
+    * the documents the `Sitemap:` robots.txt directives
+    * ([[robotsDirectives]]) point a crawler at, and the natural
+    * producer of a URL frontier). One zero-shuffle projection:
+    * `<url>`/`<sitemap>` blocks via `regexp_extract_all` (tag-anchored
+    * with `\b`, so `<urlset>`/`<sitemapindex>` themselves never match
+    * as entry blocks) + a narrow `posexplode`, per-block field
+    * extraction for `loc`/`lastmod`/`changefreq`/`priority`.
+    *
+    * Semantics:
+    *  - `loc` values are XML-unescaped ([[graft.plans
+    *    .WebTextExpressions.htmlEntityDecode]] — covers the five
+    *    predefined XML entities plus numeric character references,
+    *    both of which sitemaps.org REQUIRES producers to escape) and
+    *    whitespace-trimmed; a block with no (or empty) `loc` is
+    *    dropped but HOLDS its `pos` (same contract as
+    *    [[extractLinks]]) — `pos` is the block's 0-based document
+    *    order, `<url>` blocks before `<sitemap>` blocks (a valid
+    *    document carries only one kind);
+    *  - `lastmod`/`changefreq` are trimmed strings (lastmod is W3C
+    *    datetime in either date or datetime form — kept textual, the
+    *    forms are not one castable type);
+    *  - `priority` casts to double only when numeric (ANSI mode would
+    *    throw on garbage; a malformed priority is null, the row
+    *    survives);
+    *  - CDATA sections are not interpreted (documented limit: real
+    *    sitemap producers entity-escape, per the protocol).
+    *
+    * Every column of `docs` other than `xmlCol` is carried through,
+    * so callers can thread ids/root URLs into the explode. */
+  def sitemapEntries(docs: DataFrame, xmlCol: String): DataFrame = {
+    def field(tag: String): Column = {
+      val v = regexp_extract(col("__sm_block"),
+        s"(?is)<$tag\\b[^>]*>\\s*(.*?)\\s*</$tag\\s*>", 1)
+      when(v =!= "", v)
+    }
+    val xml = col(xmlCol)
+    val tagged = concat(
+      transform(
+        regexp_extract_all(xml, lit("(?is)<url\\b[^>]*>(.*?)</url\\s*>"),
+          lit(1)),
+        b => struct(lit("url").as("kind"), b.as("block"))),
+      transform(
+        regexp_extract_all(xml,
+          lit("(?is)<sitemap\\b[^>]*>(.*?)</sitemap\\s*>"), lit(1)),
+        b => struct(lit("sitemap").as("kind"), b.as("block"))))
+    val pr = field("priority")
+    docs
+      .select(col("*"), posexplode(tagged).as(Seq("pos", "__sm_e")))
+      .withColumn("__sm_block", col("__sm_e.block"))
+      .withColumn("kind", col("__sm_e.kind"))
+      .withColumn("loc",
+        graft.plans.WebTextExpressions.htmlEntityDecode(field("loc")))
+      .withColumn("lastmod", field("lastmod"))
+      .withColumn("changefreq", field("changefreq"))
+      .withColumn("priority",
+        when(pr.rlike("^[0-9]+(\\.[0-9]+)?$"), pr.cast("double")))
+      .where(col("loc").isNotNull)
+      .drop(xmlCol, "__sm_e", "__sm_block")
+  }
+
+  /** The URL-frontier composition over a frame of FETCHED sitemap
+    * documents `(urlCol, xmlCol)`: page URLs listed directly by
+    * `<urlset>` documents (depth 0) plus, one level through
+    * `<sitemapindex>` documents, the page URLs of child sitemaps that
+    * are themselves in the fetched frame (depth 1 — an index entry
+    * whose child was not fetched yields no rows: the frontier reports
+    * what the crawl HAS, and the child reference itself is already a
+    * depth-0-style fetch task). One level is the sitemaps.org shape —
+    * indexes may not reference other indexes, so a deeper recursion
+    * has nothing legal to find; an index-typed child that does appear
+    * is ignored by the same rule.
+    *
+    * Returns `(root_sitemap, depth, pos, url, lastmod, changefreq,
+    * priority)` — compose with [[canonicalizeUrl]] and
+    * [[robotsAllowed]] for the admission-filtered frontier.
+    *
+    * Plan shape: the parsed entry frame is persisted (it feeds both
+    * the depth-0 projection and the index→child join, and re-running
+    * the block-extraction regexes per consumer is the
+    * re-extraction-per-consumer defect the round-15 plan work fixed
+    * elsewhere); the child join hash-joins index entries against the
+    * fetched frame on the child URL — the index side is tiny (one row
+    * per child sitemap, never per page). A sitemap corpus is
+    * metadata-sized next to the page corpus it describes (one
+    * document per ~50k pages), so the persist holds at crawl scale. */
+  def sitemapFrontier(fetched: DataFrame, urlCol: String,
+                      xmlCol: String): DataFrame = {
+    val entries = sitemapEntries(
+      fetched.select(col(urlCol).as("root_sitemap"),
+        col(xmlCol).as("__sm_xml")), "__sm_xml")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Seq(col("root_sitemap"), col("depth"), col("pos"),
+      col("url"), col("lastmod"), col("changefreq"), col("priority"))
+    val direct = entries.where(col("kind") === "url")
+      .withColumn("depth", lit(0))
+      .withColumn("url", col("loc"))
+      .select(out: _*)
+    val childDocs = entries.where(col("kind") === "sitemap")
+      .select(col("root_sitemap"), col("loc").as("__child"))
+      .join(fetched.select(col(urlCol).as("__child"),
+        col(xmlCol).as("__sm_xml")), Seq("__child"))
+    val viaIndex = sitemapEntries(childDocs, "__sm_xml")
+      .where(col("kind") === "url")
+      .withColumn("depth", lit(1))
+      .withColumn("url", col("loc"))
+      .select(out: _*)
+    direct.unionByName(viaIndex)
+  }
+
   def parseUrlsPsl(df: DataFrame, idCol: String, urlCol: String,
                    psl: graft.functions.Psl): DataFrame = {
     // trailing root dots stripped (FQDN form "example.com." == the

@@ -768,4 +768,105 @@ class WebCleanSpec extends AnyFunSuite {
       got(1).getBoolean(3))
     assert(got(2).isNullAt(1))
   }
+
+  // ---- sitemapEntries / sitemapFrontier ----------------------------------
+
+  test("sitemapEntries: urlset fields, loc trim + entity decode, loc-less " +
+    "decoy holds pos, garbage priority nulls, container tags never match") {
+    val xml = "<?xml version=\"1.0\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>" +
+      "<lastmod>2025-06-15</lastmod><changefreq>daily</changefreq>" +
+      "<priority>0.8</priority></url>" +
+      "<url><lastmod>2020-01-01</lastmod></url>" + // decoy: no loc
+      "<url><loc>https://a.com/q&#47;r</loc><priority>bogus</priority></url>" +
+      "</urlset>"
+    val got = WebClean.sitemapEntries(Seq((1L, xml)).toDF("id", "xml"), "xml")
+      .select($"pos", $"kind", $"loc", $"lastmod", $"changefreq", $"priority")
+      .orderBy("pos").collect()
+    assert(got.length == 2)
+    assert(got(0).getInt(0) == 0 && got(0).getString(1) == "url")
+    assert(got(0).getString(2) == "https://a.com/p?x=1&y=2") // trimmed+decoded
+    assert(got(0).getString(3) == "2025-06-15" &&
+      got(0).getString(4) == "daily" && got(0).getDouble(5) == 0.8)
+    assert(got(1).getInt(0) == 2) // the decoy held pos 1
+    assert(got(1).getString(2) == "https://a.com/q/r") // numeric ref
+    assert(got(1).isNullAt(3) && got(1).isNullAt(4) && got(1).isNullAt(5))
+  }
+
+  test("sitemapEntries: sitemapindex blocks, mixed-kind doc orders urls " +
+    "before sitemap blocks") {
+    val xml = "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>" +
+      "<lastmod>2025-01-02</lastmod></sitemap>" +
+      "<sitemap><loc>https://a.com/s2.xml</loc></sitemap></sitemapindex>"
+    val got = WebClean.sitemapEntries(Seq((1L, xml)).toDF("id", "xml"), "xml")
+      .select($"pos", $"kind", $"loc", $"lastmod").orderBy("pos").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((0, "sitemap", "https://a.com/s1.xml"),
+        (1, "sitemap", "https://a.com/s2.xml")))
+    assert(got(0).getString(3) == "2025-01-02" && got(1).isNullAt(3))
+    // a (protocol-invalid) mixed doc: url blocks take the leading pos
+    val mixed = "<x><url><loc>https://a.com/p</loc></url>" +
+      "<sitemap><loc>https://a.com/s.xml</loc></sitemap></x>"
+    val m = WebClean.sitemapEntries(Seq((1L, mixed)).toDF("id", "xml"), "xml")
+      .select($"pos", $"kind").orderBy("pos").collect()
+    assert(m.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "url"), (1, "sitemap")))
+  }
+
+  test("sitemapFrontier: depth-0 urlsets, one-level index recursion over " +
+    "fetched children only, index-typed child ignored") {
+    val fetched = Seq(
+      ("https://h.com/root.xml",
+        "<sitemapindex>" +
+          "<sitemap><loc>https://h.com/a.xml</loc></sitemap>" +
+          "<sitemap><loc>https://h.com/unfetched.xml</loc></sitemap>" +
+          "<sitemap><loc>https://h.com/idx2.xml</loc></sitemap>" +
+          "</sitemapindex>"),
+      ("https://h.com/a.xml",
+        "<urlset><url><loc>https://h.com/p1</loc></url>" +
+          "<url><loc>https://h.com/p2</loc></url></urlset>"),
+      // an index referenced BY an index: its sitemap-kind entries must
+      // not recurse further (the one-level sitemaps.org bound)
+      ("https://h.com/idx2.xml",
+        "<sitemapindex><sitemap><loc>https://h.com/a.xml</loc>" +
+          "</sitemap></sitemapindex>")
+    ).toDF("sitemap_url", "xml")
+    val got = WebClean.sitemapFrontier(fetched, "sitemap_url", "xml")
+      .select($"root_sitemap", $"depth", $"url").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // idx2 contributes depth-1 rows AS a fetched top-level doc; what
+    // must NOT appear is a depth-2 hop root.xml -> idx2 -> a.xml (no
+    // root-rooted row via idx2 beyond the ones root reaches directly),
+    // and the unfetched child yields nothing
+    assert(got == Set(
+      ("https://h.com/a.xml", 0, "https://h.com/p1"),
+      ("https://h.com/a.xml", 0, "https://h.com/p2"),
+      ("https://h.com/root.xml", 1, "https://h.com/p1"),
+      ("https://h.com/root.xml", 1, "https://h.com/p2"),
+      ("https://h.com/idx2.xml", 1, "https://h.com/p1"),
+      ("https://h.com/idx2.xml", 1, "https://h.com/p2")))
+  }
+
+  test("sitemapFrontier composes with canonicalizeUrl + robotsAllowed " +
+    "into the admission-filtered frontier") {
+    val fetched = Seq(
+      ("https://h.com/sm.xml",
+        "<urlset><url><loc>HTTPS://H.com/Private/x#frag</loc></url>" +
+          "<url><loc>https://h.com/ok?b=2&amp;a=1</loc></url></urlset>")
+    ).toDF("sitemap_url", "xml")
+    val frontier = WebClean.sitemapFrontier(fetched, "sitemap_url", "xml")
+      .withColumn("url_c", WebClean.canonicalizeUrl($"url"))
+      .withColumn("site",
+        WebClean.urlSite(WebClean.urlHost($"url_c")))
+    val rules = WebClean.robotsRules(
+      Seq(("h.com", "User-agent: *\nDisallow: /Private")).toDF("site", "txt"),
+      "site", "txt")
+    val got = WebClean.robotsAllowed(frontier, rules, "url_c", "url_c", "site")
+      .select($"url_c", $"allowed").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(got("https://h.com/Private/x") == false) // canon keeps path case
+    assert(got.keys.exists(_.startsWith("https://h.com/ok")) &&
+      got.filter(_._1.startsWith("https://h.com/ok")).values.head)
+  }
 }
