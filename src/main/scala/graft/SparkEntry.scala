@@ -386,8 +386,13 @@ object SparkEntry {
     // §2b (web-crawl ingestion): WARC/ISO-28500 round-trip — documents
     // written as real WARC/1.0 response records, read back through the
     // self-resyncing DataSource V2 (index-free sub-file splits: the
-    // 4 KiB splitBytes forces many byte-range tasks per shard and the
-    // magic-scan resync must find every record exactly once)
+    // sub-shard splitBytes forces several byte-range tasks per shard
+    // and the magic-scan resync must find every record exactly once;
+    // 128 KiB — not the 4 KiB this query used to bench, which cut
+    // ~600 KiB sf0.1 shards into ~150 splits each and paid hundreds of
+    // task launches per run for splits no deployment would configure.
+    // Guide §6 split sizing; the pathological tiny-split cases stay
+    // spec-hammered in WarcSourceSpec)
     "q_warc_ingest" -> ((s, dir) => {
       val out = dumpDir(dir) + "_warc"
       val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -400,7 +405,7 @@ object SparkEntry {
       }
       val paths = (0 until 4).map(p => f"$out/shard-$p%02d.warc")
       s.read.format("graft.sources.WarcDataSource")
-        .option("splitBytes", 4L << 10)
+        .option("splitBytes", 128L << 10)
         .load(paths: _*)
         .select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
@@ -411,10 +416,12 @@ object SparkEntry {
 
     // §2b (web-crawl ingestion, compressed): the Common Crawl shipping
     // layout — ONE GZIP MEMBER PER RECORD (.warc.gz), written and read
-    // back through the member-magic resync path (8 KiB compressed
-    // splits force many byte-range tasks; each candidate is validated
-    // by inflating the member head and checking the WARC magic, and
-    // every member's CRC/ISIZE is verified)
+    // back through the member-magic resync path (128 KiB compressed
+    // splits force several byte-range tasks per shard; each candidate
+    // is validated by inflating the member head and checking the WARC
+    // magic, and every member's CRC/ISIZE is verified. Guide §6 split
+    // sizing — was 8 KiB, ~45 splits per ~370 KiB sf0.1 shard; the
+    // tiny-split path stays spec-hammered)
     "q_warc_gz" -> ((s, dir) => {
       val out = dumpDir(dir) + "_warcgz"
       val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -427,7 +434,7 @@ object SparkEntry {
       }
       val paths = (0 until 4).map(p => f"$out/shard-$p%02d.warc.gz")
       s.read.format("graft.sources.WarcDataSource")
-        .option("splitBytes", 8L << 10)
+        .option("splitBytes", 128L << 10)
         .load(paths: _*)
         .select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
@@ -461,7 +468,7 @@ object SparkEntry {
       }
       val paths = (0 until 4).map(p => f"$out/shard-$p%02d.warc")
       val warc = s.read.format("graft.sources.WarcDataSource")
-        .option("splitBytes", 8L << 10)
+        .option("splitBytes", 128L << 10)
         .load(paths: _*)
       operators.WebClean.httpResponses(warc)
         .select(
@@ -492,7 +499,7 @@ object SparkEntry {
       }
       val paths = (0 until 4).map(p => f"$out/wet-$p%02d.warc")
       s.read.format("graft.sources.WarcDataSource")
-        .option("splitBytes", 4L << 10)
+        .option("splitBytes", 128L << 10)
         .load(paths: _*)
         .where(col("warc_type") === "conversion")
         .select(
@@ -506,13 +513,15 @@ object SparkEntry {
     // §2b (multimodal-corpus ingestion): WebDataset-layout tar
     // round-trip — customer rows written as grouped sample files
     // (<key>.txt + <key>.cls) into real ustar archives, read back
-    // through the block-aligned checksum-resync DataSource V2 (64 KiB
-    // splitBytes still forces dozens of byte-range resyncs per shard;
-    // TarSourceSpec hammers the pathological tiny-split case — a
-    // benched query should not pay 4 KiB-split task-launch overhead
-    // that no deployment would configure), regrouped into samples by
-    // the WebDataset key rule, and projected back to the source
-    // columns
+    // through the block-aligned checksum-resync DataSource V2 (1 MiB
+    // splitBytes still forces several byte-range resyncs per ~7.6 MiB
+    // sf0.1 shard — ~32 across the read, more at larger sf;
+    // TarSourceSpec hammers the pathological tiny-split case. Guide §6
+    // split sizing: the previous 64 KiB cut each shard into ~120
+    // splits, ~480 task launches + 1 MiB meta-lookback reads per run
+    // for a geometry no deployment would configure — measured 54 CPU
+    // seconds on a 4.4 s wall), regrouped into samples by the
+    // WebDataset key rule, and projected back to the source columns
     "q_tar_ingest" -> ((s, dir) => {
       val out = dumpDir(dir) + "_tar"
       val src = t(s, dir, "customer")
@@ -529,7 +538,7 @@ object SparkEntry {
       }
       val paths = (0 until 4).map(p => f"$out/shard-$p%02d.tar")
       val tar = s.read.format("graft.sources.TarDataSource")
-        .option("splitBytes", 64L << 10)
+        .option("splitBytes", 1L << 20)
         .load(paths: _*)
       graft.sources.TarSource.tarSamples(tar)
         .select(col("sample_key").cast("bigint").as("c_custkey"),
@@ -1535,7 +1544,7 @@ object SparkEntry {
 
     // §2b-25: quality scoring + doc stats
     "q_quality_score" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      Spread.spread(t(s, dir, "documents")).select(col("doc_id"),
         length(col("text")).cast("bigint").as("n_chars_calc"),
         TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
         TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
@@ -1583,7 +1592,8 @@ object SparkEntry {
     // pass (per-doc local counting; the explode formulation would
     // shuffle ~9 rows per token on (doc, n, gram))
     "q_gopher_rep" -> ((s, dir) =>
-      QualityRules.repetitionSignals(t(s, dir, "documents"),
+      QualityRules.repetitionSignals(
+        Spread.spread(t(s, dir, "documents").select(col("doc_id"), col("text"))),
         "doc_id", "text")),
 
     // §2b-48: CCNet perplexity bucketing (Wenzek et al. 2020 §3.3) —
@@ -2084,7 +2094,7 @@ object SparkEntry {
     // entities planted — and recovered by the chained-regex
     // extraction; the oracle synthesizes the identical page
     "q_html_extract" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      Spread.spread(t(s, dir, "documents")).select(col("doc_id"),
         operators.WebClean.extractHtmlText(htmlPage).as("clean_text"))),
 
     // §2b-60c: MAIN-CONTENT extraction (jusText-lite) — block-level
@@ -2095,8 +2105,8 @@ object SparkEntry {
     // anchor-only footer; one codegen kernel per row
     "q_main_content" -> ((s, dir) =>
       operators.WebClean.mainContent(
-        t(s, dir, "documents").select(col("doc_id"),
-          mainContentPage.as("html")),
+        Spread.spread(t(s, dir, "documents").select(col("doc_id"),
+          mainContentPage.as("html"))),
         "doc_id", "html")),
 
     // §2b-61: blocklist word filter (C4 §2.2 "bad words" policy) —
@@ -2114,8 +2124,8 @@ object SparkEntry {
     // planted page exercises every case
     "q_link_extract" -> ((s, dir) =>
       operators.WebClean.extractLinks(
-        t(s, dir, "documents").select(col("doc_id"),
-          syntheticUrl.as("src_url"), linkPage.as("html")),
+        Spread.spread(t(s, dir, "documents").select(col("doc_id"),
+          syntheticUrl.as("src_url"), linkPage.as("html"))),
         "doc_id", "html", baseUrlCol = Some("src_url"))),
 
     // §2b-69d: the COMPOSED domain-rank pipeline — extract links
@@ -2280,7 +2290,7 @@ object SparkEntry {
     // default ports stripped, remaining params sorted, trailing
     // slashes removed; URLs synthesized so every rule fires
     "q_url_canon" -> ((s, dir) =>
-      t(s, dir, "documents").withColumn("url", messyUrl)
+      Spread.spread(t(s, dir, "documents").withColumn("url", messyUrl))
         .select(col("doc_id"), col("url"),
           operators.WebClean.canonicalizeUrl(col("url")).as("canon"))),
 
@@ -2306,7 +2316,8 @@ object SparkEntry {
     // exercises full-trigram hits, bigram+backoff, unigram+two
     // backoffs, and the OOV floor on real corpus trigrams.
     "q_lm_external3" -> ((s, dir) =>
-      LmScore.arpaScoreDocsN(t(s, dir, "documents"), "doc_id", "text",
+      LmScore.arpaScoreDocsN(Spread.spread(t(s, dir, "documents")),
+        "doc_id", "text",
         LmScore.loadArpaResourceN("/graft/sample_trigram.arpa"))),
 
     // §2b-63: deterministic epoch shuffle — the global training order

@@ -103,6 +103,13 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 1
     var exhausted = false
+    // loop width ∝ word rows (Heaps-sublinear, usually tiny locally):
+    // each merge round's pair aggregation otherwise shuffles a
+    // vocabulary-sized frame at the session default width, paying the
+    // empty-task scheduling floor once per learned merge — the same
+    // fix as Graph.loopWidth / the CC loop. Count doubles as warm-up.
+    val w = Graph.loopWidth(words.sparkSession, cur.count())
+    Graph.withShuffleWidth(words.sparkSession, w) {
     while (k <= numMerges && !exhausted) {
       val best = cur.filter(size(col("s")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -131,6 +138,7 @@ object Bpe {
         cur = next
         k += 1
       }
+    }
     }
     cur.unpersist()
     merges.toSeq
@@ -178,6 +186,9 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
+    // right-sized loop width, as in [[learnFromWords]]
+    val w = Graph.loopWidth(words.sparkSession, cur.count())
+    Graph.withShuffleWidth(words.sparkSession, w) {
     while (merges.length < numMerges && !exhausted) {
       val top = cur.filter(size(col("s")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -224,6 +235,7 @@ object Bpe {
         cur.unpersist()
         cur = next
       }
+    }
     }
     cur.unpersist()
     merges.toSeq

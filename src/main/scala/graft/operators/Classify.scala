@@ -71,8 +71,12 @@ object Classify {
                   numBuckets: Int = 1024,
                   iters: Int = 3, lr: Double = 0.01): Array[Double] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val base = docs.select(col(textCol).as("__text"),
-        col(labelCol).cast("double").as("__y"))
+    // spread BEFORE the persist: the per-iteration forward pass is a
+    // pure scan-projection kernel, so its parallelism is frozen at
+    // persist time — a single-row-group input would run every
+    // iteration's tokenize+hash fold on one core (measured wall ≈ cpu)
+    val base = Spread.spread(docs.select(col(textCol).as("__text"),
+        col(labelCol).cast("double").as("__y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Array.fill(numBuckets)(0.0)
     try {

@@ -123,6 +123,16 @@ object Dedup {
     // once before the cache materializes; cached edges make the
     // symmetrization two cheap cache scans
     val cachedEdges = edges.persist()
+    // Right-size the loop's shuffle width to the edge frame it moves
+    // each round — the SAME fix Graph.loopWidth applies to the
+    // PageRank/HITS loops (round stages over node-sized frames at the
+    // session default width are a pure scheduling floor locally, and
+    // the floor is paid × rounds × the convergence-sensitive jitter of
+    // tiny tasks: the one-shot cc_labels figure was measured swinging
+    // 7.6-25 s run to run at width 32 on a ~20k-edge sf0.1 graph).
+    // The count doubles as the cache warm-up; the min against the
+    // session default preserves cluster width at scale.
+    val w = Graph.loopWidth(spark, cachedEdges.count())
     val sym = cachedEdges.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionByName(cachedEdges.select(col(bCol).as("x"), col(aCol).as("y")))
     // each round references `labels` TWICE (join + union), so without
@@ -191,13 +201,19 @@ object Dedup {
     // without materializing the first pass, the second references its
     // plan ~4x and re-executes it each time, costing more than the
     // barrier it saves; materializing it IS a round.)
-    while (!done && i < maxIters) {
-      val (updated, newSum) = truncateWithSum(propagate(labels, prevLabels))
-      prevLabels = Some(labels)
-      labels = updated
-      done = newSum == prevSum
-      prevSum = newSum
-      i += 1
+    // the whole loop runs at the right-sized width (Graph's scoped
+    // shuffle-partitions override — see withShuffleWidth's concurrency
+    // note there): every round's join/union/min-agg exchanges and the
+    // materialized round RDD are w-wide instead of default-wide
+    Graph.withShuffleWidth(spark, w) {
+      while (!done && i < maxIters) {
+        val (updated, newSum) = truncateWithSum(propagate(labels, prevLabels))
+        prevLabels = Some(labels)
+        labels = updated
+        done = newSum == prevSum
+        prevSum = newSum
+        i += 1
+      }
     }
     cachedEdges.unpersist()
     if (!done) {

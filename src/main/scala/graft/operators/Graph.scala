@@ -71,8 +71,8 @@ object Graph {
     * default at cluster width keeps that width (the min), and the
     * count that sizes it is one cheap job over the already-persisted
     * edge frame. */
-  private def loopWidth(spark: org.apache.spark.sql.SparkSession,
-                        rows: Long): Int = {
+  private[operators] def loopWidth(spark: org.apache.spark.sql.SparkSession,
+                                   rows: Long): Int = {
     val dflt = spark.conf.get("spark.sql.shuffle.partitions").toInt
     math.max(1, math.min(dflt,
       ((rows + LoopRowsPerTask - 1) / LoopRowsPerTask).toInt))
@@ -92,8 +92,9 @@ object Graph {
     * session no concurrent planner shares; the engine's own entry
     * points (SparkEntry/Verify/Bench) plan queries sequentially per
     * session, where the restore makes the override invisible. */
-  private def withShuffleWidth[A](spark: org.apache.spark.sql.SparkSession,
-                                  w: Int)(body: => A): A = {
+  private[operators] def withShuffleWidth[A](
+      spark: org.apache.spark.sql.SparkSession,
+      w: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, w.toString)

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive scan spreading (optimization guide §2.2/§2.5/§6).
+  *
+  * A file scan's parallelism is bounded by its splittable units: byte
+  * ranges map to parquet ROW GROUPS by midpoint, so a table written as
+  * one row group per file yields exactly one non-empty task per file
+  * no matter how many splits the planner cuts — and every expression
+  * kernel sitting in the scan projection (text hashing, HTML
+  * extraction, classifier folds) runs on one core until the first
+  * exchange. That is precisely the local-testdata shape (each
+  * per-sf `{table}.parquet` is a single row group), where kernel-heavy
+  * queries were measured wall ≈ cpu: 1-core execution on a 32-core
+  * session.
+  *
+  * [[spread]] round-robin-repartitions such inputs to the session's
+  * default parallelism — but only when the input is provably too small
+  * to fill the machine from splits alone: total scan bytes under one
+  * `spark.sql.files.maxPartitionBytes` split per core. The gate makes
+  * the helper scale-adaptive rather than a local tuning constant:
+  *
+  *  - at 100 TB the branch is a no-op (bytes ≫ cores × 128 MB) and the
+  *    scan keeps its natural thousands-of-row-groups parallelism with
+  *    ZERO added exchanges;
+  *  - below the threshold the repartition moves at most
+  *    cores × maxPartitionBytes bytes ONCE — bounded, and repaid by the
+  *    kernel compute it parallelizes (callers apply it at kernel-heavy
+  *    sites only; a cheap projection would pay the exchange without a
+  *    compute stage to win back).
+  *
+  * Row-level results are unchanged: round-robin repartition reassigns
+  * rows to partitions (deterministically — Spark's sort-before-
+  * repartition stays on), and every downstream aggregate/join/window
+  * is keyed, so output multisets are identical (the oracle gate pins
+  * this per query).
+  */
+object Spread {
+
+  /** Default parallelism × max split size — the "could the scan fill
+    * the machine from splits alone?" threshold. */
+  private def thresholdBytes(df: DataFrame): Long = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism.toLong
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    cores * maxSplit
+  }
+
+  /** Round-robin repartition `df` to the session default parallelism
+    * when its estimated size cannot fill the machine from file splits;
+    * identity otherwise (the at-scale branch).
+    *
+    * Apply ONLY to frames consumed once (a single kernel pipeline down
+    * to the sink). A multi-reference frame must NOT be spread: every
+    * plan reference clones the repartition subtree, so a frame fanned
+    * out to k consumers pays k exchanges (measured: the margin-mine
+    * plan went 16 → 34 Exchange nodes and 4.5 → 56 CPU seconds under a
+    * spread of its shared input). Materializing the spread to bridge
+    * that (persist / lazy localCheckpoint) was tried and REJECTED:
+    * per-sample persists accumulate block-manager state the session
+    * never reclaims mid-run, and a full-sweep bench under it showed
+    * broad CPU inflation on untouched queries (122 → 162 s total). */
+  def spread(df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(thresholdBytes(df)))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+  }
+}

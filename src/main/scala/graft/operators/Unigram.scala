@@ -143,6 +143,11 @@ object Unigram {
     val w = words.persist()
     var vocab = seed
     var out: DataFrame = null
+    // right-sized loop width over the (Heaps-sublinear) word table —
+    // the Graph.loopWidth discipline: per-round count/total aggs at
+    // the session default width are rounds × an empty-task floor
+    val lw = Graph.loopWidth(words.sparkSession, w.count())
+    val res = Graph.withShuffleWidth(words.sparkSession, lw) {
     for (r <- 1 to rounds) {
       val v = vocabOf(vocab, unkMicro)
       val inVocab = vocab.map(_.piece)
@@ -160,7 +165,10 @@ object Unigram {
       if (r < rounds) vocab = collectVocab(out)
     }
     // vocab-sized result; materialize it so the word cache releases
-    val res = out.localCheckpoint(true)
+    // (inside the width scope: the eager checkpoint is what plans and
+    // runs the final round's exchanges)
+    out.localCheckpoint(true)
+    }
     w.unpersist(false)
     res
   }

@@ -217,20 +217,47 @@ object WarcSource {
   /** Write `records` in the Common-Crawl shipping layout: ONE GZIP
     * MEMBER PER RECORD (RFC 1952 members concatenated), so the
     * compressed file is splittable — readers resync on the member
-    * magic and inflate exactly one record per member. Java's
-    * GZIPOutputStream zeroes MTIME/XFL/OS, so fixtures are
-    * byte-reproducible. */
+    * magic and inflate exactly one record per member.
+    *
+    * Members are emitted with ONE reused `Deflater` (reset per
+    * member) instead of a fresh `GZIPOutputStream` per record: the
+    * per-member native Deflater allocate/free was pure overhead ×
+    * |records| (optimization guide §1.2 "per-task work"). The member
+    * layout is unchanged — the same 10-byte header GZIPOutputStream
+    * writes (zero MTIME/XFL/OS), a default-level raw deflate stream,
+    * the CRC32/ISIZE little-endian trailer — and output stays
+    * deterministic run to run (fixtures byte-reproducible). */
   def writeWarcGz(path: String, records: Iterator[(String, Array[Byte])],
                   date: String = "2014-01-01T00:00:00Z",
                   warcType: String = "response"): Unit = {
     val fs = new Path(path).getFileSystem(DumpSource.activeHadoopConf())
     val out = fs.create(new Path(path), true)
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val crc = new java.util.zip.CRC32()
+    val buf = new Array[Byte](8192)
+    val header = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+    def le32(v: Long): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
     try records.foreach { case (uri, body) =>
-      val gz = new java.util.zip.GZIPOutputStream(out, 8192)
-      gz.write(recordBytes(uri, body, date, warcType))
-      gz.finish() // member trailer, `out` stays open for the next member
-      gz.flush()
-    } finally out.close()
+      val rec = recordBytes(uri, body, date, warcType)
+      out.write(header)
+      deflater.reset()
+      deflater.setInput(rec)
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      crc.reset()
+      crc.update(rec)
+      out.write(le32(crc.getValue))
+      out.write(le32(rec.length.toLong & 0xffffffffL))
+    } finally {
+      deflater.end()
+      out.close()
+    }
   }
 
   /** Inflate ONE gzip member from the pushback stream's current
