@@ -387,7 +387,9 @@ object Classify {
     * whole rollup rides ONE hash exchange on `id`. Nothing is
     * corpus-global; safe at any scale. */
   def langSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val paras = df
+    // spread: the per-paragraph langId kernel rides the scan stage
+    // (the explode is pipelined, no exchange before it)
+    val paras = Spread.spread(df)
       .select(col(idCol),
         posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
       .where(length(trim(col("para"))) > 0)
@@ -398,20 +400,25 @@ object Classify {
       when(lag(col("lp"), 1).over(byPos).isNull ||
            lag(col("lp"), 1).over(byPos) === col("lp"), lit(0L))
         .otherwise(lit(1L)))
+    // SINGLE linear aggregation chain: `sw` used to fan out to two
+    // aggregations (per-language counts AND per-doc totals) that were
+    // then joined and ranked — re-executing the explode + langId
+    // kernel + window sort subtree once per consumer (measured cpu ≈
+    // 4× wall). Now one (id, lang) agg feeds one (id) agg; the
+    // majority pick is min(struct(-cnt, lang)) — identical to the old
+    // row_number over (cnt DESC, lang ASC) — so the ranking window
+    // AND the join disappear and every operator is referenced once.
     val cnts = sw.groupBy(col(idCol), col("lp"))
-      .agg(count(lit(1)).as("majority_cnt"))
-    val pick = Window.partitionBy(col(idCol))
-      .orderBy(col("majority_cnt").desc, col("lp"))
-    val major = cnts.withColumn("rn", row_number().over(pick))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("lp").as("majority_lang"), col("majority_cnt"))
-    val stats = sw.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras"),
-           (sum(col("switch")) + lit(1L)).as("n_runs"))
-    stats.join(major, Seq(idCol))
-      .select(col(idCol), col("n_paras"), col("majority_lang"),
-        col("majority_cnt"), col("n_runs"),
-        (col("majority_cnt").cast("double") / col("n_paras").cast("double"))
+      .agg(count(lit(1)).as("cnt"), sum(col("switch")).as("__sw"))
+    cnts.groupBy(col(idCol))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("lp").as("lp"))).as("__m"),
+        sum(col("cnt")).as("n_paras"),
+        (sum(col("__sw")) + lit(1L)).as("n_runs"))
+      .select(col(idCol), col("n_paras"),
+        col("__m.lp").as("majority_lang"),
+        (-col("__m.nc")).as("majority_cnt"), col("n_runs"),
+        ((-col("__m.nc")).cast("double") / col("n_paras").cast("double"))
           .as("majority_frac"))
   }
 }
