@@ -94,12 +94,25 @@ object Bench {
     // line instead of a trio member keeps min-of-samples honest — the
     // cost can neither vanish (cached re-samples) nor be triple-counted.
     var ccLabelsSec = 0.0
+    var ccLabelsRuns: Seq[Double] = Nil
     val ccTrio = Set("q_cluster_best", "q_dedup_clusters", "q_neardup_prune")
     SparkEntry.withClusterLabelSharing(spark, sfDir) {
     if (only.isEmpty || only.exists(ccTrio)) {
-      val ccT0 = System.nanoTime()
-      SparkEntry.primeClusterLabels(spark, sfDir)
-      ccLabelsSec = (System.nanoTime() - ccT0) / 1e9
+      // min-of-2 priming (round-16 verdict item 4): the one-shot prime
+      // measured a 7.6-25 s band on identical code (cold-codegen
+      // jitter), polluting seq_total both directions across rounds.
+      // Label twice, report the min — the same min-of-samples
+      // treatment every other row gets. DISCLOSED cost accounting: the
+      // labeling compute is paid twice per bench run but counted once
+      // (exactly like every query's 2-5 adaptive samples); both raw
+      // runs ride in the JSON under "cc_labels_runs".
+      ccLabelsRuns = (1 to 2).map { _ =>
+        SparkEntry.resetClusterLabels(spark, sfDir)
+        val ccT0 = System.nanoTime()
+        SparkEntry.primeClusterLabels(spark, sfDir)
+        (System.nanoTime() - ccT0) / 1e9
+      }
+      ccLabelsSec = ccLabelsRuns.min
     }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1)).foreach { case (name, fn) =>
@@ -203,7 +216,26 @@ object Bench {
     // not decay between queries), so it is contamination EVIDENCE for
     // a reader, not a usable ambient-load signal.
     val loadWarning = loadBefore > 2.0
-    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"cpu_sec":$cs,"failed":$fs,"counterexamples":$ces,"seq_total":$seqTotal,"seq_total_all":$seqTotalAll,"cc_labels_sec":$ccLabelsSec,"grouped_total":$groupedTotal,"grouped_runs":${groupedRuns.mkString("[", ",", "]")},"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
+    val ccRuns = ccLabelsRuns.mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"queries":$qs,"cpu_sec":$cs,"failed":$fs,"counterexamples":$ces,"seq_total":$seqTotal,"seq_total_all":$seqTotalAll,"cc_labels_sec":$ccLabelsSec,"cc_labels_runs":$ccRuns,"grouped_total":$groupedTotal,"grouped_runs":${groupedRuns.mkString("[", ",", "]")},"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}"""
+    // The FULL per-query line (the historical contract: every query's
+    // wall + cpu seconds). At 168 queries it is ~4.5 KB — larger than
+    // the 2000-char stdout tail the driver keeps, which left
+    // BENCH_r13..r16.json unparseable (`parsed: null`, four rounds of
+    // per-query ground truth lost — round-16 verdict item 1). So the
+    // full line ALSO lands in a sidecar file, and a COMPACT line
+    // (aggregates only, well under 1 KB) prints LAST so the tail
+    // always contains one complete, parseable JSON line.
+    println(fullLine)
+    try {
+      val side = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(side.getParent)
+      java.nio.file.Files.write(side,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$seqTotal,"unit":"sec","parallelism":$parallelism,"n_queries":${timings.size},"queries_file":"target/bench_full.json","failed":$fs,"counterexamples":$ces,"seq_total":$seqTotal,"seq_total_all":$seqTotalAll,"cc_labels_sec":$ccLabelsSec,"cc_labels_runs":$ccRuns,"grouped_total":$groupedTotal,"grouped_runs":${groupedRuns.mkString("[", ",", "]")},"cold_total":$coldTotal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg_max":$maxLoad,"load_warning":$loadWarning,"uptime_before":$uptimeBefore,"uptime_after":$uptimeAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -389,12 +389,22 @@ object Classify {
   def langSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // spread: the per-paragraph langId kernel rides the scan stage
     // (the explode is pipelined, no exchange before it)
+    // two-level projection for the langId kernel: the 5 per-language
+    // evidence counts land in a lower select ONCE per paragraph; the
+    // flat when-chain re-evaluated each count per branch condition it
+    // appears in (up to 4 scans per language per paragraph — CASE
+    // branches are invisible to codegen subexpression elimination).
+    // Identical counts, identical argmax — bit-equal lp.
+    val (en, fr, de, es, zh) = TextFunctions.langIdCounts(col("para"))
     val paras = Spread.spread(df)
       .select(col(idCol),
         posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
       .where(length(trim(col("para"))) > 0)
+      .select(col(idCol), col("pos"), en.as("__en"), fr.as("__fr"),
+        de.as("__de"), es.as("__es"), zh.as("__zh"))
       .select(col(idCol), col("pos"),
-        TextFunctions.langId(col("para")).as("lp"))
+        TextFunctions.langIdFrom(col("__en"), col("__fr"), col("__de"),
+          col("__es"), col("__zh")).as("lp"))
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val sw = paras.withColumn("switch",
       when(lag(col("lp"), 1).over(byPos).isNull ||

@@ -92,13 +92,15 @@ object Dedup {
     // single-slot tracker would unpersist it one round before its last
     // use and force a lineage recompute every round
     var liveRdds: List[org.apache.spark.rdd.RDD[_]] = Nil
-    // (truncated frame, Some(sum of comp) or None for an empty frame)
-    def truncateWithSum(df: DataFrame): (DataFrame, Option[Long]) =
+    // (truncated frame, Some(sum of comp) or None for an empty frame,
+    // row count — the caller sizes the loop width from the counts)
+    def truncateWithSum(df: DataFrame): (DataFrame, Option[Long], Long) =
       if (checkpointDir.isDefined || !longIds) {
         val t = if (checkpointDir.isDefined) df.checkpoint(eager = true)
                 else df.localCheckpoint(true)
-        (t, Option(t.agg(sum(col("comp"))).head().get(0))
-          .map(_.asInstanceOf[Number].longValue()))
+        val r = t.agg(sum(col("comp")), count(lit(1))).head()
+        (t, Option(r.get(0)).map(_.asInstanceOf[Number].longValue()),
+          r.getLong(1))
       } else {
         val rdd = GraftSqlShim.toInternalRowRdd(df).map(_.copy()).persist()
         // sum wrap-around is harmless: the witness only needs to be
@@ -116,23 +118,16 @@ object Dedup {
         liveRdds = rdd :: liveRdds
         liveRdds.drop(2).foreach(_.unpersist(blocking = false))
         liveRdds = liveRdds.take(2)
-        (frame, if (n == 0L) None else Some(s))
+        (frame, if (n == 0L) None else Some(s), n)
       }
     // persist the EDGE LIST, not the symmetrized union: the union's two
     // branches would each evaluate the (expensive) pair-generation plan
     // once before the cache materializes; cached edges make the
     // symmetrization two cheap cache scans
     val cachedEdges = edges.persist()
-    // Right-size the loop's shuffle width to the edge frame it moves
-    // each round — the SAME fix Graph.loopWidth applies to the
-    // PageRank/HITS loops (round stages over node-sized frames at the
-    // session default width are a pure scheduling floor locally, and
-    // the floor is paid × rounds × the convergence-sensitive jitter of
-    // tiny tasks: the one-shot cc_labels figure was measured swinging
-    // 7.6-25 s run to run at width 32 on a ~20k-edge sf0.1 graph).
-    // The count doubles as the cache warm-up; the min against the
-    // session default preserves cluster width at scale.
-    val w = Graph.loopWidth(spark, cachedEdges.count())
+    // edge count for the loop-width sizing below; doubles as the
+    // edge-cache warm-up
+    val edgeCount = cachedEdges.count()
     val sym = cachedEdges.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionByName(cachedEdges.select(col(bCol).as("x"), col(aCol).as("y")))
     // each round references `labels` TWICE (join + union), so without
@@ -144,8 +139,22 @@ object Dedup {
     // labels is a strictly-decreasing convergence witness: one cheap
     // fold per round instead of a full old-vs-new join. Over zero
     // rows the sum is None — empty graph, already converged.
-    var (labels, prevSum) = truncateWithSum(
+    var (labels, prevSum, nodeCount) = truncateWithSum(
       nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+    // Right-size the loop's shuffle width to the LARGEST frame any
+    // round moves — the SAME fix Graph.loopWidth applies to the
+    // PageRank/HITS loops (round stages at the session default width
+    // are a pure scheduling floor locally; the one-shot cc_labels
+    // figure was measured swinging 7.6-25 s run to run at width 32 on
+    // a ~20k-edge sf0.1 graph). Sized from max(edges, nodes), not
+    // edges alone (round-16 ADVICE): the per-round label and min-agg
+    // frames are NODE-sized, and a sparse dedup graph — the common
+    // case, mostly singletons — has nodes >> edges, which collapsed
+    // the width to 1 and pushed node-sized frames through
+    // single-partition exchanges every round. The node count rides the
+    // initial truncation fold (no extra job); the min against the
+    // session default preserves cluster width at scale.
+    val w = Graph.loopWidth(spark, math.max(edgeCount, nodeCount))
     var done = prevSum.isEmpty
     var i = 0
     // the previous round's label map, re-used as EXTRA edges (below)
@@ -207,7 +216,7 @@ object Dedup {
     // materialized round RDD are w-wide instead of default-wide
     Graph.withShuffleWidth(spark, w) {
       while (!done && i < maxIters) {
-        val (updated, newSum) = truncateWithSum(propagate(labels, prevLabels))
+        val (updated, newSum, _) = truncateWithSum(propagate(labels, prevLabels))
         prevLabels = Some(labels)
         labels = updated
         done = newSum == prevSum

@@ -80,26 +80,22 @@ object Graph {
 
   /** Run `body` with `spark.sql.shuffle.partitions` set to `w` so the
     * loop's INTERNAL exchanges (the per-round partial-agg shuffle)
-    * match the pre-partitioned caches' width — restored after, so
-    * queries planned AFTER the loop are untouched. The override is
-    * SESSION-scoped, not thread-scoped: a query planned CONCURRENTLY
-    * on the same SparkSession from another thread inherits the
-    * narrowed width for its own shuffles while the loop runs (a
-    * conf-based scope is what keeps the loop's map-side partial
-    * aggregation — an explicit repartition below the agg would drop
-    * the combine and push edge-count rows through every round's
-    * exchange). Multi-tenant callers should run graph loops on a
-    * session no concurrent planner shares; the engine's own entry
-    * points (SparkEntry/Verify/Bench) plan queries sequentially per
-    * session, where the restore makes the override invisible. */
+    * match the pre-partitioned caches' width. A conf-based scope is
+    * what keeps the loop's map-side partial aggregation — an explicit
+    * repartition below the agg would drop the combine and push
+    * edge-count rows through every round's exchange. The override is
+    * THREAD-CONFINED ([[GraftSqlShim.withConfOverride]]: a cloned
+    * SQLConf installed as this thread's `SQLConf.withExistingConf`
+    * thread-local, which planning consults before the session conf),
+    * so a query planned CONCURRENTLY on the same SparkSession from
+    * another thread — e.g. the grouped bench pass, or any multi-tenant
+    * session — keeps the session width. The session conf itself is
+    * never mutated. GraphSpec pins the isolation both ways. */
   private[operators] def withShuffleWidth[A](
       spark: org.apache.spark.sql.SparkSession,
-      w: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, w.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+      w: Int)(body: => A): A =
+    GraftSqlShim.withConfOverride(spark,
+      Map("spark.sql.shuffle.partitions" -> w.toString))(body)
 
   /** One-job round barrier for the iterative loops: materialize `df`
     * into a persisted (optionally reliably-checkpointed) InternalRow

@@ -35,43 +35,74 @@ object QualityRules {
   /** The paper's required-stopword set (≥ minStopHits hits keeps the doc). */
   private val RequiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** The per-rule signal expressions over one text column. Order:
-    * (n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
-    * ellipsis_line_frac, alpha_word_frac, stop_hits). */
-  private def signalExprs(c: Column): (Column, Column, Column, Column, Column, Column, Column) = {
-    val n = regexp_count(c, lit("\\S+"))
-    val mwl = when(n === 0, lit(0.0)).otherwise(
-      length(replace(c, lit(" "), lit(""))).cast("double") / n.cast("double"))
+  /** The raw per-document counting passes every rule derives from —
+    * one expression per DISTINCT pass over the text, so a caller that
+    * needs several signals (or signals + verdict) can land these in a
+    * lower projection and compute every count once. Order: (n_words,
+    * non_space_len, symbol_hits, n_lines, bullet_lines,
+    * ellipsis_lines, alpha_words, stop_hits). */
+  private def countExprs(c: Column): (Column, Column, Column, Column, Column, Column, Column, Column) = {
+    val n = graft.plans.RegexCountExpression.regexCount(c, "\\S+")
+    val nonSpace = length(replace(c, lit(" "), lit("")))
     // '#' occurrences plus literal ellipses — the paper's "symbols"
-    val symRatio = when(n === 0, lit(0.0)).otherwise(
-      regexp_count(c, lit("#|\\.\\.\\.")).cast("double") / n.cast("double"))
+    val sym = graft.plans.RegexCountExpression.regexCount(c, "#|\\.\\.\\.")
     // split(limit = -1) keeps trailing empty lines, matching DuckDB's
     // str_split; an empty text is one empty line, so nLines >= 1
     val lines = split(c, "\n", -1)
-    val nLines = size(lines).cast("double")
-    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
-      .cast("double") / nLines
-    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
-      .cast("double") / nLines
+    val nLines = size(lines)
+    val bullets = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val ellipses = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
     // \S* cannot cross whitespace, so each match is one token that
     // contains at least one ASCII letter
+    val alphaWords =
+      graft.plans.RegexCountExpression.regexCount(c, "\\S*[A-Za-z]\\S*")
+    val stopHits = graft.plans.RegexCountExpression.regexCount(lower(c),
+      "\\b(" + RequiredStops.mkString("|") + ")\\b")
+    (n, nonSpace, sym, nLines, bullets, ellipses, alphaWords, stopHits)
+  }
+
+  /** The per-rule signal expressions over precomputed counts. Order:
+    * (n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    * ellipsis_line_frac, alpha_word_frac, stop_hits). */
+  private def signalsFrom(n: Column, nonSpace: Column, sym: Column,
+                          nLines: Column, bullets: Column, ellipses: Column,
+                          alphaWords: Column, stopHits: Column)
+      : (Column, Column, Column, Column, Column, Column, Column) = {
+    val mwl = when(n === 0, lit(0.0)).otherwise(
+      nonSpace.cast("double") / n.cast("double"))
+    val symRatio = when(n === 0, lit(0.0)).otherwise(
+      sym.cast("double") / n.cast("double"))
+    val nLinesD = nLines.cast("double")
+    val bulletFrac = bullets.cast("double") / nLinesD
+    val ellipsisFrac = ellipses.cast("double") / nLinesD
     val alphaFrac = when(n === 0, lit(0.0)).otherwise(
-      regexp_count(c, lit("\\S*[A-Za-z]\\S*")).cast("double") / n.cast("double"))
-    val stopHits = regexp_count(lower(c),
-      lit("\\b(" + RequiredStops.mkString("|") + ")\\b"))
+      alphaWords.cast("double") / n.cast("double"))
     (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits)
   }
 
-  /** The composite keep predicate over one text column. */
-  def keepExpr(c: Column, p: GopherParams = GopherParams()): Column = {
-    val (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits) =
-      signalExprs(c)
+  /** The per-rule signal expressions over one text column. Order as
+    * [[signalsFrom]]. */
+  private def signalExprs(c: Column): (Column, Column, Column, Column, Column, Column, Column) = {
+    val (n, nonSpace, sym, nLines, bullets, ellipses, alphaWords, stopHits) =
+      countExprs(c)
+    signalsFrom(n, nonSpace, sym, nLines, bullets, ellipses, alphaWords,
+      stopHits)
+  }
+
+  /** The composite keep predicate over one signal tuple. */
+  private def keepFrom(sig: (Column, Column, Column, Column, Column, Column, Column),
+                       p: GopherParams): Column = {
+    val (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits) = sig
     n.between(p.minWords, p.maxWords) &&
       mwl.between(p.minMeanWordLen, p.maxMeanWordLen) &&
       symRatio <= p.maxSymbolRatio &&
       bulletFrac <= p.maxBulletFrac && ellipsisFrac <= p.maxEllipsisFrac &&
       alphaFrac >= p.minAlphaFrac && stopHits >= p.minStopHits
   }
+
+  /** The composite keep predicate over one text column. */
+  def keepExpr(c: Column, p: GopherParams = GopherParams()): Column =
+    keepFrom(signalExprs(c), p)
 
   /** Per-document rule signals + the composite `keep` verdict:
     * (idCol, n_words, mean_word_len, symbol_word_ratio,
@@ -82,16 +113,30 @@ object QualityRules {
     * replays exactly). */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String,
                     p: GopherParams = GopherParams()): DataFrame = {
-    val (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits) =
-      signalExprs(col(textCol))
-    df.select(col(idCol), n.cast("long").as("n_words"),
-      round(mwl, 6).as("mean_word_len"),
-      round(symRatio, 6).as("symbol_word_ratio"),
-      round(bulletFrac, 6).as("bullet_line_frac"),
-      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
-      round(alphaFrac, 6).as("alpha_word_frac"),
-      stopHits.cast("long").as("stop_hits"),
-      keepExpr(col(textCol), p).as("keep"))
+    // two-level projection: the 5 regex/line-scan counting passes land
+    // in a lower select ONCE; the signal columns and the keep verdict
+    // combine them. The flat form re-evaluated each count for the
+    // signal column AND the verdict (and the CASE branches hide the
+    // duplicates from codegen subexpression elimination). Identical
+    // arithmetic in identical order — bit-equal outputs, oracle-pinned.
+    val (nc, nonSpace, sym, nLines, bullets, ellipses, alphaWords, stops) =
+      countExprs(col(textCol))
+    val sig = signalsFrom(col("__n"), col("__nosp"), col("__sym"),
+      col("__nlines"), col("__bullets"), col("__ellipses"),
+      col("__alphaw"), col("__stops"))
+    val (n, mwl, symRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits) = sig
+    df.select(col(idCol), nc.as("__n"), nonSpace.as("__nosp"),
+        sym.as("__sym"), nLines.as("__nlines"), bullets.as("__bullets"),
+        ellipses.as("__ellipses"), alphaWords.as("__alphaw"),
+        stops.as("__stops"))
+      .select(col(idCol), n.cast("long").as("n_words"),
+        round(mwl, 6).as("mean_word_len"),
+        round(symRatio, 6).as("symbol_word_ratio"),
+        round(bulletFrac, 6).as("bullet_line_frac"),
+        round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+        round(alphaFrac, 6).as("alpha_word_frac"),
+        stopHits.cast("long").as("stop_hits"),
+        keepFrom(sig, p).as("keep"))
   }
 
   /** The corpus-path form: rows of `df` that pass every rule, original

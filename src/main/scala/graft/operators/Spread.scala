@@ -63,7 +63,24 @@ object Spread {
     * never reclaims mid-run, and a full-sweep bench under it showed
     * broad CPU inflation on untouched queries (122 → 162 s total). */
   def spread(df: DataFrame): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Gate on ON-DISK bytes where the input is file-backed (round-16
+    // ADVICE): the threshold is a file-split budget (cores ×
+    // maxPartitionBytes), so comparing it against a LOGICAL size
+    // estimate — whose projection/filter multipliers deviate from disk
+    // size — made the cutoff fuzzy near the boundary. File-relation
+    // leaves contribute their FileIndex byte totals; any other leaf
+    // (in-memory ranges, local tables) falls back to its stats
+    // estimate. Walks the ANALYZED plan, so the gate no longer forces
+    // a full optimizer run at query-construction time.
+    val est: BigInt = df.queryExecution.analyzed.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            BigInt(fs.location.sizeInBytes)
+          case r => BigInt(r.sizeInBytes)
+        }
+      case other => other.stats.sizeInBytes
+    }.sum
     if (est < BigInt(thresholdBytes(df)))
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df

@@ -217,7 +217,8 @@ object WebClean {
     require(words.nonEmpty, "blocklist must be non-empty")
     require(words.forall(_.matches("[A-Za-z0-9]+")),
       "blocklist words must be alphanumeric literals (they are spliced into a regex)")
-    regexp_count(c, lit("(?i)\\b(" + words.mkString("|") + ")\\b"))
+    graft.plans.RegexCountExpression.regexCount(c,
+      "(?i)\\b(" + words.mkString("|") + ")\\b")
   }
 
   /** Per-doc blocklist signals: hit count + keep verdict. The filter

@@ -63,4 +63,23 @@ object GraftSqlShim {
     * must agree with how the analyzer will later resolve the names. */
   def activeResolver: (String, String) => Boolean =
     org.apache.spark.sql.internal.SQLConf.get.resolver
+
+  /** Run `body` with a THREAD-CONFINED SQLConf override: a clone of
+    * the session's conf with `pairs` applied is installed as this
+    * thread's `SQLConf.withExistingConf` thread-local, which
+    * `SQLConf.get` consults BEFORE the active session — so any query
+    * planned (lazily forced) inside `body` on THIS thread sees the
+    * override, while queries planned concurrently on other threads of
+    * the same session are untouched. This replaces the session-global
+    * `spark.conf.set`/restore pattern, whose override leaked into
+    * concurrently-planned queries (the round-16 grouped-pass hazard).
+    * The clone is a snapshot: session conf changes made during `body`
+    * are not visible inside it. */
+  def withConfOverride[A](spark: SparkSession, pairs: Map[String, String])
+                         (body: => A): A = {
+    val base = spark.asInstanceOf[classic.SparkSession].sessionState.conf
+    val cloned = base.clone()
+    pairs.foreach { case (k, v) => cloned.setConfString(k, v) }
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(cloned)(body)
+  }
 }
