@@ -2174,17 +2174,26 @@ object SparkEntry {
     // iteration's key type); the name join-back is a ~|sites|-row
     // frame. 5 rounds, the oracle replays every stage.
     "q_domain_rank" -> ((s, dir) => {
-      val pages = t(s, dir, "documents")
-        .select(col("doc_id"), syntheticUrl.as("src_url"),
-          linkPage.as("html"))
-      val links = operators.WebClean.extractLinks(pages, "doc_id", "html",
-        baseUrlCol = Some("src_url"))
       val srcSite = operators.WebClean.urlSite(
         operators.WebClean.urlHost(col("src_url")))
       val dstSite = operators.WebClean.urlSite(
         operators.WebClean.urlHost(col("url")))
-      val sedges = pages.select(col("doc_id"), srcSite.as("src_site"))
-        .join(links, "doc_id")
+      // ONE extraction pass, src_site CARRIED through it: the previous
+      // form joined a second corpus scan (doc_id -> src_site) back to
+      // the links on doc_id — a corpus-sized shuffle + duplicate scan
+      // whose only payload was the per-page site string. carryCols
+      // threads it through the explode instead (same rows, same
+      // values; the oracle pins the 50-row result). The single-
+      // consumer scan also spreads now (it could not before: two plan
+      // references would each clone the spread exchange).
+      val pages = Spread.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), syntheticUrl.as("src_url"),
+          linkPage.as("html"))
+        .select(col("doc_id"), col("src_url"), col("html"),
+          srcSite.as("src_site"))
+      val links = operators.WebClean.extractLinks(pages, "doc_id", "html",
+        baseUrlCol = Some("src_url"), carryCols = Seq("src_site"))
+      val sedges = links
         .select(col("src_site"), dstSite.as("dst_site"))
         .where(col("src_site") =!= "" && col("dst_site") =!= "")
       // ONE extraction pass feeds the whole composition: the distinct

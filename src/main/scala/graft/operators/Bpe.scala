@@ -124,18 +124,24 @@ object Bpe {
         val row = best.head
         val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(k, l, r, f)
-        // localCheckpoint, not persist: persist caches blocks but keeps
-        // the LINEAGE, so generation R's logical plan would carry all R
-        // preceding merge projections — plan size (and AQE's plan-string
-        // rendering) grows quadratically over a real multi-k-merge learn
-        // and OOMs the driver long before the data does. Checkpointing
-        // materializes AND truncates; the retired generation's blocks
-        // are dropped by the context cleaner once unreferenced.
-        val next = cur.withColumn("s",
-            BpeExpression.bpeMerge(col("s"), lit(l), lit(r)))
-          .localCheckpoint(true)
-        cur.unpersist()
-        cur = next
+        // the next generation exists only to feed the NEXT round's
+        // pair count — after the final accepted merge it would be
+        // materialized and immediately discarded (one full vocab
+        // segmentation pass for nothing), so skip it
+        if (k < numMerges) {
+          // localCheckpoint, not persist: persist caches blocks but keeps
+          // the LINEAGE, so generation R's logical plan would carry all R
+          // preceding merge projections — plan size (and AQE's plan-string
+          // rendering) grows quadratically over a real multi-k-merge learn
+          // and OOMs the driver long before the data does. Checkpointing
+          // materializes AND truncates; the retired generation's blocks
+          // are dropped by the context cleaner once unreferenced.
+          val next = cur.withColumn("s",
+              BpeExpression.bpeMerge(col("s"), lit(l), lit(r)))
+            .localCheckpoint(true)
+          cur.unpersist()
+          cur = next
+        }
         k += 1
       }
     }
@@ -223,17 +229,21 @@ object Bpe {
         batch.foreach { case (l, r, f) =>
           merges += Merge(merges.length + 1, l, r, f)
         }
-        // localCheckpoint truncates lineage per round (see the note in
-        // [[learnFromWords]]): without it the plan accumulates every
-        // prior round's chained merge expressions and driver memory —
-        // not the cluster — becomes the learn loop's limit
-        val next = cur.withColumn("s",
-            batch.foldLeft(col("s")) { case (s, (l, r, _)) =>
-              BpeExpression.bpeMerge(s, lit(l), lit(r))
-            })
-          .localCheckpoint(true)
-        cur.unpersist()
-        cur = next
+        // skip the post-final-round generation (see learnFromWords):
+        // it would be one full vocab segmentation pass, discarded
+        if (merges.length < numMerges) {
+          // localCheckpoint truncates lineage per round (see the note in
+          // [[learnFromWords]]): without it the plan accumulates every
+          // prior round's chained merge expressions and driver memory —
+          // not the cluster — becomes the learn loop's limit
+          val next = cur.withColumn("s",
+              batch.foldLeft(col("s")) { case (s, (l, r, _)) =>
+                BpeExpression.bpeMerge(s, lit(l), lit(r))
+              })
+            .localCheckpoint(true)
+          cur.unpersist()
+          cur = next
+        }
       }
     }
     }

@@ -393,29 +393,36 @@ object WebClean {
     * be relative. Derived per PAGE, before the anchor explode, so the
     * base resolution costs once per document, not per link. */
   def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
-                   baseUrlCol: Option[String] = None): DataFrame = {
+                   baseUrlCol: Option[String] = None,
+                   carryCols: Seq[String] = Nil): DataFrame = {
+    // carryCols ride the extraction unchanged (one value per page,
+    // repeated per link) so a caller that needs page-level columns
+    // next to the links — the domain-rank site edges — gets them in
+    // the SAME pass instead of re-scanning the corpus and joining on
+    // the id (a corpus-sized shuffle at 100 TB)
+    val carry = carryCols.map(col)
     val basePrep: DataFrame = baseUrlCol match {
       case Some(bc) =>
         val bh0 = regexp_extract(col(htmlCol), baseHrefPattern, 1)
         val bh = when(bh0.rlike("^[\"']"),
           bh0.substr(lit(2), length(bh0) - 2)).otherwise(bh0)
-        val pages = df.select(col(idCol), col(htmlCol).as("__html"),
-          col(bc).as("__page"), bh.as("__bh"))
+        val pages = df.select(col(idCol) +: carry ++: Seq(
+          col(htmlCol).as("__html"), col(bc).as("__page"), bh.as("__bh")): _*)
         resolveUrl(pages, "__page", "__bh", "__eff")
           .withColumn("__base", coalesce(col("__eff"), col("__page")))
       case None =>
-        df.select(col(idCol), col(htmlCol).as("__html"),
-          lit(null).as("__base"))
+        df.select(col(idCol) +: carry ++: Seq(
+          col(htmlCol).as("__html"), lit(null).as("__base")): _*)
     }
-    val raw = basePrep.select(col(idCol), col("__base"),
+    val raw = basePrep.select(col(idCol) +: carry ++: Seq(col("__base"),
         posexplode(regexp_extract_all(col("__html"),
           lit(hrefPattern), lit(1)))
-          .as(Seq("pos", "q")))
-      .select(col(idCol), col("pos"),
+          .as(Seq("pos", "q"))): _*)
+      .select(col(idCol) +: carry ++: Seq(col("pos"),
         when(col("q").rlike("^[\"']"),
           expr("substring(q, 2, length(q) - 2)")).otherwise(col("q"))
           .as("href"),
-        col("__base"))
+        col("__base")): _*)
     baseUrlCol match {
       case Some(_) =>
         // the http(s) admission is decided on (href, base) BEFORE
@@ -436,9 +443,10 @@ object WebClean {
         val kept = raw.where(absHttp ||
           (!abs && baseHttp && h =!= "" && !h.startsWith("#")))
         resolveUrl(kept, "__base", "href", "url")
-          .select(col(idCol), col("pos"), col("url"))
+          .select(col(idCol) +: carry ++: Seq(col("pos"), col("url")): _*)
       case None =>
-        raw.select(col(idCol), col("pos"), col("href").as("url"))
+        raw.select(col(idCol) +: carry ++: Seq(col("pos"),
+            col("href").as("url")): _*)
           .where(lower(col("url")).rlike("^https?://"))
     }
   }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftSqlShim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -10,14 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen expression: the whole bilinear inference — tokenize,
   * char-n-gram bucket ids via fastText's own hash, hidden-vector
   * accumulation, L output dot products, argmax — in ONE kernel call
-  * per row inside the scan projection. The model rides as a
-  * referenced object (broadcast once per executor with the task
-  * binary — the HashGramLogit / HyperplaneSig pattern), so even a
-  * lid.176-sized input matrix costs its serialized size once, never
-  * per row. Returns struct(idx INT, logit DOUBLE); null when the text
-  * has no feature ids. */
+  * per row inside the scan projection. The model travels via
+  * [[ModelRef]]: sample-sized models ride the task binary as a
+  * reference object; a published lid.176-class matrix (~126 MB) is
+  * broadcast and materialized once per executor JVM instead of once
+  * per task. Returns struct(idx INT, logit DOUBLE); null when the
+  * text has no feature ids. */
 case class FastTextArgmax(child: Expression,
-                          model: graft.functions.FastText.FastTextModel)
+                          model: Either[graft.functions.FastText.FastTextModel,
+                                        Broadcast[graft.functions.FastText.FastTextModel]])
     extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("idx", IntegerType, nullable = false),
@@ -30,13 +32,23 @@ case class FastTextArgmax(child: Expression,
       s"fasttext_argmax requires string input, got ${child.dataType}")
   }
   override def nullSafeEval(v: Any): Any =
-    graft.functions.FastText.argmax(v.asInstanceOf[UTF8String], model)
+    graft.functions.FastText.argmax(v.asInstanceOf[UTF8String],
+      ModelRef.get(model))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("model", model,
-      classOf[graft.functions.FastText.FastTextModel].getName)
+    val modelCls = classOf[graft.functions.FastText.FastTextModel].getName
+    val modelVar = model match {
+      case Left(m) => ctx.addReferenceObj("model", m, modelCls)
+      case Right(bc) =>
+        val ref = ctx.addReferenceObj("modelBc", bc,
+          classOf[Broadcast[_]].getName)
+        // resolved once per generated-class instance, served from the
+        // executor's broadcast cache after the first task
+        ctx.addMutableState(modelCls, "ftModel",
+          v => s"$v = ($modelCls) $ref.value();")
+    }
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |InternalRow ${ev.value}Tmp = graft.functions.FastText.argmax($c, $ref);
+         |InternalRow ${ev.value}Tmp = graft.functions.FastText.argmax($c, $modelVar);
          |if (${ev.value}Tmp == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -53,6 +65,12 @@ case class FastTextArgmax(child: Expression,
 object FastTextExpressions {
   /** Subword-fastText argmax over a string column. */
   def fastTextArgmax(c: Column,
-                     model: graft.functions.FastText.FastTextModel): Column =
-    GraftSqlShim.column(FastTextArgmax(GraftSqlShim.expression(c), model))
+                     model: graft.functions.FastText.FastTextModel): Column = {
+    // dominant payload: the (nwords + bucket) × dim input matrix plus
+    // the L × dim output matrix, 8 bytes a cell
+    val est = (model.input.length.toLong + model.output.length.toLong) *
+      model.dim * 8L
+    GraftSqlShim.column(FastTextArgmax(GraftSqlShim.expression(c),
+      ModelRef.of(model, est)))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftSqlShim}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -11,11 +12,14 @@ import graft.functions.{UnigramOps, UnigramVocab}
 
 /** Unigram-LM Viterbi segmentation of a word column
   * (`unigram_encode`): the whole DP runs in ONE codegen kernel call
-  * per row, with the vocabulary riding as an expression reference
-  * object — per-executor cost is the serialized vocab once, like the
-  * classifier weight vectors. Applied to the DISTINCT-WORD cache, not
-  * the corpus, by [[graft.operators.Unigram.encodeDocs]]. */
-case class UnigramEncode(child: Expression, vocab: UnigramVocab)
+  * per row, with the vocabulary traveling via [[ModelRef]] —
+  * sample-sized vocabularies ride the task binary; a realistic
+  * multi-million-piece SentencePiece vocab is broadcast and
+  * materialized once per executor JVM instead of once per task.
+  * Applied to the DISTINCT-WORD cache, not the corpus, by
+  * [[graft.operators.Unigram.encodeDocs]]. */
+case class UnigramEncode(child: Expression,
+                         vocab: Either[UnigramVocab, Broadcast[UnigramVocab]])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -26,12 +30,20 @@ case class UnigramEncode(child: Expression, vocab: UnigramVocab)
       s"unigram_encode requires string input, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any =
-    UnigramOps.viterbi(v.asInstanceOf[UTF8String], vocab)
+    UnigramOps.viterbi(v.asInstanceOf[UTF8String], ModelRef.get(vocab))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("uvocab", vocab,
-      "graft.functions.UnigramVocab")
-    defineCodeGen(ctx, ev, c => s"graft.functions.UnigramOps.viterbi($c, $ref)")
+    val vocabCls = classOf[UnigramVocab].getName
+    val vocabVar = vocab match {
+      case Left(v) => ctx.addReferenceObj("uvocab", v, vocabCls)
+      case Right(bc) =>
+        val ref = ctx.addReferenceObj("uvocabBc", bc,
+          classOf[Broadcast[_]].getName)
+        ctx.addMutableState(vocabCls, "uvocab",
+          v => s"$v = ($vocabCls) $ref.value();")
+    }
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnigramOps.viterbi($c, $vocabVar)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
@@ -41,6 +53,11 @@ case class UnigramEncode(child: Expression, vocab: UnigramVocab)
 }
 
 object UnigramExpression {
-  def unigramEncode(word: Column, vocab: UnigramVocab): Column =
-    GraftSqlShim.column(UnigramEncode(GraftSqlShim.expression(word), vocab))
+  def unigramEncode(word: Column, vocab: UnigramVocab): Column = {
+    // pieces (2 bytes a char in the serialized String) + micro scores
+    val est = vocab.pieces.iterator.map(_.length.toLong * 2 + 40).sum +
+      vocab.lpMicro.length.toLong * 8
+    GraftSqlShim.column(UnigramEncode(GraftSqlShim.expression(word),
+      ModelRef.of(vocab, est)))
+  }
 }
