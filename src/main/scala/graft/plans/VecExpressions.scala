@@ -40,12 +40,19 @@ object VecOps {
     * by repeated max (nprobe is small). */
   def nearestCentroids(v: ArrayData, cents: Array[Array[Double]], nprobe: Int): Array[Int] = {
     val m = cents.length
+    // copy the vector to a primitive array ONCE: the inner loop below
+    // re-reads every component m times, and ArrayData.getDouble is a
+    // virtual call into the unsafe row buffer — for the auto-sized IVF
+    // paths m = nlist grows with the corpus, making this the hottest
+    // loop of the whole ANN family (same arithmetic, same order, same
+    // result; one dim-sized allocation amortized over m rows)
+    val vv = v.toDoubleArray()
     val sims = new Array[Double](m)
     var c = 0
     while (c < m) {
       val p = cents(c)
       var s = 0.0; var j = 0
-      while (j < p.length) { s += v.getDouble(j) * p(j); j += 1 }
+      while (j < p.length) { s += vv(j) * p(j); j += 1 }
       sims(c) = s
       c += 1
     }
@@ -69,12 +76,13 @@ object VecOps {
   /** Single nearest centroid index (the IVF cell assignment). */
   def nearestCentroid(v: ArrayData, cents: Array[Array[Double]]): Int = {
     val m = cents.length
+    val vv = v.toDoubleArray() // see nearestCentroids
     var best = 0; var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < m) {
       val p = cents(c)
       var s = 0.0; var j = 0
-      while (j < p.length) { s += v.getDouble(j) * p(j); j += 1 }
+      while (j < p.length) { s += vv(j) * p(j); j += 1 }
       if (s > bestSim) { best = c; bestSim = s }
       c += 1
     }
@@ -87,12 +95,13 @@ object VecOps {
   def randomProject(v: ArrayData, planes: Array[Array[Double]]): Array[Double] = {
     val k = planes.length
     val rt = math.sqrt(k.toDouble)
+    val vv = v.toDoubleArray() // see nearestCentroids
     val out = new Array[Double](k)
     var b = 0
     while (b < k) {
       val p = planes(b)
       var dot = 0.0; var j = 0
-      while (j < p.length) { dot += v.getDouble(j) * p(j); j += 1 }
+      while (j < p.length) { dot += vv(j) * p(j); j += 1 }
       out(b) = dot / rt
       b += 1
     }
@@ -137,6 +146,7 @@ object VecOps {
     * m × ksub × dsub. */
   def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]]): Array[Int] = {
     val m = books.length
+    val vv = v.toDoubleArray() // see nearestCentroids
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -149,7 +159,7 @@ object VecOps {
         val c = cb(j)
         var dist = 0.0; var d = 0
         while (d < dsub) {
-          val diff = v.getDouble(off + d) - c(d)
+          val diff = vv(off + d) - c(d)
           dist += diff * diff
           d += 1
         }
@@ -178,13 +188,14 @@ object VecOps {
     * the Column-expression formulation inlined planes.length × dim
     * literals into generated code and took seconds to janino-compile. */
   def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val vv = v.toDoubleArray() // see nearestCentroids
     var sig = 0L
     var i = 0
     while (i < planes.length) {
       val p = planes(i)
       var dot = 0.0
       var j = 0
-      while (j < p.length) { dot += v.getDouble(j) * p(j); j += 1 }
+      while (j < p.length) { dot += vv(j) * p(j); j += 1 }
       if (dot > 0) sig |= (1L << i)
       i += 1
     }
